@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named, oracle-checkable query unit.
+  *
+  * Each implemented operator from SURVEY.md §2 is exposed as one of these:
+  * `run` builds the DataFrame plan against the parquet tables under `sfDir`,
+  * and `oracle` (when the semantics are ANSI-SQL-expressible) is the
+  * equivalent DuckDB SQL the driver executes over the same parquet files.
+  *
+  * Parity rules (so the driver's hash compare is stable across engines):
+  *   - sums over doubles go through exact DECIMAL(18,s) accumulation and are
+  *     cast back to DOUBLE only once, at the end (IEEE-deterministic);
+  *   - averages are exact-sum / count in double, then ROUND(_, 2);
+  *   - every query ends in a total ORDER BY with a unique tiebreaker key;
+  *   - output column names and types are aligned on both sides.
+  */
+final case class NamedQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    /** queries worth timing in Bench (headline set) */
+    bench: Boolean = false,
+)
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and convert to a µs timestamp
+      // (the data is µs-granular, so the truncation is exact).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.RelationalOps
+import org.apache.spark.sql.Row
+
+class RelationalOpsSpec extends SparkSpec {
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.registry.foreach { q =>
+      val df = q.run(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("registry names are unique and oracle keys are a subset") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q1 canonical aggregate: counts reconcile with table size") {
+    val df = RelationalOps.ordersByStatus(spark, sfDir)
+    val total = df.collect().map(_.getAs[Long]("order_count")).sum
+    assert(total == Tables.load(spark, sfDir, "orders").count())
+  }
+
+  test("q1 avg is exact-sum / count") {
+    val r = RelationalOps.ordersByStatus(spark, sfDir).collect().head
+    val avg = r.getAs[Double]("avg_value")
+    val rev = r.getAs[Double]("total_revenue")
+    val cnt = r.getAs[Long]("order_count")
+    assert(math.abs(avg - rev / cnt) < 1e-9)
+  }
+
+  test("q16 upsert merge: batch keys win, non-batch base keys survive") {
+    val rows = RelationalOps.upsertMerge(spark, sfDir).collect()
+    val byKey = rows.map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    assert(byKey.size == rows.length, "PK must be unique after merge")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      if (k % 2 == 0) assert(r.getAs[String]("o_orderstatus") == "U")
+      else assert(r.getAs[String]("o_orderstatus") != "U")
+    }
+    // keys divisible by 4 come back via the batch; keys ≡ 2 (mod 4) too
+    assert(byKey.keySet.exists(_ % 4 == 0))
+  }
+
+  test("q18 window: one row per user, max value") {
+    val events = Tables.load(spark, sfDir, "events")
+    val users = events.select("user_id").distinct().count()
+    val got = RelationalOps.topEventPerUser(spark, sfDir)
+    assert(got.count() == users)
+  }
+
+  test("q13/q14 anti/semi partition the customer set w.r.t. 'P' orders") {
+    import org.apache.spark.sql.functions._
+    val c = Tables.load(spark, sfDir, "customer").count()
+    val without = RelationalOps.customersWithoutOrders(spark, sfDir).count()
+    val withP = Tables.load(spark, sfDir, "customer")
+      .join(
+        Tables.load(spark, sfDir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(without + withP == c)
+  }
+
+  test("events table loads with µs timestamps (nanos parquet handled)") {
+    val e = Tables.load(spark, sfDir, "events")
+    assert(e.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(e.count() > 0)
+  }
+}
