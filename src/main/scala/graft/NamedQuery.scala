@@ -12,8 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Parity rules (so the driver's hash compare is stable across engines):
   *   - sums over doubles go through exact DECIMAL(18,s) accumulation and are
   *     cast back to DOUBLE only once, at the end (IEEE-deterministic);
-  *   - averages are exact-sum / count in double, then ROUND(_, 2);
-  *   - every query ends in a total ORDER BY with a unique tiebreaker key;
+  *   - rounded averages are computed as exact integer round-half-up over
+  *     decimal-cent sums (identical in both engines); unrounded averages are
+  *     raw IEEE quotients of deterministic operands — never ROUND on a
+  *     double, which is not hash-stable across Spark and DuckDB;
+  *   - operators return UNORDERED plans; Verify's sink applies the canonical
+  *     row order (all output columns, left to right, nulls first) and every
+  *     oracle ends in the matching `ORDER BY ALL NULLS FIRST`;
   *   - output column names and types are aligned on both sides.
   */
 final case class NamedQuery(
@@ -32,9 +37,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and convert to a µs timestamp
+      // reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set at
+      // SparkSession build time by every main/test fixture — never mutated
+      // here, a per-call conf.set would race concurrent reads) the nanos
+      // come back as LongType and are converted to a µs timestamp
       // (the data is µs-granular, so the truncation is exact).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -96,6 +96,9 @@ object RelationalOps {
 
   // q5 — 3-table inner equi-join order detail report (J1;
   // reference mysql-init/01-setup.sql:308-320). Dimension sides broadcast.
+  // Unordered on purpose: a total sort of the full fact output is a
+  // range-partition shuffle of every row at scale; Verify's sink owns the
+  // canonical order.
   val orderDetailsJoin: (SparkSession, String) => DataFrame = (s, dir) => {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
@@ -108,7 +111,6 @@ object RelationalOps {
         n("n_name").as("nation_name"),
         o("o_orderstatus").as("status"),
         o("o_totalprice").as("total_amount"))
-      .orderBy(col("order_id"))
   }
 
   // q6 — lineitem pricing summary (TPC-H Q1 shape: grouped sums of derived
@@ -193,7 +195,7 @@ object RelationalOps {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
   }
 
   // q14 — semi-join: customers having orders (EXISTS)
@@ -202,7 +204,6 @@ object RelationalOps {
     val o = t(s, dir, "orders")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
   }
 
   // q15 — left outer join + COALESCE of missing aggregates
@@ -215,7 +216,6 @@ object RelationalOps {
         col("c_custkey"), col("c_mktsegment"),
         coalesce(col("cnt"), lit(0L)).as("order_count"),
         coalesce(col("rev"), lit(0.0)).as("revenue"))
-      .orderBy(col("c_custkey"))
   }
 
   // q16 — batch PK upsert: last-writer-wins merge = anti-join + union
@@ -231,7 +231,6 @@ object RelationalOps {
         (col("o_totalprice") * 2).as("o_totalprice"))
     base.join(batch, Seq("o_orderkey"), "left_anti")
       .unionByName(batch)
-      .orderBy(col("o_orderkey"))
   }
 
   // q17 — event-time hourly bucketing over the events stream table
@@ -303,7 +302,6 @@ object RelationalOps {
       to_date(col("o_orderdate")).as("order_month"),
       col("o_orderdate").as("order_date"),
       col("o_totalprice").as("total_amount"))
-      .orderBy(col("order_id"))
 
   // q22 — date/time function surface: to_date, year/month/day, interval
   // subtraction, unix epoch (SURVEY §2.8 date rows)
@@ -316,7 +314,6 @@ object RelationalOps {
       dayofmonth(col("o_orderdate")).as("d"),
       to_date(col("o_orderdate") - expr("INTERVAL '30' DAY")).as("od_minus30"),
       unix_timestamp(col("o_orderdate")).as("unix_sec"))
-      .orderBy(col("o_orderkey"))
 
   // ---------------------------------------------------------------------
 
@@ -326,13 +323,13 @@ object RelationalOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY order_count DESC, status""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q2_monthly_trends", monthlyTrends, bench = true, oracle = Some(
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS order_month,
         |  o_orderstatus AS status, COUNT(*) AS order_count,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2
-        |ORDER BY order_month DESC, status""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q3_high_value_orders", highValueOrders, bench = true, oracle = Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
         |  MAX(o_totalprice) AS max_value,
@@ -341,19 +338,19 @@ object RelationalOps {
         |FROM orders
         |WHERE o_totalprice > 1000 AND o_orderstatus IN ('O', 'F')
         |  AND o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 12 MONTH FROM orders)
-        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+        |GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q4_distinct_customers", distinctCustomers, bench = true, oracle = Some(
       """SELECT o_orderstatus AS status,
         |  COUNT(DISTINCT o_custkey) AS customer_count, COUNT(*) AS order_count,
         |  CAST(COUNT(*) AS DOUBLE) / NULLIF(COUNT(DISTINCT o_custkey), 0) AS orders_per_customer
-        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+        |FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q5_order_details_join", orderDetailsJoin, bench = true, oracle = Some(
       """SELECT o_orderkey AS order_id, c_name AS customer_name, n_name AS nation_name,
         |  o_orderstatus AS status, o_totalprice AS total_amount
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY order_id""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q6_lineitem_pricing", lineitemPricing, bench = true, oracle = Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -365,19 +362,21 @@ object RelationalOps {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q7_table_counts_union", tableCountsUnion, oracle = Some(
       """SELECT * FROM (
         |  SELECT 'orders' AS table_name, COUNT(*) AS row_count FROM orders
         |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
         |  UNION ALL SELECT 'customer', COUNT(*) FROM customer
         |  UNION ALL SELECT 'part', COUNT(*) FROM part
-        |) ORDER BY table_name""".stripMargin)),
+        |) ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q8_distinct_status", distinctStatus, oracle = Some(
-      "SELECT DISTINCT o_orderstatus AS status FROM orders ORDER BY status")),
+      "SELECT DISTINCT o_orderstatus AS status FROM orders ORDER BY ALL NULLS FIRST")),
     NamedQuery("q9_top_parts", topParts, oracle = Some(
-      """SELECT p_partkey, p_name, p_retailprice FROM part
-        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin)),
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_name, p_retailprice FROM part
+        |  ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        |) ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q10_scalar_functions", scalarFunctions, oracle = Some(
       """SELECT n_nationkey, n_name,
         |  CONCAT(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS tag,
@@ -386,21 +385,21 @@ object RelationalOps {
         |  COALESCE(NULLIF(n_regionkey, 0), -1) AS nz,
         |  CAST(FLOOR(n_nationkey / 3.0) AS BIGINT) AS bucket3,
         |  ROUND(CAST(n_nationkey AS DOUBLE) * 1.5, 1) AS scaled
-        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+        |FROM nation ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q11_point_lookup", pointLookup, oracle = Some(
       """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
         |WHERE p_partkey = 42""".stripMargin)),
     NamedQuery("q12_numbers_crossjoin", numbersCrossJoin, oracle = Some(
       """SELECT a.d * 10 + b.d AS n
-        |FROM range(0, 10) a(d) CROSS JOIN range(0, 10) b(d) ORDER BY n""".stripMargin)),
+        |FROM range(0, 10) a(d) CROSS JOIN range(0, 10) b(d) ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q13_customers_without_orders", customersWithoutOrders, oracle = Some(
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-        |ORDER BY c_custkey""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q14_customers_with_orders", customersWithOrders, oracle = Some(
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q15_customer_order_counts", customerOrderCounts, oracle = Some(
       """SELECT c_custkey, c_mktsegment,
         |  COALESCE(cnt, 0) AS order_count, COALESCE(rev, CAST(0 AS DOUBLE)) AS revenue
@@ -409,7 +408,7 @@ object RelationalOps {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY o_custkey
         |) ON c_custkey = o_custkey
-        |ORDER BY c_custkey""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q16_upsert_merge", upsertMerge, bench = true, oracle = Some(
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
@@ -421,24 +420,24 @@ object RelationalOps {
         |  SELECT b.* FROM base b
         |  WHERE NOT EXISTS (SELECT 1 FROM batch u WHERE u.o_orderkey = b.o_orderkey)
         |  UNION ALL SELECT * FROM batch
-        |) ORDER BY o_orderkey""".stripMargin)),
+        |) ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q17_events_hourly", eventsHourly, bench = true, oracle = Some(
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket, event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
+        |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q18_top_event_per_user", topEventPerUser, oracle = Some(
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
-        |) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+        |) WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q19_gold_rollup", goldRollup, bench = true, oracle = Some(
       """SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
         |  COUNT(DISTINCT o_custkey) AS user_count, COUNT(*) AS order_count,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
         |FROM orders GROUP BY 1, 2
-        |ORDER BY order_month DESC, status""".stripMargin)),
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q20_gold_reagg", goldReagg, oracle = Some(
       """WITH gold AS (
         |  SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
@@ -451,18 +450,18 @@ object RelationalOps {
         |  CAST(SUM(CAST(gross_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         |  CAST(SUM(user_count) AS BIGINT) AS total_user_count,
         |  CAST(SUM(CAST(FLOOR(avg_order_value * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_avg_order_value
-        |FROM gold GROUP BY status ORDER BY status""".stripMargin)),
+        |FROM gold GROUP BY status ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q21_silver_projection", silverProjection, oracle = Some(
       """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
         |  o_totalprice AS total_amount
-        |FROM orders ORDER BY order_id""".stripMargin)),
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q22_date_functions", dateFunctions, oracle = Some(
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
         |  CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         |  CAST(day(o_orderdate) AS INT) AS d,
         |  CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS od_minus30,
         |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS unix_sec
-        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

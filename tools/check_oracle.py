@@ -33,7 +33,8 @@ def main(sf_dir, out_dir):
             g = con.sql(f"SELECT {cols} FROM got ORDER BY ALL").fetchall()
             w = con.sql(f"SELECT {cols} FROM want ORDER BY ALL").fetchall()
             if g != w:
-                diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+                from itertools import zip_longest
+                diff = [(a, b) for a, b in zip_longest(g, w) if a != b][:3]
                 print(f"FAIL {name}: {len(g)} vs {len(w)} rows; first diffs {diff}")
                 n_fail += 1
                 continue
