@@ -1,0 +1,393 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.collection.mutable.ArrayBuffer
+
+/** A versioned, partitioned lakehouse table over Parquet — the Spark-native
+  * replacement for the reference's Iceberg v2 tables (SURVEY §7 M2; the
+  * environment ships no Iceberg runtime, SURVEY intro).
+  *
+  * Layout under `location/`:
+  * {{{
+  *   meta/table.json            immutable definition (spec, clustering, pk)
+  *   meta/schema-v{N}.json      one StructType per schema version
+  *   meta/snap-{seq}.json       one full file listing per commit
+  *   meta/version-hint.text     best-effort pointer to the latest seq
+  *   data/p=v/.../s{seq}-*.parquet   data files (user columns + _graft_seq)
+  *   deletes/d-{seq}-*.parquet       MoR delete keys (pk cols + _graft_dseq)
+  * }}}
+  *
+  * Commit protocol (single-writer optimistic, the public Iceberg
+  * HadoopTableOperations shape): stage files under `_staging/<uuid>`, move
+  * them into `data/`, then `create(..., overwrite = false)` the next
+  * `snap-{seq}.json` — a racing second writer fails loudly on the create.
+  * The version hint is advisory; readers fall back to listing `meta/` for
+  * the max committed seq, so a crash between the two writes is harmless
+  * (orphaned staged files are swept by [[Maintenance.removeOrphans]]).
+  *
+  * Merge-on-read (reference: `write.delete/update/merge.mode =
+  * merge-on-read`, destination.json:89-91): an upsert commit writes the
+  * batch as new data files at sequence N plus one small parquet of the
+  * batch's primary keys stamped `_dseq = N`; a read anti-joins data rows
+  * against delete keys with `row._seq < key._dseq`. Nothing ever rewrites
+  * the base table on ingest — at 100 TB an upsert batch costs
+  * O(batch + keys), not O(table) (VERDICT r1 flagged the copy-on-write
+  * q16 shape as the scale-killer to avoid).
+  */
+final class LakeTable private (
+    val spark: SparkSession,
+    val location: String,
+) {
+  import LakeTable._
+
+  private val root = new Path(location)
+  private[lake] val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def metaDir  = new Path(root, "meta")
+  private def dataDir  = new Path(root, "data")
+  private def delDir   = new Path(root, "deletes")
+
+  // ------------------------------------------------------------------ meta
+
+  lazy val meta: TableMeta = MetaJson.readTableMeta(readString(new Path(metaDir, "table.json")))
+
+  def schema(version: Int): StructType =
+    MetaJson.readSchema(readString(new Path(metaDir, f"schema-v$version%03d.json")))
+
+  def currentSeq: Long = {
+    val hint = new Path(metaDir, "version-hint.text")
+    val fromHint =
+      if (fs.exists(hint))
+        try {
+          val s = readString(hint).trim.toLong
+          if (fs.exists(snapPath(s))) Some(s) else None
+        } catch { case _: Exception => None }
+      else None
+    fromHint.getOrElse {
+      val snaps = fs.listStatus(metaDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+        .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
+      if (snaps.isEmpty) throw new IllegalStateException(s"no snapshots at $location")
+      snaps.max
+    }
+  }
+
+  def snapshot(seq: Long): Snapshot = MetaJson.readSnapshot(readString(snapPath(seq)))
+  def currentSnapshot: Snapshot = snapshot(currentSeq)
+  def currentSchema: StructType = schema(currentSnapshot.schemaVersion)
+
+  def snapshots: Seq[Snapshot] =
+    fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(n => snapshot(n.stripPrefix("snap-").stripSuffix(".json").toLong))
+      .sortBy(_.seq).toSeq
+
+  // ----------------------------------------------------------------- write
+
+  /** Append `df` (user schema) as new data files + a new snapshot. */
+  def append(df: DataFrame): Snapshot = commitWrite(df, "append", keepExisting = true)
+
+  /** Replace the whole table content (used by silver/gold rebuilds and
+    * compaction — never by ingest). */
+  def overwrite(df: DataFrame): Snapshot = commitWrite(df, "overwrite", keepExisting = false)
+
+  private[lake] def overwriteAs(df: DataFrame, op: String): Snapshot =
+    commitWrite(df, op, keepExisting = false)
+
+  /** Merge-on-read upsert: last-writer-wins on `meta.primaryKey`.
+    * If `tsCol` is given the batch is first deduped per key by the latest
+    * `tsCol` (the reference's `_olake_sync_timestamp` rule, C3). */
+  def upsert(batch: DataFrame, tsCol: Option[String] = None): Snapshot = {
+    require(meta.primaryKey.nonEmpty, s"${meta.name}: upsert needs a primary key")
+    val deduped = tsCol match {
+      case Some(ts) => latestPerKey(batch, meta.primaryKey, ts)
+      case None     => batch
+    }
+    commitUpsert(upserts = Some(deduped), deleteKeys = deduped.select(meta.primaryKey.map(col): _*), op = "upsert")
+  }
+
+  /** Merge-on-read delete of the given keys (DataFrame of pk columns). */
+  def deleteKeys(keys: DataFrame): Snapshot =
+    commitUpsert(upserts = None, deleteKeys = keys.select(meta.primaryKey.map(col): _*), op = "delete")
+
+  /** CDC batch with per-row operation + sync timestamp metadata (SURVEY
+    * §2.9 C3/C4; reference columns `_olake_operation`,
+    * `_olake_sync_timestamp`, destination.json:129-130): within the batch
+    * the latest row per key wins; a winning delete tombstones the key, any
+    * other op upserts the row. Replaying the same batch commits the same
+    * logical state again — reads are unchanged, so at-least-once delivery
+    * is safe (C5). */
+  def applyCdcBatch(batch: DataFrame, opCol: String, tsCol: String): Snapshot = {
+    require(meta.primaryKey.nonEmpty, s"${meta.name}: CDC needs a primary key")
+    val latest  = latestPerKey(batch, meta.primaryKey, tsCol)
+    val upserts = latest.filter(lower(col(opCol)) =!= "delete").drop(opCol, tsCol)
+    commitUpsert(Some(upserts), latest.select(meta.primaryKey.map(col): _*), op = "cdc")
+  }
+
+  /** Schema evolution: add a nullable column (metadata-only commit; old
+    * files null-fill at read — reference flow: ALTER TABLE ADD COLUMN over
+    * CDC, BLOG_POST_COMPLETE_WALKTHROUGH.md:538-553). */
+  def addColumn(name: String, dataType: String): Snapshot = synchronized {
+    val cur = currentSnapshot
+    val old = schema(cur.schemaVersion)
+    require(!old.fieldNames.contains(name), s"column $name already exists")
+    val next = cur.schemaVersion + 1
+    val evolved = StructType(old.fields :+ StructField(name, org.apache.spark.sql.types.DataType.fromDDL(dataType), nullable = true))
+    writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
+    commitSnapshot(cur.copy(
+      seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+      operation = "add-column", schemaVersion = next))
+  }
+
+  // ------------------------------------------------------------------ read
+
+  /** Snapshot-pinned, pruned, merge-on-read scan.
+    *
+    * @param asOf    time travel: read the table as of this snapshot seq
+    *                (reference: `SETTINGS iceberg_snapshot_id = N`,
+    *                BLOG_POST_COMPLETE_WALKTHROUGH.md:521-527)
+    * @param filters raw-column predicates; used to prune data files via the
+    *                partition spec, then re-applied as Catalyst filters (and
+    *                pushed into the parquet scan for row-group skipping)
+    */
+  def scan(asOf: Option[Long] = None, filters: Seq[PruneFilter] = Nil): DataFrame = {
+    val snap = asOf.map(snapshot).getOrElse(currentSnapshot)
+    val userSchema = schema(snap.schemaVersion)
+    val (files, _) = planFiles(snap, filters)
+    val storage = StructType(userSchema.fields :+ StructField(SeqCol, LongType, nullable = false))
+
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storage)
+      else
+        spark.read.schema(storage).parquet(files.map(f => abs(f.path)): _*)
+
+    val merged =
+      if (snap.deleteFiles.isEmpty) base
+      else {
+        val pkSchema = StructType(
+          meta.primaryKey.map(k => userSchema(k)) :+ StructField(DseqCol, LongType, nullable = false))
+        val rawDels = spark.read.schema(pkSchema).parquet(snap.deleteFiles.map(d => abs(d.path)): _*)
+        // delete keys are a tiny fraction of the data (keys only, compacted
+        // away regularly); broadcast while small, let AQE pick otherwise.
+        val dels = if (snap.deleteFiles.map(_.bytes).sum <= (64L << 20)) broadcast(rawDels) else rawDels
+        val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&
+          base(SeqCol) < dels(DseqCol)
+        base.join(dels, cond, "left_anti")
+      }
+
+    val filtered = filters.foldLeft(merged)((d, f) => d.filter(f.toColumn))
+    filtered.select(userSchema.fieldNames.map(col): _*)
+  }
+
+  /** File pruning against the partition spec: returns (selected, total).
+    * Exposed so tests can assert pruning effectiveness (SURVEY §7.4). */
+  def planFiles(snap: Snapshot, filters: Seq[PruneFilter]): (Seq[DataFile], Int) = {
+    val total = snap.dataFiles.size
+    val kept = snap.dataFiles.filter { f =>
+      filters.forall(fl => PruneFilter.mayMatch(meta.partitionSpec, f.partition, fl))
+    }
+    (kept, total)
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private def latestPerKey(df: DataFrame, pk: Seq[String], tsCol: String): DataFrame = {
+    // deterministic last-writer-wins: latest ts first; monotonically-
+    // increasing id breaks exact-ts ties by arrival order within the batch
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(tsCol).desc, col(RowIdCol).desc)
+    df.withColumn(RowIdCol, monotonically_increasing_id())
+      .withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1)
+      .drop(RnCol, RowIdCol)
+  }
+
+  private def commitWrite(df: DataFrame, op: String, keepExisting: Boolean): Snapshot = synchronized {
+    val cur  = currentSnapshot
+    val seq  = cur.seq + 1
+    val newFiles = stageDataFiles(df, schemaVersion = cur.schemaVersion, seq = seq)
+    commitSnapshot(Snapshot(
+      seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
+      schemaVersion = cur.schemaVersion,
+      dataFiles = (if (keepExisting) cur.dataFiles else Nil) ++ newFiles,
+      deleteFiles = if (keepExisting) cur.deleteFiles else Nil))
+  }
+
+  private def commitUpsert(upserts: Option[DataFrame], deleteKeys: DataFrame, op: String): Snapshot =
+    synchronized {
+      val cur = currentSnapshot
+      val seq = cur.seq + 1
+      val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq)).getOrElse(Nil)
+      val delFile = writeDeleteFile(deleteKeys, seq)
+      commitSnapshot(Snapshot(
+        seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
+        schemaVersion = cur.schemaVersion,
+        dataFiles = cur.dataFiles ++ newData,
+        deleteFiles = cur.deleteFiles :+ delFile))
+    }
+
+  /** Write `df` as partitioned + clustered parquet under a staging dir,
+    * then move the files into `data/` and return their entries.
+    * Partitioning/clustering per the reference's per-table specs
+    * (destination.json:37-73 transforms, :115-118 clustering). */
+  private def stageDataFiles(df: DataFrame, schemaVersion: Int, seq: Long): Seq[DataFile] = {
+    val userSchema = schema(schemaVersion)
+    // align to the table schema (adds nulls for missing evolved columns)
+    val aligned = userSchema.fieldNames.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f)) d else d.withColumn(f, lit(null).cast(userSchema(f).dataType))
+    }.select(userSchema.fieldNames.map(col): _*)
+
+    val spec = meta.partitionSpec
+    val partCols = spec.map(_.name)
+    val derived = spec.foldLeft(aligned.withColumn(SeqCol, lit(seq)))(
+      (d, pf) => d.withColumn(pf.name, pf.transform(col(pf.source))))
+
+    // one shuffle: co-locate rows of a partition value into one task (one
+    // output file per value), clustering sort inside each task so parquet
+    // row-group stats are tight on the cluster keys (≈ MergeTree ORDER BY,
+    // scripts/iceberg-setup.sql:90)
+    val arranged = {
+      val repart = if (partCols.nonEmpty) derived.repartition(partCols.map(col): _*) else derived
+      val sortCols = partCols ++ meta.clusterBy
+      if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*) else repart
+    }
+
+    val staging = new Path(root, s"_staging/${UUID.randomUUID()}")
+    val writer = arranged.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging.toString)
+
+    val entries = ArrayBuffer.empty[DataFile]
+    val it = fs.listFiles(staging, true)
+    var i = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val rel = relativize(staging, st.getPath)
+        val dirs = rel.split('/').dropRight(1)
+        val partition = dirs.map { d =>
+          val Array(k, v) = d.split("=", 2)
+          k -> URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
+        val destRel = (Seq("data") ++ dirs :+ s"s$seq-$i-$name").mkString("/")
+        val dest = new Path(root, destRel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException(s"commit failed moving $rel")
+        entries += DataFile(destRel, seq, partition, st.getLen)
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+    entries.toSeq
+  }
+
+  private def writeDeleteFile(keys: DataFrame, seq: Long): DeleteFile = {
+    val staging = new Path(root, s"_staging/${UUID.randomUUID()}")
+    // delete-key sets are small: single file keeps the read-side plan tiny
+    keys.distinct().withColumn(DseqCol, lit(seq))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val file = {
+      val it = fs.listFiles(staging, true)
+      var found: Option[Path] = None
+      while (it.hasNext && found.isEmpty) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) found = Some(st.getPath)
+      }
+      found.getOrElse(throw new IllegalStateException("delete write produced no file"))
+    }
+    val destRel = s"deletes/d-$seq-${file.getName}"
+    val dest = new Path(root, destRel)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(file, dest)) throw new IllegalStateException("commit failed moving delete file")
+    fs.delete(staging, true)
+    DeleteFile(destRel, seq, fs.getFileStatus(dest).getLen)
+  }
+
+  private[lake] def commitSnapshot(s: Snapshot): Snapshot = {
+    // create(overwrite = false): a racing writer loses here, loudly
+    val out = fs.create(snapPath(s.seq), false)
+    try out.write(MetaJson.writeSnapshot(s).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    writeString(new Path(metaDir, "version-hint.text"), s.seq.toString) // advisory
+    s
+  }
+
+  private def snapPath(seq: Long) = new Path(metaDir, f"snap-$seq%05d.json")
+  private[lake] def abs(rel: String): String = new Path(root, rel).toString
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath
+    val s = p.toUri.getPath
+    require(s.startsWith(b), s"$p not under $base")
+    s.stripPrefix(b).stripPrefix("/")
+  }
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(p: Path, s: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new IllegalStateException(s"failed to publish $p")
+  }
+}
+
+object LakeTable {
+  /** Storage column carrying the commit sequence of each data row. */
+  val SeqCol = "_graft_seq"
+  /** Column in delete files carrying the delete's commit sequence. */
+  val DseqCol = "_graft_dseq"
+  private val RnCol = "_graft_rn"
+  private val RowIdCol = "_graft_rowid"
+
+  /** CREATE TABLE: writes the immutable definition, schema v1, and an empty
+    * snapshot 0 (S12). */
+  def create(
+      spark: SparkSession,
+      location: String,
+      name: String,
+      schema: StructType,
+      partitionSpec: Seq[PartitionField] = Nil,
+      clusterBy: Seq[String] = Nil,
+      primaryKey: Seq[String] = Nil,
+  ): LakeTable = {
+    val t = new LakeTable(spark, location)
+    val metaDir = new Path(new Path(location), "meta")
+    if (t.fs.exists(metaDir)) throw new IllegalStateException(s"table already exists at $location")
+    t.fs.mkdirs(metaDir)
+    t.writeString(new Path(metaDir, "table.json"),
+      MetaJson.writeTableMeta(TableMeta(name, partitionSpec, clusterBy, primaryKey)))
+    t.writeString(new Path(metaDir, "schema-v001.json"), MetaJson.writeSchema(schema))
+    t.commitSnapshot(Snapshot(0L, None, System.currentTimeMillis(), "create", 1, Nil, Nil))
+    t
+  }
+
+  /** Open an existing table. */
+  def load(spark: SparkSession, location: String): LakeTable = {
+    val t = new LakeTable(spark, location)
+    if (!t.fs.exists(new Path(new Path(location), "meta/table.json")))
+      throw new IllegalArgumentException(s"no lake table at $location")
+    t
+  }
+
+  def exists(spark: SparkSession, location: String): Boolean = {
+    val p = new Path(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, "meta/table.json"))
+  }
+}

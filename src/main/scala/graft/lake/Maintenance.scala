@@ -1,0 +1,56 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+
+/** Table maintenance jobs (reference: `auto_compact` at a 10-file
+  * threshold and snapshot expiry with max-age/min-keep,
+  * olake-config/destination.json:92-93,262-267). All of these operate on
+  * snapshot metadata plus bulk file IO — no query-path coupling. */
+object Maintenance {
+
+  /** Number of data files at which [[compactIfNeeded]] rewrites
+    * (reference: destination.json:262-263 `auto_compact: 10 files`). */
+  val AutoCompactFileThreshold = 10
+
+  /** Rewrite the current merged state as fresh data files and drop all
+    * delete files: one `overwrite` commit with operation `compact`.
+    * Bin-packs small files (ingest commits one file per partition value per
+    * batch; compaction collapses B batches × P partitions back to ~P files)
+    * and re-sorts on the clustering keys. Time travel to pre-compaction
+    * snapshots still works — old files stay on disk until
+    * [[expireSnapshots]] drops the snapshots that reference them. */
+  def compact(table: LakeTable): Snapshot =
+    table.overwriteAs(table.scan(), "compact")
+
+  def compactIfNeeded(table: LakeTable, threshold: Int = AutoCompactFileThreshold): Option[Snapshot] = {
+    val s = table.currentSnapshot
+    if (s.dataFiles.size >= threshold || s.deleteFiles.nonEmpty) Some(compact(table)) else None
+  }
+
+  /** Drop all but the last `keep` snapshots, then delete every data/delete
+    * file referenced only by the dropped ones (destination.json:92-93:
+    * 5-day max age, keep ≥ 5 — we keep by count; age policy would filter on
+    * `Snapshot.timestampMs` the same way). */
+  def expireSnapshots(table: LakeTable, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val all = table.snapshots
+    if (all.size <= keep) return
+    val (expired, retained) = all.splitAt(all.size - keep)
+    val live: Set[String] =
+      retained.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val dead = expired
+      .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
+      .distinct.filterNot(live)
+
+    val root = new Path(table.location)
+    dead.foreach(p => table.fs.delete(new Path(root, p), false))
+    expired.foreach(s => table.fs.delete(new Path(root, f"meta/snap-${s.seq}%05d.json"), false))
+  }
+
+  /** Sweep `_staging/` leftovers from crashed commits (files that were
+    * staged but never moved are unreferenced by construction). */
+  def removeOrphans(table: LakeTable): Unit = {
+    val staging = new Path(new Path(table.location), "_staging")
+    if (table.fs.exists(staging)) table.fs.delete(staging, true)
+  }
+}

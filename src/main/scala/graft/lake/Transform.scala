@@ -1,0 +1,195 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** Iceberg-style hidden-partition transforms (reference:
+  * olake-config/destination.json:37-73 declares identity/month/day specs;
+  * OLAKE_UI_PIPELINE.md:43-48), re-expressed as derived Spark columns.
+  *
+  * A transform does three jobs:
+  *   - `apply`: derive the partition column from the source column at write;
+  *   - `valueOf`: render a predicate literal into the same partition-value
+  *     string the writer produced (directory encoding), so the reader can
+  *     prune data files from snapshot metadata before Spark ever lists them
+  *     (reference behavior: `use_iceberg_partition_pruning=1`,
+  *     scripts/iceberg-setup.sql:2);
+  *   - `mayMatch`: conservative file-survival test for a pruning filter.
+  *     Conservative = never prunes a file that could contain a match; the
+  *     reader always re-applies the raw predicate, so pruning is a pure
+  *     I/O optimization and never a correctness dependency.
+  */
+sealed trait Transform {
+  def name: String
+
+  /** Derive the partition column from the source column. */
+  def apply(source: Column): Column
+
+  /** Render a raw-column literal as the partition-value string, or None if
+    * this transform cannot map the literal (then no pruning happens). */
+  def valueOf(literal: Any): Option[String]
+
+  /** Whether partition-value ordering mirrors source-column ordering (lets
+    * range predicates prune). String compare is safe because rendered values
+    * are fixed-width per transform. */
+  def orderPreserving: Boolean
+}
+
+object Transform {
+  case object Identity extends Transform {
+    val name = "identity"
+    def apply(source: Column): Column = source
+    def valueOf(literal: Any): Option[String] = Some(render(literal))
+    // identity over numbers renders without fixed width, so lexicographic
+    // range compare would be wrong ("10" < "2"); only equality prunes.
+    val orderPreserving = false
+  }
+
+  /** yyyy partition key. */
+  case object Year extends Transform {
+    val name = "year"
+    def apply(source: Column): Column = date_format(source, "yyyy")
+    def valueOf(literal: Any): Option[String] = temporal(literal).map(_.format(Y))
+    val orderPreserving = true
+  }
+
+  /** yyyy-MM partition key (the reference's orders spec:
+    * destination.json:170-179 `month(order_date)`). */
+  case object Month extends Transform {
+    val name = "month"
+    def apply(source: Column): Column = date_format(source, "yyyy-MM")
+    def valueOf(literal: Any): Option[String] = temporal(literal).map(_.format(YM))
+    val orderPreserving = true
+  }
+
+  /** yyyy-MM-dd partition key (destination.json:207-212 `day(login_time)`). */
+  case object Day extends Transform {
+    val name = "day"
+    def apply(source: Column): Column = date_format(source, "yyyy-MM-dd")
+    def valueOf(literal: Any): Option[String] = temporal(literal).map(_.format(YMD))
+    val orderPreserving = true
+  }
+
+  /** Hash bucket (Iceberg `bucket[n]`); prunes equality/IN only. */
+  final case class Bucket(n: Int) extends Transform {
+    val name = s"bucket[$n]"
+    def apply(source: Column): Column = pmod(hash(source), lit(n)).cast("string")
+    // Spark's `hash` (Murmur3) is not reproducible on the JVM side without
+    // re-implementing it, so literal bucketing is engine-side only: no
+    // metadata pruning, the residual filter still applies.
+    def valueOf(literal: Any): Option[String] = None
+    val orderPreserving = false
+  }
+
+  /** String prefix truncation (Iceberg `truncate[w]`). */
+  final case class Truncate(w: Int) extends Transform {
+    val name = s"truncate[$w]"
+    def apply(source: Column): Column = substring(source, 1, w)
+    def valueOf(literal: Any): Option[String] = literal match {
+      case s: String => Some(s.take(w))
+      case _         => None
+    }
+    val orderPreserving = true
+  }
+
+  def parse(s: String): Transform = s match {
+    case "identity" => Identity
+    case "year"     => Year
+    case "month"    => Month
+    case "day"      => Day
+    case b if b.startsWith("bucket[")   => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
+    case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
+    case other => throw new IllegalArgumentException(s"unknown transform: $other")
+  }
+
+  private val Y   = DateTimeFormatter.ofPattern("yyyy")
+  private val YM  = DateTimeFormatter.ofPattern("yyyy-MM")
+  private val YMD = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+
+  /** Literal → UTC LocalDateTime, matching Spark's UTC session timezone. */
+  private def temporal(v: Any): Option[LocalDateTime] = v match {
+    case t: java.sql.Timestamp => Some(LocalDateTime.ofInstant(t.toInstant, ZoneOffset.UTC))
+    case d: java.sql.Date      => Some(d.toLocalDate.atStartOfDay)
+    case d: LocalDate          => Some(d.atStartOfDay)
+    case d: LocalDateTime      => Some(d)
+    case i: Instant            => Some(LocalDateTime.ofInstant(i, ZoneOffset.UTC))
+    case s: String =>
+      try Some(LocalDate.parse(s.take(10)).atStartOfDay)
+      catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private[lake] def render(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case null => PartitionValues.NullSentinel
+    case other => other.toString
+  }
+}
+
+object PartitionValues {
+  /** Spark/Hive's directory encoding for a null partition value. */
+  val NullSentinel = "__HIVE_DEFAULT_PARTITION__"
+}
+
+/** One field of a partition spec: derive `name` from `source` via
+  * `transform` (e.g. month(o_orderdate) AS p_month). */
+final case class PartitionField(source: String, transform: Transform, name: String)
+
+/** File-level pruning predicates over RAW source columns. The reader maps
+  * them through the partition spec to survive/skip data files, then
+  * re-applies them as ordinary Catalyst filters (so results never depend on
+  * pruning being precise). */
+sealed trait PruneFilter { def column: String; def toColumn: Column }
+object PruneFilter {
+  import org.apache.spark.sql.functions.{col => c, lit}
+
+  final case class Eq(column: String, value: Any) extends PruneFilter {
+    def toColumn: Column = c(column) === lit(value)
+  }
+  final case class Ge(column: String, value: Any) extends PruneFilter {
+    def toColumn: Column = c(column) >= lit(value)
+  }
+  final case class Lt(column: String, value: Any) extends PruneFilter {
+    def toColumn: Column = c(column) < lit(value)
+  }
+  final case class In(column: String, values: Seq[Any]) extends PruneFilter {
+    def toColumn: Column = c(column).isin(values: _*)
+  }
+
+  /** Conservative survival test of one data file (its partition values)
+    * against one filter, given the table's partition spec. */
+  def mayMatch(spec: Seq[PartitionField], partition: Map[String, String], f: PruneFilter): Boolean = {
+    val relevant = spec.filter(_.source == f.column)
+    if (relevant.isEmpty) return true // not a partition source: cannot prune
+    relevant.forall { pf =>
+      partition.get(pf.name) match {
+        case None => true
+        case Some(PartitionValues.NullSentinel) =>
+          // null partition values never match Eq/Ge/Lt/In on a non-null
+          // literal, but stay conservative for non-Eq shapes.
+          f match {
+            case _: Eq | _: In => false
+            case _             => true
+          }
+        case Some(fileValue) =>
+          f match {
+            case Eq(_, v) => pf.transform.valueOf(v).forall(_ == fileValue)
+            case In(_, vs) =>
+              val rendered = vs.flatMap(pf.transform.valueOf)
+              rendered.size != vs.size || rendered.contains(fileValue)
+            case Ge(_, v) =>
+              !pf.transform.orderPreserving ||
+                pf.transform.valueOf(v).forall(fileValue >= _)
+            case Lt(_, v) =>
+              // col < V ⇒ transform(col) <= transform(V) for monotone
+              // transforms (inclusive: values below V share V's bucket).
+              !pf.transform.orderPreserving ||
+                pf.transform.valueOf(v).forall(fileValue <= _)
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.NamedQuery
+import graft.lake.PruneFilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The lake-table operator surface (SURVEY §2.1 S2/S4–S7/S10/S12 and §1.4),
+  * exercised end-to-end through [[LakePipelines]]'s deterministic builds and
+  * oracle-checked against DuckDB over the SAME raw parquet inputs: every
+  * query's expected content is a pure SQL function of the fixture tables,
+  * so a hash match proves the whole write→commit→prune→merge→read path.
+  */
+object LakeOps {
+  import RelationalOps.dsum
+
+  // q23 — partitioned lake write + snapshot-backed read roundtrip
+  // (S2/S4/S6/S7: scripts/iceberg-setup.sql:5-43 registers catalog tables;
+  // destination.json:37-73 partition transforms, :115-118 clustering)
+  val lakeRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersLake(s, dir).scan()
+
+  // q24 — transform-aware pruned scan: raw o_orderdate range predicate
+  // prunes month(o_orderdate) partitions at file-listing time (reference:
+  // use_iceberg_partition_pruning=1, scripts/iceberg-setup.sql:2;
+  // month-range query compare-query-performance.sql:52-61)
+  val lakePrunedScan: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersLake(s, dir)
+      .scan(filters = Seq(
+        PruneFilter.Ge("o_orderdate", LakePipelines.PruneLo),
+        PruneFilter.Lt("o_orderdate", LakePipelines.PruneHi)))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("revenue"))
+
+  // q25 — time travel: the table as of its first append (S10; reference
+  // SETTINGS iceberg_snapshot_id = N, BLOG_POST_COMPLETE_WALKTHROUGH.md:521-527)
+  val lakeTimeTravel: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersLake(s, dir)
+      .scan(asOf = Some(LakePipelines.OrdersFirstAppendSeq))
+
+  // q26 — schema evolution: rows written before ALTER ADD COLUMN null-fill
+  // the evolved column at read (S12/§1.4; BLOG:538-553)
+  val lakeSchemaEvolution: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.customerEvolved(s, dir).scan()
+
+  // q27 — merge-on-read upsert state (S5/J4: write_mode upsert with
+  // merge_on_read, destination.json:89-91,132-134) — the q16 merge algebra
+  // as an actual O(batch) table mutation, not an O(table) rewrite
+  val lakeUpsertMor: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersMor(s, dir).scan(asOf = Some(LakePipelines.MorUpsertSeq))
+
+  // q28 — merge-on-read delete state
+  val lakeDeleteMor: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersMor(s, dir).scan(asOf = Some(LakePipelines.MorDeleteSeq))
+
+  // q29 — post-compaction read: identical content, delete files folded in,
+  // small files bin-packed (destination.json:262-263 auto_compact)
+  val lakeCompacted: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersMor(s, dir).scan()
+
+  /** The q16/q27 merged state as a DuckDB CTE (shared by q27–q29). */
+  private val morMergedCte =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
+      |), batch AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), merged AS (
+      |  SELECT b.* FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM batch u WHERE u.o_orderkey = b.o_orderkey)
+      |  UNION ALL SELECT * FROM batch
+      |)""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q23_lake_roundtrip", lakeRoundtrip, bench = true, oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q24_lake_pruned_scan", lakePrunedScan, bench = true, oracle = Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q25_lake_time_travel", lakeTimeTravel, oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q26_lake_schema_evolution", lakeSchemaEvolution, oracle = Some(
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE NULL END AS loyalty_tier
+        |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q27_lake_upsert_mor", lakeUpsertMor, bench = true, oracle = Some(
+      morMergedCte + "\nSELECT * FROM merged ORDER BY ALL NULLS FIRST")),
+    NamedQuery("q28_lake_delete_mor", lakeDeleteMor, oracle = Some(
+      morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
+    NamedQuery("q29_lake_compacted", lakeCompacted, oracle = Some(
+      morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
+  )
+}

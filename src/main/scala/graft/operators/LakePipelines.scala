@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import graft.lake._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import java.time.Instant
+import scala.collection.concurrent.TrieMap
+
+/** Builds the lake-table fixtures the oracle-checked queries read, once per
+  * (scale factor, table) per warehouse, under java.io.tmpdir. Every build is
+  * a deterministic function of the driver's parquet fixtures, so the
+  * resulting scans are oracle-comparable against DuckDB over the same
+  * inputs.
+  *
+  * The build sequences mirror the reference pipeline's table lifecycle:
+  * CDC-style appends with month/identity partition transforms and
+  * clustering (destination.json:37-73,115-118), merge-on-read upserts and
+  * deletes (destination.json:89-91,132-134), schema evolution
+  * (BLOG_POST_COMPLETE_WALKTHROUGH.md:538-553), and compaction
+  * (destination.json:262-263).
+  */
+object LakePipelines {
+
+  /** Time-travel pivot: first append = orders strictly before this. */
+  val TtPivot: Timestamp = Timestamp.from(Instant.parse("1999-01-01T00:00:00Z"))
+
+  /** Pruned-scan window (half a year out of ~80 months of orders). */
+  val PruneLo: Timestamp = Timestamp.from(Instant.parse("2000-01-01T00:00:00Z"))
+  val PruneHi: Timestamp = Timestamp.from(Instant.parse("2000-07-01T00:00:00Z"))
+
+  /** orders_lake commit seqs: 0 create, 1 first append, 2 second append. */
+  val OrdersFirstAppendSeq = 1L
+
+  /** orders_mor commit seqs: 0 create, 1 base append, 2 upsert, 3 delete,
+    * 4 compact. */
+  val MorUpsertSeq = 2L
+  val MorDeleteSeq = 3L
+
+  private val built = TrieMap[(String, String), LakeTable]()
+
+  def warehouse(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-lake/$key"
+  }
+
+  def catalog(spark: SparkSession, sfDir: String): LakeCatalog =
+    new LakeCatalog(spark, warehouse(sfDir))
+
+  /** Partitioned + clustered orders table with two appends split at
+    * [[TtPivot]] (so snapshot 1 is a meaningful time-travel target). */
+  def ordersLake(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_lake") { cat =>
+      val orders = Tables.load(spark, sfDir, "orders")
+      val t = cat.createTable(
+        "orders_lake",
+        orders.schema,
+        partitionSpec = Seq(
+          PartitionField("o_orderdate", Transform.Month, "p_month"),
+          PartitionField("o_orderstatus", Transform.Identity, "p_status")),
+        clusterBy = Seq("o_orderkey"),
+        primaryKey = Seq("o_orderkey"))
+      t.append(orders.filter(col("o_orderdate") < lit(TtPivot)))
+      t.append(orders.filter(col("o_orderdate") >= lit(TtPivot)))
+      t
+    }
+
+  /** Merge-on-read lifecycle table (q16's merge semantics as real table
+    * mutations): base = orders with key % 4 != 0; upsert batch = all even
+    * keys restated (status U, price doubled); then delete keys % 5 == 0;
+    * then compact. */
+  def ordersMor(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_mor") { cat =>
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = cat.createTable(
+        "orders_mor",
+        o.schema,
+        partitionSpec = Seq(PartitionField("o_orderstatus", Transform.Identity, "p_status")),
+        clusterBy = Seq("o_orderkey"),
+        primaryKey = Seq("o_orderkey"))
+      t.append(o.filter(col("o_orderkey") % 4 =!= 0))
+      t.upsert(o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice")))
+      t.deleteKeys(
+        t.scan(asOf = Some(MorUpsertSeq)).filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey")))
+      Maintenance.compact(t)
+      t
+    }
+
+  /** Schema-evolution table: v1 = 3 customer columns for odd keys; ALTER
+    * ADD COLUMN loyalty_tier; second append fills it for even keys — old
+    * rows must read back as NULL. */
+  def customerEvolved(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "customer_evolved") { cat =>
+      val c = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = cat.createTable("customer_evolved", c.schema, primaryKey = Seq("c_custkey"))
+      t.append(c.filter(col("c_custkey") % 2 === 1))
+      t.addColumn("loyalty_tier", "string")
+      t.append(Tables.load(spark, sfDir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment").as("loyalty_tier")))
+      t
+    }
+
+  /** Build-once-per-JVM with an on-disk completion marker, so a Verify run
+    * and a later Bench run (separate JVMs) reuse the same deterministic
+    * build, while a half-built directory from a crashed run is discarded. */
+  private def cached(spark: SparkSession, sfDir: String, name: String)(
+      build: LakeCatalog => LakeTable): LakeTable = synchronized {
+    built.getOrElseUpdate((sfDir, name), {
+      val cat = catalog(spark, sfDir)
+      val loc = new Path(cat.location(name))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(loc, "_GRAFT_BUILD_OK")
+      if (fs.exists(marker)) {
+        LakeTable.load(spark, cat.location(name))
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val t = build(cat)
+        fs.create(marker, true).close()
+        t
+      }
+    })
+  }
+}

@@ -17,7 +17,7 @@ object RelationalOps {
   /** Exact-decimal accumulation of a double column: deterministic across
     * engines and partitionings (decimal addition is associative), converted
     * back to double once at the end. */
-  private def dsum(c: Column, scale: Int = 2): Column =
+  private[operators] def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** exact-sum / count as a raw double quotient — the reference's AVG shape
@@ -26,7 +26,7 @@ object RelationalOps {
     * DuckDB rounds the binary value, so rounded doubles are NOT
     * hash-stable across engines; an unrounded IEEE quotient of
     * deterministic operands is. */
-  private def davg(c: Column, scale: Int = 2): Column =
+  private[operators] def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(lit(1))
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =

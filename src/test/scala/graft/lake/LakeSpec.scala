@@ -1,0 +1,177 @@
+package graft.lake
+
+import graft.{SparkSpec, Tables}
+import graft.operators.LakePipelines
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class LakeSpec extends SparkSpec {
+
+  private def contentEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  // ---------------------------------------------------------------- units
+
+  test("month/day/year transforms render UTC partition keys") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("1997-03-09T23:59:59Z"))
+    assert(Transform.Month.valueOf(ts).contains("1997-03"))
+    assert(Transform.Day.valueOf(ts).contains("1997-03-09"))
+    assert(Transform.Year.valueOf(ts).contains("1997"))
+    assert(Transform.Identity.valueOf("O").contains("O"))
+    assert(Transform.parse("month") == Transform.Month)
+    assert(Transform.parse("bucket[16]") == Transform.Bucket(16))
+  }
+
+  test("pruning is conservative: range filters keep boundary months, equality prunes exactly") {
+    val spec = Seq(PartitionField("d", Transform.Month, "p_month"))
+    val jan = Map("p_month" -> "2000-01")
+    val jun = Map("p_month" -> "2000-06")
+    val mid = java.sql.Timestamp.from(java.time.Instant.parse("2000-06-15T00:00:00Z"))
+    // d >= 2000-06-15 keeps June (boundary) but not January
+    assert(PruneFilter.mayMatch(spec, jun, PruneFilter.Ge("d", mid)))
+    assert(!PruneFilter.mayMatch(spec, jan, PruneFilter.Ge("d", mid)))
+    // d < 2000-06-15 keeps June AND January
+    assert(PruneFilter.mayMatch(spec, jun, PruneFilter.Lt("d", mid)))
+    assert(PruneFilter.mayMatch(spec, jan, PruneFilter.Lt("d", mid)))
+    // equality on a non-partition column never prunes
+    assert(PruneFilter.mayMatch(spec, jan, PruneFilter.Eq("other", 1)))
+    // identity equality prunes other values
+    val ispec = Seq(PartitionField("s", Transform.Identity, "p_s"))
+    assert(!PruneFilter.mayMatch(ispec, Map("p_s" -> "O"), PruneFilter.Eq("s", "F")))
+    assert(PruneFilter.mayMatch(ispec, Map("p_s" -> "O"), PruneFilter.Eq("s", "O")))
+    // identity over numbers must NOT range-prune (lexicographic trap)
+    val nspec = Seq(PartitionField("n", Transform.Identity, "p_n"))
+    assert(PruneFilter.mayMatch(nspec, Map("p_n" -> "10"), PruneFilter.Ge("n", 2)))
+  }
+
+  // ---------------------------------------------------- end-to-end fixture
+
+  test("pruned scan reads fewer files than the full table, same answer as raw filter") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val filters = Seq(
+      PruneFilter.Ge("o_orderdate", LakePipelines.PruneLo),
+      PruneFilter.Lt("o_orderdate", LakePipelines.PruneHi))
+    val (kept, total) = t.planFiles(t.currentSnapshot, filters)
+    assert(total > 0)
+    assert(kept.size < total, s"pruning ineffective: $kept of $total")
+    // ~6 months of ~80: expect well under a quarter of the files
+    assert(kept.size.toDouble / total < 0.25, s"${kept.size}/$total files survived")
+    val viaLake = t.scan(filters = filters)
+    val viaRaw = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(LakePipelines.PruneLo) &&
+        col("o_orderdate") < lit(LakePipelines.PruneHi))
+    assert(contentEqual(viaLake, viaRaw))
+  }
+
+  test("time travel: snapshot 1 is exactly the first append") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val asOf1 = t.scan(asOf = Some(LakePipelines.OrdersFirstAppendSeq))
+    val expected = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit(LakePipelines.TtPivot))
+    assert(contentEqual(asOf1, expected))
+    assert(t.scan().count() == Tables.load(spark, sfDir, "orders").count())
+  }
+
+  test("schema evolution: pre-ALTER rows null-fill the evolved column") {
+    val t = LakePipelines.customerEvolved(spark, sfDir)
+    val df = t.scan()
+    assert(df.schema.fieldNames.contains("loyalty_tier"))
+    val oldRows = df.filter(col("c_custkey") % 2 === 1)
+    assert(oldRows.filter(col("loyalty_tier").isNotNull).count() == 0)
+    val newRows = df.filter(col("c_custkey") % 2 === 0)
+    assert(newRows.filter(col("loyalty_tier").isNull).count() == 0)
+    // time travel to v1 serves the ORIGINAL 3-column schema
+    val v1 = t.scan(asOf = Some(1L))
+    assert(!v1.schema.fieldNames.contains("loyalty_tier"))
+  }
+
+  test("merge-on-read scan plan: broadcast anti-join, no cartesian product, no table rewrite") {
+    val t = LakePipelines.ordersMor(spark, sfDir)
+    val plan = t.scan(asOf = Some(LakePipelines.MorDeleteSeq)).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in MoR read:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") == false)
+    // upsert must not have rewritten base files: base files (seq 1) survive in
+    // the post-upsert snapshot untouched
+    val afterUpsert = t.snapshot(LakePipelines.MorUpsertSeq)
+    assert(afterUpsert.dataFiles.exists(_.seq == 1L), "upsert rewrote the base table")
+    assert(afterUpsert.deleteFiles.nonEmpty, "upsert should add a delete-key file, not rewrite")
+  }
+
+  test("compaction folds delete files and bin-packs, preserving content") {
+    val t = LakePipelines.ordersMor(spark, sfDir)
+    val before = t.snapshot(LakePipelines.MorDeleteSeq)
+    val after = t.currentSnapshot
+    assert(after.operation == "compact")
+    assert(after.deleteFiles.isEmpty)
+    assert(after.dataFiles.size <= before.dataFiles.size)
+    assert(contentEqual(t.scan(), t.scan(asOf = Some(LakePipelines.MorDeleteSeq))))
+  }
+
+  test("CDC batch: last-writer-wins, deletes tombstone, replay is idempotent") {
+    val dir = Files.createTempDirectory("graft-cdc-spec").toString
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", base.schema, primaryKey = Seq("id"))
+    t.append(base)
+    // batch: id=2 updated twice (second wins), id=3 deleted, id=4 inserted
+    val batch = Seq(
+      (2L, "b1", 21.0, "update", 100L),
+      (2L, "b2", 22.0, "update", 200L),
+      (3L, "c", 30.0, "delete", 150L),
+      (4L, "d", 40.0, "insert", 120L))
+      .toDF("id", "name", "v", "_op", "_sync_ts")
+    t.applyCdcBatch(batch, "_op", "_sync_ts")
+    val expected = Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    assert(contentEqual(t.scan(), expected))
+    // at-least-once replay (C5): same batch again → same state
+    t.applyCdcBatch(batch, "_op", "_sync_ts")
+    assert(contentEqual(t.scan(), expected))
+  }
+
+  test("snapshot expiry keeps recent history readable and drops dead files") {
+    val dir = Files.createTempDirectory("graft-expire-spec").toString
+    import spark.implicits._
+    val t = LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "x")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1L, "x")).toDF("id", "s"))
+    t.upsert(Seq((1L, "y")).toDF("id", "s"))
+    Maintenance.compact(t)
+    val allSnaps = t.snapshots.size
+    Maintenance.expireSnapshots(t, keep = 1)
+    assert(t.snapshots.size == 1 && allSnaps > 1)
+    assert(t.scan().as[(Long, String)].collect().toSeq == Seq((1L, "y")))
+  }
+
+  test("catalog DDL + DESCRIBE surface (S11/S12)") {
+    val dir = Files.createTempDirectory("graft-cat-spec").toString
+    val cat = new LakeCatalog(spark, dir)
+    import spark.implicits._
+    val schema = Seq((1L, "x")).toDF("id", "s").schema
+    cat.createTable("t1", schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")),
+      clusterBy = Seq("id"), primaryKey = Seq("id"))
+    assert(cat.listTables() == Seq("t1"))
+    assert(cat.tableExists("t1"))
+    val desc = cat.describe("t1").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("id") == "bigint")
+    assert(desc("# partition: p_s") == "identity(s)")
+    assert(desc("# primary key") == "id")
+    assert(cat.dropTable("t1") && !cat.tableExists("t1"))
+    intercept[Exception](cat.table("t1"))
+  }
+
+  test("racing writers: second commit of the same seq fails loudly") {
+    val dir = Files.createTempDirectory("graft-race-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    val cur = t.currentSnapshot
+    t.commitSnapshot(cur.copy(seq = cur.seq + 1, parent = Some(cur.seq)))
+    intercept[Exception] {
+      t.commitSnapshot(cur.copy(seq = cur.seq + 1, parent = Some(cur.seq)))
+    }
+  }
+}
