@@ -60,6 +60,25 @@ object LakeOps {
   val lakeCompacted: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersMor(s, dir).scan()
 
+  // q30 — materialized SILVER serve: the curated projection read back from
+  // the lake table it was persisted to (S8: scripts/iceberg-setup.sql:47-75
+  // writes silver back to the object store; r1 only had the SELECT side)
+  val silverServe: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.silverOrders(s, dir).scan()
+
+  // q31 — materialized GOLD serve: the KPI rollup read from the stored gold
+  // table — a lookup, not a recompute (S9: scripts/iceberg-setup.sql:80-101;
+  // the 10–50 ms gold tier of the medallion speedup, BLOG:488-491)
+  val goldServe: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.goldOrderMetrics(s, dir).scan()
+
+  // q32 — re-aggregation served FROM the stored gold table (A9 over S9:
+  // compare-query-performance.sql:143-151 runs against the gold MergeTree,
+  // not raw) — same result as q20 but reading ~6k pre-aggregated rows
+  // instead of re-scanning + re-aggregating the fact table
+  val goldReaggServe: (SparkSession, String) => DataFrame = (s, dir) =>
+    RelationalOps.goldReaggFrom(LakePipelines.goldOrderMetrics(s, dir).scan())
+
   /** The q16/q27 merged state as a DuckDB CTE (shared by q27–q29). */
   private val morMergedCte =
     """WITH base AS (
@@ -98,5 +117,30 @@ object LakeOps {
       morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
     NamedQuery("q29_lake_compacted", lakeCompacted, oracle = Some(
       morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
+    NamedQuery("q30_silver_serve", silverServe, oracle = Some(
+      """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
+        |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
+        |  o_totalprice AS total_amount
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q31_gold_serve", goldServe, bench = true, oracle = Some(
+      """SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
+        |  COUNT(DISTINCT o_custkey) AS user_count, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q32_gold_reagg_serve", goldReaggServe, bench = true, oracle = Some(
+      """WITH gold AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
+        |    COUNT(DISTINCT o_custkey) AS user_count, COUNT(*) AS order_count,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT status, CAST(SUM(order_count) AS BIGINT) AS total_orders,
+        |  CAST(SUM(CAST(gross_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(user_count) AS BIGINT) AS total_user_count,
+        |  CAST(SUM(CAST(FLOOR(avg_order_value * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_avg_order_value
+        |FROM gold GROUP BY status ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -278,8 +278,12 @@ object RelationalOps {
   // engine-deterministic by floor-quantizing each quotient to integer
   // micro-units (floor acts on the raw binary double identically in both
   // engines) and summing exactly as longs.
-  val goldReagg: (SparkSession, String) => DataFrame = (s, dir) => {
-    val gold = goldRollup(s, dir)
+  val goldReagg: (SparkSession, String) => DataFrame = (s, dir) =>
+    goldReaggFrom(goldRollup(s, dir))
+
+  /** A9 re-aggregation over any gold-shaped input — shared by the
+    * recompute path (q20) and the materialized-gold serving path (q32). */
+  def goldReaggFrom(gold: DataFrame): DataFrame = {
     val quantized = floor(col("avg_order_value") * 1e6).cast("long")
     gold.groupBy(col("status"))
       .agg(
