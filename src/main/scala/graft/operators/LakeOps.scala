@@ -79,6 +79,20 @@ object LakeOps {
   val goldReaggServe: (SparkSession, String) => DataFrame = (s, dir) =>
     RelationalOps.goldReaggFrom(LakePipelines.goldOrderMetrics(s, dir).scan())
 
+  // q33 — CDC streaming ingest end state (C1–C5): snapshot bootstrap +
+  // streamed change-log drain + a deliberately REPLAYED batch; the hash
+  // match proves the full readStream→foreachBatch→MoR-merge path AND
+  // at-least-once idempotence (reference: OLake binlog replication,
+  // destination.json:129-134, BLOG:297-300)
+  val cdcIngested: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersCdc(s, dir).scan()
+
+  // q34 — the CDC table as of its bootstrap snapshot: time travel back to
+  // the pre-incremental state (C1's "initial snapshot" as a first-class
+  // readable version)
+  val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
+
   /** The q16/q27 merged state as a DuckDB CTE (shared by q27–q29). */
   private val morMergedCte =
     """WITH base AS (
@@ -142,5 +156,14 @@ object LakeOps {
         |  CAST(SUM(user_count) AS BIGINT) AS total_user_count,
         |  CAST(SUM(CAST(FLOOR(avg_order_value * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_avg_order_value
         |FROM gold GROUP BY status ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q33_cdc_ingested", cdcIngested, bench = true, oracle = Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q34_cdc_bootstrap", cdcBootstrap, oracle = Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

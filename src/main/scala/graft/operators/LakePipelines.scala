@@ -128,6 +128,38 @@ object LakePipelines {
       t
     }
 
+  /** orders_cdc commit seqs: 0 create, 1 bootstrap snapshot append, then
+    * one CDC commit per drained micro-batch. */
+  val CdcBootstrapSeq = 1L
+
+  /** CDC-ingested orders table (SURVEY §2.9 C1–C5): bootstrap = batch
+    * append of the full source snapshot; takeover = Structured Streaming
+    * drain of a deterministic change log ([[graft.streaming.CdcIngest]]);
+    * then one delivered batch is REPLAYED through the same apply path to
+    * prove at-least-once idempotence — the q33 oracle hashes the state
+    * after the replay. */
+  def ordersCdc(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_cdc") { cat =>
+      import graft.streaming.CdcIngest
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = cat.createTable(
+        "orders_cdc",
+        o.schema,
+        clusterBy = Seq("o_orderkey"),
+        primaryKey = Seq("o_orderkey"))
+      t.append(o) // C1 initial snapshot
+      val logDir = s"${cat.location("orders_cdc")}/_cdc_log"
+      val logSchema = CdcIngest.writeChangeLog(spark, sfDir, logDir)
+      CdcIngest.ingest(t, logDir, logSchema,
+        checkpoint = s"${cat.location("orders_cdc")}/_cdc_checkpoint")
+      // C5: redeliver the first log segment verbatim
+      val replay = spark.read.schema(logSchema).parquet(logDir)
+        .filter(col("o_orderkey") % 2 === 0)
+      CdcIngest.applyBatch(t, replay)
+      t
+    }
+
   /** Schema-evolution table: v1 = 3 customer columns for odd keys; ALTER
     * ADD COLUMN loyalty_tier; second append fills it for even keys — old
     * rows must read back as NULL. */

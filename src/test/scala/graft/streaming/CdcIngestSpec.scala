@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class CdcIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(): String =
+    Files.createTempDirectory("graft-cdc-spec").resolve("t").toString
+
+  test("streaming drain applies inserts, updates and deletes in micro-batches") {
+    val t = LakeTable.create(spark, freshLoc(), "t",
+      Seq((1, "a", 1.0)).toDF("id", "s", "v").schema, primaryKey = Seq("id"))
+    t.append(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)).toDF("id", "s", "v"))
+
+    val logDir = freshLoc() + "-log"
+    val log = Seq(
+      (2, "B", 20.0, "update", java.sql.Timestamp.valueOf("2020-01-01 00:00:01")),
+      (3, "c", 3.0, "delete", java.sql.Timestamp.valueOf("2020-01-01 00:00:02")),
+      (4, "d", 4.0, "insert", java.sql.Timestamp.valueOf("2020-01-01 00:00:03")),
+    ).toDF("id", "s", "v", CdcIngest.OpCol, CdcIngest.TsCol)
+    log.coalesce(1).write.parquet(logDir)
+
+    val n = CdcIngest.ingest(t, logDir, log.schema, checkpoint = freshLoc() + "-ckpt")
+    assert(n >= 1)
+    val state = t.scan().orderBy("id").as[(Int, String, Double)].collect().toSeq
+    assert(state == Seq((1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0)))
+  }
+
+  test("replaying a delivered batch leaves the logical state unchanged (C5)") {
+    val t = LakeTable.create(spark, freshLoc(), "t",
+      Seq((1, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    val batch = Seq(
+      (1, "A", "update", java.sql.Timestamp.valueOf("2020-01-01 00:00:01")),
+      (2, "b", "delete", java.sql.Timestamp.valueOf("2020-01-01 00:00:02")),
+    ).toDF("id", "s", CdcIngest.OpCol, CdcIngest.TsCol)
+
+    CdcIngest.applyBatch(t, batch)
+    val once = t.scan().orderBy("id").as[(Int, String)].collect().toSeq
+    CdcIngest.applyBatch(t, batch) // at-least-once redelivery
+    val twice = t.scan().orderBy("id").as[(Int, String)].collect().toSeq
+    assert(once == Seq((1, "A")) && twice == once)
+  }
+
+  test("a batch with an unknown column widens the schema mid-stream (C6)") {
+    val t = LakeTable.create(spark, freshLoc(), "t",
+      Seq((1, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    val batch = Seq(
+      (3, "c", "gold", "insert", java.sql.Timestamp.valueOf("2020-01-01 00:00:01")),
+    ).toDF("id", "s", "loyalty_tier", CdcIngest.OpCol, CdcIngest.TsCol)
+
+    CdcIngest.applyBatch(t, batch)
+    val df = t.scan()
+    assert(df.schema.fieldNames.contains("loyalty_tier"))
+    // pre-evolution rows null-fill; the new row carries its value
+    assert(df.filter(col("loyalty_tier").isNotNull).count() == 1)
+    assert(df.filter(col("id") === 3 && col("loyalty_tier") === "gold").count() == 1)
+  }
+
+  test("in-batch last-writer-wins: latest sync-ts per key wins, delete beats older update") {
+    val t = LakeTable.create(spark, freshLoc(), "t",
+      Seq((1, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1, "a")).toDF("id", "s"))
+    val batch = Seq(
+      (1, "v1", "update", java.sql.Timestamp.valueOf("2020-01-01 00:00:01")),
+      (1, "v2", "update", java.sql.Timestamp.valueOf("2020-01-01 00:00:03")),
+      (1, "vX", "delete", java.sql.Timestamp.valueOf("2020-01-01 00:00:02")),
+    ).toDF("id", "s", CdcIngest.OpCol, CdcIngest.TsCol)
+    CdcIngest.applyBatch(t, batch)
+    // latest op (00:03) is an update → the key survives with v2
+    assert(t.scan().as[(Int, String)].collect().toSeq == Seq((1, "v2")))
+  }
+}
