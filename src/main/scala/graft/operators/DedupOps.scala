@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.TextSig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline (driver
+  * brief north star; fixtures: documents.parquet at every sf).
+  *
+  * Scale design — every path is shuffle-on-key or bucket-join, never
+  * all-pairs:
+  *  - exact + normalized dedup: one hash-partitioned groupBy on a per-row
+  *    signature (partial aggregation map-side; no skew: signatures are
+  *    near-unique);
+  *  - MinHash/LSH near-dup: per-row signatures (codegen'd expressions) →
+  *    explode into (band, digest) buckets → self-equi-join on the bucket
+  *    key → exact-Jaccard verification of the candidate pairs only. At
+  *    100 TB the candidate set is O(dup pairs), not O(N²); the only
+  *    shuffles are the bucket join and a distinct;
+  *  - SimHash: same bucket-join shape over 16-bit hamming bands, with a
+  *    pigeonhole completeness guarantee for distance <= 3.
+  *
+  * Verification split: exact / normalized dedup and the verified MinHash
+  * pipeline are DuckDB-oracle-checked (q35–q38); SimHash and the
+  * plan-shape guarantees (no cartesian product anywhere) are ScalaTest'd
+  * (DedupOpsSpec).
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // q35 — exact + normalized dedup stats per source: how many distinct
+  // raw texts (md5) and distinct token-set normal forms each source holds
+  val dedupStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextSig.exactKey(col("text"))).as("distinct_texts"),
+        countDistinct(TextSig.tokenSetKey(col("text"))).as("distinct_token_sets"))
+
+  // q36 — normalized near-dup groups: documents sharing an identical
+  // distinct-token set (permutations / repetitions of the same vocabulary)
+  val neardupGroups: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .groupBy(TextSig.tokenSetKey(col("text")).as("group_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+
+  // q37 — dedup survivors: canonical (min doc_id) member per token-set
+  // group — the output a dedup stage feeds downstream
+  val dedupSurvivors: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .groupBy(TextSig.tokenSetKey(col("text")).as("group_key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      .select(col("doc_id"), col("group_size"))
+
+  /** doc_id × distinct bigram shingles — shared by the LSH pipeline. */
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextSig.shingles(col("text")).as("sh"))
+
+  /** MinHash/LSH candidate pairs (doc_i < doc_j): signature → band digests
+    * → explode → self-equi-join on (band, digest) → distinct. This is the
+    * scale path: candidates only ever meet inside a bucket. */
+  def lshCandidates(s: SparkSession, dir: String,
+      bands: Int = 8, rows: Int = 4): DataFrame = {
+    val withBands = shingled(s, dir).select(
+      col("doc_id"),
+      posexplode(TextSig.minhashBands(col("sh"), bands, rows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("digest"))
+    val a = withBands.alias("a")
+    val b = withBands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.digest") === col("b.digest") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
+  // q38 — verified near-duplicate pairs: LSH candidates filtered by EXACT
+  // bigram Jaccard >= 0.9. Exact integer set sizes divided once in double,
+  // so the value is engine-identical; the oracle recomputes the same pairs
+  // from scratch (all-pairs is fine for DuckDB at verification scale).
+  val NeardupThreshold = 0.9
+  val minhashNeardupPairs: (SparkSession, String) => DataFrame = (s, dir) => {
+    val sh = shingled(s, dir)
+    val cand = lshCandidates(s, dir)
+    val jac = size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+      (size(col("sh_i")) + size(col("sh_j")) - size(array_intersect(col("sh_i"), col("sh_j"))))
+    cand
+      .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
+      .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= NeardupThreshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs within hamming distance `maxDist` (default 3):
+    * 4 × 16-bit band buckets are a COMPLETE candidate generator for
+    * distance <= 3 (pigeonhole: 3 flipped bits touch at most 3 of the 4
+    * bands), then `bit_count(xor)` verifies exactly. Spec-tested. */
+  def simhashNeardupPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val sims = docs(s, dir).select(
+      col("doc_id"), TextSig.simhash(TextSig.tokens(col("text"))).as("sim"))
+    // sim is referenced 5x below; CollapseProject keeps the non-cheap
+    // aggregate in its own project, so the simhash is computed once per row
+    val bands = sims.select(
+      col("doc_id"), col("sim"),
+      posexplode(TextSig.simhashBands(col("sim"))))
+      .select(col("doc_id"), col("sim"), col("pos").as("band"), col("col").as("digest"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.digest") === col("b.digest") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The bigram-shingle CTE shared by the pair oracles. */
+  private val shingleCte =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') tok FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct([tok[i] || '_' || tok[i+1] FOR i IN range(1, len(tok))]) sh
+      |  FROM t
+      |)""".stripMargin
+
+  private val tokenSetKeySql =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q35_dedup_stats", dedupStats, bench = true, oracle = Some(
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT md5(text)) AS distinct_texts,
+         |  COUNT(DISTINCT $tokenSetKeySql) AS distinct_token_sets
+         |FROM documents GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q36_neardup_groups", neardupGroups, oracle = Some(
+      s"""SELECT $tokenSetKeySql AS group_key, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS canonical_doc
+         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q37_dedup_survivors", dedupSurvivors, oracle = Some(
+      s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+         |FROM documents GROUP BY $tokenSetKeySql
+         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q38_minhash_neardup_pairs", minhashNeardupPairs, bench = true, oracle = Some(
+      shingleCte +
+        """
+          |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+          |ORDER BY ALL NULLS FIRST""".stripMargin)),
+  )
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("LSH pipeline never materializes an all-pairs join") {
+    val plan = planOf(DedupOps.minhashNeardupPairs(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), "cartesian product in LSH plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in LSH plan")
+  }
+
+  test("LSH candidates have full recall on the exact >=0.9 bigram-Jaccard pairs") {
+    // ground truth by brute force (test-only; 500 docs)
+    val sh = DedupOps.shingled(spark, sfDir)
+    val a = sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+    val b = sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    val truth = a.crossJoin(b).filter(col("doc_i") < col("doc_j"))
+      .withColumn("jac", inter.cast("double") / (size(col("sh_i")) + size(col("sh_j")) - inter))
+      .filter(col("jac") >= DedupOps.NeardupThreshold)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+
+    val found = DedupOps.minhashNeardupPairs(spark, sfDir)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+
+    assert(truth.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
+    assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("simhash hamming-band candidates are complete for distance <= 3") {
+    val pairs = DedupOps.simhashNeardupPairs(spark, sfDir)
+    // brute-force hamming over all pairs as truth
+    val sims = graft.Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"), graft.functions.TextSig.simhash(split(col("text"), " ")).as("sim"))
+    val x = sims.select(col("doc_id").as("doc_i"), col("sim").as("sim_i"))
+    val y = sims.select(col("doc_id").as("doc_j"), col("sim").as("sim_j"))
+    val truth = x.crossJoin(y).filter(col("doc_i") < col("doc_j"))
+      .withColumn("hamming", bit_count(col("sim_i").bitwiseXOR(col("sim_j"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    val found = pairs.select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+    val plan = planOf(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup survivors partition the corpus: sum of group sizes = corpus size") {
+    val total = graft.Tables.load(spark, sfDir, "documents").count()
+    val survivors = DedupOps.dedupSurvivors(spark, sfDir)
+    assert(survivors.agg(sum("group_size")).as[Long].head() == total)
+    assert(survivors.select("doc_id").distinct().count() == survivors.count())
+  }
+
+  test("rolling fingerprint is deterministic and content-sensitive") {
+    import graft.functions.TextSig
+    val df = Seq("a b c", "a b c", "a b d").toDF("text")
+      .select(TextSig.rollingFingerprint(col("text")).as("fp")).as[Long].collect()
+    assert(df(0) == df(1) && df(0) != df(2))
+  }
+}
