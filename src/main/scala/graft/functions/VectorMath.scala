@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity column builders over `array<float>` embedding columns
+  * — pure `org.apache.spark.sql.functions` compositions (zip_with /
+  * aggregate / transform), no UDFs.
+  *
+  * Cross-engine determinism: similarity on raw floats is NOT reproducible
+  * across engines (summation order and float/double promotion differ), so
+  * the oracle-checked operators first QUANTIZE each component to an exact
+  * integer (floor(x * 1e6), stored in a double): with 64 dims and |x| < 1,
+  * every dot product and norm stays an exact integer below 2^53, making
+  * the whole similarity computation order-insensitive and bit-identical in
+  * Spark and DuckDB; the single final sqrt+divide runs on identical
+  * operands in both engines.
+  */
+object VectorMath {
+
+  /** Component-wise exact-integer quantization (stored as doubles). */
+  def quantize(v: Column, scale: Double = 1e6): Column =
+    transform(v, x => floor(x.cast("double") * scale))
+
+  /** Dot product of two numeric arrays (left-to-right sum; exact when the
+    * inputs are quantized integers). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(v: Column): Column = dot(v, v)
+
+  /** Cosine similarity from precomputed quantized vectors + squared norms
+    * (one sqrt + one divide on exact-integer operands). */
+  def cosineFromParts(dotAB: Column, normSqA: Column, normSqB: Column): Column =
+    dotAB / sqrt(normSqA * normSqB)
+
+  /** Sign-random-projection LSH code (`bits` hyperplanes): bit h is the
+    * sign of the dot product with a deterministic ±1 hyperplane derived
+    * from xxhash64(h, j). Vectors at small angles share codes with high
+    * probability (bit-sampling LSH for cosine). */
+  def srpCode(v: Column, bits: Int = 8): Column = {
+    val proj = (0 until bits).map { h =>
+      val signed = aggregate(
+        zip_with(
+          v,
+          sequence(lit(0), size(v) - 1),
+          (x, j) => when(xxhash64(lit(h), j).bitwiseAND(1) === 1, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(signed >= 0, lit(1)).otherwise(lit(0)) * lit(1 << h)
+    }
+    proj.reduce(_ + _)
+  }
+}
