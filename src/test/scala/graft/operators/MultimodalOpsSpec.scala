@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction: fixed width, L1-normalized, deterministic, one row per asset") {
+    val assets = MultimodalOps.mediaAssets(spark, sfDir)
+    val f1 = MultimodalOps.extractFeatures(assets)
+    assert(f1.count() == assets.count())
+    val rows = f1.collect()
+    rows.foreach { r =>
+      assert(r.feature.length == 16)
+      assert(math.abs(r.feature.sum - 1f) < 1e-3, s"not normalized: ${r.feature.sum}")
+    }
+    val again = MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(spark, sfDir))
+      .collect().map(r => r.asset_id -> r.feature.toSeq).toMap
+    rows.foreach(r => assert(again(r.asset_id) == r.feature.toSeq))
+  }
+
+  test("feature pipeline is map-only: no shuffle exchange in the plan") {
+    val plan = MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("resize halves metadata dims and shrinks payloads") {
+    val assets = MultimodalOps.mediaAssets(spark, sfDir)
+    val orig = assets.collect().map(a => a.asset_id -> a).toMap
+    MultimodalOps.resize(assets).collect().foreach { r =>
+      val o = orig(r.asset_id)
+      assert(r.width == math.max(o.width / 2, 1) && r.height == math.max(o.height / 2, 1))
+      assert(r.payload.length <= o.payload.length)
+      assert(r.payload.nonEmpty)
+    }
+  }
+
+  test("frame sampling: only videos, deterministic frame counts from duration") {
+    val assets = MultimodalOps.mediaAssets(spark, sfDir)
+    val frames = MultimodalOps.sampleFrames(assets, everyMs = 500)
+    val videoIds = assets.filter(_.media_type == "video").collect()
+      .map(a => a.asset_id -> a).toMap
+    val byAsset = frames.collect().groupBy(_.asset_id)
+    assert(byAsset.keySet == videoIds.keySet)
+    byAsset.foreach { case (id, fs) =>
+      val expected = math.max(videoIds(id).duration_ms / 500, 1)
+      assert(fs.length == expected)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until expected))
+      fs.foreach(f => assert(f.frame_bytes.length <= 16))
+    }
+  }
+}
