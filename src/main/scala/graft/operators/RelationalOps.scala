@@ -319,6 +319,75 @@ object RelationalOps {
       to_date(col("o_orderdate") - expr("INTERVAL '30' DAY")).as("od_minus30"),
       unix_timestamp(col("o_orderdate")).as("unix_sec"))
 
+  /** Exact integer-cents accumulation: ROUND(x*100) is safe because the
+    * source doubles carry <= 2 decimal digits, so x*100 sits within one
+    * ulp of an integer in both engines. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Half-up ROUND(sum/n, 2) computed entirely on exact integers:
+    * round_half_up(s/n) = floor((2s+n)/(2n)); the single double division
+    * runs on identical exact-integer operands in both engines, so the
+    * result is hash-stable — this restores the reference's rounded
+    * output shape (ROUND(AVG(x),2), A2/A7) that round 1 had dropped. */
+  private def roundedRatio(sumC: Column, n: Column): Column =
+    floor((sumC * 2 + n).cast("double") / (n.cast("double") * 2)) / 100.0
+
+  // q45 — the reference's rounded aggregate surface (A2 ROUND(AVG(x),2),
+  // A7 ROUND(count/NULLIF(uniq,0),2); cross-database-analytics.sql:8,
+  // compare:127) with exact-cents arithmetic for cross-engine parity
+  val roundedMetrics: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        roundedRatio(sum(cents(col("o_totalprice"))), count(lit(1)))
+          .as("avg_value_r2"),
+        roundedRatio(count(lit(1)) * 100, nullif(countDistinct(col("o_custkey")), lit(0L)))
+          .as("orders_per_customer_r2"))
+
+  // q46 — A9 as written by the reference: ROUND(AVG(avg_order_value),2)
+  // over the gold rollup (compare-query-performance.sql:147) — the
+  // unweighted avg-of-avgs, rounded. Per-group quotients are quantized to
+  // exact micro-units, so the final half-up rounding runs on exact ints.
+  val roundedGoldReagg: (SparkSession, String) => DataFrame = (s, dir) => {
+    val gold = goldRollup(s, dir)
+    val micro = floor(col("avg_order_value") * 1e6).cast("long")
+    gold.groupBy(col("status"))
+      .agg(
+        sum(col("order_count")).as("total_orders"),
+        (floor((sum(micro) * 2 + count(lit(1)) * 10000L).cast("double") /
+          (count(lit(1)).cast("double") * 20000L)) / 100.0)
+          .as("avg_avg_order_value_r2"))
+  }
+
+  // q47 — timestamp extrema per status (A4 MIN/MAX over timestamps;
+  // cross-database-analytics.sql:9-10 first_order/most_recent_order)
+  val orderDateRange: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("most_recent_order"),
+        count(lit(1)).as("order_count"))
+
+  // q48 — UNION distinct of two sources (U2; the reference's digit-table
+  // constructor SELECT .. UNION SELECT .., 01-setup.sql:151-158)
+  val unionDistinct: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "orders").select(col("o_orderstatus").as("flag"))
+      .union(t(s, dir, "lineitem").select(col("l_returnflag").as("flag")))
+      .distinct()
+
+  // q49 — seeded random sample (O4 ORDER BY RAND() LIMIT n,
+  // 01-setup.sql:210-212): deterministic per seed within Spark; no SQL
+  // oracle (engines disagree on rand streams) — registered rows-only,
+  // determinism spec-tested
+  val SampleSeed = 42L
+  val seededSample: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(rand(SampleSeed), col("p_partkey"))
+      .limit(20)
+
   // ---------------------------------------------------------------------
 
   val all: Seq[NamedQuery] = Seq(
@@ -467,5 +536,32 @@ object RelationalOps {
         |  CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS od_minus30,
         |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS unix_sec
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q45_rounded_metrics", roundedMetrics, oracle = Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |  FLOOR((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) + COUNT(*))
+        |    / (2.0 * COUNT(*))) / 100.0 AS avg_value_r2,
+        |  FLOOR((2 * COUNT(*) * 100 + NULLIF(COUNT(DISTINCT o_custkey), 0))
+        |    / (2.0 * NULLIF(COUNT(DISTINCT o_custkey), 0))) / 100.0 AS orders_per_customer_r2
+        |FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q46_rounded_gold_reagg", roundedGoldReagg, oracle = Some(
+      """WITH gold AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
+        |    COUNT(*) AS order_count,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT status, CAST(SUM(order_count) AS BIGINT) AS total_orders,
+        |  FLOOR((2 * SUM(CAST(FLOOR(avg_order_value * 1e6) AS BIGINT)) + COUNT(*) * 10000)
+        |    / (2.0 * COUNT(*) * 10000)) / 100.0 AS avg_avg_order_value_r2
+        |FROM gold GROUP BY status ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q47_order_date_range", orderDateRange, oracle = Some(
+      """SELECT o_orderstatus AS status, MIN(o_orderdate) AS first_order,
+        |  MAX(o_orderdate) AS most_recent_order, COUNT(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q48_union_distinct", unionDistinct, oracle = Some(
+      """SELECT o_orderstatus AS flag FROM orders
+        |UNION SELECT l_returnflag FROM lineitem
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q49_seeded_sample", seededSample), // rows-only: rand streams differ per engine
   )
 }

@@ -69,4 +69,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(e.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(e.count() > 0)
   }
+
+  test("q49 seeded sample is deterministic per seed and seed-sensitive (O4)") {
+    import org.apache.spark.sql.functions._
+    val once = RelationalOps.seededSample(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val again = RelationalOps.seededSample(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(once == again, "same seed must give the same sample")
+    val other = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(rand(RelationalOps.SampleSeed + 1), col("p_partkey"))
+      .limit(20).collect().map(_.getLong(0)).toSeq
+    assert(once != other, "different seed should reorder the sample")
+  }
+
+  test("q45 rounded metrics equal BigDecimal half-up rounding of the exact ratios") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalOps.roundedMetrics(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(round(col("o_totalprice") * 100).cast("long")).as("c"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val bd = BigDecimal(r.getLong(1)) / BigDecimal(r.getLong(2)) / 100
+        r.getString(0) -> bd.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    exact.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
+  }
 }
