@@ -1,0 +1,151 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+import java.sql.Timestamp
+
+/** Event-time streaming operators over the `events` fixture: watermarked
+  * tumbling-window aggregation and gap-based sessionization — the
+  * Structured Streaming surface a Spark-first engine exposes beyond the
+  * reference's CDC semantics (SURVEY §2.9 notes the reference has no
+  * event-time windows; the driver brief asks for them as first-class).
+  *
+  * Verification strategy: each streaming operator has a BATCH-equivalent
+  * definition (same DataFrame algebra over the same input), and the batch
+  * form is DuckDB-oracle-checked (q50/q51 in
+  * [[graft.operators.StreamingOps]]); the streaming form is spec-asserted
+  * to produce exactly the batch result when drained with
+  * `Trigger.AvailableNow` (EventStreamsSpec).
+  */
+object EventStreams {
+
+  /** Session gap: a new session starts after 30 minutes of inactivity. */
+  val SessionGapSeconds = 1800L
+
+  /** The events fixture read as a STREAM: file source over the parquet
+    * (nanos timestamps arrive as longs under the session's
+    * `nanosAsLong` conf and are converted to µs timestamps, mirroring
+    * [[graft.Tables.load]]). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
+  }
+
+  /** Watermarked tumbling-window aggregation (1 hour) — the streaming
+    * form of q17. Complete output mode: with a finite AvailableNow drain,
+    * append mode would withhold the youngest window (its end is past the
+    * final watermark), so complete mode is the checkable configuration;
+    * the watermark still declares the lateness bound a continuous
+    * deployment would run with. */
+  def hourlyWindowed(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Drain a streaming aggregation into a deterministic in-memory table
+    * and return it as a DataFrame. */
+  def drainToTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ------------------------------------------------------------ sessions
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class Session(
+      user_id: Long, session_id: Long,
+      session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** BATCH sessionization: gap-based sessions via window functions — the
+    * lag/cumulative-sum idiom (one shuffle on user_id; sessions never
+    * materialize per-row state). Oracle-checked as q51. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // µs-exact gap comparison (unix_timestamp truncates to seconds and
+    // would disagree with the oracle on fractional-second gaps)
+    val newSession = when(
+      col("prev_ts").isNull ||
+        (expr("unix_micros(ts)") - expr("unix_micros(prev_ts)")) > SessionGapSeconds * 1000000L,
+      1L).otherwise(0L)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** STREAMING sessionization: custom per-user state via
+    * flatMapGroupsWithState — each micro-batch folds its events into the
+    * open session state and emits completed sessions; the final batch of
+    * an AvailableNow drain flushes everything (single-batch parity with
+    * [[sessionizeBatch]] is spec-asserted). At scale this is the
+    * KeyValueGroupedDataset state-store path: state is one small record
+    * per user, partitioned by the grouping key. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionFold)
+  }
+
+  /** Fold one group's new events into session state; emits every session
+    * (closed and currently-open) and clears state — correct for finite
+    * drains; a continuous deployment would keep the open session in state
+    * and emit on timeout instead. */
+  /** µs-exact epoch (Timestamp.getTime is ms-truncated and would disagree
+    * with the batch form on fractional-millisecond gaps). */
+  private def micros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def sessionFold(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[List[Session]]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) return state.getOption.getOrElse(Nil).iterator
+    val sessions = scala.collection.mutable.ListBuffer.empty[Session]
+    var start = sorted.head.ts
+    var end = sorted.head.ts
+    var n = 0L
+    var sid = 1L
+    sorted.foreach { e =>
+      if (n > 0 && micros(e.ts) - micros(end) > SessionGapSeconds * 1000000L) {
+        sessions += Session(userId, sid, start, end, n)
+        sid += 1; start = e.ts; n = 0
+      }
+      end = e.ts; n += 1
+    }
+    sessions += Session(userId, sid, start, end, n)
+    state.remove()
+    sessions.iterator
+  }
+}
