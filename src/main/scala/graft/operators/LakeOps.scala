@@ -93,6 +93,17 @@ object LakeOps {
   val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
 
+  // q52 — DESCRIBE TABLE on the schema-evolved customer table (S11;
+  // reference: DESCRIBE after ALTER ADD COLUMN, BLOG:549): the evolved
+  // column, schema version and snapshot seq must all be visible. The
+  // oracle is the expected catalog listing spelled as literals — a
+  // feature probe, not a data derivation (there is nothing to derive it
+  // from; the reference checks DESCRIBE output the same way).
+  val lakeDescribe: (SparkSession, String) => DataFrame = (s, dir) => {
+    LakePipelines.customerEvolved(s, dir) // ensure built
+    LakePipelines.catalog(s, dir).describe("customer_evolved")
+  }
+
   /** The q16/q27 merged state as a DuckDB CTE (shared by q27–q29). */
   private val morMergedCte =
     """WITH base AS (
@@ -164,6 +175,18 @@ object LakeOps {
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q34_cdc_bootstrap", cdcBootstrap, oracle = Some(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q52_lake_describe", lakeDescribe, oracle = Some(
+      """SELECT * FROM (VALUES
+        |  ('c_custkey', 'bigint', 'YES'),
+        |  ('c_name', 'string', 'YES'),
+        |  ('c_acctbal', 'double', 'YES'),
+        |  ('loyalty_tier', 'string', 'YES'),
+        |  ('# clustering', '', ''),
+        |  ('# primary key', 'c_custkey', ''),
+        |  ('# current snapshot', '3', ''),
+        |  ('# schema version', '2', '')
+        |) AS t(col_name, data_type, nullable)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -388,6 +388,20 @@ object RelationalOps {
       .orderBy(rand(SampleSeed), col("p_partkey"))
       .limit(20)
 
+  // q53 — NOW()/today() surface (F-now; reference 01-setup.sql:147,
+  // compare:58): current_date/current_timestamp-derived columns.
+  // Registered rows-only: wall-clock values cannot hash-match an oracle
+  // that runs at a different instant.
+  val nowFunctions: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "orders")
+      .agg(max(col("o_orderdate")).as("latest_order"))
+      .select(
+        col("latest_order"),
+        current_date().as("today"),
+        current_timestamp().as("now"),
+        datediff(current_date(), col("latest_order")).as("days_since_last_order"))
+      .filter(col("days_since_last_order") > 0)
+
   // ---------------------------------------------------------------------
 
   val all: Seq[NamedQuery] = Seq(
@@ -563,5 +577,6 @@ object RelationalOps {
         |UNION SELECT l_returnflag FROM lineitem
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q49_seeded_sample", seededSample), // rows-only: rand streams differ per engine
+    NamedQuery("q53_now_functions", nowFunctions), // rows-only: wall-clock dependent
   )
 }
