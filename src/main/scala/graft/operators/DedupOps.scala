@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import graft.functions.TextSig
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for the training-data pipeline (driver
@@ -61,22 +61,35 @@ object DedupOps {
   private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextSig.shingles(col("text")).as("sh"))
 
+  /** Ordered pairs (i < j) from a bucket's sorted member array, as an
+    * array expression (the ids column is a materialized attribute, so the
+    * nested lambdas reference it for free). */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("doc_i"), y.as("doc_j")))))
+
   /** MinHash/LSH candidate pairs (doc_i < doc_j): signature → band digests
-    * → explode → self-equi-join on (band, digest) → distinct. This is the
-    * scale path: candidates only ever meet inside a bucket. */
+    * → explode → groupBy bucket → in-bucket pair expansion → distinct.
+    * This is the scale path: candidates only ever meet inside a bucket,
+    * signatures are computed exactly once (a bucket self-JOIN would
+    * recompute the whole signature pipeline on both sides — AQE does not
+    * reuse the exchange), and the only shuffles are the bucket groupBy and
+    * the final distinct. Bucket membership lists are near-duplicate groups
+    * — small by construction (a giant bucket would be quadratic under any
+    * pairing strategy). */
   def lshCandidates(s: SparkSession, dir: String,
       bands: Int = 8, rows: Int = 4): DataFrame = {
     val withBands = shingled(s, dir).select(
       col("doc_id"),
       posexplode(TextSig.minhashBands(col("sh"), bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("digest"))
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.digest") === col("b.digest") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+    withBands
+      .groupBy(col("band"), col("digest"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.doc_i"), col("p.doc_j"))
       .distinct()
   }
 
@@ -108,18 +121,21 @@ object DedupOps {
     // sim is referenced 5x below; CollapseProject keeps the non-cheap
     // aggregate in its own project, so the simhash is computed once per row
     val bands = sims.select(
-      col("doc_id"), col("sim"),
+      struct(col("doc_id"), col("sim")).as("m"),
       posexplode(TextSig.simhashBands(col("sim"))))
-      .select(col("doc_id"), col("sim"), col("pos").as("band"), col("col").as("digest"))
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.digest") === col("b.digest") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .select(col("m"), col("pos").as("band"), col("col").as("digest"))
+    val pairs = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+        struct(
+          x.getField("doc_id").as("doc_i"),
+          y.getField("doc_id").as("doc_j"),
+          bit_count(x.getField("sim").bitwiseXOR(y.getField("sim"))).as("hamming")))))
+    bands
+      .groupBy(col("band"), col("digest"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_i"), col("p.doc_j"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
