@@ -250,12 +250,29 @@ final class LakeTable private (
     val derived = spec.foldLeft(aligned.withColumn(SeqCol, lit(seq)))(
       (d, pf) => d.withColumn(pf.name, pf.transform(col(pf.source))))
 
-    // one shuffle: co-locate rows of a partition value into one task (one
-    // output file per value), clustering sort inside each task so parquet
-    // row-group stats are tight on the cluster keys (≈ MergeTree ORDER BY,
-    // scripts/iceberg-setup.sql:90)
+    // one shuffle: co-locate rows of a partition value, clustering sort
+    // inside each task so parquet row-group stats are tight on the cluster
+    // keys (≈ MergeTree ORDER BY, scripts/iceberg-setup.sql:90).
+    // `spark.graft.lake.writeSplits` (default 1) adds a hash salt to the
+    // write distribution: with 1, each partition value lands in one task /
+    // one file (small tables, tidy layout); at cluster scale a partition
+    // value can hold terabytes, so a single task per value would serialize
+    // the write — salting fans each value out to N tasks / N files, which
+    // the snapshot format tracks per-file anyway.
     val arranged = {
-      val repart = if (partCols.nonEmpty) derived.repartition(partCols.map(col): _*) else derived
+      val splits = spark.conf.getOption("spark.graft.lake.writeSplits")
+        .map(_.toInt).getOrElse(1).max(1)
+      val spreadCols = if (meta.clusterBy.nonEmpty) meta.clusterBy else userSchema.fieldNames.toSeq
+      val salt = pmod(xxhash64(spreadCols.map(col): _*), lit(splits))
+      // explicit partition count: an expression-only repartition is
+      // AQE-coalesced on small inputs, which would undo the fan-out
+      val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val repart =
+        if (partCols.nonEmpty && splits > 1)
+          derived.repartition(n, partCols.map(col) :+ salt: _*)
+        else if (partCols.nonEmpty) derived.repartition(partCols.map(col): _*)
+        else if (splits > 1) derived.repartition(splits, salt)
+        else derived
       val sortCols = partCols ++ meta.clusterBy
       if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*) else repart
     }

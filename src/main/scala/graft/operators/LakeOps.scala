@@ -93,6 +93,32 @@ object LakeOps {
   val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
 
+  // q54 — cross-layer consistency: the SAME aggregate computed from raw
+  // parquet, the materialized silver lake table, and the materialized gold
+  // rollup, side by side with a layer label — the reference's implicit
+  // golden test (cross-database-analytics.sql runs one query per layer and
+  // the numbers must agree; SURVEY §5 "Cross-layer consistency"). A hash
+  // match proves the whole medallion pipeline preserves the data.
+  val crossLayerConsistency: (SparkSession, String) => DataFrame = (s, dir) => {
+    import RelationalOps.dsum
+    val raw = graft.Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+      .select(lit("1_raw").as("layer"), col("status"), col("order_count"), col("revenue"))
+    val silver = LakePipelines.silverOrders(s, dir).scan()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("total_amount")).as("revenue"))
+      .select(lit("2_silver").as("layer"), col("status"), col("order_count"), col("revenue"))
+    val gold = LakePipelines.goldOrderMetrics(s, dir).scan()
+      .groupBy(col("status"))
+      .agg(
+        sum(col("order_count")).as("order_count"),
+        sum(col("gross_revenue").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .select(lit("3_gold").as("layer"), col("status"), col("order_count"), col("revenue"))
+    raw.unionByName(silver).unionByName(gold)
+  }
+
   // q52 — DESCRIBE TABLE on the schema-evolved customer table (S11;
   // reference: DESCRIBE after ALTER ADD COLUMN, BLOG:549): the evolved
   // column, schema version and snapshot seq must all be visible. The
@@ -188,5 +214,16 @@ object LakeOps {
         |  ('# schema version', '2', '')
         |) AS t(col_name, data_type, nullable)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q54_cross_layer_consistency", crossLayerConsistency, oracle = Some(
+      """WITH agg AS (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT '1_raw' AS layer, * FROM agg
+        |  UNION ALL SELECT '2_silver', * FROM agg
+        |  UNION ALL SELECT '3_gold', * FROM agg
+        |) ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

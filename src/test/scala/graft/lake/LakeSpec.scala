@@ -174,4 +174,23 @@ class LakeSpec extends SparkSpec {
       t.commitSnapshot(cur.copy(seq = cur.seq + 1, parent = Some(cur.seq)))
     }
   }
+
+  test("writeSplits salts a hot partition value across multiple files, content preserved") {
+    val dir = Files.createTempDirectory("graft-splits-spec").toString
+    import spark.implicits._
+    // one partition value ("hot") holds all the rows — the 100 TB skew shape
+    val df = (1L to 1000L).map(i => (i, "hot", i * 1.5)).toDF("id", "s", "v")
+    spark.conf.set("spark.graft.lake.writeSplits", "4")
+    try {
+      val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+        partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")),
+        clusterBy = Seq("id"))
+      t.append(df)
+      val files = t.currentSnapshot.dataFiles
+      assert(files.forall(_.partition("p_s") == "hot"))
+      assert(files.size >= 2, s"expected the hot partition fanned out, got ${files.size} file(s)")
+      assert(t.scan().as[(Long, String, Double)].collect().toSet ==
+        df.as[(Long, String, Double)].collect().toSet)
+    } finally spark.conf.unset("spark.graft.lake.writeSplits")
+  }
 }
