@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+import java.time.Instant
+import scala.util.Random
+
+/** Property-style tests (seeded random sampling) for the pruning layer's
+  * one correctness-critical invariant: NO FALSE NEGATIVES. A file whose
+  * partition contains a row matching the filter must survive `mayMatch` —
+  * pruning may keep too much (the scan re-filters), but must never drop a
+  * match. */
+class PruneProps extends AnyFunSuite {
+
+  private val rng = new Random(20260812L)
+  private def randTs(): Timestamp =
+    Timestamp.from(Instant.ofEpochSecond(rng.between(0L, 4102444800L)))
+
+  private val transforms = Seq(Transform.Month, Transform.Day, Transform.Year)
+
+  private def partitionOf(t: Transform, ts: Timestamp): Map[String, String] =
+    Map("p" -> t.valueOf(ts).getOrElse(sys.error("unrenderable")))
+
+  test("time transforms never prune a file containing a matching row (Ge/Lt/Eq)") {
+    (1 to 2000).foreach { _ =>
+      val rowTs = randTs()
+      val filterTs = randTs()
+      transforms.foreach { tr =>
+        val spec = Seq(PartitionField("c", tr, "p"))
+        val part = partitionOf(tr, rowTs)
+        if (rowTs.compareTo(filterTs) >= 0)
+          assert(PruneFilter.mayMatch(spec, part, PruneFilter.Ge("c", filterTs)),
+            s"$tr pruned file holding $rowTs for >= $filterTs")
+        if (rowTs.compareTo(filterTs) < 0)
+          assert(PruneFilter.mayMatch(spec, part, PruneFilter.Lt("c", filterTs)),
+            s"$tr pruned file holding $rowTs for < $filterTs")
+        assert(PruneFilter.mayMatch(spec, part, PruneFilter.Eq("c", rowTs)),
+          s"$tr pruned file holding $rowTs for = $rowTs")
+      }
+    }
+  }
+
+  test("close timestamps in the same period are never cross-pruned") {
+    (1 to 2000).foreach { _ =>
+      val base = randTs()
+      // same-month neighbor: jitter within a few hours
+      val near = new Timestamp(base.getTime + rng.between(-3600_000L, 3600_000L))
+      transforms.foreach { tr =>
+        if (tr.valueOf(base) == tr.valueOf(near)) {
+          val spec = Seq(PartitionField("c", tr, "p"))
+          assert(PruneFilter.mayMatch(spec, partitionOf(tr, base), PruneFilter.Eq("c", near)))
+        }
+      }
+    }
+  }
+
+  test("identity and bucket transforms: no false negatives on strings") {
+    (1 to 2000).foreach { _ =>
+      val s = rng.alphanumeric.take(rng.between(1, 12)).mkString
+      val spec = Seq(PartitionField("c", Transform.Identity, "p"))
+      assert(PruneFilter.mayMatch(spec, Map("p" -> s), PruneFilter.Eq("c", s)))
+      assert(PruneFilter.mayMatch(spec, Map("p" -> s), PruneFilter.In("c", Seq(s, "other"))))
+      // bucket renders no literal (engine-side hash) → always conservative:
+      // any bucket value survives any filter
+      val b = Transform.Bucket(16)
+      assert(PruneFilter.mayMatch(
+        Seq(PartitionField("c", b, "p")),
+        Map("p" -> rng.between(0, 16).toString), PruneFilter.Eq("c", s)))
+    }
+  }
+
+  test("filters on non-partition columns never prune") {
+    (1 to 500).foreach { _ =>
+      val ts = randTs()
+      val spec = Seq(PartitionField("c", Transform.Month, "p"))
+      assert(PruneFilter.mayMatch(spec, partitionOf(Transform.Month, ts),
+        PruneFilter.Ge("other_col", ts)))
+    }
+  }
+}
