@@ -78,11 +78,20 @@ object DedupOps {
     * the final distinct. Bucket membership lists are near-duplicate groups
     * — small by construction (a giant bucket would be quadratic under any
     * pairing strategy). */
+  /** Native codegen'd signature when the session has [[graft.plans.GraftExtensions]]
+    * registered; bit-identical pure-functions fallback otherwise
+    * (equality spec-asserted corpus-wide). */
+  private def minhashBandsCol(s: SparkSession, sh: org.apache.spark.sql.Column,
+      bands: Int, rows: Int): org.apache.spark.sql.Column =
+    if (s.catalog.functionExists(graft.plans.GraftExtensions.MinHashBandsName))
+      call_function(graft.plans.GraftExtensions.MinHashBandsName, sh, lit(bands), lit(rows))
+    else TextSig.minhashBands(sh, bands, rows)
+
   def lshCandidates(s: SparkSession, dir: String,
       bands: Int = 8, rows: Int = 4): DataFrame = {
     val withBands = shingled(s, dir).select(
       col("doc_id"),
-      posexplode(TextSig.minhashBands(col("sh"), bands, rows)))
+      posexplode(minhashBandsCol(s, col("sh"), bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("digest"))
     withBands
       .groupBy(col("band"), col("digest"))

@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression computing MinHash LSH band digests in one
+  * compiled pass over the shingle array — the hot inner loop of the
+  * near-duplicate pipeline ([[graft.operators.DedupOps]]).
+  *
+  * Why a custom Expression (the (b) tier of the custom-operator ladder —
+  * built-ins CAN express this, see [[graft.functions.TextSig.minhashBands]]):
+  * higher-order array functions evaluate their lambda bodies through the
+  * interpreted expression walker per element × per hash, which dominates
+  * the near-dup query's runtime. This expression produces BIT-IDENTICAL
+  * output to the HOF composition (same xxhash64 chaining — seed 42, int
+  * prefix, then bytes/longs — via the same public XXH64 kernel;
+  * equality is spec-asserted corpus-wide in DedupOpsSpec) while running
+  * as one tight JVM loop, and participates in whole-stage codegen via a
+  * static-call `doGenCode`.
+  *
+  * Registered as the SQL function `graft_minhash_bands(shingles, bands,
+  * rows)` through [[GraftExtensions]] (SparkSessionExtensions).
+  */
+case class MinHashBands(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.MinHashBands$$.MODULE$$.compute($c, $bands, $rows)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+
+  /** Seed used by Spark's xxhash64 SQL function. */
+  private val Seed = 42L
+
+  /** One pass: per shingle, chain hashInt(k, 42) → hashBytes(s) for every
+    * hash function k, keep minima; then fold each band's minima with
+    * hashInt(b, 42) → hashLong* — exactly the value chain of
+    * `xxhash64(k, s)` / `xxhash64(b, slice(sig, ...))`. */
+  def compute(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val numHashes = bands * rows
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val len = s.numBytes
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, XXH64.hashInt(k, Seed))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, Seed)
+      var r = 0
+      while (r < rows) { h = XXH64.hashLong(mins(b * rows + r), h); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Session extension registering the native functions (enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or the
+  * equivalent `--conf`). Operators fall back to the pure-functions._ forms
+  * when the extension is absent. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.minhashBandsDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val MinHashBandsName = "graft_minhash_bands"
+
+  private[plans] val minhashBandsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(MinHashBandsName),
+    new ExpressionInfo(classOf[MinHashBands].getName, MinHashBandsName),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, s"$MinHashBandsName(shingles, bands, rows)")
+      val bands = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"bands must be an int literal, got $other")
+      }
+      val rows = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"rows must be an int literal, got $other")
+      }
+      MinHashBands(args.head, bands, rows)
+    },
+  )
+}

@@ -8,6 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

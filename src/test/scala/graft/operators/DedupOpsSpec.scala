@@ -58,6 +58,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(survivors.select("doc_id").distinct().count() == survivors.count())
   }
 
+  test("native graft_minhash_bands is bit-identical to the functions._ composition") {
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.MinHashBandsName),
+      "extension not registered in the test session")
+    val sh = DedupOps.shingled(spark, sfDir)
+    val both = sh.select(
+      col("doc_id"),
+      call_function(graft.plans.GraftExtensions.MinHashBandsName,
+        col("sh"), lit(8), lit(4)).as("native"),
+      graft.functions.TextSig.minhashBands(col("sh"), 8, 4).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     import graft.functions.TextSig
     val df = Seq("a b c", "a b c", "a b d").toDF("text")
