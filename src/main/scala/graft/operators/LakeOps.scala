@@ -93,6 +93,18 @@ object LakeOps {
   val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
 
+  // q55 — snapshots metadata table (Iceberg's `table$snapshots` idiom):
+  // the commit log of the MoR lifecycle table as a queryable DataFrame —
+  // seq, parent, operation, schema version. Timestamps excluded (wall
+  // clock); file counts excluded (layout-tuning dependent); the operation
+  // SEQUENCE is the deterministic contract.
+  val lakeSnapshots: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    LakePipelines.ordersMor(s, dir).snapshots
+      .map(sn => (sn.seq, sn.parent.getOrElse(-1L), sn.operation, sn.schemaVersion))
+      .toDF("seq", "parent", "operation", "schema_version")
+  }
+
   // q54 — cross-layer consistency: the SAME aggregate computed from raw
   // parquet, the materialized silver lake table, and the materialized gold
   // rollup, side by side with a layer label — the reference's implicit
@@ -213,6 +225,15 @@ object LakeOps {
         |  ('# current snapshot', '3', ''),
         |  ('# schema version', '2', '')
         |) AS t(col_name, data_type, nullable)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q55_lake_snapshots", lakeSnapshots, oracle = Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), 'create',  1),
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT),  'append',  1),
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT),  'upsert',  1),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT),  'delete',  1),
+        |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT),  'compact', 1)
+        |) AS t(seq, parent, operation, schema_version)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q54_cross_layer_consistency", crossLayerConsistency, oracle = Some(
       """WITH agg AS (

@@ -175,6 +175,20 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("negative paths fail loudly: missing snapshot, dropped table, upsert without PK") {
+    val dir = Files.createTempDirectory("graft-neg-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    intercept[Exception](t.scan(asOf = Some(99L)).collect())   // no such snapshot
+    intercept[Exception](t.upsert(df))                          // no primary key
+    intercept[Exception](t.addColumn("s", "string"))            // duplicate column
+    intercept[Exception](LakeTable.load(spark, s"$dir/nope"))   // not a table
+    intercept[Exception](                                       // double create
+      LakeTable.create(spark, s"$dir/t", "t", df.schema))
+  }
+
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
     val dir = Files.createTempDirectory("graft-splits-spec").toString
     import spark.implicits._
