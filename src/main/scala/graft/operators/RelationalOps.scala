@@ -388,6 +388,19 @@ object RelationalOps {
       .orderBy(rand(SampleSeed), col("p_partkey"))
       .limit(20)
 
+  // q56 — approximate distinct count (HLL sketch): the documented 100 TB
+  // fallback for A6 (SURVEY §2.1 notes the reference deliberately uses
+  // EXACT uniqExact — so correctness tests use countDistinct — while
+  // approx_count_distinct is the scale-out path when a 2% error is worth
+  // removing the exact-distinct shuffle). Registered rows-only: HLL
+  // sketches differ across engines; the accuracy bound is spec-tested.
+  val approxDistinct: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+        count(lit(1)).as("order_count"))
+
   // q53 — NOW()/today() surface (F-now; reference 01-setup.sql:147,
   // compare:58): current_date/current_timestamp-derived columns.
   // Registered rows-only: wall-clock values cannot hash-match an oracle
@@ -578,5 +591,6 @@ object RelationalOps {
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q49_seeded_sample", seededSample), // rows-only: rand streams differ per engine
     NamedQuery("q53_now_functions", nowFunctions), // rows-only: wall-clock dependent
+    NamedQuery("q56_approx_distinct", approxDistinct), // rows-only: sketches differ per engine
   )
 }

@@ -82,6 +82,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(once != other, "different seed should reorder the sample")
   }
 
+  test("q56 approx distinct stays within the configured 2% relative error") {
+    import org.apache.spark.sql.functions._
+    val approx = RelationalOps.approxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
   test("q45 rounded metrics equal BigDecimal half-up rounding of the exact ratios") {
     import org.apache.spark.sql.functions._
     val got = RelationalOps.roundedMetrics(spark, sfDir).collect()
