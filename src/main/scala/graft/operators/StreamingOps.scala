@@ -35,7 +35,7 @@ object StreamingOps {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q51_sessionization", sessionize, oracle = Some(
+    NamedQuery("q51_sessionization", sessionize, bench = true, oracle = Some(
       """WITH m AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN LAG(ts) OVER w IS NULL

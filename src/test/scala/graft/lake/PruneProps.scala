@@ -70,6 +70,19 @@ class PruneProps extends AnyFunSuite {
     }
   }
 
+  test("truncate transform: prefix partitions never lose their own members") {
+    (1 to 2000).foreach { _ =>
+      val s = rng.alphanumeric.take(rng.between(1, 20)).mkString
+      val w = rng.between(1, 8)
+      val tr = Transform.Truncate(w)
+      val spec = Seq(PartitionField("c", tr, "p"))
+      val part = Map("p" -> tr.valueOf(s).get)
+      assert(PruneFilter.mayMatch(spec, part, PruneFilter.Eq("c", s)),
+        s"truncate[$w] pruned partition holding '$s'")
+      assert(PruneFilter.mayMatch(spec, part, PruneFilter.In("c", Seq(s, "zz_other"))))
+    }
+  }
+
   test("filters on non-partition columns never prune") {
     (1 to 500).foreach { _ =>
       val ts = randTs()
