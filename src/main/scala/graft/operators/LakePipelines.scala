@@ -42,9 +42,14 @@ object LakePipelines {
 
   private val built = TrieMap[(String, String), LakeTable]()
 
+  /** Bump whenever any fixture BUILD logic in this file (or the lake write
+    * path) changes semantics: the completion markers under the warehouse
+    * would otherwise let a later run silently reuse a stale build. */
+  val LayoutVersion = 2
+
   def warehouse(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-lake/$key"
+    s"${sys.props("java.io.tmpdir")}/graft-lake/v$LayoutVersion/$key"
   }
 
   def catalog(spark: SparkSession, sfDir: String): LakeCatalog =
