@@ -93,6 +93,21 @@ object LakeOps {
   val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
 
+  // q57 — the canonical status aggregate served from the SILVER tier: the
+  // middle rung of the medallion speedup ladder (raw 2–5 s → silver
+  // 0.5–2 s → gold 10–50 ms, BLOG:488-491; compare-query-performance.sql
+  // times the same query against raw and silver). Reads the curated,
+  // month-partitioned, clustered lake table instead of raw parquet.
+  val silverAgg: (SparkSession, String) => DataFrame = (s, dir) => {
+    import RelationalOps.{davg, dsum}
+    LakePipelines.silverOrders(s, dir).scan()
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        davg(col("total_amount")).as("avg_value"),
+        dsum(col("total_amount")).as("total_revenue"))
+  }
+
   // q55 — snapshots metadata table (Iceberg's `table$snapshots` idiom):
   // the commit log of the MoR lifecycle table as a queryable DataFrame —
   // seq, parent, operation, schema version. Timestamps excluded (wall
@@ -225,6 +240,12 @@ object LakeOps {
         |  ('# current snapshot', '3', ''),
         |  ('# schema version', '2', '')
         |) AS t(col_name, data_type, nullable)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q57_silver_agg", silverAgg, bench = true, oracle = Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders GROUP BY o_orderstatus
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q55_lake_snapshots", lakeSnapshots, oracle = Some(
       """SELECT * FROM (VALUES
