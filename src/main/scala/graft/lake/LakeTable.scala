@@ -339,7 +339,8 @@ final class LakeTable private (
   }
 
   private def snapPath(seq: Long) = new Path(metaDir, f"snap-$seq%05d.json")
-  private[lake] def abs(rel: String): String = new Path(root, rel).toString
+  /** Absolute path of a snapshot-relative file (used by the DSv2 source). */
+  def abs(rel: String): String = new Path(root, rel).toString
 
   private def relativize(base: Path, p: Path): String = {
     val b = base.toUri.getPath

@@ -93,6 +93,27 @@ object LakeOps {
   val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
 
+  // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
+  // source and plain SQL: spark.read.format("graftlake") → temp view →
+  // spark.sql, with the o_orderdate range pushed into the source
+  // (SupportsPushDownFilters) where it prunes month partitions at
+  // planning time. Proves the whole DSv2 read stack — filter pushdown,
+  // column pruning, parquet decode — end-to-end against the oracle.
+  val dsv2PrunedAgg: (SparkSession, String) => DataFrame = (s, dir) => {
+    import RelationalOps.dsum
+    val t = LakePipelines.ordersLake(s, dir)
+    s.read.format("graftlake").option("path", t.location).load()
+      .createOrReplaceTempView("orders_lake_v2")
+    s.sql(
+      s"""SELECT o_orderstatus, o_totalprice FROM orders_lake_v2
+         |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'""".stripMargin)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
   // q57 — the canonical status aggregate served from the SILVER tier: the
   // middle rung of the medallion speedup ladder (raw 2–5 s → silver
   // 0.5–2 s → gold 10–50 ms, BLOG:488-491; compare-query-performance.sql
@@ -241,6 +262,13 @@ object LakeOps {
         |  ('# schema version', '2', '')
         |) AS t(col_name, data_type, nullable)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q58_dsv2_pruned_agg", dsv2PrunedAgg, bench = true, oracle = Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q57_silver_agg", silverAgg, bench = true, oracle = Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,

@@ -1,0 +1,273 @@
+package graft.sources
+
+import graft.lake.{LakeTable, PruneFilter}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 read path for graft lake tables — the "cleaner end-state"
+  * SURVEY §4 sketches for transform-aware pruning: lake tables become
+  * first-class Spark tables, readable as
+  * `spark.read.format("graft.sources.GraftLakeSource").option("path", loc)
+  * [.option("asOf", seq)].load()` and therefore from plain SQL via temp
+  * views.
+  *
+  * Planner integration:
+  *  - `SupportsPushDownFilters`: Eq/Ge/Lt/In filters on partition-source
+  *    columns prune DATA FILES from the snapshot at planning time (the
+  *    same conservative `PruneFilter.mayMatch` the imperative scan uses).
+  *    All filters are also returned as post-scan filters, so pruning stays
+  *    a pure I/O optimization — Spark re-applies every predicate.
+  *  - `SupportsPushDownRequiredColumns`: readers decode only the projected
+  *    parquet columns.
+  *  - merge-on-read: the (small, compaction-bounded) delete-key set is
+  *    loaded once at planning and shipped to readers as a tombstone map —
+  *    a row is dropped iff its commit seq precedes a delete of its key.
+  *  - time travel: `asOf` pins the snapshot like `scan(asOf = …)`.
+  *
+  * One InputPartition per data file (file splitting would come next at
+  * production scale); readers decode parquet row groups through the
+  * public parquet-column Group API — flat scalar schemas only, which is
+  * exactly what lake tables hold (SURVEY §1.3: no nesting anywhere).
+  */
+class GraftLakeSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graftlake"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    loadTable(options) match { case (t, asOf) =>
+      t.schema(t.snapshot(asOf.getOrElse(t.currentSeq)).schemaVersion)
+    }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (t, asOf) = loadTable(new CaseInsensitiveStringMap(properties))
+    new GraftLakeV2Table(t, asOf)
+  }
+
+  private def loadTable(options: CaseInsensitiveStringMap): (LakeTable, Option[Long]) = {
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft lake source requires option 'path'"))
+    val asOf = Option(options.get("asOf")).map(_.toLong)
+    (LakeTable.load(SparkSession.active, path), asOf)
+  }
+}
+
+private[sources] class GraftLakeV2Table(t: LakeTable, asOf: Option[Long])
+    extends Table with SupportsRead {
+  private val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
+
+  override def name(): String = t.meta.name
+  override def schema(): StructType = t.schema(snap.schemaVersion)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(t, snap.seq, schema())
+}
+
+private[sources] class GraftLakeScanBuilder(t: LakeTable, seq: Long, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pruneFilters: Seq[PruneFilter] = Nil
+  private var reported: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val sources = t.meta.partitionSpec.map(_.source).toSet
+    val translated = filters.flatMap {
+      case EqualTo(c, v) if sources(c) => Some(PruneFilter.Eq(c, v) -> EqualTo(c, v))
+      case GreaterThanOrEqual(c, v) if sources(c) => Some(PruneFilter.Ge(c, v) -> GreaterThanOrEqual(c, v))
+      case LessThan(c, v) if sources(c) => Some(PruneFilter.Lt(c, v) -> LessThan(c, v))
+      case In(c, vs) if sources(c) => Some(PruneFilter.In(c, vs.toSeq) -> In(c, vs))
+      case _ => None
+    }
+    pruneFilters = translated.map(_._1).toSeq
+    reported = translated.map(_._2)
+    filters // everything re-applied post-scan: pruning is conservative
+  }
+
+  override def pushedFilters(): Array[Filter] = reported
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftLakeScan(t, seq, tableSchema, required, pruneFilters)
+}
+
+private[sources] class GraftLakeScan(
+    t: LakeTable,
+    seq: Long,
+    tableSchema: StructType,
+    required: StructType,
+    filters: Seq[PruneFilter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val (kept, total) = t.planFiles(t.snapshot(seq), filters)
+    s"GraftLakeScan ${t.meta.name} snapshot=$seq files=${kept.size}/$total " +
+      s"PrunedBy: ${filters.mkString(", ")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = t.snapshot(seq)
+    val (files, _) = t.planFiles(snap, filters)
+    files.map(f => GraftLakeInputPartition(t.abs(f.path)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snap = t.snapshot(seq)
+    // tombstones: key (rendered pk values) -> latest delete seq; small by
+    // construction (delete files are keys only and fold away at compaction)
+    val tombstones: Map[Seq[String], Long] =
+      if (snap.deleteFiles.isEmpty) Map.empty
+      else {
+        val pk = t.meta.primaryKey
+        val userSchema = t.schema(snap.schemaVersion)
+        val pkSchema = StructType(
+          pk.map(k => userSchema(k)) :+ StructField(LakeTable.DseqCol, LongType, nullable = false))
+        val rows = t.spark.read.schema(pkSchema)
+          .parquet(snap.deleteFiles.map(d => t.abs(d.path)): _*).collect()
+        rows.groupBy(r => pk.indices.map(i => String.valueOf(r.get(i))).toList: Seq[String])
+          .map { case (k, rs) => k -> rs.map(_.getLong(pk.size)).max }
+      }
+    val types: Map[String, DataType] =
+      t.schema(snap.schemaVersion).fields.map(f => f.name -> f.dataType).toMap +
+        (LakeTable.SeqCol -> LongType)
+    GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types)
+  }
+}
+
+private[sources] case class GraftLakeInputPartition(file: String) extends InputPartition
+
+private[sources] case class GraftLakeReaderFactory(
+    required: StructType,
+    primaryKey: Seq[String],
+    tombstones: Map[Seq[String], Long],
+    types: Map[String, DataType]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftLakePartitionReader(
+      p.asInstanceOf[GraftLakeInputPartition].file, required, primaryKey, tombstones, types)
+}
+
+/** Decodes one parquet data file through the parquet-column Group API:
+  * projects to the needed columns (required ∪ pk+seq when tombstones are
+  * live), null-fills columns the file predates (schema evolution), and
+  * drops tombstoned row versions. */
+private[sources] class GraftLakePartitionReader(
+    file: String,
+    required: StructType,
+    primaryKey: Seq[String],
+    tombstones: Map[Seq[String], Long],
+    types: Map[String, DataType]) extends PartitionReader[InternalRow] {
+
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(file), new Configuration()))
+  private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+
+  // columns to decode: the projection, plus pk + commit seq for MoR checks
+  private val extraCols =
+    if (tombstones.isEmpty) Seq.empty
+    else (primaryKey :+ LakeTable.SeqCol).filterNot(required.fieldNames.contains)
+  private val decodeNames: Seq[String] = required.fieldNames.toSeq ++ extraCols
+  private val present: Seq[String] = decodeNames.filter(fileSchema.containsField)
+  private val projection: MessageType =
+    if (present.isEmpty) fileSchema // degenerate; rows counted, fields unused
+    else new MessageType(fileSchema.getName,
+      present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+  private val columnIO = new ColumnIOFactory().getColumnIO(projection, fileSchema)
+
+  private var pages = reader.readNextRowGroup()
+  private var recordReader =
+    if (pages == null) null
+    else columnIO.getRecordReader(pages, new GroupRecordConverter(projection))
+  private var remaining: Long = if (pages == null) 0L else pages.getRowCount
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (remaining == 0) {
+        pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(projection))
+        remaining = pages.getRowCount
+      }
+      val g = recordReader.read()
+      remaining -= 1
+      val values = decodeNames.map(n => extract(g, n)).toArray
+      if (survives(values)) {
+        current = new GenericInternalRow(values.take(required.length))
+        return true
+      }
+    }
+    false
+  }
+
+  private val nameIdx: Map[String, Int] = decodeNames.zipWithIndex.toMap
+  // only resolved when MoR tombstones are live (decodeNames then includes them)
+  private val pkIdx: Array[Int] =
+    if (tombstones.isEmpty) Array.empty else primaryKey.map(nameIdx).toArray
+  private val seqIdx: Int = nameIdx.getOrElse(LakeTable.SeqCol, -1)
+
+  private def survives(values: Array[Any]): Boolean = {
+    if (tombstones.isEmpty) return true
+    val key: Seq[String] = pkIdx.toSeq.map { i =>
+      values(i) match {
+        case s: UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+    }
+    tombstones.get(key) match {
+      case Some(dseq) => values(seqIdx).asInstanceOf[Long] >= dseq
+      case None => true
+    }
+  }
+
+  private val fieldIndex: Map[String, Int] =
+    present.zipWithIndex.map { case (n, _) => n -> projection.getFieldIndex(n) }.toMap
+
+  private def extract(g: org.apache.parquet.example.data.Group, name: String): Any = {
+    fieldIndex.get(name) match {
+      case None => null // evolved column the file predates
+      case Some(i) =>
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else types(name) match {
+          case LongType => g.getLong(i, 0)
+          case IntegerType => g.getInteger(i, 0)
+          case DoubleType => g.getDouble(i, 0)
+          case FloatType => g.getFloat(i, 0)
+          case BooleanType => g.getBoolean(i, 0)
+          case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          case TimestampType | TimestampNTZType => g.getLong(i, 0) // micros
+          case DateType => g.getInteger(i, 0)
+          case other => throw new UnsupportedOperationException(
+            s"graft lake DSv2 reader supports flat scalar columns; got $other for $name")
+        }
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.LakePipelines
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class GraftLakeSourceSpec extends SparkSpec {
+
+  private def readLake(loc: String, asOf: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graftlake").option("path", loc)
+    asOf.fold(r)(s => r.option("asOf", s.toString)).load()
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("DSv2 roundtrip equals the imperative scan (partitioned + clustered table)") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    assert(sortedRows(readLake(t.location)) == sortedRows(t.scan()))
+  }
+
+  test("DSv2 merge-on-read: tombstoned row versions are dropped") {
+    val t = LakePipelines.ordersMor(spark, sfDir)
+    // pre-compaction snapshot still has live delete files
+    val asOf = LakePipelines.MorDeleteSeq
+    assert(sortedRows(readLake(t.location, Some(asOf))) ==
+      sortedRows(t.scan(asOf = Some(asOf))))
+  }
+
+  test("DSv2 schema evolution: old files null-fill the evolved column") {
+    val t = LakePipelines.customerEvolved(spark, sfDir)
+    val df = readLake(t.location)
+    assert(df.schema.fieldNames.contains("loyalty_tier"))
+    assert(sortedRows(df) == sortedRows(t.scan()))
+  }
+
+  test("DSv2 time travel via asOf option") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val v1 = readLake(t.location, Some(LakePipelines.OrdersFirstAppendSeq))
+    assert(sortedRows(v1) == sortedRows(t.scan(asOf = Some(LakePipelines.OrdersFirstAppendSeq))))
+    assert(v1.count() < readLake(t.location).count())
+  }
+
+  test("DSv2 filter pushdown prunes data files (fewer input partitions) with same answer") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val full = readLake(t.location)
+    val pred = col("o_orderdate") >= lit(LakePipelines.PruneLo) &&
+      col("o_orderdate") < lit(LakePipelines.PruneHi)
+    val filtered = full.filter(pred)
+    val nFull = full.rdd.getNumPartitions
+    val nPruned = filtered.rdd.getNumPartitions
+    assert(nPruned < nFull, s"no pruning: $nPruned of $nFull input partitions")
+    // pushdown is visible in the scan description
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PrunedBy"), s"no PrunedBy in:\n$plan")
+    // and stays a pure I/O optimization
+    val expected = t.scan().filter(pred)
+    assert(sortedRows(filtered) == sortedRows(expected))
+  }
+
+  test("DSv2 column pruning: projected reads decode and return only needed columns") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val df = readLake(t.location).select("o_orderkey", "o_totalprice")
+    assert(df.schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"))
+    assert(df.count() == t.scan().count())
+  }
+
+  test("lake tables are queryable from plain SQL via the DSv2 source") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    readLake(t.location).createOrReplaceTempView("orders_lake_sql")
+    val got = spark.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders_lake_sql
+        |GROUP BY o_orderstatus""".stripMargin)
+    val want = t.scan().groupBy(col("o_orderstatus").as("status")).agg(count(lit(1)).as("n"))
+    assert(sortedRows(got) == sortedRows(want))
+  }
+}
