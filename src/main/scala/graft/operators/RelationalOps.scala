@@ -114,25 +114,28 @@ object RelationalOps {
   }
 
   // q6 — lineitem pricing summary (TPC-H Q1 shape: grouped sums of derived
-  // per-row arithmetic; A1/A3 over P2-style derivations)
+  // per-row arithmetic; A1/A3 over P2-style derivations).
+  // All arithmetic in exact INTEGER units: the source doubles carry <= 2
+  // decimal digits, so cents/percent quantization is exact, every per-row
+  // product and group sum stays a long (max ~6e16 < 2^63), and the single
+  // final int->double cast + division is identical in both engines. (The
+  // r1 decimal formulation was equally exact but its precision-38
+  // intermediate sums run on heap BigDecimals — the integer form keeps the
+  // whole aggregation in primitive longs inside codegen.)
   val lineitemPricing: (SparkSession, String) => DataFrame = (s, dir) => {
     val l = t(s, dir, "lineitem")
-    // All arithmetic in exact decimals: the source doubles carry ≤2 decimal
-    // digits, so the initial casts are exact in both engines, and decimal
-    // multiply/sum never round below precision 38.
-    val one    = lit(1).cast(DecimalType(3, 2))
-    val priceD = col("l_extendedprice").cast(DecimalType(12, 2))
-    val discD  = col("l_discount").cast(DecimalType(4, 2))
-    val taxD   = col("l_tax").cast(DecimalType(4, 2))
-    val discPrice = priceD * (one - discD)
-    val charge    = discPrice * (one + taxD)
+    val priceC = cents(col("l_extendedprice"))          // 1e-2 dollars
+    val discP  = cents(col("l_discount"))               // 1e-4 fraction units
+    val taxP   = cents(col("l_tax"))
+    val discPriceU  = priceC * (lit(100L) - discP)      // 1e-4 dollars
+    val chargeU     = discPriceU * (lit(100L) + taxP)   // 1e-6 dollars
     l.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        (sum(priceC).cast("double") / 100.0).as("sum_base_price"),
+        (sum(discPriceU).cast("double") / 1e4).as("sum_disc_price"),
+        (sum(chargeU).cast("double") / 1e6).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -452,15 +455,22 @@ object RelationalOps {
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q6_lineitem_pricing", lineitemPricing, bench = true, oracle = Some(
-      """SELECT l_returnflag, l_linestatus,
+      """WITH u AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_p,
+        |    CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_p
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |)
+        |SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(price_c * (100 - disc_p)) AS DOUBLE) / 1e4 AS sum_disc_price,
+        |  CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p)) AS DOUBLE) / 1e6 AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |FROM u
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q7_table_counts_union", tableCountsUnion, oracle = Some(
