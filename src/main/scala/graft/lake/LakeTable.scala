@@ -200,14 +200,17 @@ final class LakeTable private (
   // ------------------------------------------------------------ internals
 
   private def latestPerKey(df: DataFrame, pk: Seq[String], tsCol: String): DataFrame = {
-    // deterministic last-writer-wins: latest ts first; monotonically-
-    // increasing id breaks exact-ts ties by arrival order within the batch
+    // deterministic last-writer-wins: latest ts first; exact-ts ties break
+    // on the remaining column CONTENT (stable under any partitioning —
+    // monotonically_increasing_id would depend on partition layout and
+    // make replays pick different rows on different parallelism)
+    val tieBreak = df.columns.filterNot(c => pk.contains(c) || c == tsCol)
+      .map(col(_).desc).toSeq
     val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col(tsCol).desc, col(RowIdCol).desc)
-    df.withColumn(RowIdCol, monotonically_increasing_id())
-      .withColumn(RnCol, row_number().over(w))
+      .orderBy(col(tsCol).desc +: tieBreak: _*)
+    df.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1)
-      .drop(RnCol, RowIdCol)
+      .drop(RnCol)
   }
 
   private def commitWrite(df: DataFrame, op: String, keepExisting: Boolean): Snapshot = synchronized {

@@ -22,9 +22,19 @@ object Maintenance {
   def compact(table: LakeTable): Snapshot =
     table.overwriteAs(table.scan(), "compact")
 
-  def compactIfNeeded(table: LakeTable, threshold: Int = AutoCompactFileThreshold): Option[Snapshot] = {
+  /** Auto-compact policy: rewrite when data files OR delete files pile up
+    * past their thresholds. Delete files get their own threshold (not
+    * "any exist"): every MoR upsert commit leaves one, and compacting on
+    * the first would turn each CDC batch into the O(table) rewrite the
+    * merge-on-read design exists to avoid. */
+  def compactIfNeeded(
+      table: LakeTable,
+      threshold: Int = AutoCompactFileThreshold,
+      deleteThreshold: Int = AutoCompactFileThreshold): Option[Snapshot] = {
     val s = table.currentSnapshot
-    if (s.dataFiles.size >= threshold || s.deleteFiles.nonEmpty) Some(compact(table)) else None
+    if (s.dataFiles.size >= threshold || s.deleteFiles.size >= deleteThreshold)
+      Some(compact(table))
+    else None
   }
 
   /** Drop all but the last `keep` snapshots, then delete every data/delete

@@ -42,7 +42,18 @@ object Transform {
   case object Identity extends Transform {
     val name = "identity"
     def apply(source: Column): Column = source
-    def valueOf(literal: Any): Option[String] = Some(render(literal))
+    // Temporal literals are NOT rendered: the writer's partition directory
+    // uses Spark's cast-to-string form ("yyyy-MM-dd HH:mm:ss[.S]"), which
+    // this side cannot reproduce exactly across fractional-second shapes —
+    // a mismatched render would FALSELY PRUNE the matching file. Returning
+    // None keeps identity-on-temporal conservative (no pruning, residual
+    // filter still applies). Strings/numbers/booleans render verbatim.
+    def valueOf(literal: Any): Option[String] = literal match {
+      case null => Some(PartitionValues.NullSentinel)
+      case _: java.sql.Timestamp | _: java.sql.Date | _: Instant |
+           _: LocalDate | _: LocalDateTime => None
+      case other => Some(other.toString)
+    }
     // identity over numbers renders without fixed width, so lexicographic
     // range compare would be wrong ("10" < "2"); only equality prunes.
     val orderPreserving = false
@@ -122,11 +133,6 @@ object Transform {
     case _ => None
   }
 
-  private[lake] def render(v: Any): String = v match {
-    case t: java.sql.Timestamp => t.toInstant.toString
-    case null => PartitionValues.NullSentinel
-    case other => other.toString
-  }
 }
 
 object PartitionValues {

@@ -62,12 +62,12 @@ object DedupOps {
     docs(s, dir).select(col("doc_id"), TextSig.shingles(col("text")).as("sh"))
 
   /** Ordered pairs (i < j) from a bucket's sorted member array, as an
-    * array expression (the ids column is a materialized attribute, so the
-    * nested lambdas reference it for free). */
-  private def bucketPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("doc_i"), y.as("doc_j")))))
+    * array expression (the members column is a materialized attribute, so
+    * the nested lambdas reference it for free); `pair` builds the output
+    * struct from the (earlier, later) members. */
+  private def bucketPairs(members: Column)(pair: (Column, Column) => Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(slice(members, i + 2, size(members)), y => pair(x, y))))
 
   /** MinHash/LSH candidate pairs (doc_i < doc_j): signature → band digests
     * → explode → groupBy bucket → in-bucket pair expansion → distinct.
@@ -89,15 +89,23 @@ object DedupOps {
 
   def lshCandidates(s: SparkSession, dir: String,
       bands: Int = 8, rows: Int = 4): DataFrame = {
-    val withBands = shingled(s, dir).select(
-      col("doc_id"),
-      posexplode(minhashBandsCol(s, col("sh"), bands, rows)))
+    // guard: documents with < 2 tokens have EMPTY shingle sets — all of
+    // them would share the identical all-sentinel signature and pile into
+    // one giant bucket (quadratic pair expansion for pairs that can never
+    // verify, jaccard undefined on empty sets)
+    val withBands = shingled(s, dir)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(minhashBandsCol(s, col("sh"), bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("digest"))
     withBands
       .groupBy(col("band"), col("digest"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(explode(bucketPairs(col("ids")) { (x, y) =>
+        struct(x.as("doc_i"), y.as("doc_j"))
+      }).as("p"))
       .select(col("p.doc_i"), col("p.doc_j"))
       .distinct()
   }
@@ -133,12 +141,12 @@ object DedupOps {
       struct(col("doc_id"), col("sim")).as("m"),
       posexplode(TextSig.simhashBands(col("sim"))))
       .select(col("m"), col("pos").as("band"), col("col").as("digest"))
-    val pairs = flatten(transform(col("ms"), (x, i) =>
-      transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
-        struct(
-          x.getField("doc_id").as("doc_i"),
-          y.getField("doc_id").as("doc_j"),
-          bit_count(x.getField("sim").bitwiseXOR(y.getField("sim"))).as("hamming")))))
+    val pairs = bucketPairs(col("ms")) { (x, y) =>
+      struct(
+        x.getField("doc_id").as("doc_i"),
+        y.getField("doc_id").as("doc_j"),
+        bit_count(x.getField("sim").bitwiseXOR(y.getField("sim"))).as("hamming"))
+    }
     bands
       .groupBy(col("band"), col("digest"))
       .agg(sort_array(collect_list(col("m"))).as("ms"))

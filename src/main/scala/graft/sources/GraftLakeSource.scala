@@ -74,6 +74,25 @@ class GraftLakeSource extends TableProvider with org.apache.spark.sql.sources.Da
   }
 }
 
+object GraftLakeSource {
+  /** Driver-side tombstone key rendering, normalized to the SAME primitive
+    * representation the parquet reader extracts (micros for timestamps,
+    * epoch days for dates) — external java.sql types stringify differently
+    * and would never match. */
+  private[sources] def canonicalKey(v: Any): String = v match {
+    case null => "null"
+    case t: java.sql.Timestamp =>
+      (t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L).toString
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case d: java.time.LocalDateTime =>
+      (d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L).toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case other => String.valueOf(other)
+  }
+}
+
 private[sources] class GraftLakeV2Table(t: LakeTable, asOf: Option[Long])
     extends Table with SupportsRead {
   private val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
@@ -150,13 +169,20 @@ private[sources] class GraftLakeScan(
           pk.map(k => userSchema(k)) :+ StructField(LakeTable.DseqCol, LongType, nullable = false))
         val rows = t.spark.read.schema(pkSchema)
           .parquet(snap.deleteFiles.map(d => t.abs(d.path)): _*).collect()
-        rows.groupBy(r => pk.indices.map(i => String.valueOf(r.get(i))).toList: Seq[String])
+        rows.groupBy(r =>
+            pk.indices.map(i => GraftLakeSource.canonicalKey(r.get(i))).toList: Seq[String])
           .map { case (k, rs) => k -> rs.map(_.getLong(pk.size)).max }
       }
     val types: Map[String, DataType] =
       t.schema(snap.schemaVersion).fields.map(f => f.name -> f.dataType).toMap +
         (LakeTable.SeqCol -> LongType)
-    GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types)
+    // ship the session's hadoop conf (filesystem impls, credentials) to the
+    // readers — a bare `new Configuration()` only reaches the default
+    // local fs
+    val hadoopConf: Map[String, String] =
+      t.spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types, hadoopConf)
   }
 }
 
@@ -166,10 +192,14 @@ private[sources] case class GraftLakeReaderFactory(
     required: StructType,
     primaryKey: Seq[String],
     tombstones: Map[Seq[String], Long],
-    types: Map[String, DataType]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    types: Map[String, DataType],
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val conf = new Configuration(false)
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
     new GraftLakePartitionReader(
-      p.asInstanceOf[GraftLakeInputPartition].file, required, primaryKey, tombstones, types)
+      p.asInstanceOf[GraftLakeInputPartition].file, required, primaryKey, tombstones, types, conf)
+  }
 }
 
 /** Decodes one parquet data file through the parquet-column Group API:
@@ -181,10 +211,11 @@ private[sources] class GraftLakePartitionReader(
     required: StructType,
     primaryKey: Seq[String],
     tombstones: Map[Seq[String], Long],
-    types: Map[String, DataType]) extends PartitionReader[InternalRow] {
+    types: Map[String, DataType],
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
 
   // columns to decode: the projection, plus pk + commit seq for MoR checks

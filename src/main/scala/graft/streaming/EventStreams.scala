@@ -102,50 +102,66 @@ object EventStreams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-user open-session state carried across micro-batches. */
+  final case class OpenSession(start: Timestamp, end: Timestamp, n: Long, sid: Long)
+
   /** STREAMING sessionization: custom per-user state via
-    * flatMapGroupsWithState — each micro-batch folds its events into the
-    * open session state and emits completed sessions; the final batch of
-    * an AvailableNow drain flushes everything (single-batch parity with
-    * [[sessionizeBatch]] is spec-asserted). At scale this is the
-    * KeyValueGroupedDataset state-store path: state is one small record
-    * per user, partitioned by the grouping key. */
-  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    * flatMapGroupsWithState. Each micro-batch folds its (event-time
+    * ordered) new events into the user's OPEN session; a session is
+    * emitted only when a later event CLOSES it (gap exceeded), so a
+    * session spanning micro-batches is emitted exactly once — never split
+    * or duplicated. The final open session per user stays in state: a
+    * continuous deployment flushes it via the processing-time timeout
+    * (`flushAfter`); a finite drain leaves it unemitted, so streaming
+    * output ≡ [[sessionizeBatch]] minus each user's last (still-open)
+    * session — spec-asserted across a two-batch drain. State is one small
+    * record per user, partitioned by the grouping key (the
+    * KeyValueGroupedDataset state-store path). */
+  def sessionizeStream(
+      events: Dataset[Event],
+      flushAfter: Option[String] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // ProcessingTimeTimeout only when a flush is requested: with it set,
+    // the micro-batch engine keeps scheduling timeout-check batches, which
+    // busy-loops a finite drain that registers no timeouts
+    val timeoutConf =
+      if (flushAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        sessionFold)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        sessionFold(flushAfter))
   }
 
-  /** Fold one group's new events into session state; emits every session
-    * (closed and currently-open) and clears state — correct for finite
-    * drains; a continuous deployment would keep the open session in state
-    * and emit on timeout instead. */
   /** µs-exact epoch (Timestamp.getTime is ms-truncated and would disagree
     * with the batch form on fractional-millisecond gaps). */
   private def micros(t: Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
-  private def sessionFold(
+  private def sessionFold(flushAfter: Option[String])(
       userId: Long,
       events: Iterator[Event],
-      state: GroupState[List[Session]]): Iterator[Session] = {
-    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-    if (sorted.isEmpty) return state.getOption.getOrElse(Nil).iterator
-    val sessions = scala.collection.mutable.ListBuffer.empty[Session]
-    var start = sorted.head.ts
-    var end = sorted.head.ts
-    var n = 0L
-    var sid = 1L
-    sorted.foreach { e =>
-      if (n > 0 && micros(e.ts) - micros(end) > SessionGapSeconds * 1000000L) {
-        sessions += Session(userId, sid, start, end, n)
-        sid += 1; start = e.ts; n = 0
-      }
-      end = e.ts; n += 1
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) { // continuous-mode flush of an idle open session
+      val open = state.get
+      state.remove()
+      return Iterator(Session(userId, open.sid, open.start, open.end, open.n))
     }
-    sessions += Session(userId, sid, start, end, n)
-    state.remove()
-    sessions.iterator
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val closed = scala.collection.mutable.ListBuffer.empty[Session]
+    var open = state.getOption.orNull
+    sorted.foreach { e =>
+      if (open == null)
+        open = OpenSession(e.ts, e.ts, 1L, 1L)
+      else if (micros(e.ts) - micros(open.end) > SessionGapSeconds * 1000000L) {
+        closed += Session(userId, open.sid, open.start, open.end, open.n)
+        open = OpenSession(e.ts, e.ts, 1L, open.sid + 1)
+      } else
+        open = open.copy(end = e.ts, n = open.n + 1)
+    }
+    state.update(open)
+    flushAfter.foreach(state.setTimeoutDuration)
+    closed.iterator
   }
 }

