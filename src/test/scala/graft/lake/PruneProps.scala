@@ -83,6 +83,19 @@ class PruneProps extends AnyFunSuite {
     }
   }
 
+  test("identity on temporal columns never prunes (render formats differ from directory encoding)") {
+    (1 to 500).foreach { _ =>
+      val ts = randTs()
+      val spec = Seq(PartitionField("c", Transform.Identity, "p"))
+      // whatever the writer rendered into the directory, a temporal literal
+      // must not prune it — Identity.valueOf declines temporal literals
+      val dirValue = ts.toString // one plausible directory encoding
+      assert(PruneFilter.mayMatch(spec, Map("p" -> dirValue), PruneFilter.Eq("c", ts)))
+      assert(PruneFilter.mayMatch(spec, Map("p" -> dirValue),
+        PruneFilter.In("c", Seq(ts, randTs()))))
+    }
+  }
+
   test("filters on non-partition columns never prune") {
     (1 to 500).foreach { _ =>
       val ts = randTs()
