@@ -217,11 +217,40 @@ final class LakeTable private (
     val cur  = currentSnapshot
     val seq  = cur.seq + 1
     val newFiles = stageDataFiles(df, schemaVersion = cur.schemaVersion, seq = seq)
-    commitSnapshot(Snapshot(
+    if (keepExisting) commitAppendWithRetry(newFiles, op)
+    else commitSnapshot(Snapshot(
       seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
       schemaVersion = cur.schemaVersion,
-      dataFiles = (if (keepExisting) cur.dataFiles else Nil) ++ newFiles,
-      deleteFiles = if (keepExisting) cur.deleteFiles else Nil))
+      dataFiles = newFiles, deleteFiles = Nil))
+  }
+
+  /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
+    * shape): on losing the snapshot race, re-read the new current snapshot
+    * and re-commit the already-staged files on top of it. Appends are
+    * blind-rebase-safe — new files embed a row seq <= the final commit
+    * seq, which can only make them OLDER relative to tombstones, never
+    * wrongly newer. Upsert/delete commits are NOT rebased: their delete
+    * files embed the staged seq, and rebasing without re-stamping could
+    * let a commit's own tombstones swallow its rows — a conflict there
+    * surfaces to the caller (the reference runs one CDC writer per table,
+    * destination.json parallelism is per-pipeline). */
+  private def commitAppendWithRetry(newFiles: Seq[DataFile], op: String, maxRetries: Int = 5): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val cur = currentSnapshot // re-read: a racing writer may have won
+      try {
+        return commitSnapshot(Snapshot(
+          seq = cur.seq + 1, parent = Some(cur.seq),
+          timestampMs = System.currentTimeMillis(), operation = op,
+          schemaVersion = cur.schemaVersion,
+          dataFiles = cur.dataFiles ++ newFiles,
+          deleteFiles = cur.deleteFiles))
+      } catch {
+        case e: java.io.IOException if attempt < maxRetries && fs.exists(snapPath(cur.seq + 1)) =>
+          attempt += 1 // lost the race: rebase onto the winner
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def commitUpsert(upserts: Option[DataFrame], deleteKeys: DataFrame, op: String): Snapshot =
@@ -333,10 +362,24 @@ final class LakeTable private (
   }
 
   private[lake] def commitSnapshot(s: Snapshot): Snapshot = {
-    // create(overwrite = false): a racing writer loses here, loudly
-    val out = fs.create(snapPath(s.seq), false)
-    try out.write(MetaJson.writeSnapshot(s).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // exclusive create: a racing writer loses here, loudly. On file:// the
+    // Hadoop local fs implements create(overwrite=false) as
+    // check-then-create (NOT atomic — two racers can both pass the exists
+    // check), so use java.nio's O_EXCL there; HDFS/object-store schemes
+    // get the filesystem's own atomic create.
+    val p = snapPath(s.seq)
+    val bytes = MetaJson.writeSnapshot(s).getBytes(StandardCharsets.UTF_8)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      val ch = java.nio.file.Files.newByteChannel(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+      try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+    } else {
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+    }
     writeString(new Path(metaDir, "version-hint.text"), s.seq.toString) // advisory
     s
   }

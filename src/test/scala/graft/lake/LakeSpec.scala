@@ -190,6 +190,26 @@ class LakeSpec extends SparkSpec {
       LakeTable.create(spark, s"$dir/t", "t", df.schema))
   }
 
+  test("concurrent appenders: loser rebases and retries, no rows lost") {
+    val dir = Files.createTempDirectory("graft-cc-spec").toString
+    import spark.implicits._
+    val df = Seq((0L, "init")).toDF("id", "s")
+    LakeTable.create(spark, s"$dir/t", "t", df.schema).append(df)
+    // two INDEPENDENT handles = two writers racing on the same table
+    val writers = (1 to 2).map(_ => LakeTable.load(spark, s"$dir/t"))
+    val threads = writers.zipWithIndex.map { case (w, i) =>
+      new Thread(() => {
+        w.append(Seq(((i + 1).toLong * 100, s"writer$i")).toDF("id", "s"))
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val t = LakeTable.load(spark, s"$dir/t")
+    assert(t.currentSeq == 3L, s"expected 3 sequential commits, at ${t.currentSeq}")
+    assert(t.scan().select("id").as[Long].collect().toSet == Set(0L, 100L, 200L))
+  }
+
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
     val dir = Files.createTempDirectory("graft-splits-spec").toString
     import spark.implicits._
