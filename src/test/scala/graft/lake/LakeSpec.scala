@@ -190,6 +190,22 @@ class LakeSpec extends SparkSpec {
       LakeTable.create(spark, s"$dir/t", "t", df.schema))
   }
 
+  test("auto-compact policy: thresholds gate the rewrite, single delete file does not trigger") {
+    val dir = Files.createTempDirectory("graft-autocompact-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    t.upsert(Seq((1L, "b")).toDF("id", "s"))
+    // one delete file exists, but below both thresholds: no O(table) rewrite
+    assert(Maintenance.compactIfNeeded(t).isEmpty, "compacted on a single delete file")
+    (1 to 9).foreach(i => t.upsert(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    // now >= 10 delete files: policy fires, content preserved
+    assert(Maintenance.compactIfNeeded(t).isDefined)
+    assert(t.currentSnapshot.deleteFiles.isEmpty)
+    assert(t.scan().count() == 9)
+  }
+
   test("concurrent appenders: loser rebases and retries, no rows lost") {
     val dir = Files.createTempDirectory("graft-cc-spec").toString
     import spark.implicits._
