@@ -224,6 +224,11 @@ final class LakeTable private (
       dataFiles = newFiles, deleteFiles = Nil))
   }
 
+  /** Append ALREADY-STAGED data files (moved into `data/` by an external
+    * writer such as the DSv2 batch write) as one retry-protected commit. */
+  def commitStagedAppend(files: Seq[DataFile], op: String): Snapshot =
+    synchronized { commitAppendWithRetry(files, op) }
+
   /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
     * shape): on losing the snapshot race, re-read the new current snapshot
     * and re-commit the already-staged files on top of it. Appends are

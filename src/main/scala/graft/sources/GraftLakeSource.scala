@@ -94,16 +94,22 @@ object GraftLakeSource {
 }
 
 private[sources] class GraftLakeV2Table(t: LakeTable, asOf: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
 
   override def name(): String = t.meta.name
   override def schema(): StructType = t.schema(snap.schemaVersion)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(t, snap.seq, schema())
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel snapshot")
+    new GraftLakeWriteBuilder(t)
+  }
 }
 
 private[sources] class GraftLakeScanBuilder(t: LakeTable, seq: Long, tableSchema: StructType)

@@ -1,0 +1,246 @@
+package graft.sources
+
+import graft.lake.{DataFile, LakeTable, Transform}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.util.UUID
+import scala.collection.mutable
+
+/** DataSourceV2 WRITE path (append) for graft lake tables — the
+  * distributed two-phase commit: each task writes its rows as staged
+  * parquet files (one per partition value it sees, via the public
+  * parquet-column Group API), reports them in its commit message, and the
+  * driver moves the staged files into `data/` and commits one snapshot
+  * through the same optimistic-retry protocol the DataFrame-API writer
+  * uses. Rows embed the planning-time `currentSeq + 1` as their commit
+  * seq — a rebase can only RAISE the final seq, which keeps appended rows
+  * conservatively old relative to tombstones (see
+  * `LakeTable.commitAppendWithRetry`).
+  *
+  * Partition transforms are rendered per row on the executor from the raw
+  * primitive values (month/day/year from epoch micros, identity/truncate
+  * from the value); `bucket[n]` cannot be reproduced engine-side
+  * (Spark-internal murmur3) and is rejected for DSv2 writes.
+  */
+private[sources] class GraftLakeWriteBuilder(t: LakeTable) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t)
+  }
+}
+
+private[sources] class GraftLakeBatchWrite(t: LakeTable) extends BatchWrite {
+  private val stagingRel = s"_staging/dsv2-${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val snap = t.currentSnapshot
+    val schema = t.schema(snap.schemaVersion)
+    val spec = t.meta.partitionSpec.map(pf =>
+      (schema.fieldIndex(pf.source), pf.transform.name, pf.name))
+    spec.foreach { case (_, trName, name) =>
+      require(!trName.startsWith("bucket"),
+        s"DSv2 write cannot render $trName($name) engine-side")
+    }
+    val hadoopConf = t.spark.sparkContext.hadoopConfiguration
+      .asScala.map(e => e.getKey -> e.getValue).toMap
+    GraftLakeWriterFactory(
+      location = t.location,
+      stagingRel = stagingRel,
+      schema = schema,
+      writeSeq = snap.seq + 1,
+      partitionSpec = spec,
+      hadoopConf = hadoopConf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap(_.asInstanceOf[GraftLakeCommitMessage].files)
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    val root = new Path(t.location)
+    val fs = root.getFileSystem(conf)
+    val entries = staged.zipWithIndex.map { case (f, i) =>
+      val src = new Path(root, f.stagedRel)
+      val partDirs = f.partition.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+      val destRel = (Seq("data") ++ partDirs :+ s"s${f.seq}-v2-$i-${src.getName}").mkString("/")
+      val dest = new Path(root, destRel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"DSv2 commit failed moving ${f.stagedRel}")
+      DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(new Path(root, stagingRel), true)
+    t.commitStagedAppend(entries.toSeq, "append-dsv2")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(t.location)
+    val fs = root.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, stagingRel), true)
+  }
+
+  private implicit class ConfOps(c: Configuration) {
+    def asScala: Iterator[java.util.Map.Entry[String, String]] = {
+      val it = c.iterator()
+      new Iterator[java.util.Map.Entry[String, String]] {
+        def hasNext = it.hasNext
+        def next() = it.next()
+      }
+    }
+  }
+}
+
+private[sources] case class StagedFile(
+    stagedRel: String, seq: Long, partition: Map[String, String])
+
+private[sources] case class GraftLakeCommitMessage(files: Seq[StagedFile])
+    extends WriterCommitMessage
+
+private[sources] case class GraftLakeWriterFactory(
+    location: String,
+    stagingRel: String,
+    schema: StructType,
+    writeSeq: Long,
+    partitionSpec: Seq[(Int, String, String)], // (source field idx, transform name, partition name)
+    hadoopConf: Map[String, String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLakeDataWriter(this, partitionId, taskId)
+}
+
+/** One writer per task: keeps one open parquet writer per partition value
+  * encountered, emits all staged files in its commit message. */
+private[sources] class GraftLakeDataWriter(
+    f: GraftLakeWriterFactory, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val conf = {
+    val c = new Configuration(false)
+    f.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val parquetSchema: MessageType = GraftLakeWrite.toParquetSchema(f.schema)
+  private val groupFactory = new SimpleGroupFactory(parquetSchema)
+  private val writers = mutable.Map.empty[Map[String, String], (ParquetWriter[Group], String)]
+  private val staged = mutable.ListBuffer.empty[StagedFile]
+
+  override def write(row: InternalRow): Unit = {
+    val partition = f.partitionSpec.map { case (srcIdx, trName, name) =>
+      name -> GraftLakeWrite.renderPartition(
+        trName, row, srcIdx, f.schema.fields(srcIdx).dataType)
+    }.toMap
+    val (w, _) = writers.getOrElseUpdate(partition, {
+      val rel = s"${f.stagingRel}/p$partitionId-t$taskId-${writers.size}.parquet"
+      val path = new Path(new Path(f.location), rel)
+      val writer = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
+        .withType(parquetSchema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      staged += StagedFile(rel, f.writeSeq, partition)
+      (writer, rel)
+    })
+    w.write(GraftLakeWrite.toGroup(groupFactory, f.schema, row, f.writeSeq))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    GraftLakeCommitMessage(staged.toList)
+  }
+
+  override def abort(): Unit = writers.values.foreach(w => try w._1.close() catch { case _: Exception => })
+  override def close(): Unit = ()
+}
+
+private[sources] object GraftLakeWrite {
+
+  /** StructType (+ the commit-seq column) → parquet MessageType matching
+    * what Spark's own parquet writer produces for these flat types, so the
+    * imperative `spark.read.schema(storage)` scan reads DSv2-written files
+    * interchangeably. */
+  def toParquetSchema(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    (schema.fields :+ StructField(LakeTable.SeqCol, LongType, nullable = false)).foreach { field =>
+      val t: PrimitiveType = field.dataType match {
+        case LongType => Types.optional(PrimitiveTypeName.INT64).named(field.name)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(field.name)
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(field.name)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(field.name)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(field.name)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(field.name)
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+          .named(field.name)
+        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+          .named(field.name)
+        case DateType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(field.name)
+        case other => throw new UnsupportedOperationException(
+          s"DSv2 write supports flat scalar columns; got $other for ${field.name}")
+      }
+      b.addField(t)
+    }
+    b.named("graft_lake_row")
+  }
+
+  def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow, seq: Long): Group = {
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (field, i) =>
+      if (!row.isNullAt(i)) field.dataType match {
+        case LongType => g.add(field.name, row.getLong(i))
+        case IntegerType => g.add(field.name, row.getInt(i))
+        case DoubleType => g.add(field.name, row.getDouble(i))
+        case FloatType => g.add(field.name, row.getFloat(i))
+        case BooleanType => g.add(field.name, row.getBoolean(i))
+        case StringType => g.add(field.name, Binary.fromString(row.getUTF8String(i).toString))
+        case TimestampType | TimestampNTZType => g.add(field.name, row.getLong(i))
+        case DateType => g.add(field.name, row.getInt(i))
+        case other => throw new UnsupportedOperationException(s"$other")
+      }
+    }
+    g.add(LakeTable.SeqCol, seq)
+    g
+  }
+
+  /** Row-level partition-transform rendering, matching the directory
+    * values the DataFrame-API writer produces. */
+  def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String = {
+    if (row.isNullAt(idx)) return graft.lake.PartitionValues.NullSentinel
+    def utcOf(micros: Long): LocalDateTime =
+      LocalDateTime.ofInstant(Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L), ZoneOffset.UTC)
+    val temporal: Option[LocalDateTime] = dt match {
+      case TimestampType | TimestampNTZType => Some(utcOf(row.getLong(idx)))
+      case DateType => Some(java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).atStartOfDay)
+      case _ => None
+    }
+    Transform.parse(trName) match {
+      case Transform.Identity => dt match {
+        case StringType => row.getUTF8String(idx).toString
+        case LongType => row.getLong(idx).toString
+        case IntegerType => row.getInt(idx).toString
+        case BooleanType => row.getBoolean(idx).toString
+        case other => throw new UnsupportedOperationException(
+          s"DSv2 write: identity partition on $other")
+      }
+      case Transform.Year => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy"))
+      case Transform.Month => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+      case Transform.Day => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"))
+      case Transform.Truncate(w) => row.getUTF8String(idx).toString.take(w)
+      case other => throw new UnsupportedOperationException(s"DSv2 write: $other")
+    }
+  }
+}
