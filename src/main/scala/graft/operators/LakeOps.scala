@@ -114,6 +114,13 @@ object LakeOps {
         dsum(col("o_totalprice")).as("revenue"))
   }
 
+  // q59 — DSv2 WRITE roundtrip: orders appended through
+  // df.write.format("graftlake") (distributed two-phase commit, per-row
+  // month-transform rendering), read back through the snapshot scan — the
+  // hash match proves v2-written data is byte-compatible lake content
+  val dsv2WriteRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersDsv2Written(s, dir).scan()
+
   // q57 — the canonical status aggregate served from the SILVER tier: the
   // middle rung of the medallion speedup ladder (raw 2–5 s → silver
   // 0.5–2 s → gold 10–50 ms, BLOG:488-491; compare-query-performance.sql
@@ -262,6 +269,9 @@ object LakeOps {
         |  ('# schema version', '2', '')
         |) AS t(col_name, data_type, nullable)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q59_dsv2_write_roundtrip", dsv2WriteRoundtrip, oracle = Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q58_dsv2_pruned_agg", dsv2PrunedAgg, bench = true, oracle = Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -165,6 +165,23 @@ object LakePipelines {
       t
     }
 
+  /** Orders written through the DataSourceV2 WRITE path (distributed
+    * two-phase append commit, per-row transform rendering) instead of the
+    * DataFrame-API writer — the q59 oracle hashes the scan of the result,
+    * proving the v2 writer produces byte-compatible lake data. */
+  def ordersDsv2Written(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_dsv2w") { cat =>
+      val o = Tables.load(spark, sfDir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val t = cat.createTable(
+        "orders_dsv2w",
+        o.schema,
+        partitionSpec = Seq(PartitionField("o_orderdate", Transform.Month, "p_month")),
+        clusterBy = Seq("o_orderkey"))
+      o.write.format("graftlake").option("path", t.location).mode("append").save()
+      LakeTable.load(spark, t.location)
+    }
+
   /** Schema-evolution table: v1 = 3 customer columns for odd keys; ALTER
     * ADD COLUMN loyalty_tier; second append fills it for even keys — old
     * rows must read back as NULL. */
