@@ -190,6 +190,20 @@ class LakeSpec extends SparkSpec {
       LakeTable.create(spark, s"$dir/t", "t", df.schema))
   }
 
+  test("orphan sweep removes crashed-commit staging leftovers, data untouched") {
+    val dir = Files.createTempDirectory("graft-orphan-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/t/_staging/crashed")
+    t.fs.mkdirs(staging)
+    t.fs.create(new org.apache.hadoop.fs.Path(staging, "leftover.parquet"), true).close()
+    Maintenance.removeOrphans(t)
+    assert(!t.fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t/_staging")))
+    assert(t.scan().count() == 1)
+  }
+
   test("auto-compact policy: thresholds gate the rewrite, single delete file does not trigger") {
     val dir = Files.createTempDirectory("graft-autocompact-spec").toString
     import spark.implicits._
