@@ -70,13 +70,19 @@ final class LakeTable private (
           if (fs.exists(snapPath(s))) Some(s) else None
         } catch { case _: Exception => None }
       else None
-    fromHint.getOrElse {
+    val base = fromHint.getOrElse {
       val snaps = fs.listStatus(metaDir).map(_.getPath.getName)
         .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
         .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
       if (snaps.isEmpty) throw new IllegalStateException(s"no snapshots at $location")
       snaps.max
     }
+    // The hint is ADVISORY and can lag (a losing concurrent writer may
+    // overwrite it backwards after the winner committed): probe forward —
+    // seqs are gap-free, so the first missing snapshot marks the head.
+    var seq = base
+    while (fs.exists(snapPath(seq + 1))) seq += 1
+    seq
   }
 
   def snapshot(seq: Long): Snapshot = MetaJson.readSnapshot(readString(snapPath(seq)))
