@@ -6,7 +6,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import java.net.URLDecoder
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 import scala.collection.mutable.ArrayBuffer
@@ -335,7 +334,12 @@ final class LakeTable private (
         val dirs = rel.split('/').dropRight(1)
         val partition = dirs.map { d =>
           val Array(k, v) = d.split("=", 2)
-          k -> URLDecoder.decode(v, StandardCharsets.UTF_8)
+          // Hive-style %XX unescaping — the codec Spark's own writer used
+          // to produce the directory name. (java.net.URLDecoder is NOT
+          // that codec: it maps a literal '+' in a partition value to a
+          // space, recording a wrong value in the snapshot and letting
+          // PruneFilter.mayMatch falsely prune the file.)
+          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
         }.toMap
         val destRel = (Seq("data") ++ dirs :+ s"s$seq-$i-$name").mkString("/")
         val dest = new Path(root, destRel)
@@ -399,12 +403,7 @@ final class LakeTable private (
   /** Absolute path of a snapshot-relative file (used by the DSv2 source). */
   def abs(rel: String): String = new Path(root, rel).toString
 
-  private def relativize(base: Path, p: Path): String = {
-    val b = base.toUri.getPath
-    val s = p.toUri.getPath
-    require(s.startsWith(b), s"$p not under $base")
-    s.stripPrefix(b).stripPrefix("/")
-  }
+  private def relativize(base: Path, p: Path): String = LakeTable.relativize(base, p)
 
   private def readString(p: Path): String = {
     val in = fs.open(p)
@@ -458,6 +457,13 @@ object LakeTable {
     if (!t.fs.exists(new Path(new Path(location), "meta/table.json")))
       throw new IllegalArgumentException(s"no lake table at $location")
     t
+  }
+
+  private[lake] def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath
+    val s = p.toUri.getPath
+    require(s.startsWith(b), s"$p not under $base")
+    s.stripPrefix(b).stripPrefix("/")
   }
 
   def exists(spark: SparkSession, location: String): Boolean = {

@@ -57,10 +57,43 @@ object Maintenance {
     expired.foreach(s => table.fs.delete(new Path(root, f"meta/snap-${s.seq}%05d.json"), false))
   }
 
-  /** Sweep `_staging/` leftovers from crashed commits (files that were
-    * staged but never moved are unreferenced by construction). */
-  def removeOrphans(table: LakeTable): Unit = {
-    val staging = new Path(new Path(table.location), "_staging")
-    if (table.fs.exists(staging)) table.fs.delete(staging, true)
+  /** Default orphan age cutoff (3 days) — mirrors Iceberg's
+    * remove_orphan_files `older_than` default of leaving recent files
+    * alone, so an IN-FLIGHT write's staging directory is never swept out
+    * from under it mid-commit. */
+  val DefaultOrphanAgeMs: Long = 3L * 24 * 3600 * 1000
+
+  /** Sweep leftovers from crashed commits, age-gated so concurrent
+    * in-flight writes are untouched:
+    *   - `_staging/<uuid>` subdirectories older than `olderThanMs`
+    *     (files staged but never moved are unreferenced by construction);
+    *   - `data/` and `deletes/` files REFERENCED BY NO snapshot and older
+    *     than `olderThanMs` — the leak path of a commit that crashed
+    *     between moving staged files into `data/` and writing the
+    *     snapshot (e.g. a DSv2 two-phase commit dying mid-publish).
+    */
+  def removeOrphans(table: LakeTable, olderThanMs: Long = DefaultOrphanAgeMs): Unit = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val root = new Path(table.location)
+    val staging = new Path(root, "_staging")
+    if (table.fs.exists(staging))
+      table.fs.listStatus(staging)
+        .filter(_.getModificationTime < cutoff)
+        .foreach(st => table.fs.delete(st.getPath, true))
+
+    val live: Set[String] = table.snapshots
+      .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    Seq("data", "deletes").foreach { sub =>
+      val dir = new Path(root, sub)
+      if (table.fs.exists(dir)) {
+        val it = table.fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = LakeTable.relativize(root, st.getPath)
+          if (!live(rel) && st.getModificationTime < cutoff)
+            table.fs.delete(st.getPath, false)
+        }
+      }
+    }
   }
 }

@@ -185,6 +185,15 @@ object DedupOps {
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
          |FROM documents GROUP BY $tokenSetKeySql
          |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Completeness bound of this oracle comparison: the Spark side verifies
+    // LSH CANDIDATES with exact Jaccard while the oracle computes exact
+    // all-pairs, so a true >=0.9 pair that escapes every band would show as
+    // a mismatch. With bands=8 × rows=4 the escape probability of a 0.9-
+    // similar pair is (1 - 0.9^4)^8 ≈ 2e-4 (lower for higher sims); across
+    // the fixture's ~25 planted pairs that is a <1% chance PER NEW CORPUS,
+    // zero for the fixed driver fixtures (verified green at sf0.01/sf0.1).
+    // Recall is additionally spec-tested on planted duplicates
+    // (DedupOpsSpec), per the standard LSH precision/recall split.
     NamedQuery("q38_minhash_neardup_pairs", minhashNeardupPairs, bench = true, oracle = Some(
       shingleCte +
         """

@@ -69,19 +69,35 @@ private[sources] class GraftLakeBatchWrite(t: LakeTable) extends BatchWrite {
     val conf = t.spark.sparkContext.hadoopConfiguration
     val root = new Path(t.location)
     val fs = root.getFileSystem(conf)
-    val entries = staged.zipWithIndex.map { case (f, i) =>
-      val src = new Path(root, f.stagedRel)
-      val partDirs = f.partition.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
-      val destRel = (Seq("data") ++ partDirs :+ s"s${f.seq}-v2-$i-${src.getName}").mkString("/")
-      val dest = new Path(root, destRel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(src, dest))
-        throw new IllegalStateException(s"DSv2 commit failed moving ${f.stagedRel}")
-      DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen)
+    // track published destinations so a failure anywhere before the
+    // snapshot commit can roll them back — without this, files already
+    // moved into data/ would leak unreferenced (abort only clears staging)
+    val moved = mutable.ListBuffer.empty[Path]
+    try {
+      val entries = staged.zipWithIndex.map { case (f, i) =>
+        val src = new Path(root, f.stagedRel)
+        val partDirs = f.partition.toSeq.sortBy(_._1)
+          // Hive-style escaping, matching the DataFrame-API writer's
+          // directory layout for the same value (URLEncoder's '+'-for-space
+          // diverges and corrupts round-trips)
+          .map { case (k, v) =>
+            s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
+          }
+        val destRel = (Seq("data") ++ partDirs :+ s"s${f.seq}-v2-$i-${src.getName}").mkString("/")
+        val dest = new Path(root, destRel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new IllegalStateException(s"DSv2 commit failed moving ${f.stagedRel}")
+        moved += dest
+        DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen)
+      }
+      fs.delete(new Path(root, stagingRel), true)
+      t.commitStagedAppend(entries.toSeq, "append-dsv2")
+    } catch {
+      case e: Throwable =>
+        moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => })
+        throw e
     }
-    fs.delete(new Path(root, stagingRel), true)
-    t.commitStagedAppend(entries.toSeq, "append-dsv2")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

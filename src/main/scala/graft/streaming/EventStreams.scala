@@ -158,7 +158,12 @@ object EventStreams {
         closed += Session(userId, open.sid, open.start, open.end, open.n)
         open = OpenSession(e.ts, e.ts, 1L, open.sid + 1)
       } else
-        open = open.copy(end = e.ts, n = open.n + 1)
+        // clamp: an out-of-order event from a later micro-batch (ts <
+        // open.end) must not REGRESS the session end — session_end is
+        // max(ts), matching the batch form's max() aggregate
+        open = open.copy(
+          end = if (micros(e.ts) > micros(open.end)) e.ts else open.end,
+          n = open.n + 1)
     }
     state.update(open)
     flushAfter.foreach(state.setTimeoutDuration)

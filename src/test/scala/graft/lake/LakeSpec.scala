@@ -190,7 +190,7 @@ class LakeSpec extends SparkSpec {
       LakeTable.create(spark, s"$dir/t", "t", df.schema))
   }
 
-  test("orphan sweep removes crashed-commit staging leftovers, data untouched") {
+  test("orphan sweep is age-gated: fresh staging survives, old staging + leaked data files go") {
     val dir = Files.createTempDirectory("graft-orphan-spec").toString
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "s")
@@ -199,9 +199,47 @@ class LakeSpec extends SparkSpec {
     val staging = new org.apache.hadoop.fs.Path(s"$dir/t/_staging/crashed")
     t.fs.mkdirs(staging)
     t.fs.create(new org.apache.hadoop.fs.Path(staging, "leftover.parquet"), true).close()
+    // a data/ file referenced by NO snapshot — the leak of a commit that
+    // crashed between publishing files and writing the snapshot
+    val leaked = new org.apache.hadoop.fs.Path(s"$dir/t/data/leaked.parquet")
+    t.fs.create(leaked, true).close()
+    // default (3-day) cutoff: everything is fresh = a possible in-flight
+    // write; NOTHING may be deleted out from under it
     Maintenance.removeOrphans(t)
-    assert(!t.fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t/_staging")))
+    assert(t.fs.exists(staging), "age gate failed: fresh staging dir swept")
+    assert(t.fs.exists(leaked), "age gate failed: fresh data file swept")
+    // negative cutoff = everything counts as old: both orphans go,
+    // snapshot-referenced data stays
+    Maintenance.removeOrphans(t, olderThanMs = -1000L)
+    assert(!t.fs.exists(staging))
+    assert(!t.fs.exists(leaked))
     assert(t.scan().count() == 1)
+  }
+
+  test("partition values with '+', space, '%' round-trip both write paths and prune exactly") {
+    val dir = Files.createTempDirectory("graft-esc-spec").toString
+    import spark.implicits._
+    val values = Seq("a+b", "a b", "100%", "x:y=z")
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    def check(t: LakeTable): Unit = {
+      // the snapshot must record the LOGICAL value, not an escaped form
+      assert(t.currentSnapshot.dataFiles.map(_.partition("p_s")).toSet == values.toSet)
+      assert(t.scan().as[(Long, String)].collect().toMap ==
+        values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
+      values.foreach { v =>
+        val (kept, total) = t.planFiles(t.currentSnapshot, Seq(PruneFilter.Eq("s", v)))
+        assert(total == values.size && kept.map(_.partition("p_s")) == Seq(v),
+          s"pruning wrong for '$v': kept=${kept.map(_.partition("p_s"))}")
+        assert(t.scan(filters = Seq(PruneFilter.Eq("s", v))).count() == 1)
+      }
+    }
+    val spec = Seq(PartitionField("s", Transform.Identity, "p_s"))
+    val t1 = LakeTable.create(spark, s"$dir/t1", "t1", df.schema, partitionSpec = spec)
+    t1.append(df)
+    check(t1)
+    val t2 = LakeTable.create(spark, s"$dir/t2", "t2", df.schema, partitionSpec = spec)
+    df.write.format("graftlake").option("path", t2.location).mode("append").save()
+    check(LakeTable.load(spark, s"$dir/t2"))
   }
 
   test("auto-compact policy: thresholds gate the rewrite, single delete file does not trigger") {

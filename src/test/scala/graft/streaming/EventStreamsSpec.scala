@@ -81,6 +81,43 @@ class EventStreamsSpec extends SparkSpec {
       "two-batch streaming result differs from batch closed sessions")
   }
 
+  test("out-of-order event in a later micro-batch cannot regress the session end") {
+    import java.nio.file.{Files => JFiles}
+    import java.time.Instant
+    val dir = JFiles.createTempDirectory("graft-ooo-session")
+    def ts(min: Long) = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60))
+    // batch 0: events at t0 and t0+10min (open session end = t0+10min)
+    // batch 1: OUT-OF-ORDER event at t0+5min, then t0+45min closes the
+    // session (gap from t0+10min = 35min > 30min). Without the clamp the
+    // o-o-o event would drag end back to t0+5min.
+    val b0 = Seq(EventStreams.Event(1L, 1L, ts(0), 1.0), EventStreams.Event(1L, 2L, ts(10), 1.0))
+    val b1 = Seq(EventStreams.Event(1L, 3L, ts(5), 1.0), EventStreams.Event(1L, 4L, ts(45), 1.0))
+    b0.toDF().coalesce(1).write.parquet(dir.resolve("f0").toString)
+    b1.toDF().coalesce(1).write.parquet(dir.resolve("f1").toString)
+    def onlyFile(p: java.nio.file.Path) =
+      JFiles.list(p).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val target = dir.resolve("stream")
+    JFiles.createDirectory(target)
+    val f0 = JFiles.copy(onlyFile(dir.resolve("f0")), target.resolve("0.parquet"))
+    val f1 = JFiles.copy(onlyFile(dir.resolve("f1")), target.resolve("1.parquet"))
+    JFiles.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    JFiles.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    val stream = spark.readStream.schema(b0.toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(target.toString)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream).writeStream
+      .format("memory").queryName("spec_ooo_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("spec_ooo_sessions").as[EventStreams.Session].collect()
+    assert(got.length == 1)
+    assert(got.head.session_end == ts(10), s"session end regressed: ${got.head}")
+    assert(got.head.n_events == 3L)
+  }
+
   test("sessions respect the gap invariant: intra-session gaps <= 30 min, sessions ordered") {
     val sessions = EventStreams.sessionizeBatch(Tables.load(spark, sfDir, "events"))
     // session_end >= session_start, and per user sessions don't overlap
