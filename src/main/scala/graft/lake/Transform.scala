@@ -36,6 +36,18 @@ sealed trait Transform {
     * range predicates prune). String compare is safe because rendered values
     * are fixed-width per transform. */
   def orderPreserving: Boolean
+
+  /** Ordering comparison between a file's stored partition value and a raw
+    * predicate literal mapped through this transform:
+    * Some(sign(file - transform(literal))) when an ordered comparison is
+    * sound, None otherwise (→ the caller keeps the file). The default
+    * covers order-preserving transforms whose rendered values are
+    * fixed-width (so string compare = value compare); [[Identity]]
+    * overrides with TYPED comparison because its rendering is raw
+    * (lexicographic "10" < "2" would mis-prune numbers). */
+  def rangeCompare(fileValue: String, literal: Any): Option[Int] =
+    if (!orderPreserving) None
+    else valueOf(literal).map(r => Integer.signum(fileValue.compareTo(r)))
 }
 
 object Transform {
@@ -55,8 +67,33 @@ object Transform {
       case other => Some(other.toString)
     }
     // identity over numbers renders without fixed width, so lexicographic
-    // range compare would be wrong ("10" < "2"); only equality prunes.
+    // range compare would be wrong ("10" < "2"); rangeCompare below does a
+    // TYPED comparison instead.
     val orderPreserving = false
+
+    /** Typed range comparison: parse the stored value back in the
+      * literal's own type and compare numerically (integers via BigInt,
+      * fractionals via BigDecimal — decimal ordering = real-value ordering
+      * = double ordering), strings by UTF-8 byte order (Spark's
+      * UTF8String binary comparison — Java's UTF-16 compareTo disagrees
+      * around supplementary characters and could falsely prune). Temporal
+      * literals stay un-renderable (None), same as valueOf. */
+    override def rangeCompare(fileValue: String, literal: Any): Option[Int] =
+      try literal match {
+        case _: Long | _: Int | _: Short | _: Byte =>
+          val lit = BigInt(literal.toString)
+          Some(BigInt(fileValue).compare(lit).sign)
+        case _: java.math.BigDecimal | _: BigDecimal | _: Double | _: Float =>
+          val lit = BigDecimal(literal.toString)
+          Some(BigDecimal(fileValue).compare(lit).sign)
+        case s: String =>
+          val a = fileValue.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Some(java.util.Arrays.compareUnsigned(a, b).sign)
+        case b: Boolean =>
+          Some(fileValue.toBoolean.compare(b).sign)
+        case _ => None
+      } catch { case _: NumberFormatException | _: IllegalArgumentException => None }
   }
 
   /** yyyy partition key. */
@@ -158,8 +195,14 @@ object PruneFilter {
   final case class Ge(column: String, value: Any) extends PruneFilter {
     def toColumn: Column = c(column) >= lit(value)
   }
+  final case class Gt(column: String, value: Any) extends PruneFilter {
+    def toColumn: Column = c(column) > lit(value)
+  }
   final case class Lt(column: String, value: Any) extends PruneFilter {
     def toColumn: Column = c(column) < lit(value)
+  }
+  final case class Le(column: String, value: Any) extends PruneFilter {
+    def toColumn: Column = c(column) <= lit(value)
   }
   final case class In(column: String, values: Seq[Any]) extends PruneFilter {
     def toColumn: Column = c(column).isin(values: _*)
@@ -174,26 +217,24 @@ object PruneFilter {
       partition.get(pf.name) match {
         case None => true
         case Some(PartitionValues.NullSentinel) =>
-          // null partition values never match Eq/Ge/Lt/In on a non-null
-          // literal, but stay conservative for non-Eq shapes.
-          f match {
-            case _: Eq | _: In => false
-            case _             => true
-          }
+          // a null partition value can never satisfy a comparison against a
+          // non-null literal: every current filter shape prunes it.
+          false
         case Some(fileValue) =>
           f match {
             case Eq(_, v) => pf.transform.valueOf(v).forall(_ == fileValue)
             case In(_, vs) =>
               val rendered = vs.flatMap(pf.transform.valueOf)
               rendered.size != vs.size || rendered.contains(fileValue)
-            case Ge(_, v) =>
-              !pf.transform.orderPreserving ||
-                pf.transform.valueOf(v).forall(fileValue >= _)
-            case Lt(_, v) =>
-              // col < V ⇒ transform(col) <= transform(V) for monotone
-              // transforms (inclusive: values below V share V's bucket).
-              !pf.transform.orderPreserving ||
-                pf.transform.valueOf(v).forall(fileValue <= _)
+            // Range shapes via rangeCompare (None → keep). All four are
+            // INCLUSIVE at the boundary bucket: col > V still admits the
+            // bucket holding V (other rows of that bucket may exceed V),
+            // so Gt prunes like Ge and Le like Lt — conservative for every
+            // monotone transform, exact re-filtering happens at scan.
+            case Ge(_, v) => pf.transform.rangeCompare(fileValue, v).forall(_ >= 0)
+            case Gt(_, v) => pf.transform.rangeCompare(fileValue, v).forall(_ >= 0)
+            case Lt(_, v) => pf.transform.rangeCompare(fileValue, v).forall(_ <= 0)
+            case Le(_, v) => pf.transform.rangeCompare(fileValue, v).forall(_ <= 0)
           }
       }
     }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -121,10 +121,15 @@ private[sources] class GraftLakeScanBuilder(t: LakeTable, seq: Long, tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val sources = t.meta.partitionSpec.map(_.source).toSet
+    // Catalyst splits top-level conjunctions before pushdown, so each
+    // element here is one conjunct; any untranslated shape simply doesn't
+    // prune (and is re-applied post-scan like everything else).
     val translated = filters.flatMap {
       case EqualTo(c, v) if sources(c) => Some(PruneFilter.Eq(c, v) -> EqualTo(c, v))
       case GreaterThanOrEqual(c, v) if sources(c) => Some(PruneFilter.Ge(c, v) -> GreaterThanOrEqual(c, v))
+      case GreaterThan(c, v) if sources(c) => Some(PruneFilter.Gt(c, v) -> GreaterThan(c, v))
       case LessThan(c, v) if sources(c) => Some(PruneFilter.Lt(c, v) -> LessThan(c, v))
+      case LessThanOrEqual(c, v) if sources(c) => Some(PruneFilter.Le(c, v) -> LessThanOrEqual(c, v))
       case In(c, vs) if sources(c) => Some(PruneFilter.In(c, vs.toSeq) -> In(c, vs))
       case _ => None
     }

@@ -22,7 +22,7 @@ class PruneProps extends AnyFunSuite {
   private def partitionOf(t: Transform, ts: Timestamp): Map[String, String] =
     Map("p" -> t.valueOf(ts).getOrElse(sys.error("unrenderable")))
 
-  test("time transforms never prune a file containing a matching row (Ge/Lt/Eq)") {
+  test("time transforms never prune a file containing a matching row (Ge/Gt/Lt/Le/Eq)") {
     (1 to 2000).foreach { _ =>
       val rowTs = randTs()
       val filterTs = randTs()
@@ -32,13 +32,53 @@ class PruneProps extends AnyFunSuite {
         if (rowTs.compareTo(filterTs) >= 0)
           assert(PruneFilter.mayMatch(spec, part, PruneFilter.Ge("c", filterTs)),
             s"$tr pruned file holding $rowTs for >= $filterTs")
+        if (rowTs.compareTo(filterTs) > 0)
+          assert(PruneFilter.mayMatch(spec, part, PruneFilter.Gt("c", filterTs)),
+            s"$tr pruned file holding $rowTs for > $filterTs")
         if (rowTs.compareTo(filterTs) < 0)
           assert(PruneFilter.mayMatch(spec, part, PruneFilter.Lt("c", filterTs)),
             s"$tr pruned file holding $rowTs for < $filterTs")
+        if (rowTs.compareTo(filterTs) <= 0)
+          assert(PruneFilter.mayMatch(spec, part, PruneFilter.Le("c", filterTs)),
+            s"$tr pruned file holding $rowTs for <= $filterTs")
         assert(PruneFilter.mayMatch(spec, part, PruneFilter.Eq("c", rowTs)),
           s"$tr pruned file holding $rowTs for = $rowTs")
       }
     }
+  }
+
+  test("identity on numbers: typed range pruning, no false negatives, no lexicographic trap") {
+    val spec = Seq(PartitionField("c", Transform.Identity, "p"))
+    (1 to 2000).foreach { _ =>
+      val rowV = rng.between(-1000000L, 1000000L)
+      val filterV = rng.between(-1000000L, 1000000L)
+      val part = Map("p" -> rowV.toString)
+      if (rowV >= filterV)
+        assert(PruneFilter.mayMatch(spec, part, PruneFilter.Ge("c", filterV)),
+          s"identity pruned file holding $rowV for >= $filterV")
+      if (rowV < filterV)
+        assert(PruneFilter.mayMatch(spec, part, PruneFilter.Lt("c", filterV)),
+          s"identity pruned file holding $rowV for < $filterV")
+      if (rowV > filterV)
+        assert(PruneFilter.mayMatch(spec, part, PruneFilter.Gt("c", filterV)))
+      if (rowV <= filterV)
+        assert(PruneFilter.mayMatch(spec, part, PruneFilter.Le("c", filterV)))
+      // doubles through BigDecimal comparison
+      val rowD = rng.nextDouble() * 1e6 - 5e5
+      val filterD = rng.nextDouble() * 1e6 - 5e5
+      val partD = Map("p" -> rowD.toString)
+      if (rowD >= filterD)
+        assert(PruneFilter.mayMatch(spec, partD, PruneFilter.Ge("c", filterD)))
+      if (rowD < filterD)
+        assert(PruneFilter.mayMatch(spec, partD, PruneFilter.Lt("c", filterD)))
+    }
+    // the lexicographic trap: "10" < "2" as strings, but 10 >= 2 as numbers
+    assert(PruneFilter.mayMatch(spec, Map("p" -> "10"), PruneFilter.Ge("c", 2L)))
+    // and typed pruning DOES prune what cannot match: 10 < 20
+    assert(!PruneFilter.mayMatch(spec, Map("p" -> "10"), PruneFilter.Ge("c", 20L)))
+    assert(!PruneFilter.mayMatch(spec, Map("p" -> "30"), PruneFilter.Lt("c", 20L)))
+    // unparseable stored value against a numeric literal: conservative keep
+    assert(PruneFilter.mayMatch(spec, Map("p" -> "oops"), PruneFilter.Ge("c", 2L)))
   }
 
   test("close timestamps in the same period are never cross-pruned") {

@@ -59,6 +59,18 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(sortedRows(filtered) == sortedRows(expected))
   }
 
+  test("DSv2 strict-range pushdown: '>' and '<=' predicates prune files too") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val full = readLake(t.location)
+    val pred = col("o_orderdate") > lit(LakePipelines.PruneHi) &&
+      col("o_orderdate") <= lit(java.sql.Timestamp.from(
+        java.time.Instant.parse("2001-01-01T00:00:00Z")))
+    val filtered = full.filter(pred)
+    assert(filtered.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "Gt/Le predicates pruned nothing")
+    assert(sortedRows(filtered) == sortedRows(t.scan().filter(pred)))
+  }
+
   test("DSv2 column pruning: projected reads decode and return only needed columns") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     val df = readLake(t.location).select("o_orderkey", "o_totalprice")
