@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.lake.LakeTable
+import graft.sources.GraftLakeV2Table
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, LessThan, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Plans the merge-on-read anti-join DISTRIBUTED when a lake table's live
+  * delete set is too large to collect to the driver.
+  *
+  * The DSv2 read path normally ships tombstones to readers as a small
+  * driver-collected map (delete files are keys-only and fold away at
+  * compaction). But a CDC-heavy table between compactions can accumulate
+  * 10⁸–10⁹ tombstoned keys; collecting those would OOM the driver and fatten
+  * every task closure. Above `spark.graft.lake.tombstoneCollectMaxBytes`
+  * (64 MB default) this rule rewrites the logical scan
+  *
+  * {{{ Relation(graftlake T) }}}
+  *
+  * into the same distributed shape the imperative `LakeTable.scan` uses
+  * (`LakeTable.scala` MoR join):
+  *
+  * {{{
+  *   Project(userCols aliased to the original output ids,
+  *     Join(LeftAnti, on pk equality && row._graft_seq < del._graft_dseq,
+  *       Relation(graftlake T, raw = no tombstones + _graft_seq exposed),
+  *       ParquetRelation(delete files: pk + _graft_dseq)))
+  * }}}
+  *
+  * so the MoR merge becomes an ordinary shuffled anti-join that AQE can
+  * plan (shuffled-hash/sort-merge, skew-aware) — O(rows + keys) across the
+  * cluster, nothing driver-side. Runs in the operator-optimization batch,
+  * BEFORE V2 pushdown, so filter/column pushdown then applies to the raw
+  * relation as usual. Idempotent: the rewritten relation is `raw` and never
+  * matches again.
+  */
+class LakeMorRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case rel: DataSourceV2Relation
+        if rel.table.isInstanceOf[GraftLakeV2Table] &&
+          rel.table.asInstanceOf[GraftLakeV2Table].morJoinNeeded =>
+      rewrite(rel, rel.table.asInstanceOf[GraftLakeV2Table])
+  }
+
+  private def rewrite(rel: DataSourceV2Relation, tbl: GraftLakeV2Table): LogicalPlan = {
+    val t = tbl.t
+    val raw = DataSourceV2Relation.create(
+      tbl.rawTable, None, None, CaseInsensitiveStringMap.empty())
+    val rawOut = raw.output.map(a => a.name -> a).toMap
+
+    val pk = t.meta.primaryKey
+    val userSchema = tbl.userSchema
+    val pkSchema = StructType(
+      pk.map(k => userSchema(k)) :+ StructField(LakeTable.DseqCol, LongType, nullable = false))
+    val dels = t.spark.read.schema(pkSchema)
+      .parquet(tbl.snap.deleteFiles.map(d => t.abs(d.path)): _*)
+      .queryExecution.analyzed
+    val delOut = dels.output.map(a => a.name -> a).toMap
+
+    val cond = (pk.map(k => EqualTo(rawOut(k), delOut(k)): Expression) :+
+      LessThan(rawOut(LakeTable.SeqCol), delOut(LakeTable.DseqCol))).reduce(And(_, _))
+    val joined = Join(raw, dels, LeftAnti, Some(cond), JoinHint.NONE)
+    // keep the original output attribute ids so upstream references resolve
+    val project: Seq[NamedExpression] =
+      rel.output.map(a => Alias(rawOut(a.name), a.name)(exprId = a.exprId))
+    Project(project, joined)
+  }
+}

@@ -96,6 +96,8 @@ object MinHashBands {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashBandsDescriptor)
+    // distributed MoR anti-join for DSv2 lake scans with large delete sets
+    ext.injectOptimizerRule(new LakeMorRewrite(_))
   }
 }
 

@@ -93,26 +93,53 @@ object GraftLakeSource {
   }
 }
 
-private[sources] class GraftLakeV2Table(t: LakeTable, asOf: Option[Long])
+/** @param raw expose the table WITHOUT merge-on-read tombstone filtering
+  *            and WITH the `_graft_seq` commit-seq column appended — the
+  *            building block [[graft.plans.LakeMorRewrite]] uses to plan
+  *            the MoR anti-join as a distributed join when the delete set
+  *            is too large to collect to the driver. */
+private[graft] class GraftLakeV2Table(
+    private[graft] val t: LakeTable,
+    private[graft] val asOf: Option[Long],
+    private[graft] val raw: Boolean = false)
     extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  private val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
+  private[graft] val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
 
-  override def name(): String = t.meta.name
-  override def schema(): StructType = t.schema(snap.schemaVersion)
+  private[graft] def userSchema: StructType = t.schema(snap.schemaVersion)
+
+  override def name(): String = if (raw) s"${t.meta.name} (raw)" else t.meta.name
+  override def schema(): StructType =
+    if (raw) StructType(userSchema.fields :+ StructField(LakeTable.SeqCol, LongType, nullable = false))
+    else userSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
+  /** Above this many bytes of live delete files, the driver-side tombstone
+    * collect is refused and the MoR merge is planned as a distributed
+    * anti-join instead ([[graft.plans.LakeMorRewrite]]). A CDC-heavy table
+    * between compactions can hold 10⁸–10⁹ tombstoned keys — collecting
+    * those would OOM the driver and fatten every reader task. */
+  private[graft] val tombstoneGateBytes: Long =
+    t.spark.conf.getOption("spark.graft.lake.tombstoneCollectMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+  private[graft] def tombstoneBytes: Long = snap.deleteFiles.map(_.bytes).sum
+  private[graft] def morJoinNeeded: Boolean =
+    !raw && snap.deleteFiles.nonEmpty && tombstoneBytes > tombstoneGateBytes
+  private[graft] def rawTable: GraftLakeV2Table =
+    new GraftLakeV2Table(t, Some(snap.seq), raw = true)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(t, snap.seq, schema())
+    new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(asOf.isEmpty, "cannot write to a time-travel snapshot")
+    require(asOf.isEmpty && !raw, "cannot write to a time-travel or raw snapshot")
     new GraftLakeWriteBuilder(t)
   }
 }
 
-private[sources] class GraftLakeScanBuilder(t: LakeTable, seq: Long, tableSchema: StructType)
+private[sources] class GraftLakeScanBuilder(
+    t: LakeTable, seq: Long, tableSchema: StructType, skipDeletes: Boolean)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -143,7 +170,7 @@ private[sources] class GraftLakeScanBuilder(t: LakeTable, seq: Long, tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftLakeScan(t, seq, tableSchema, required, pruneFilters)
+  override def build(): Scan = new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes)
 }
 
 private[sources] class GraftLakeScan(
@@ -151,13 +178,15 @@ private[sources] class GraftLakeScan(
     seq: Long,
     tableSchema: StructType,
     required: StructType,
-    filters: Seq[PruneFilter]) extends Scan with Batch {
+    filters: Seq[PruneFilter],
+    skipDeletes: Boolean) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val (kept, total) = t.planFiles(t.snapshot(seq), filters)
-    s"GraftLakeScan ${t.meta.name} snapshot=$seq files=${kept.size}/$total " +
+    val mor = if (skipDeletes) " mor=deferred" else ""
+    s"GraftLakeScan ${t.meta.name}$mor snapshot=$seq files=${kept.size}/$total " +
       s"PrunedBy: ${filters.mkString(", ")}"
   }
 
@@ -169,10 +198,14 @@ private[sources] class GraftLakeScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val snap = t.snapshot(seq)
-    // tombstones: key (rendered pk values) -> latest delete seq; small by
-    // construction (delete files are keys only and fold away at compaction)
+    // tombstones: key (rendered pk values) -> latest delete seq. Collected
+    // to the driver ONLY while small (delete files are keys-only and fold
+    // away at compaction); above the gate, LakeMorRewrite plans the MoR
+    // merge as a distributed anti-join over the raw scan instead, and this
+    // path must never be reached (a session without the graft extensions
+    // would reach it — correct but driver-bounded, hence the loud check).
     val tombstones: Map[Seq[String], Long] =
-      if (snap.deleteFiles.isEmpty) Map.empty
+      if (skipDeletes || snap.deleteFiles.isEmpty) Map.empty
       else {
         val pk = t.meta.primaryKey
         val userSchema = t.schema(snap.schemaVersion)

@@ -78,6 +78,28 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(df.count() == t.scan().count())
   }
 
+  test("large delete sets bypass the driver collect: MoR planned as distributed anti-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigdel-spec").toString
+    val n = 100000L
+    val df = spark.range(n).select(col("id"), (col("id") % 97).cast("double").as("v"))
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    t.deleteKeys(spark.range(0, n, 2).select(col("id")))
+    spark.conf.set("spark.graft.lake.tombstoneCollectMaxBytes", "1024")
+    try {
+      val v2 = readLake(t.location)
+      val plan = v2.queryExecution.executedPlan.toString
+      assert(plan.contains("mor=deferred"), s"driver collect path taken:\n$plan")
+      assert(plan.contains("LeftAnti"), s"no anti-join in deferred MoR plan:\n$plan")
+      assert(v2.count() == n / 2)
+      assert(v2.agg(sum("id")).head.getLong(0) == t.scan().agg(sum("id")).head.getLong(0))
+    } finally spark.conf.unset("spark.graft.lake.tombstoneCollectMaxBytes")
+    // below the gate (default 64 MB) the in-reader tombstone path still runs
+    val v2small = readLake(t.location)
+    assert(!v2small.queryExecution.executedPlan.toString.contains("mor=deferred"))
+    assert(v2small.count() == n / 2)
+  }
+
   test("lake tables are queryable from plain SQL via the DSv2 source") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     readLake(t.location).createOrReplaceTempView("orders_lake_sql")
