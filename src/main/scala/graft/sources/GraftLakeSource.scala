@@ -190,10 +190,33 @@ private[sources] class GraftLakeScan(
       s"PrunedBy: ${filters.mkString(", ")}"
   }
 
+  /** One InputPartition per parquet ROW GROUP: footers of the surviving
+    * files are read on the driver (parallelized) and each block becomes an
+    * independent task, so a 512 MB file with 4 row groups fans out to 4
+    * readers instead of serializing in one. At real cluster scale these
+    * split offsets belong in the snapshot manifest (Iceberg's
+    * `split_offsets` field); reading footers at planning is the
+    * equivalent fallback and touches only pruned-in files. */
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = t.snapshot(seq)
     val (files, _) = t.planFiles(snap, filters)
-    files.map(f => GraftLakeInputPartition(t.abs(f.path)): InputPartition).toArray
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    if (files.isEmpty) return Array.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, files.size))
+    try {
+      val futures = files.map { f =>
+        val abs = t.abs(f.path)
+        pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+          def call(): Seq[InputPartition] = {
+            val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
+            try rd.getRowGroups.asScala.toSeq.map(b =>
+              GraftLakeInputPartition(abs, b.getStartingPos, b.getCompressedSize): InputPartition)
+            finally rd.close()
+          }
+        })
+      }
+      futures.flatMap(_.get()).toArray
+    } finally pool.shutdown()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -230,7 +253,11 @@ private[sources] class GraftLakeScan(
   }
 }
 
-private[sources] case class GraftLakeInputPartition(file: String) extends InputPartition
+/** One parquet row group: byte range [start, start+length) of `file` (the
+  * standard parquet split contract — a row group belongs to the split
+  * containing its midpoint). */
+private[sources] case class GraftLakeInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 private[sources] case class GraftLakeReaderFactory(
     required: StructType,
@@ -238,12 +265,76 @@ private[sources] case class GraftLakeReaderFactory(
     tombstones: Map[Seq[String], Long],
     types: Map[String, DataType],
     hadoopConf: Map[String, String]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+
+  private def confOf(): Configuration = {
     val conf = new Configuration(false)
     hadoopConf.foreach { case (k, v) => conf.set(k, v) }
-    new GraftLakePartitionReader(
-      p.asInstanceOf[GraftLakeInputPartition].file, required, primaryKey, tombstones, types, conf)
+    conf
   }
+
+  /** Tombstone-free scans decode through Spark's VECTORIZED parquet reader
+    * straight into ColumnarBatches (dictionary-aware, null-filling evolved
+    * columns); only merge-on-read scans with live tombstones fall back to
+    * the row-at-a-time Group reader, which needs the per-row survive check. */
+  override def supportColumnarReads(p: InputPartition): Boolean = tombstones.isEmpty
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftLakeInputPartition]
+    new GraftLakeVectorizedReader(gp.file, gp.start, gp.length, required, confOf())
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftLakeInputPartition]
+    new GraftLakePartitionReader(
+      gp.file, gp.start, gp.length, required, primaryKey, tombstones, types, confOf())
+  }
+}
+
+/** Columnar decode of one row group via Spark's vectorized parquet reader —
+  * the same machinery `spark.read.parquet` uses, so the DSv2 path gets
+  * dictionary decoding, batch null-filling of evolved columns, and
+  * ColumnarToRow codegen for free. */
+private[sources] class GraftLakeVectorizedReader(
+    file: String,
+    start: Long,
+    length: Long,
+    required: StructType,
+    conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  // the old mapred FileSplit extends the mapreduce one AND is what
+  // SpecificParquetRecordReaderBase casts to internally
+  import org.apache.hadoop.mapred.FileSplit
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+
+  private val reader = {
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    // the conf keys ParquetFileFormat/ParquetToSparkSchemaConverter expect
+    // to find pre-populated (reading them raw, no defaults)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    // lake files carry micros timestamps written proleptic: no rebase
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val split = new FileSplit(new Path(file), start, length, Array.empty[String])
+    val attempt = new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, 0), 0)
+    r.initialize(split, new TaskAttemptContextImpl(conf, attempt))
+    r.initBatch(new StructType(), InternalRow.empty)
+    r.enableReturningBatches()
+    r
+  }
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** Decodes one parquet data file through the parquet-column Group API:
@@ -252,6 +343,8 @@ private[sources] case class GraftLakeReaderFactory(
   * drops tombstoned row versions. */
 private[sources] class GraftLakePartitionReader(
     file: String,
+    start: Long,
+    length: Long,
     required: StructType,
     primaryKey: Seq[String],
     tombstones: Map[Seq[String], Long],
@@ -259,7 +352,9 @@ private[sources] class GraftLakePartitionReader(
     conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(file), conf))
+    HadoopInputFile.fromPath(new Path(file), conf),
+    org.apache.parquet.HadoopReadOptions.builder(conf)
+      .withRange(start, start + length).build())
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
 
   // columns to decode: the projection, plus pk + commit seq for MoR checks

@@ -100,6 +100,31 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(v2small.count() == n / 2)
   }
 
+  test("multi-row-group files split into multiple partitions; tombstone-free reads are columnar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-spec").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 65536)
+    hc.setInt("parquet.page.size", 8192)
+    try {
+      val n = 200000L
+      val df = spark.range(n).select(col("id"), (col("id") * 31 % 1000).as("v"))
+      val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema)
+      t.append(df)
+      val v2 = readLake(t.location)
+      val nFiles = t.currentSnapshot.dataFiles.size
+      assert(v2.rdd.getNumPartitions > nFiles,
+        s"row groups did not split: ${v2.rdd.getNumPartitions} partitions for $nFiles files")
+      assert(v2.count() == n)
+      assert(v2.agg(sum("v")).head.getLong(0) == t.scan().agg(sum("v")).head.getLong(0))
+      // vectorized: the columnar scan surfaces as ColumnarToRow in the plan
+      val plan = v2.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"), s"DSv2 read not columnar:\n$plan")
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size")
+    }
+  }
+
   test("lake tables are queryable from plain SQL via the DSv2 source") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     readLake(t.location).createOrReplaceTempView("orders_lake_sql")
