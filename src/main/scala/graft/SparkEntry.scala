@@ -11,9 +11,9 @@ object SparkEntry {
 
   /** All implemented, oracle-checkable query units. */
   def registry: Seq[NamedQuery] =
-    operators.RelationalOps.all ++ operators.LakeOps.all ++ operators.DedupOps.all ++
-      operators.VectorOps.all ++ operators.TextOps.all ++ operators.MultimodalOps.all ++
-      operators.StreamingOps.all
+    operators.RelationalOps.all ++ operators.LakeOps.all ++ operators.SqlCatalogOps.all ++
+      operators.DedupOps.all ++ operators.VectorOps.all ++ operators.TextOps.all ++
+      operators.MultimodalOps.all ++ operators.StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

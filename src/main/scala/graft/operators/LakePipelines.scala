@@ -202,7 +202,7 @@ object LakePipelines {
   /** Build-once-per-JVM with an on-disk completion marker, so a Verify run
     * and a later Bench run (separate JVMs) reuse the same deterministic
     * build, while a half-built directory from a crashed run is discarded. */
-  private def cached(spark: SparkSession, sfDir: String, name: String)(
+  private[operators] def cached(spark: SparkSession, sfDir: String, name: String)(
       build: LakeCatalog => LakeTable): LakeTable = synchronized {
     built.getOrElseUpdate((sfDir, name), {
       val cat = catalog(spark, sfDir)

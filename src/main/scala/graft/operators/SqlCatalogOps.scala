@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PURE-SQL catalog surface (S12 closed): the reference drives its
+  * whole pipeline through SQL DDL/DML against a catalog — `CREATE TABLE …
+  * ENGINE=Iceberg`, `INSERT INTO silver SELECT …`, `DESCRIBE`, snapshot-
+  * pinned reads (`scripts/iceberg-setup.sql:5-12,47-90`;
+  * `BLOG_POST_COMPLETE_WALKTHROUGH.md:521-549`). These queries rebuild the
+  * silver/gold medallion tiers using `spark.sql` ONLY — CREATE TABLE with
+  * partition transforms + table properties, INSERT INTO … SELECT, then
+  * serve — through [[graft.sources.GraftCatalog]], and hash-match the same
+  * oracles as the Scala-API-built q30/q31/q25 counterparts: proof the SQL
+  * route produces byte-identical lake content.
+  */
+object SqlCatalogOps {
+
+  /** Register the `graft` catalog over this scale factor's warehouse
+    * (idempotent; the warehouse conf is read per-operation, see
+    * [[graft.sources.GraftCatalog]]). */
+  private def registerCatalog(s: SparkSession, dir: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.graft.catalog.warehouse", LakePipelines.warehouse(dir))
+  }
+
+  /** Silver tier built with spark.sql ONLY (CREATE + INSERT INTO SELECT) —
+    * same content contract as [[LakePipelines.silverOrders]]. */
+  def silverOrdersSql(s: SparkSession, dir: String): LakeTable =
+    LakePipelines.cached(s, dir, "silver_orders_sql") { cat =>
+      registerCatalog(s, dir)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_raw")
+      s.sql(
+        """CREATE TABLE graft.silver_orders_sql (
+          |  order_id BIGINT, user_id BIGINT, status STRING,
+          |  order_month DATE, order_date TIMESTAMP_NTZ, total_amount DOUBLE)
+          |PARTITIONED BY (months(order_date))
+          |TBLPROPERTIES ('cluster_by'='order_id', 'primary_key'='order_id')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.silver_orders_sql
+          |SELECT o_orderkey, o_custkey, o_orderstatus,
+          |       to_date(o_orderdate), o_orderdate, o_totalprice
+          |FROM graft_orders_raw""".stripMargin)
+      cat.table("silver_orders_sql")
+    }
+
+  /** Gold tier built with spark.sql ONLY — same aggregate contract as
+    * [[RelationalOps.goldRollup]] (exact-decimal sums cast to double once,
+    * unrounded IEEE quotient for the average). */
+  def goldMetricsSql(s: SparkSession, dir: String): LakeTable =
+    LakePipelines.cached(s, dir, "gold_order_metrics_sql") { cat =>
+      registerCatalog(s, dir)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_raw")
+      s.sql(
+        """CREATE TABLE graft.gold_order_metrics_sql (
+          |  order_month DATE, status STRING, user_count BIGINT, order_count BIGINT,
+          |  gross_revenue DOUBLE, avg_order_value DOUBLE)
+          |TBLPROPERTIES ('cluster_by'='order_month,status')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.gold_order_metrics_sql
+          |SELECT to_date(o_orderdate) AS order_month, o_orderstatus AS status,
+          |  COUNT(DISTINCT o_custkey) AS user_count, COUNT(*) AS order_count,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+          |FROM graft_orders_raw
+          |GROUP BY 1, 2""".stripMargin)
+      cat.table("gold_order_metrics_sql")
+    }
+
+  // q60 — silver tier CREATEd, LOADed and SELECTed through SQL alone;
+  // hash-matches q30's oracle (the Scala-API-built silver table)
+  val sqlSilverServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    silverOrdersSql(s, dir)
+    registerCatalog(s, dir)
+    s.sql("SELECT * FROM graft.silver_orders_sql")
+  }
+
+  // q61 — gold tier through SQL alone; hash-matches q31's oracle
+  val sqlGoldServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    goldMetricsSql(s, dir)
+    registerCatalog(s, dir)
+    s.sql("SELECT * FROM graft.gold_order_metrics_sql")
+  }
+
+  // q62 — SQL time travel: `VERSION AS OF <first append>` on the lake
+  // orders table; hash-matches q25's oracle (the imperative asOf scan)
+  val sqlTimeTravel: (SparkSession, String) => DataFrame = (s, dir) => {
+    LakePipelines.ordersLake(s, dir) // ensure built in this warehouse
+    registerCatalog(s, dir)
+    s.sql(s"SELECT * FROM graft.orders_lake VERSION AS OF ${LakePipelines.OrdersFirstAppendSeq}")
+  }
+
+  // q63 — SQL DESCRIBE TABLE on the schema-evolved table: the evolved
+  // column must be visible through the catalog route (section rows —
+  // partitioning etc. — are filtered; they are covered by SqlCatalogSpec)
+  val sqlDescribe: (SparkSession, String) => DataFrame = (s, dir) => {
+    LakePipelines.customerEvolved(s, dir)
+    registerCatalog(s, dir)
+    s.sql("DESCRIBE TABLE graft.customer_evolved")
+      .select(col("col_name"), col("data_type"))
+      .filter(!col("col_name").startsWith("#") &&
+        col("col_name") =!= "" && !col("col_name").startsWith("Part "))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q60_sql_silver_serve", sqlSilverServe, oracle = Some(
+      """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
+        |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
+        |  o_totalprice AS total_amount
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q61_sql_gold_serve", sqlGoldServe, oracle = Some(
+      """SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
+        |  COUNT(DISTINCT o_custkey) AS user_count, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q62_sql_time_travel", sqlTimeTravel, oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q63_sql_describe", sqlDescribe, oracle = Some(
+      """SELECT * FROM (VALUES
+        |  ('c_custkey', 'bigint'),
+        |  ('c_name', 'string'),
+        |  ('c_acctbal', 'double'),
+        |  ('loyalty_tier', 'string')
+        |) AS t(col_name, data_type)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+  )
+}

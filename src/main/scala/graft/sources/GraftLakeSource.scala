@@ -114,6 +114,31 @@ private[graft] class GraftLakeV2Table(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    t.meta.partitionSpec.map { pf =>
+      pf.transform match {
+        case graft.lake.Transform.Identity    => Expressions.identity(pf.source)
+        case graft.lake.Transform.Year        => Expressions.years(pf.source)
+        case graft.lake.Transform.Month       => Expressions.months(pf.source)
+        case graft.lake.Transform.Day         => Expressions.days(pf.source)
+        case graft.lake.Transform.Bucket(n)   => Expressions.bucket(n, pf.source)
+        case graft.lake.Transform.Truncate(w) =>
+          Expressions.apply("truncate", Expressions.column(pf.source), Expressions.literal(w))
+      }
+    }.toArray
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graftlake")
+    m.put("location", t.location)
+    if (t.meta.primaryKey.nonEmpty) m.put("primary_key", t.meta.primaryKey.mkString(","))
+    if (t.meta.clusterBy.nonEmpty) m.put("cluster_by", t.meta.clusterBy.mkString(","))
+    m.put("current_snapshot", snap.seq.toString)
+    m
+  }
+
   /** Above this many bytes of live delete files, the driver-side tombstone
     * collect is refused and the MoR merge is planned as a distributed
     * anti-join instead ([[graft.plans.LakeMorRewrite]]). A CDC-heavy table

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(warehouse: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.graft.catalog.warehouse", warehouse)
+  }
+
+  test("SQL lifecycle: CREATE, INSERT, SELECT, pruning, time travel, ALTER, DESCRIBE, DROP") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tx (id BIGINT, d TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (months(d))
+        |TBLPROPERTIES ('cluster_by'='id','primary_key'='id')""".stripMargin)
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tx")
+    assert(t.meta.partitionSpec.map(p => (p.source, p.transform.name)) == Seq(("d", "month")))
+    assert(t.meta.primaryKey == Seq("id") && t.meta.clusterBy == Seq("id"))
+
+    spark.sql(
+      """INSERT INTO graft.tx VALUES
+        |  (1, TIMESTAMP '2024-01-15 00:00:00', 1.5),
+        |  (2, TIMESTAMP '2024-02-15 00:00:00', 2.5)""".stripMargin)
+    spark.sql("INSERT INTO graft.tx VALUES (3, TIMESTAMP '2024-03-15 00:00:00', 3.5)")
+    assert(spark.sql("SELECT * FROM graft.tx").count() == 3)
+
+    // month-transform pruning reaches the SQL route
+    val pruned = spark.sql("SELECT * FROM graft.tx WHERE d >= TIMESTAMP '2024-03-01 00:00:00'")
+    assert(pruned.count() == 1)
+    assert(pruned.rdd.getNumPartitions <
+      spark.sql("SELECT * FROM graft.tx").rdd.getNumPartitions, "SQL predicate pruned nothing")
+
+    // time travel: snapshot 1 = first INSERT only
+    assert(spark.sql("SELECT * FROM graft.tx VERSION AS OF 1").count() == 2)
+
+    spark.sql("ALTER TABLE graft.tx ADD COLUMN tier STRING")
+    spark.sql("INSERT INTO graft.tx VALUES (4, TIMESTAMP '2024-04-15 00:00:00', 4.5, 'gold')")
+    val tiers = spark.sql("SELECT id, tier FROM graft.tx")
+      .as[(Long, Option[String])].collect().toMap
+    assert(tiers(1L).isEmpty, "pre-ALTER row must null-fill the evolved column")
+    assert(tiers(4L).contains("gold"))
+
+    val desc = spark.sql("DESCRIBE TABLE graft.tx").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.contains(("id", "bigint")) && desc.contains(("tier", "string")),
+      s"DESCRIBE missing columns: ${desc.mkString(", ")}")
+    assert(desc.exists(_._2.contains("months(d)")), s"DESCRIBE missing partitioning: ${desc.mkString(", ")}")
+
+    assert(spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains("tx"))
+    spark.sql("DROP TABLE graft.tx")
+    assert(!graft.lake.LakeTable.exists(spark, s"$wh/tx"))
+    intercept[Exception](spark.sql("SELECT * FROM graft.tx").collect())
+  }
+
+  test("SQL CTAS-equivalent medallion flow: INSERT INTO ... SELECT from a raw view") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat2").toString
+    register(wh)
+    graft.Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders_raw_spec")
+    spark.sql(
+      """CREATE TABLE graft.silver_spec (
+        |  order_id BIGINT, status STRING, order_date TIMESTAMP, total_amount DOUBLE)
+        |PARTITIONED BY (months(order_date))
+        |TBLPROPERTIES ('cluster_by'='order_id','primary_key'='order_id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.silver_spec
+        |SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice
+        |FROM orders_raw_spec""".stripMargin)
+    val n = spark.sql("SELECT COUNT(*) FROM graft.silver_spec").head().getLong(0)
+    assert(n == graft.Tables.load(spark, sfDir, "orders").count())
+    // the SQL-written table is a plain lake table: the imperative scan agrees
+    val t = graft.lake.LakeTable.load(spark, s"$wh/silver_spec")
+    assert(t.scan().count() == n)
+    assert(t.currentSnapshot.dataFiles.forall(_.partition.contains("p_month_order_date")))
+  }
+}
