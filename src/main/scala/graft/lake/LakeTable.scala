@@ -166,30 +166,96 @@ final class LakeTable private (
     val snap = asOf.map(snapshot).getOrElse(currentSnapshot)
     val userSchema = schema(snap.schemaVersion)
     val (files, _) = planFiles(snap, filters)
-    val storage = StructType(userSchema.fields :+ StructField(SeqCol, LongType, nullable = false))
+    val merged = morMerged(snap, files)
+    val filtered = filters.foldLeft(merged)((d, f) => d.filter(f.toColumn))
+    filtered.select(userSchema.fieldNames.map(col): _*)
+  }
 
+  /** Merge-on-read content of a FILE SUBSET of `snap` (user columns +
+    * [[LakeTable.SeqCol]]): base rows anti-joined against the snapshot's
+    * delete keys. Shared by [[scan]] and partition-scoped compaction. */
+  private[lake] def morMerged(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val userSchema = schema(snap.schemaVersion)
+    val storage = StructType(userSchema.fields :+ StructField(SeqCol, LongType, nullable = false))
     val base =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storage)
       else
         spark.read.schema(storage).parquet(files.map(f => abs(f.path)): _*)
+    if (snap.deleteFiles.isEmpty) base
+    else {
+      val dels = deleteKeysDf(snap)
+      val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&
+        base(SeqCol) < dels(DseqCol)
+      base.join(dels, cond, "left_anti")
+    }
+  }
 
-    val merged =
-      if (snap.deleteFiles.isEmpty) base
-      else {
-        val pkSchema = StructType(
-          meta.primaryKey.map(k => userSchema(k)) :+ StructField(DseqCol, LongType, nullable = false))
-        val rawDels = spark.read.schema(pkSchema).parquet(snap.deleteFiles.map(d => abs(d.path)): _*)
-        // delete keys are a tiny fraction of the data (keys only, compacted
-        // away regularly); broadcast while small, let AQE pick otherwise.
-        val dels = if (snap.deleteFiles.map(_.bytes).sum <= (64L << 20)) broadcast(rawDels) else rawDels
-        val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&
-          base(SeqCol) < dels(DseqCol)
-        base.join(dels, cond, "left_anti")
-      }
+  /** The snapshot's delete keys (pk columns + [[LakeTable.DseqCol]]),
+    * broadcast while small, AQE-planned otherwise. */
+  private def deleteKeysDf(snap: Snapshot): DataFrame = {
+    val userSchema = schema(snap.schemaVersion)
+    val pkSchema = StructType(
+      meta.primaryKey.map(k => userSchema(k)) :+ StructField(DseqCol, LongType, nullable = false))
+    val rawDels = spark.read.schema(pkSchema).parquet(snap.deleteFiles.map(d => abs(d.path)): _*)
+    if (snap.deleteFiles.map(_.bytes).sum <= (64L << 20)) broadcast(rawDels) else rawDels
+  }
 
-    val filtered = filters.foldLeft(merged)((d, f) => d.filter(f.toColumn))
-    filtered.select(userSchema.fieldNames.map(col): _*)
+  /** Partition-scoped compaction: rewrites ONLY dirty partitions — those
+    * owning more than `targetFilesPerPartition` data files (bin-packing)
+    * or any row hit by a live tombstone — and drops all delete files in
+    * one commit. Untouched partitions keep their exact file entries, so at
+    * 100 TB a compaction after a skewed CDC burst rewrites the few hot
+    * partitions, not the table (the reference auto-compacts per table at a
+    * 10-file threshold, destination.json:262-263; Iceberg's equivalent is
+    * rewrite_data_files with a partition filter).
+    *
+    * Dropping ALL delete files while keeping clean partitions' files is
+    * sound because dirtiness-from-deletes is computed EXACTLY: a
+    * distributed semi-join of (pk, seq, file) against the delete keys
+    * finds every file containing a tombstoned row version; files outside
+    * that set serve no row any tombstone matches. */
+  def compactDirty(targetFilesPerPartition: Int = 1): Snapshot = synchronized {
+    val cur = currentSnapshot
+    val dirtyFromDeletes = dirtyDataFiles(cur)
+    val byPartition = cur.dataFiles.groupBy(_.partition)
+    val overfull = byPartition.filter(_._2.size > targetFilesPerPartition).keySet
+    val dirtyPartitions = overfull ++ dirtyFromDeletes.map(_.partition)
+    val (dirtyFiles, keepFiles) = cur.dataFiles.partition(f => dirtyPartitions(f.partition))
+    if (dirtyFiles.isEmpty && cur.deleteFiles.isEmpty) return cur // nothing to do
+    val seq = cur.seq + 1
+    val userSchema = schema(cur.schemaVersion)
+    val newFiles =
+      if (dirtyFiles.isEmpty) Nil // tombstones matched nothing: metadata-only fold
+      else stageDataFiles(
+        morMerged(cur, dirtyFiles).select(userSchema.fieldNames.map(col): _*),
+        cur.schemaVersion, seq)
+    commitSnapshot(Snapshot(
+      seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+      operation = "compact", schemaVersion = cur.schemaVersion,
+      dataFiles = keepFiles ++ newFiles, deleteFiles = Nil))
+  }
+
+  /** Data files containing at least one row version a live tombstone
+    * deletes — one distributed semi-join over (pk, seq, input_file_name)
+    * per compaction, reading only the pk + seq columns. */
+  private def dirtyDataFiles(snap: Snapshot): Seq[DataFile] = {
+    if (snap.deleteFiles.isEmpty || snap.dataFiles.isEmpty) return Nil
+    val userSchema = schema(snap.schemaVersion)
+    val readSchema = StructType(
+      meta.primaryKey.map(k => userSchema(k)) :+ StructField(SeqCol, LongType, nullable = false))
+    val base = spark.read.schema(readSchema)
+      .parquet(snap.dataFiles.map(f => abs(f.path)): _*)
+      .withColumn("_graft_file", input_file_name())
+    val dels = deleteKeysDf(snap)
+    val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&
+      base(SeqCol) < dels(DseqCol)
+    val dirtyNames: Set[String] = base.join(dels, cond, "left_semi")
+      .select(col("_graft_file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    // match by file NAME: staged names embed seq + index + writer uuid and
+    // are unique within a table
+    snap.dataFiles.filter(f => dirtyNames(new Path(f.path).getName))
   }
 
   /** File pruning against the partition spec: returns (selected, total).

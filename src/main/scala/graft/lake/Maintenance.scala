@@ -12,15 +12,16 @@ object Maintenance {
     * (reference: destination.json:262-263 `auto_compact: 10 files`). */
   val AutoCompactFileThreshold = 10
 
-  /** Rewrite the current merged state as fresh data files and drop all
-    * delete files: one `overwrite` commit with operation `compact`.
-    * Bin-packs small files (ingest commits one file per partition value per
-    * batch; compaction collapses B batches × P partitions back to ~P files)
-    * and re-sorts on the clustering keys. Time travel to pre-compaction
-    * snapshots still works — old files stay on disk until
+  /** Partition-scoped compaction ([[LakeTable.compactDirty]]): rewrites
+    * only partitions that are over-full or tombstone-hit, folds all delete
+    * files, keeps clean partitions' file entries verbatim. Bin-packs small
+    * files (ingest commits one file per partition value per batch;
+    * compaction collapses B batches × P partitions back to ~P files) and
+    * re-sorts on the clustering keys. Time travel to pre-compaction
+    * snapshots still works — replaced files stay on disk until
     * [[expireSnapshots]] drops the snapshots that reference them. */
-  def compact(table: LakeTable): Snapshot =
-    table.overwriteAs(table.scan(), "compact")
+  def compact(table: LakeTable, targetFilesPerPartition: Int = 1): Snapshot =
+    table.compactDirty(targetFilesPerPartition)
 
   /** Auto-compact policy: rewrite when data files OR delete files pile up
     * past their thresholds. Delete files get their own threshold (not
@@ -37,15 +38,26 @@ object Maintenance {
     else None
   }
 
-  /** Drop all but the last `keep` snapshots, then delete every data/delete
-    * file referenced only by the dropped ones (destination.json:92-93:
-    * 5-day max age, keep ≥ 5 — we keep by count; age policy would filter on
-    * `Snapshot.timestampMs` the same way). */
-  def expireSnapshots(table: LakeTable, keep: Int): Unit = {
+  /** Expire history, then delete every data/delete file referenced only by
+    * the expired snapshots. The policy mirrors the reference
+    * (destination.json:92-93: max age 5 days AND keep ≥ 5): a snapshot is
+    * expired only when it is BOTH beyond the last `keep` AND — when
+    * `maxAgeMs` is given — older than the age cutoff. Commit timestamps
+    * are monotone with seq, so the age filter always expires a prefix of
+    * history and retained snapshots stay fully readable. */
+  def expireSnapshots(table: LakeTable, keep: Int, maxAgeMs: Option[Long] = None): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val all = table.snapshots
     if (all.size <= keep) return
-    val (expired, retained) = all.splitAt(all.size - keep)
+    val candidates = all.dropRight(keep)
+    val cutoff = maxAgeMs.map(a => System.currentTimeMillis() - a)
+    val expired = cutoff match {
+      case Some(c) => candidates.filter(_.timestampMs < c)
+      case None    => candidates
+    }
+    if (expired.isEmpty) return
+    val expiredSeqs = expired.map(_.seq).toSet
+    val retained = all.filterNot(s => expiredSeqs(s.seq))
     val live: Set[String] =
       retained.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val dead = expired

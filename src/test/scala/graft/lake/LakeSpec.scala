@@ -132,6 +132,39 @@ class LakeSpec extends SparkSpec {
     assert(contentEqual(t.scan(), expected))
   }
 
+  test("partition-scoped compaction: clean partitions keep their exact files") {
+    val dir = Files.createTempDirectory("graft-pcompact-spec").toString
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i <= 50) "A" else "B", i * 1.0)).toDF("id", "s", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")),
+      primaryKey = Seq("id"))
+    t.append(df)
+    // dirty ONLY partition A: upsert restates ids 1-10 (still s=A)
+    t.upsert((1L to 10L).map(i => (i, "A", i * 2.0)).toDF("id", "s", "v"))
+    val before = t.currentSnapshot
+    val bFilesBefore = before.dataFiles.filter(_.partition("p_s") == "B").map(_.path).toSet
+    assert(before.deleteFiles.nonEmpty)
+    Maintenance.compact(t, targetFilesPerPartition = 2) // A has 2 files but tombstones force it
+    val after = t.currentSnapshot
+    assert(after.operation == "compact" && after.deleteFiles.isEmpty)
+    val bFilesAfter = after.dataFiles.filter(_.partition("p_s") == "B").map(_.path).toSet
+    assert(bFilesAfter == bFilesBefore, "clean partition B was rewritten")
+    // A was rewritten: no pre-compaction A file survives
+    val aSeqs = after.dataFiles.filter(_.partition("p_s") == "A").map(_.seq).toSet
+    assert(aSeqs == Set(after.seq), s"dirty partition A kept stale files: $aSeqs")
+    // content correct: ids 1-10 doubled, everything else intact
+    val got = t.scan().as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(t.scan().count() == 100)
+    assert((1L to 10L).forall(i => got(i) == i * 2.0) && got(60L) == 60.0)
+    // a pure bin-pack pass with target=1 also leaves single-file B alone
+    t.append((101L to 110L).map(i => (i, "A", i * 1.0)).toDF("id", "s", "v"))
+    val b2 = t.currentSnapshot.dataFiles.filter(_.partition("p_s") == "B").map(_.path).toSet
+    Maintenance.compact(t)
+    assert(t.currentSnapshot.dataFiles.filter(_.partition("p_s") == "B").map(_.path).toSet == b2)
+    assert(t.scan().count() == 110)
+  }
+
   test("snapshot expiry keeps recent history readable and drops dead files") {
     val dir = Files.createTempDirectory("graft-expire-spec").toString
     import spark.implicits._
@@ -141,7 +174,11 @@ class LakeSpec extends SparkSpec {
     t.upsert(Seq((1L, "y")).toDF("id", "s"))
     Maintenance.compact(t)
     val allSnaps = t.snapshots.size
-    Maintenance.expireSnapshots(t, keep = 1)
+    // age-gated: everything is seconds old, a 1h max-age expires nothing
+    Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(3600 * 1000L))
+    assert(t.snapshots.size == allSnaps, "age gate ignored: young snapshots expired")
+    // age 0 = everything beyond keep is old enough
+    Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(-1000L))
     assert(t.snapshots.size == 1 && allSnaps > 1)
     assert(t.scan().as[(Long, String)].collect().toSeq == Seq((1L, "y")))
   }
