@@ -334,12 +334,12 @@ final class LakeTable private (
       val cur = currentSnapshot
       val seq = cur.seq + 1
       val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq)).getOrElse(Nil)
-      val delFile = writeDeleteFile(deleteKeys, seq)
+      val delFiles = writeDeleteFiles(deleteKeys, seq)
       commitSnapshot(Snapshot(
         seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
         dataFiles = cur.dataFiles ++ newData,
-        deleteFiles = cur.deleteFiles :+ delFile))
+        deleteFiles = cur.deleteFiles ++ delFiles))
     }
 
   /** Write `df` as partitioned + clustered parquet under a staging dir,
@@ -420,26 +420,40 @@ final class LakeTable private (
     entries.toSeq
   }
 
-  private def writeDeleteFile(keys: DataFrame, seq: Long): DeleteFile = {
+  /** Stage + publish a commit's delete-key files. Typical CDC batches are
+    * small, so the default is ONE file (smallest read-side plan). A bulk
+    * delete (GDPR purge, retention sweep) can set
+    * `spark.graft.lake.deleteSplits` = N to fan the write out across N
+    * tasks hashed on the primary key — a 10⁸-key batch should not funnel
+    * through a single writer. Readers take the union of all delete files,
+    * so the split count is invisible to the merge. */
+  private def writeDeleteFiles(keys: DataFrame, seq: Long): Seq[DeleteFile] = {
     val staging = new Path(root, s"_staging/${UUID.randomUUID()}")
-    // delete-key sets are small: single file keeps the read-side plan tiny
-    keys.distinct().withColumn(DseqCol, lit(seq))
-      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val file = {
-      val it = fs.listFiles(staging, true)
-      var found: Option[Path] = None
-      while (it.hasNext && found.isEmpty) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) found = Some(st.getPath)
+    val splits = spark.conf.getOption("spark.graft.lake.deleteSplits")
+      .map(_.toInt).getOrElse(1).max(1)
+    val deduped = keys.distinct().withColumn(DseqCol, lit(seq))
+    val arranged =
+      if (splits == 1) deduped.coalesce(1)
+      else deduped.repartition(splits, meta.primaryKey.map(col): _*)
+    arranged.write.mode("overwrite").parquet(staging.toString)
+    val out = ArrayBuffer.empty[DeleteFile]
+    val it = fs.listFiles(staging, true)
+    var i = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0) {
+        val destRel = s"deletes/d-$seq-$i-${st.getPath.getName}"
+        val dest = new Path(root, destRel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException("commit failed moving delete file")
+        out += DeleteFile(destRel, seq, fs.getFileStatus(dest).getLen)
+        i += 1
       }
-      found.getOrElse(throw new IllegalStateException("delete write produced no file"))
     }
-    val destRel = s"deletes/d-$seq-${file.getName}"
-    val dest = new Path(root, destRel)
-    fs.mkdirs(dest.getParent)
-    if (!fs.rename(file, dest)) throw new IllegalStateException("commit failed moving delete file")
     fs.delete(staging, true)
-    DeleteFile(destRel, seq, fs.getFileStatus(dest).getLen)
+    if (out.isEmpty) throw new IllegalStateException("delete write produced no file")
+    out.toSeq
   }
 
   private[lake] def commitSnapshot(s: Snapshot): Snapshot = {

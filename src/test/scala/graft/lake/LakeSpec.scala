@@ -165,6 +165,24 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().count() == 110)
   }
 
+  test("large delete batches fan out to multiple delete files and read back correctly") {
+    val dir = Files.createTempDirectory("graft-delsplit-spec").toString
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    spark.conf.set("spark.graft.lake.deleteSplits", "3")
+    try t.deleteKeys((1L to 500L).map(Tuple1(_)).toDF("id"))
+    finally spark.conf.unset("spark.graft.lake.deleteSplits")
+    assert(t.currentSnapshot.deleteFiles.size > 1,
+      s"delete batch did not split: ${t.currentSnapshot.deleteFiles.size} file(s)")
+    assert(t.scan().count() == 500)
+    assert(t.scan().agg(org.apache.spark.sql.functions.min(col("id"))).head.getLong(0) == 501L)
+    // DSv2 read merges the union of split delete files identically
+    val v2 = spark.read.format("graftlake").option("path", t.location).load()
+    assert(v2.count() == 500)
+  }
+
   test("snapshot expiry keeps recent history readable and drops dead files") {
     val dir = Files.createTempDirectory("graft-expire-spec").toString
     import spark.implicits._
