@@ -35,6 +35,12 @@ object VectorMath {
   def cosineFromParts(dotAB: Column, normSqA: Column, normSqB: Column): Column =
     dotAB / sqrt(normSqA * normSqB)
 
+  /** Raw (unquantized) cosine over numeric arrays — for engine-internal
+    * math like k-means assignment where cross-engine bit-parity is not
+    * needed (quantize first when an oracle will compare). */
+  def cosineRaw(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+
   /** Sign-random-projection LSH code (`bits` hyperplanes): bit h is the
     * sign of the dot product with a deterministic ±1 hyperplane derived
     * from xxhash64(h, j). Vectors at small angles share codes with high

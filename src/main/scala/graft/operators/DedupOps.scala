@@ -65,7 +65,7 @@ object DedupOps {
     * array expression (the members column is a materialized attribute, so
     * the nested lambdas reference it for free); `pair` builds the output
     * struct from the (earlier, later) members. */
-  private def bucketPairs(members: Column)(pair: (Column, Column) => Column): Column =
+  private[operators] def bucketPairs(members: Column)(pair: (Column, Column) => Column): Column =
     flatten(transform(members, (x, i) =>
       transform(slice(members, i + 2, size(members)), y => pair(x, y))))
 

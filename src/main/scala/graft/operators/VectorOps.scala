@@ -61,42 +61,86 @@ object VectorOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
-  /** Per-list centroids of the IVF coarse quantizer (average vector per
-    * label): dimension-wise mean via posexplode + two-key groupBy —
-    * distributed, no driver collect. */
-  def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-      .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+  /** NATIVE k-means coarse quantizer (Lloyd's) in pure DataFrame algebra —
+    * no fixture `label`, no driver-side vectors:
+    *  - seeded deterministic init: the k vectors with the smallest
+    *    xxhash64(vec_id) (TakeOrderedAndProject — distributed partial
+    *    top-k, k rows materialize);
+    *  - per iteration: assignment against BROADCAST centroids (k×dim — the
+    *    only thing that is ever small enough to broadcast), then
+    *    dimension-wise means via posexplode + two-key groupBy;
+    *  - `localCheckpoint` truncates the growing lineage each iteration
+    *    without collecting anything to the driver.
+    * Returns (list_id, centroid). */
+  def kmeansCentroids(e: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    var cents = {
+      val seeds = base.withColumn("h", xxhash64(col("vec_id"))).orderBy(col("h")).limit(k)
+      // k rows: the single-partition window is trivially cheap here
+      seeds.withColumn("list_id",
+          (row_number().over(Window.orderBy(col("h"))) - 1).cast("int"))
+        .select(col("list_id"), col("embedding").as("centroid"))
+    }.localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      cents = assignLists(base, cents)
+        .select(col("list_id"), posexplode(col("embedding")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("list_id"),
+          transform(col("ps"), p => p.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
 
-  /** ANN top-k: probes rank centroids, visit only the `nprobe` nearest
-    * lists, exact-rescore candidates. Returns the same shape as
-    * [[exactTopK]] (recall measured in the spec). */
-  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
-    val e = prepared(s, dir)
-    val cents = ivfCentroids(s, dir)
+  /** Nearest-centroid assignment by cosine: broadcast join against the k
+    * centroids, then an argmax per vector via map-side-combining `max_by`
+    * (the shuffle moves ONE row per vector, not k). Ties break to the
+    * larger list id deterministically. Keeps every payload column of `e`. */
+  def assignLists(e: DataFrame, cents: DataFrame): DataFrame = {
+    val payload = e.columns.filterNot(_ == "vec_id")
+    val scored = e.join(broadcast(cents.select(col("list_id"), col("centroid"))))
+      .withColumn("csim", VectorMath.cosineRaw(col("embedding"), col("centroid")))
+    val aggs = max_by(col("list_id"), struct(col("csim"), col("list_id"))).as("list_id") +:
+      payload.map(c => first(col(c)).as(c))
+    scored.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ANN top-k: probes rank the k-means centroids, visit only the `nprobe`
+    * nearest inverted lists, exact-rescore candidates. Same output shape
+    * as [[exactTopK]] (recall measured in the spec — on planted clusters
+    * and on the adversarially-uniform fixture). */
+  def ivfTopK(s: SparkSession, dir: String, nprobe: Int = 3, nlists: Int = 10): DataFrame = {
+    val raw = emb(s, dir).select(col("vec_id"), col("embedding"))
+    ivfTopKWith(raw, kmeansCentroids(raw, nlists), nprobe)
+  }
+
+  private[operators] def ivfTopKWith(
+      raw: DataFrame, cents: DataFrame, nprobe: Int,
+      probeIds: Seq[Long] = ProbeIds): DataFrame = {
+    val e = assignLists(raw, cents)
+      .select(col("vec_id"), col("list_id"), VectorMath.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", VectorMath.normSq(col("qv")))
+    val qcents = cents
       .withColumn("cq", VectorMath.quantize(col("centroid")))
       .withColumn("cn", VectorMath.normSq(col("cq")))
-      .select(col("label").as("c_label"), col("cq"), col("cn"))
-    val p = prepared(s, dir)
-      .filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("list_id").as("c_list"), col("cq"), col("cn"))
+    val p = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nq").as("pnq"))
     // probe × centroid ranking (tiny): pick nprobe lists per probe
     val listRank = Window.partitionBy(col("probe_id"))
-      .orderBy(col("csim").desc, col("c_label"))
-    val lists = p.join(broadcast(cents))
+      .orderBy(col("csim").desc, col("c_list"))
+    val lists = p.join(broadcast(qcents))
       .withColumn("csim",
         VectorMath.cosineFromParts(
           VectorMath.dot(col("pqv"), col("cq")), col("pnq"), col("cn")))
       .withColumn("r", row_number().over(listRank))
       .filter(col("r") <= nprobe)
-      .select(col("probe_id"), col("pqv"), col("pnq"), col("c_label"))
-    // candidates = members of the selected lists only (equi-join on label)
-    val scored = e.join(broadcast(lists), e("label") === lists("c_label"))
+      .select(col("probe_id"), col("pqv"), col("pnq"), col("c_list"))
+    // candidates = members of the selected lists only (equi-join on list id)
+    val scored = e.join(broadcast(lists), e("list_id") === lists("c_list"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim",
         VectorMath.cosineFromParts(
@@ -109,10 +153,13 @@ object VectorOps {
   }
 
   /** Embedding near-dup pairs at `minSim`, LSH-bucketed: vectors meet only
-    * inside a shared sign-random-projection bucket (equi-join, no
-    * all-pairs), then exact cosine verifies. Probabilistic recall by
-    * construction — spec-validated; the fixture holds no pairs above 0.7,
-    * so this is exercised on synthetic planted duplicates. */
+    * inside a shared sign-random-projection bucket, then exact cosine
+    * verifies. One groupBy on the 8-bit code with in-bucket pair expansion
+    * (the [[DedupOps.bucketPairs]] shape) — quantization + SRP coding run
+    * ONCE per row; the previous self-join form recomputed both sides
+    * because AQE does not reuse the exchange. No join in the plan at all.
+    * Probabilistic recall by construction — spec-validated; the fixture
+    * holds no pairs above 0.7, so this is exercised on planted dups. */
   def lshNeardupPairs(s: SparkSession, dir: String, minSim: Double = 0.9,
       df: Option[DataFrame] = None): DataFrame = {
     val base = df.getOrElse(emb(s, dir))
@@ -121,14 +168,19 @@ object VectorOps {
       VectorMath.quantize(col("embedding")).as("qv"),
       VectorMath.srpCode(col("embedding"), 8).as("code"))
       .withColumn("nq", VectorMath.normSq(col("qv")))
-    val a = e.alias("a")
-    val b = e.alias("b")
-    a.join(b, col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        VectorMath.cosineFromParts(
-          VectorMath.dot(col("a.qv"), col("b.qv")), col("a.nq"), col("b.nq")))
-      .filter(col("sim") >= minSim)
-      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("sim"))
+    e.groupBy(col("code"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("qv"), col("nq")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(DedupOps.bucketPairs(col("ms")) { (x, y) =>
+        struct(
+          x.getField("vec_id").as("vec_i"),
+          y.getField("vec_id").as("vec_j"),
+          VectorMath.cosineFromParts(
+            VectorMath.dot(x.getField("qv"), y.getField("qv")),
+            x.getField("nq"), y.getField("nq")).as("sim"))
+      }).as("p"))
+      .filter(col("p.sim") >= minSim)
+      .select(col("p.vec_i").as("vec_i"), col("p.vec_j").as("vec_j"), col("p.sim").as("sim"))
   }
 
   private val quantCte =

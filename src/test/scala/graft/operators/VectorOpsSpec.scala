@@ -22,12 +22,12 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
-  test("IVF list pruning: visits nprobe of 10 lists, recall@10 >= 0.55") {
+  test("k-means IVF on the uniform fixture: recall@10 >= 0.5 at nprobe=5, real pruning") {
     // The fixture embeddings are near-uniform on the sphere (max pairwise
     // cosine < 0.7), the worst case for ANY ANN index — recall is the
-    // honest dial here: measured ~0.47/0.63/0.77 at nprobe 3/5/7. On
-    // clustered corpora (where near-dup search actually matters) the same
-    // index concentrates neighbors in the probed lists.
+    // honest dial here. The coarse quantizer is the NATIVE k-means (no
+    // fixture label). Clustered corpora (below) are the regime where
+    // near-dup search matters and recall approaches 1.
     val exact = VectorOps.exactTopK(spark, sfDir)
       .select("probe_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
     val ann = VectorOps.ivfTopK(spark, sfDir, nprobe = 5)
@@ -38,14 +38,43 @@ class VectorOpsSpec extends SparkSpec {
       (t intersect f).size.toDouble / t.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.55, s"mean recall@10 = $mean (per-probe: $recalls)")
+    assert(mean >= 0.5, s"mean recall@10 = $mean (per-probe: $recalls)")
 
-    // pruning really prunes: candidates are bounded by the nprobe lists
-    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
-    val labelSizes = graft.Tables.load(spark, sfDir, "embeddings")
-      .groupBy("label").count().as[(Int, Long)].collect().toMap
-    val maxCandidates = labelSizes.values.toSeq.sorted.takeRight(5).sum
-    assert(maxCandidates < n, "pruning bound is vacuous")
+    // pruning really prunes: the 5 largest k-means lists hold fewer
+    // vectors than the table
+    val raw = graft.Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sizes = VectorOps.assignLists(raw, VectorOps.kmeansCentroids(raw, 10))
+      .groupBy("list_id").count().as[(Int, Long)].collect().toMap
+    val n = raw.count()
+    assert(sizes.values.toSeq.sorted.takeRight(5).sum < n, "pruning bound is vacuous")
+    assert(sizes.size > 1, "k-means collapsed to a single list")
+  }
+
+  test("k-means IVF on planted clusters: clustermates recovered at nprobe=3, label-free") {
+    // 5 well-separated clusters (fixture base vectors are mutually < 0.7
+    // cosine), 10 members each with deterministic jitter. Each probe's
+    // true top-9 is exactly its clustermates; the k-means IVF must
+    // recover >= 0.9 of them visiting only 3 of 5 lists.
+    val base = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    val members = base
+      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(9))).as("m"))
+      .select(
+        (col("vec_id") * 100 + col("m")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), col("m"), i), lit(100)).cast("double") / 100.0 - 0.5) * 0.05)
+            .cast("float")).as("embedding"))
+    val cents = VectorOps.kmeansCentroids(members, k = 5, iters = 3)
+    val probes = Seq(0L, 100L, 200L, 300L, 400L)
+    val got = VectorOps.ivfTopKWith(members, cents, nprobe = 3, probeIds = probes)
+      .filter(col("rank") <= 9)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    probes.foreach { p =>
+      val mates = ((p + 1) to (p + 9)).toSet
+      val found = got.getOrElse(p, Array.empty).map(_._2).toSet
+      val recall = (mates intersect found).size.toDouble / mates.size
+      assert(recall >= 0.9, s"probe $p: recall $recall, found $found")
+    }
   }
 
   test("LSH near-dup finds planted duplicate vectors without an all-pairs join") {
@@ -55,6 +84,8 @@ class VectorOpsSpec extends SparkSpec {
     val pairs = VectorOps.lshNeardupPairs(spark, sfDir, minSim = 0.999, df = Some(df))
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // one scan, one bucket groupBy, no self-join: signatures computed once
+    assert(!plan.contains("Join"), s"SRP near-dup pairs plan still joins:\n$plan")
     val found = pairs.select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
     val expected = base.select("vec_id").as[Long].collect()
       .map(id => (id, id + 100000L)).toSet
