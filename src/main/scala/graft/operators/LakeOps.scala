@@ -93,6 +93,16 @@ object LakeOps {
   val cdcBootstrap: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersCdc(s, dir).scan(asOf = Some(LakePipelines.CdcBootstrapSeq))
 
+  // q64/q65 — MULTI-TABLE CDC: two more tables replicated through the
+  // same CdcIngest API (the reference runs 4 concurrent table pipelines,
+  // destination.json:100-234; concurrency itself is spec-asserted in
+  // CdcIngestSpec — each table's end state is oracle-hashed here)
+  val cdcCustomer: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.customerCdc(s, dir).scan()
+
+  val cdcEvents: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.eventsCdc(s, dir).scan()
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -256,6 +266,18 @@ object LakeOps {
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q34_cdc_bootstrap", cdcBootstrap, oracle = Some(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q64_cdc_customer", cdcCustomer, oracle = Some(
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'SYNTHETIC' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q65_cdc_events", cdcEvents, oracle = Some(
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 'U' ELSE event_type END AS event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+        |FROM events WHERE event_id % 7 <> 0
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q52_lake_describe", lakeDescribe, oracle = Some(
       """SELECT * FROM (VALUES

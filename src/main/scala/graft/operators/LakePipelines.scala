@@ -165,6 +165,65 @@ object LakePipelines {
       t
     }
 
+  /** CDC-replicated CUSTOMER table — second pipeline of the multi-table
+    * ingest (the reference replicates users/products/orders/order_items
+    * concurrently, destination.json:100-234): bootstrap append, then a
+    * streamed drain of a synthetic-but-deterministic change log through
+    * the SAME CdcIngest API as orders. Sync timestamps derive from the
+    * key, so the end state is a pure SQL function of the fixture. */
+  def customerCdc(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "customer_cdc") { cat =>
+      import graft.streaming.CdcIngest
+      val c = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val t = cat.createTable("customer_cdc", c.schema,
+        clusterBy = Seq("c_custkey"), primaryKey = Seq("c_custkey"))
+      t.append(c)
+      val updates = c.filter(col("c_custkey") % 3 === 0).select(
+        col("c_custkey"), col("c_name"),
+        (col("c_acctbal") * 2).as("c_acctbal"),
+        lit("SYNTHETIC").as("c_mktsegment"),
+        lit("update").as(CdcIngest.OpCol),
+        timestamp_seconds(lit(1700000000L) + col("c_custkey")).as(CdcIngest.TsCol))
+      val deletes = c.filter(col("c_custkey") % 7 === 0).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        lit("delete").as(CdcIngest.OpCol),
+        timestamp_seconds(lit(1700000000L) + col("c_custkey") + 1000000L).as(CdcIngest.TsCol))
+      val logDir = s"${cat.location("customer_cdc")}/_cdc_log"
+      val schema = CdcIngest.writeLog(updates.unionByName(deletes), "c_custkey", logDir)
+      CdcIngest.ingest(t, logDir, schema,
+        checkpoint = s"${cat.location("customer_cdc")}/_cdc_checkpoint")
+      t
+    }
+
+  /** CDC-replicated EVENTS table — third pipeline of the multi-table
+    * ingest (pk `event_id`; the raw event-time column stays out of the
+    * replicated payload — the sync timestamp is the CDC ordering). */
+  def eventsCdc(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "events_cdc") { cat =>
+      import graft.streaming.CdcIngest
+      val e = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val t = cat.createTable("events_cdc", e.schema,
+        clusterBy = Seq("event_id"), primaryKey = Seq("event_id"))
+      t.append(e)
+      val updates = e.filter(col("event_id") % 3 === 0).select(
+        col("event_id"), col("user_id"),
+        lit("U").as("event_type"),
+        (col("value") * 2).as("value"),
+        lit("update").as(CdcIngest.OpCol),
+        timestamp_seconds(lit(1700000000L) + col("event_id")).as(CdcIngest.TsCol))
+      val deletes = e.filter(col("event_id") % 7 === 0).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        lit("delete").as(CdcIngest.OpCol),
+        timestamp_seconds(lit(1700000000L) + col("event_id") + 1000000L).as(CdcIngest.TsCol))
+      val logDir = s"${cat.location("events_cdc")}/_cdc_log"
+      val schema = CdcIngest.writeLog(updates.unionByName(deletes), "event_id", logDir)
+      CdcIngest.ingest(t, logDir, schema,
+        checkpoint = s"${cat.location("events_cdc")}/_cdc_checkpoint")
+      t
+    }
+
   /** Orders written through the DataSourceV2 WRITE path (distributed
     * two-phase append commit, per-row transform rendering) instead of the
     * DataFrame-API writer — the q59 oracle hashes the scan of the result,

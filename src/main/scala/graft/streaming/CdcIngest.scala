@@ -72,12 +72,21 @@ object CdcIngest {
     updates.unionByName(deletes)
   }
 
-  /** Write the change stream as `nFiles` parquet log files under `logDir`
-    * (the "binlog segments" the file stream will discover). */
-  def writeChangeLog(spark: SparkSession, sfDir: String, logDir: String, nFiles: Int = 2): StructType = {
-    val log = changeStream(spark, sfDir)
+  /** Write the orders change stream as `nFiles` parquet log files under
+    * `logDir` (the "binlog segments" the file stream will discover). */
+  def writeChangeLog(spark: SparkSession, sfDir: String, logDir: String, nFiles: Int = 2): StructType =
+    writeLog(changeStream(spark, sfDir), "o_orderkey", logDir, nFiles)
+
+  /** Write ANY change stream as `nFiles` log segments, keyed so one key's
+    * full history lands in one file — per-key last-writer-wins then
+    * resolves inside a single micro-batch and the drained end state is
+    * invariant to file→batch grouping (the property that makes a stream
+    * oracle-checkable). Used by every replicated table of the multi-table
+    * ingest (the reference replicates 4 tables concurrently,
+    * olake-config/destination.json:100-234). */
+  def writeLog(log: DataFrame, keyCol: String, logDir: String, nFiles: Int = 2): StructType = {
     (0 until nFiles).foreach { b =>
-      log.filter(pmod(col("o_orderkey"), lit(nFiles)) === b)
+      log.filter(pmod(col(keyCol), lit(nFiles)) === b)
         .coalesce(1).write.mode("append").parquet(logDir)
     }
     log.schema

@@ -31,6 +31,33 @@ class CdcIngestSpec extends SparkSpec {
     assert(state == Seq((1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0)))
   }
 
+  test("multi-table ingest: two tables drain CONCURRENTLY through the same API") {
+    def setup(tag: String): (LakeTable, String, org.apache.spark.sql.types.StructType, String) = {
+      val t = LakeTable.create(spark, freshLoc(), s"t$tag",
+        Seq((1, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
+      t.append((1 to 50).map(i => (i, s"$tag$i")).toDF("id", "s"))
+      val log = (1 to 50).filter(_ % 2 == 0).map(i =>
+        (i, s"$tag${i}u", "update", new java.sql.Timestamp(1000L + i))).toDF(
+        "id", "s", CdcIngest.OpCol, CdcIngest.TsCol)
+      val logDir = freshLoc() + s"-log$tag"
+      val schema = CdcIngest.writeLog(log, "id", logDir)
+      (t, logDir, schema, freshLoc() + s"-ckpt$tag")
+    }
+    val pipes = Seq(setup("x"), setup("y"))
+    // one ingest thread per table — the reference's concurrent per-table
+    // pipelines (destination.json parallelism is per-pipeline)
+    val threads = pipes.map { case (t, logDir, schema, ckpt) =>
+      new Thread(() => { CdcIngest.ingest(t, logDir, schema, checkpoint = ckpt); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    pipes.zip(Seq("x", "y")).foreach { case ((t, _, _, _), tag) =>
+      val state = t.scan().as[(Int, String)].collect().toMap
+      assert(state.size == 50)
+      assert(state(2) == s"${tag}2u" && state(1) == s"${tag}1", s"table $tag wrong: $state")
+    }
+  }
+
   test("replaying a delivered batch leaves the logical state unchanged (C5)") {
     val t = LakeTable.create(spark, freshLoc(), "t",
       Seq((1, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
