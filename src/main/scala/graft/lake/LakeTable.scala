@@ -412,7 +412,8 @@ final class LakeTable private (
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
           throw new IllegalStateException(s"commit failed moving $rel")
-        entries += DataFile(destRel, seq, partition, st.getLen)
+        entries += DataFile(destRel, seq, partition, st.getLen,
+          splits = LakeTable.rowGroupSplits(dest, spark.sparkContext.hadoopConfiguration))
         i += 1
       }
     }
@@ -537,6 +538,19 @@ object LakeTable {
     if (!t.fs.exists(new Path(new Path(location), "meta/table.json")))
       throw new IllegalArgumentException(s"no lake table at $location")
     t
+  }
+
+  /** Parquet row-group byte ranges of a committed file — recorded once in
+    * the snapshot (Iceberg's `split_offsets`) so read planning never has
+    * to reopen footers. */
+  private[graft] def rowGroupSplits(
+      p: Path, conf: org.apache.hadoop.conf.Configuration): Seq[(Long, Long)] = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      rd.getRowGroups.asScala.toSeq.map(b => (b.getStartingPos, b.getCompressedSize))
+    } finally rd.close()
   }
 
   private[lake] def relativize(base: Path, p: Path): String = {

@@ -13,8 +13,19 @@ import scala.jdk.CollectionConverters._
   * (same rule as Iceberg v2 sequence numbers — reference tables are
   * format-version 2 with merge-on-read delete/update/merge modes,
   * olake-config/destination.json:80-94).
+  *
+  * `splits` records the parquet row-group byte ranges (start, length) —
+  * Iceberg's `split_offsets` — captured once at commit time so read
+  * planning can fan a file out across tasks WITHOUT reopening footers on
+  * the driver. Empty on metadata written before this field existed;
+  * readers fall back to a footer read.
   */
-final case class DataFile(path: String, seq: Long, partition: Map[String, String], bytes: Long)
+final case class DataFile(
+    path: String,
+    seq: Long,
+    partition: Map[String, String],
+    bytes: Long,
+    splits: Seq[(Long, Long)] = Nil)
 
 /** A merge-on-read delete-key file: parquet of primary-key columns plus a
   * constant `_dseq` column = the commit sequence of the delete. */
@@ -91,6 +102,12 @@ object MetaJson {
       f.put("path", df.path); f.put("seq", df.seq); f.put("bytes", df.bytes)
       val p = f.putObject("partition")
       df.partition.foreach { case (k, v) => p.put(k, v) }
+      if (df.splits.nonEmpty) {
+        val sp = f.putArray("splits")
+        df.splits.foreach { case (start, len) =>
+          val pair = sp.addArray(); pair.add(start); pair.add(len)
+        }
+      }
     }
     val dels = root.putArray("deleteFiles")
     s.deleteFiles.foreach { d =>
@@ -116,6 +133,8 @@ object MetaJson {
             p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
           }.getOrElse(Map.empty),
           bytes = f.get("bytes").asLong(),
+          splits = arr(f, "splits").map(pair =>
+            (pair.get(0).asLong(), pair.get(1).asLong())),
         )
       },
       deleteFiles = arr(root, "deleteFiles").map { f =>

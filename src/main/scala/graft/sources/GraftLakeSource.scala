@@ -215,33 +215,41 @@ private[sources] class GraftLakeScan(
       s"PrunedBy: ${filters.mkString(", ")}"
   }
 
-  /** One InputPartition per parquet ROW GROUP: footers of the surviving
-    * files are read on the driver (parallelized) and each block becomes an
-    * independent task, so a 512 MB file with 4 row groups fans out to 4
-    * readers instead of serializing in one. At real cluster scale these
-    * split offsets belong in the snapshot manifest (Iceberg's
-    * `split_offsets` field); reading footers at planning is the
-    * equivalent fallback and touches only pruned-in files. */
+  /** One InputPartition per parquet ROW GROUP, so a 512 MB file with 4 row
+    * groups fans out to 4 readers instead of serializing in one. Split
+    * byte ranges come from the SNAPSHOT metadata (recorded at commit —
+    * Iceberg's `split_offsets`), so planning is pure metadata; files from
+    * pre-splits snapshots fall back to a parallelized driver footer read. */
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = t.snapshot(seq)
     val (files, _) = t.planFiles(snap, filters)
-    val conf = t.spark.sparkContext.hadoopConfiguration
     if (files.isEmpty) return Array.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, files.size))
-    try {
-      val futures = files.map { f =>
-        val abs = t.abs(f.path)
-        pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-          def call(): Seq[InputPartition] = {
-            val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
-            try rd.getRowGroups.asScala.toSeq.map(b =>
-              GraftLakeInputPartition(abs, b.getStartingPos, b.getCompressedSize): InputPartition)
-            finally rd.close()
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    val (recorded, legacy) = files.partition(_.splits.nonEmpty)
+    val fromMeta = recorded.flatMap { f =>
+      val abs = t.abs(f.path)
+      f.splits.map { case (start, len) => GraftLakeInputPartition(abs, start, len): InputPartition }
+    }
+    val fromFooters =
+      if (legacy.isEmpty) Nil
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, legacy.size))
+        try {
+          val futures = legacy.map { f =>
+            val abs = t.abs(f.path)
+            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+              def call(): Seq[InputPartition] = {
+                val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
+                try rd.getRowGroups.asScala.toSeq.map(b =>
+                  GraftLakeInputPartition(abs, b.getStartingPos, b.getCompressedSize): InputPartition)
+                finally rd.close()
+              }
+            })
           }
-        })
+          futures.flatMap(_.get())
+        } finally pool.shutdown()
       }
-      futures.flatMap(_.get()).toArray
-    } finally pool.shutdown()
+    (fromMeta ++ fromFooters).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -89,7 +89,8 @@ private[sources] class GraftLakeBatchWrite(t: LakeTable) extends BatchWrite {
         if (!fs.rename(src, dest))
           throw new IllegalStateException(s"DSv2 commit failed moving ${f.stagedRel}")
         moved += dest
-        DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen)
+        DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen,
+          splits = LakeTable.rowGroupSplits(dest, conf))
       }
       fs.delete(new Path(root, stagingRel), true)
       t.commitStagedAppend(entries.toSeq, "append-dsv2")

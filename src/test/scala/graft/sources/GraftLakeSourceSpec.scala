@@ -114,6 +114,10 @@ class GraftLakeSourceSpec extends SparkSpec {
       val nFiles = t.currentSnapshot.dataFiles.size
       assert(v2.rdd.getNumPartitions > nFiles,
         s"row groups did not split: ${v2.rdd.getNumPartitions} partitions for $nFiles files")
+      // split offsets are recorded in the snapshot at commit time and fully
+      // determine the plan (no footer reads at planning)
+      assert(t.currentSnapshot.dataFiles.forall(_.splits.nonEmpty), "no split offsets in metadata")
+      assert(t.currentSnapshot.dataFiles.map(_.splits.size).sum == v2.rdd.getNumPartitions)
       assert(v2.count() == n)
       assert(v2.agg(sum("v")).head.getLong(0) == t.scan().agg(sum("v")).head.getLong(0))
       // vectorized: the columnar scan surfaces as ColumnarToRow in the plan
