@@ -81,6 +81,45 @@ class EventStreamsSpec extends SparkSpec {
       "two-batch streaming result differs from batch closed sessions")
   }
 
+  test("streaming gold refresh: foreachBatch upserts window aggregates into a lake table") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft-goldstream")
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+    // two time-ordered segments: the boundary hour spans both batches, so
+    // the test exercises cross-batch state + upsert restatement
+    val cut = events.selectExpr("percentile_approx(cast(ts as double), 0.5)").head().getDouble(0)
+    events.filter(col("ts").cast("double") <= cut)
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    events.filter(col("ts").cast("double") > cut)
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    def onlyFile(p: java.nio.file.Path) =
+      JFiles.list(p).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val target = dir.resolve("stream")
+    JFiles.createDirectory(target)
+    val f0 = JFiles.copy(onlyFile(dir.resolve("b0")), target.resolve("0.parquet"))
+    val f1 = JFiles.copy(onlyFile(dir.resolve("b1")), target.resolve("1.parquet"))
+    JFiles.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    JFiles.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(target.toString)
+    val agg = EventStreams.hourlyWindowed(stream)
+    val batchAgg = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"))
+    val t = graft.lake.LakeTable.create(spark, dir.resolve("gold").toString, "gold_stream",
+      batchAgg.schema, primaryKey = Seq("hour_bucket", "event_type"))
+    EventStreams.streamAggToLake(agg, t, dir.resolve("ckpt").toString)
+    // converged lake state == the batch aggregate, and >1 upsert commit ran
+    assert(t.snapshots.count(_.operation == "upsert") >= 2, "expected one upsert per micro-batch")
+    val got = t.scan().as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val want = batchAgg.as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want, s"only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
   test("out-of-order event in a later micro-batch cannot regress the session end") {
     import java.nio.file.{Files => JFiles}
     import java.time.Instant
