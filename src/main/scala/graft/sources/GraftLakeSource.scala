@@ -102,7 +102,9 @@ private[graft] class GraftLakeV2Table(
     private[graft] val t: LakeTable,
     private[graft] val asOf: Option[Long],
     private[graft] val raw: Boolean = false)
-    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private[graft] val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
 
   private[graft] def userSchema: StructType = t.schema(snap.schemaVersion)
@@ -160,6 +162,53 @@ private[graft] class GraftLakeV2Table(
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(asOf.isEmpty && !raw, "cannot write to a time-travel or raw snapshot")
     new GraftLakeWriteBuilder(t)
+  }
+
+  // ------------------------------------------------- SQL DELETE FROM (MoR)
+
+  /** `DELETE FROM graft.t WHERE …` as a MERGE-ON-READ delete: evaluate the
+    * predicate with a distributed scan, commit the matching primary keys
+    * as one delete-key file — O(matching rows), never a table rewrite.
+    * Predicates Spark cannot push as v1 filters (expressions over columns)
+    * are refused via canDeleteWhere, surfacing Spark's standard error. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && !raw && t.meta.primaryKey.nonEmpty &&
+      filters.forall(f => GraftLakeV2Table.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftLakeV2Table.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.deleteKeys(t.scan().filter(cond)
+      .select(t.meta.primaryKey.map(org.apache.spark.sql.functions.col): _*))
+  }
+}
+
+private[graft] object GraftLakeV2Table {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** v1 Filter → Column, None when untranslatable (→ DELETE refused). */
+  def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+    case Not(c) => filterColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }
 

@@ -56,6 +56,25 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM graft.tx").collect())
   }
 
+  test("SQL DELETE FROM commits a merge-on-read delete, no table rewrite") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.td (id BIGINT, s STRING)
+        |TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.td VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("DELETE FROM graft.td WHERE id <= 2 OR s = 'd'")
+    assert(spark.sql("SELECT id FROM graft.td").as[Long].collect().toSeq == Seq(3L))
+    val t = graft.lake.LakeTable.load(spark, s"$wh/td")
+    val snap = t.currentSnapshot
+    assert(snap.operation == "delete" && snap.deleteFiles.nonEmpty,
+      s"DELETE was not merge-on-read: ${snap.operation}")
+    // the base data file was NOT rewritten
+    assert(snap.dataFiles.map(_.seq).forall(_ < snap.seq), "DELETE rewrote data files")
+    // time travel still sees the pre-delete state
+    assert(spark.sql(s"SELECT * FROM graft.td VERSION AS OF ${snap.seq - 1}").count() == 4)
+  }
+
   test("SQL CTAS-equivalent medallion flow: INSERT INTO ... SELECT from a raw view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat2").toString
     register(wh)
