@@ -300,6 +300,17 @@ final class LakeTable private (
   def commitStagedAppend(files: Seq[DataFile], op: String): Snapshot =
     synchronized { commitAppendWithRetry(files, op) }
 
+  /** REPLACE the table content with already-staged files (the DSv2
+    * INSERT OVERWRITE commit). No rebase retry: overwrite racing any other
+    * commit is a real conflict and must surface. */
+  def commitStagedReplace(files: Seq[DataFile], op: String): Snapshot = synchronized {
+    val cur = currentSnapshot
+    commitSnapshot(Snapshot(
+      seq = cur.seq + 1, parent = Some(cur.seq),
+      timestampMs = System.currentTimeMillis(), operation = op,
+      schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil))
+  }
+
   /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
     * shape): on losing the snapshot race, re-read the new current snapshot
     * and re-commit the already-staged files on top of it. Appends are

@@ -35,13 +35,30 @@ import scala.collection.mutable
   * from the value); `bucket[n]` cannot be reproduced engine-side
   * (Spark-internal murmur3) and is rejected for DSv2 writes.
   */
-private[sources] class GraftLakeWriteBuilder(t: LakeTable) extends WriteBuilder {
+/** Append by default; `INSERT OVERWRITE` / truncate arrive through
+  * SupportsOverwrite with the always-true filter and commit a full
+  * REPLACE snapshot instead (the reference's silver/gold rebuild shape —
+  * scripts/iceberg-setup.sql re-runs the INSERT over the curated tier).
+  * Filtered overwrite (replace-where) is refused: the lake format models
+  * row-level change as merge-on-read deletes, not partition overwrites. */
+private[sources] class GraftLakeWriteBuilder(t: LakeTable)
+    extends WriteBuilder with SupportsOverwrite {
+  private var replaceAll = false
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]),
+      s"graftlake supports only full-table INSERT OVERWRITE, got: ${filters.mkString(", ")}")
+    replaceAll = true
+    this
+  }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t)
+    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t, replaceAll)
   }
 }
 
-private[sources] class GraftLakeBatchWrite(t: LakeTable) extends BatchWrite {
+private[sources] class GraftLakeBatchWrite(t: LakeTable, replaceAll: Boolean = false)
+    extends BatchWrite {
   private val stagingRel = s"_staging/dsv2-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -93,7 +110,8 @@ private[sources] class GraftLakeBatchWrite(t: LakeTable) extends BatchWrite {
           splits = LakeTable.rowGroupSplits(dest, conf))
       }
       fs.delete(new Path(root, stagingRel), true)
-      t.commitStagedAppend(entries.toSeq, "append-dsv2")
+      if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2")
+      else t.commitStagedAppend(entries.toSeq, "append-dsv2")
     } catch {
       case e: Throwable =>
         moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => })

@@ -75,6 +75,19 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.td VERSION AS OF ${snap.seq - 1}").count() == 4)
   }
 
+  test("SQL INSERT OVERWRITE replaces table content in one snapshot; time travel keeps history") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlow").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.tow (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.tow VALUES (1,'old'), (2,'old')")
+    spark.sql("INSERT OVERWRITE graft.tow VALUES (10,'new'), (11,'new'), (12,'new')")
+    assert(spark.sql("SELECT id FROM graft.tow").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tow")
+    assert(t.currentSnapshot.operation == "overwrite-dsv2")
+    assert(spark.sql("SELECT * FROM graft.tow VERSION AS OF 1").count() == 2)
+  }
+
   test("SQL CTAS-equivalent medallion flow: INSERT INTO ... SELECT from a raw view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat2").toString
     register(wh)
