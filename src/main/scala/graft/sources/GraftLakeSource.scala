@@ -116,6 +116,7 @@ private[graft] class GraftLakeV2Table(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def partitioning(): Array[Transform] = {
@@ -259,6 +260,9 @@ private[sources] class GraftLakeScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftLakeMicroBatchStream(t, required, filters)
   override def description(): String = {
     val (kept, total) = t.planFiles(t.snapshot(seq), filters)
     val mor = if (skipDeletes) " mor=deferred" else ""
@@ -334,6 +338,75 @@ private[sources] class GraftLakeScan(
       t.spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap
     GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types, hadoopConf)
+  }
+}
+
+/** Offset of the lake streaming source: the snapshot commit sequence. */
+private[sources] case class GraftLakeOffset(seq: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = seq.toString
+}
+
+/** Incremental (micro-batch) read of a lake table:
+  * `spark.readStream.format("graftlake").option("path", …)` — each trigger
+  * consumes the data files committed by snapshots in (startSeq, endSeq],
+  * so appends stream through as they commit (the Iceberg incremental-read
+  * idiom; this is how a continuously-refreshed silver tier tails the raw
+  * tier instead of rescanning it). APPEND-ONLY history: a compaction,
+  * upsert or overwrite inside the consumed range rewrites or tombstones
+  * rows and cannot be replayed as an append stream — it fails loudly with
+  * the restart instructions instead of double-counting. */
+private[sources] class GraftLakeMicroBatchStream(
+    t: LakeTable,
+    required: StructType,
+    filters: Seq[PruneFilter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftLakeOffset(0L)
+  override def latestOffset(): Offset = GraftLakeOffset(t.currentSeq)
+  override def deserializeOffset(json: String): Offset = GraftLakeOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLakeOffset].seq
+    val e = end.asInstanceOf[GraftLakeOffset].seq
+    if (e <= s) return Array.empty
+    val snap = t.snapshot(e)
+    ((s + 1) to e).map(t.snapshot).foreach { sn =>
+      require(sn.operation == "create" || sn.operation.startsWith("append") ||
+        sn.operation == "add-column",
+        s"streaming read needs append-only history; snapshot ${sn.seq} is " +
+          s"'${sn.operation}' — start a fresh checkpoint from the current state instead")
+    }
+    val newFiles = snap.dataFiles
+      .filter(f => f.seq > s && f.seq <= e)
+      .filter(f => filters.forall(fl => PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl)))
+    newFiles.flatMap { f =>
+      val abs = t.abs(f.path)
+      if (f.splits.nonEmpty)
+        f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }
+      else {
+        val conf = t.spark.sparkContext.hadoopConfiguration
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
+        try rd.getRowGroups.asScala.toSeq.map(b =>
+          GraftLakeInputPartition(abs, b.getStartingPos, b.getCompressedSize): InputPartition)
+        finally rd.close()
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snap = t.currentSnapshot
+    val types: Map[String, DataType] =
+      t.schema(snap.schemaVersion).fields.map(f => f.name -> f.dataType).toMap +
+        (LakeTable.SeqCol -> LongType)
+    val hadoopConf: Map[String, String] =
+      t.spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    // append-only ranges carry no tombstones by construction
+    GraftLakeReaderFactory(required, t.meta.primaryKey, Map.empty, types, hadoopConf)
   }
 }
 

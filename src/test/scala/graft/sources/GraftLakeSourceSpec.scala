@@ -129,6 +129,39 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming read: appends stream incrementally through a checkpoint, non-append fails") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamread-spec").toString
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val df2 = Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df1.schema, primaryKey = Seq("id"))
+    t.append(df1)
+    val ckpt = s"$dir/ckpt"
+    def drain(): Set[(Long, String)] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+      val q = spark.readStream.format("graftlake").option("path", t.location).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= b.as[(Long, String)].collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.toSet
+    }
+    assert(drain() == Set((1L, "a"), (2L, "b")))
+    t.append(df2)
+    // checkpoint resumes: ONLY the new append arrives
+    assert(drain() == Set((3L, "c"), (4L, "d")))
+    assert(drain() == Set.empty, "no new commits must yield no rows")
+    // an upsert in range is not replayable as an append stream: loud failure
+    t.upsert(Seq((1L, "A")).toDF("id", "s"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(err.getMessage.contains("append-only") ||
+      Option(err.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("lake tables are queryable from plain SQL via the DSv2 source") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     readLake(t.location).createOrReplaceTempView("orders_lake_sql")

@@ -56,6 +56,21 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM graft.tx").collect())
   }
 
+  test("CTAS: CREATE TABLE ... AS SELECT materializes a lake table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctas").toString
+    register(wh)
+    graft.Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders_ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.ctas_orders
+        |TBLPROPERTIES ('primary_key'='id')
+        |AS SELECT o_orderkey AS id, o_orderstatus AS s FROM orders_ctas_src""".stripMargin)
+    val n = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ctas_orders").head().getLong(0) == n)
+    val t = graft.lake.LakeTable.load(spark, s"$wh/ctas_orders")
+    assert(t.meta.primaryKey == Seq("id"))
+    assert(t.scan().count() == n)
+  }
+
   test("SQL DELETE FROM commits a merge-on-read delete, no table rewrite") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
     register(wh)
