@@ -103,6 +103,13 @@ object LakeOps {
   val cdcEvents: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.eventsCdc(s, dir).scan()
 
+  // q66 — INCREMENTAL medallion: the silver tier built by a STREAMING read
+  // of the raw lake table (micro-batch offsets = snapshot seqs) with the
+  // projection applied in-stream and foreachBatch appends — hash-matches
+  // the batch-built silver (q30/q60), proving tail-the-lake ≡ rebuild
+  val streamedSilver: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.silverStreamed(s, dir).scan()
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -273,6 +280,11 @@ object LakeOps {
         |  CASE WHEN c_custkey % 3 = 0 THEN 'SYNTHETIC' ELSE c_mktsegment END AS c_mktsegment
         |FROM customer WHERE c_custkey % 7 <> 0
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q66_streamed_silver", streamedSilver, oracle = Some(
+      """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
+        |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
+        |  o_totalprice AS total_amount
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q65_cdc_events", cdcEvents, oracle = Some(
       """SELECT event_id, user_id,
         |  CASE WHEN event_id % 3 = 0 THEN 'U' ELSE event_type END AS event_type,
