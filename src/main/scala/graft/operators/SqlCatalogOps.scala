@@ -69,6 +69,33 @@ object SqlCatalogOps {
       cat.table("gold_order_metrics_sql")
     }
 
+  /** Orders replicated via SQL, then thinned with SQL `DELETE FROM` — the
+    * delete commits as merge-on-read key files, never a rewrite. */
+  def ordersSqlDeleted(s: SparkSession, dir: String): LakeTable =
+    LakePipelines.cached(s, dir, "orders_sqldel") { cat =>
+      registerCatalog(s, dir)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_raw")
+      s.sql(
+        """CREATE TABLE graft.orders_sqldel (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          |TBLPROPERTIES ('primary_key'='o_orderkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.orders_sqldel
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft_orders_raw""".stripMargin)
+      s.sql("DELETE FROM graft.orders_sqldel WHERE o_orderstatus = 'F' OR o_orderkey < 100")
+      val t = cat.table("orders_sqldel")
+      require(t.currentSnapshot.deleteFiles.nonEmpty, "SQL DELETE was not merge-on-read")
+      t
+    }
+
+  // q67 — SQL DELETE FROM end state: the thinned table hash-matches the
+  // complement predicate over the raw fixture
+  val sqlDeleteServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    ordersSqlDeleted(s, dir)
+    registerCatalog(s, dir)
+    s.sql("SELECT * FROM graft.orders_sqldel")
+  }
+
   // q60 — silver tier CREATEd, LOADed and SELECTed through SQL alone;
   // hash-matches q30's oracle (the Scala-API-built silver table)
   val sqlSilverServe: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -120,6 +147,10 @@ object SqlCatalogOps {
     NamedQuery("q62_sql_time_travel", sqlTimeTravel, oracle = Some(
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q67_sql_delete", sqlDeleteServe, oracle = Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 100)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q63_sql_describe", sqlDescribe, oracle = Some(
       """SELECT * FROM (VALUES

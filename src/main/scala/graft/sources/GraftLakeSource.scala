@@ -75,6 +75,9 @@ class GraftLakeSource extends TableProvider with org.apache.spark.sql.sources.Da
 }
 
 object GraftLakeSource {
+  /** Metadata column: absolute path of the data file serving a row. */
+  val FileCol = "_graft_file"
+
   /** Driver-side tombstone key rendering, normalized to the SAME primitive
     * representation the parquet reader extracts (micros for timestamps,
     * epoch days for dates) — external java.sql types stringify differently
@@ -104,7 +107,8 @@ private[graft] class GraftLakeV2Table(
     private[graft] val raw: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private[graft] val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
 
   private[graft] def userSchema: StructType = t.schema(snap.schemaVersion)
@@ -118,6 +122,25 @@ private[graft] class GraftLakeV2Table(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** Iceberg-style metadata columns: `_graft_seq` (the commit that wrote
+    * each row — a real stored column) and `_graft_file` (the serving data
+    * file, injected by the reader). Hidden from `SELECT *`; available by
+    * name for audits and incremental jobs. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.SeqCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "commit sequence that wrote the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftLakeSource.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file serving the row"
+      })
 
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -330,7 +353,7 @@ private[sources] class GraftLakeScan(
       }
     val types: Map[String, DataType] =
       t.schema(snap.schemaVersion).fields.map(f => f.name -> f.dataType).toMap +
-        (LakeTable.SeqCol -> LongType)
+        (LakeTable.SeqCol -> LongType) + (GraftLakeSource.FileCol -> StringType)
     // ship the session's hadoop conf (filesystem impls, credentials) to the
     // readers — a bare `new Configuration()` only reaches the default
     // local fs
@@ -401,7 +424,7 @@ private[sources] class GraftLakeMicroBatchStream(
     val snap = t.currentSnapshot
     val types: Map[String, DataType] =
       t.schema(snap.schemaVersion).fields.map(f => f.name -> f.dataType).toMap +
-        (LakeTable.SeqCol -> LongType)
+        (LakeTable.SeqCol -> LongType) + (GraftLakeSource.FileCol -> StringType)
     val hadoopConf: Map[String, String] =
       t.spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap
@@ -431,9 +454,11 @@ private[sources] case class GraftLakeReaderFactory(
 
   /** Tombstone-free scans decode through Spark's VECTORIZED parquet reader
     * straight into ColumnarBatches (dictionary-aware, null-filling evolved
-    * columns); only merge-on-read scans with live tombstones fall back to
-    * the row-at-a-time Group reader, which needs the per-row survive check. */
-  override def supportColumnarReads(p: InputPartition): Boolean = tombstones.isEmpty
+    * columns); merge-on-read scans with live tombstones (per-row survive
+    * check) and projections of the reader-injected `_graft_file` metadata
+    * column fall back to the row-at-a-time Group reader. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    tombstones.isEmpty && !required.fieldNames.contains(GraftLakeSource.FileCol)
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -576,6 +601,7 @@ private[sources] class GraftLakePartitionReader(
     present.zipWithIndex.map { case (n, _) => n -> projection.getFieldIndex(n) }.toMap
 
   private def extract(g: org.apache.parquet.example.data.Group, name: String): Any = {
+    if (name == GraftLakeSource.FileCol) return UTF8String.fromString(file)
     fieldIndex.get(name) match {
       case None => null // evolved column the file predates
       case Some(i) =>

@@ -162,6 +162,22 @@ class GraftLakeSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("metadata columns _graft_seq/_graft_file select by name, hidden from SELECT *") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metacol-spec").toString
+    val df1 = Seq((1L, "a")).toDF("id", "s")
+    val df2 = Seq((2L, "b")).toDF("id", "s")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df1.schema)
+    t.append(df1); t.append(df2)
+    val v2 = readLake(t.location)
+    assert(!v2.columns.contains("_graft_seq") && !v2.columns.contains("_graft_file"))
+    val md = v2.select(col("id"), col("_graft_seq"), col("_graft_file"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(md(1L)._1 == 1L && md(2L)._1 == 2L, s"wrong commit seqs: $md")
+    assert(md.values.forall(_._2.endsWith(".parquet")))
+    assert(md(1L)._2 != md(2L)._2, "rows of different commits share a file")
+  }
+
   test("lake tables are queryable from plain SQL via the DSv2 source") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     readLake(t.location).createOrReplaceTempView("orders_lake_sql")
