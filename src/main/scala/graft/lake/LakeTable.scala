@@ -400,7 +400,7 @@ final class LakeTable private (
     val writer = arranged.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging.toString)
 
-    val entries = ArrayBuffer.empty[DataFile]
+    val moved = ArrayBuffer.empty[(String, Path, Map[String, String], Long)]
     val it = fs.listFiles(staging, true)
     var i = 0
     while (it.hasNext) {
@@ -423,13 +423,16 @@ final class LakeTable private (
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
           throw new IllegalStateException(s"commit failed moving $rel")
-        entries += DataFile(destRel, seq, partition, st.getLen,
-          splits = LakeTable.rowGroupSplits(dest, spark.sparkContext.hadoopConfiguration))
+        moved += ((destRel, dest, partition, st.getLen))
         i += 1
       }
     }
     fs.delete(staging, true)
-    entries.toSeq
+    val splitsByPath = LakeTable.rowGroupSplitsAll(
+      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration)
+    moved.map { case (destRel, dest, partition, len) =>
+      DataFile(destRel, seq, partition, len, splits = splitsByPath(dest))
+    }.toSeq
   }
 
   /** Stage + publish a commit's delete-key files. Typical CDC batches are
@@ -487,7 +490,12 @@ final class LakeTable private (
       val out = fs.create(p, false)
       try out.write(bytes) finally out.close()
     }
-    writeString(new Path(metaDir, "version-hint.text"), s.seq.toString) // advisory
+    // the hint is ADVISORY (readers list meta/ when it lies) — it must not
+    // be able to fail a commit whose snapshot file already exists: a caller
+    // seeing an exception here would roll back files a durable snapshot
+    // references
+    try writeString(new Path(metaDir, "version-hint.text"), s.seq.toString)
+    catch { case _: Exception => () }
     s
   }
 
@@ -562,6 +570,23 @@ object LakeTable {
       import scala.jdk.CollectionConverters._
       rd.getRowGroups.asScala.toSeq.map(b => (b.getStartingPos, b.getCompressedSize))
     } finally rd.close()
+  }
+
+  /** Footer reads for a batch of freshly committed files, parallelized —
+    * a big append can publish thousands of files and a serial loop would
+    * stretch the commit critical section by O(files) round-trips. */
+  private[graft] def rowGroupSplitsAll(
+      paths: Seq[Path],
+      conf: org.apache.hadoop.conf.Configuration): Map[Path, Seq[(Long, Long)]] = {
+    if (paths.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, paths.size))
+    try {
+      paths.map { p =>
+        p -> pool.submit(new java.util.concurrent.Callable[Seq[(Long, Long)]] {
+          def call(): Seq[(Long, Long)] = rowGroupSplits(p, conf)
+        })
+      }.map { case (p, f) => p -> f.get() }.toMap
+    } finally pool.shutdown()
   }
 
   private[lake] def relativize(base: Path, p: Path): String = {

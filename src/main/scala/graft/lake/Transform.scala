@@ -47,7 +47,15 @@ sealed trait Transform {
     * (lexicographic "10" < "2" would mis-prune numbers). */
   def rangeCompare(fileValue: String, literal: Any): Option[Int] =
     if (!orderPreserving) None
-    else valueOf(literal).map(r => Integer.signum(fileValue.compareTo(r)))
+    else valueOf(literal).map { r =>
+      // compare by UTF-8 bytes, matching Spark's UTF8String binary order —
+      // Java's UTF-16 compareTo disagrees around supplementary characters
+      // (relevant for truncate[w] over arbitrary strings; the temporal
+      // transforms render ASCII where the two orders coincide)
+      val a = fileValue.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = r.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Integer.signum(java.util.Arrays.compareUnsigned(a, b))
+    }
 }
 
 object Transform {

@@ -154,19 +154,25 @@ object VectorOps {
 
   /** Embedding near-dup pairs at `minSim`, LSH-bucketed: vectors meet only
     * inside a shared sign-random-projection bucket, then exact cosine
-    * verifies. One groupBy on the 8-bit code with in-bucket pair expansion
-    * (the [[DedupOps.bucketPairs]] shape) — quantization + SRP coding run
-    * ONCE per row; the previous self-join form recomputed both sides
-    * because AQE does not reuse the exchange. No join in the plan at all.
-    * Probabilistic recall by construction — spec-validated; the fixture
-    * holds no pairs above 0.7, so this is exercised on planted dups. */
+    * verifies. One groupBy on the code with in-bucket pair expansion (the
+    * [[DedupOps.bucketPairs]] shape) — quantization + SRP coding run ONCE
+    * per row; the previous self-join form recomputed both sides because
+    * AQE does not reuse the exchange. No join in the plan at all.
+    *
+    * `bits` sizes the bucket fan-out AND the per-bucket membership: buckets
+    * hold ~N/2^bits random vectors, and each bucket's members materialize
+    * in one aggregation row before pair expansion, so bits must grow with
+    * the corpus (≈ 2·log2(N) keeps expected bucket size ~1 for non-dup
+    * collisions; true near-dups share a code at any width). Probabilistic
+    * recall by construction — spec-validated on planted dups; the fixture
+    * holds no organic pairs above 0.7. */
   def lshNeardupPairs(s: SparkSession, dir: String, minSim: Double = 0.9,
-      df: Option[DataFrame] = None): DataFrame = {
+      df: Option[DataFrame] = None, bits: Int = 16): DataFrame = {
     val base = df.getOrElse(emb(s, dir))
     val e = base.select(
       col("vec_id"),
       VectorMath.quantize(col("embedding")).as("qv"),
-      VectorMath.srpCode(col("embedding"), 8).as("code"))
+      VectorMath.srpCode(col("embedding"), bits).as("code"))
       .withColumn("nq", VectorMath.normSq(col("qv")))
     e.groupBy(col("code"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("qv"), col("nq")))).as("ms"))

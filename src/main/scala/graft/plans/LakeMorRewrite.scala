@@ -42,11 +42,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class LakeMorRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case rel: DataSourceV2Relation
-        if rel.table.isInstanceOf[GraftLakeV2Table] &&
-          rel.table.asInstanceOf[GraftLakeV2Table].morJoinNeeded =>
-      rewrite(rel, rel.table.asInstanceOf[GraftLakeV2Table])
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level commands (DELETE FROM) keep the relation as their direct
+    // child and pattern-match on it — rewriting it would unresolve the
+    // command exactly on the tables whose tombstones most need trimming
+    case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => plan
+    case _ => plan.transform {
+      case rel: DataSourceV2Relation
+          if rel.table.isInstanceOf[GraftLakeV2Table] &&
+            rel.table.asInstanceOf[GraftLakeV2Table].morJoinNeeded &&
+            // the reader injects _graft_file; the join rewrite cannot — a
+            // projection of it falls back to the in-reader merge (which
+            // requires the explicit driver-tombstone opt-in above the gate)
+            !rel.output.exists(_.name == graft.sources.GraftLakeSource.FileCol) =>
+        rewrite(rel, rel.table.asInstanceOf[GraftLakeV2Table])
+    }
   }
 
   private def rewrite(rel: DataSourceV2Relation, tbl: GraftLakeV2Table): LogicalPlan = {

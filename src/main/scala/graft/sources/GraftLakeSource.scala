@@ -336,8 +336,22 @@ private[sources] class GraftLakeScan(
     // to the driver ONLY while small (delete files are keys-only and fold
     // away at compaction); above the gate, LakeMorRewrite plans the MoR
     // merge as a distributed anti-join over the raw scan instead, and this
-    // path must never be reached (a session without the graft extensions
-    // would reach it — correct but driver-bounded, hence the loud check).
+    // path refuses to run (reachable without the graft extensions, or when
+    // the _graft_file projection forces the in-reader merge): collecting
+    // 10^8+ keys would OOM the driver silently, so fail actionably unless
+    // explicitly allowed.
+    if (!skipDeletes && snap.deleteFiles.nonEmpty) {
+      val gate = t.spark.conf.getOption("spark.graft.lake.tombstoneCollectMaxBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val bytes = snap.deleteFiles.map(_.bytes).sum
+      val allow = t.spark.conf.getOption("spark.graft.lake.allowDriverTombstones")
+        .exists(_.toBoolean)
+      require(bytes <= gate || allow,
+        s"${t.meta.name}: $bytes bytes of delete files exceed the driver-collect gate " +
+          s"($gate). Register graft.plans.GraftExtensions (spark.sql.extensions) so the " +
+          "merge plans as a distributed anti-join, compact the table, or set " +
+          "spark.graft.lake.allowDriverTombstones=true to accept the driver cost.")
+    }
     val tombstones: Map[Seq[String], Long] =
       if (skipDeletes || snap.deleteFiles.isEmpty) Map.empty
       else {
@@ -386,16 +400,29 @@ private[sources] class GraftLakeMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = GraftLakeOffset(0L)
+  /** Sentinel "before any snapshot": the first batch BOOTSTRAPS from the
+    * earliest snapshot still on disk (routine expiry deletes old snapshot
+    * files while the current file listing retains their data), then
+    * increments follow. */
+  private val Bootstrap = -1L
+
+  override def initialOffset(): Offset = GraftLakeOffset(Bootstrap)
   override def latestOffset(): Offset = GraftLakeOffset(t.currentSeq)
   override def deserializeOffset(json: String): Offset = GraftLakeOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftLakeOffset].seq
+    val s0 = start.asInstanceOf[GraftLakeOffset].seq
     val e = end.asInstanceOf[GraftLakeOffset].seq
-    if (e <= s) return Array.empty
+    if (e <= s0 && s0 != Bootstrap) return Array.empty
+    val earliest = t.snapshots.map(_.seq).min
+    val s = if (s0 == Bootstrap) earliest else s0
+    require(s0 == Bootstrap || s0 + 1 >= earliest,
+      s"streaming checkpoint at seq $s0 is older than the retained history " +
+        s"(earliest snapshot $earliest) — snapshots it needs were expired; " +
+        "restart from a fresh checkpoint")
+    if (e < s) return Array.empty
     val snap = t.snapshot(e)
     ((s + 1) to e).map(t.snapshot).foreach { sn =>
       require(sn.operation == "create" || sn.operation.startsWith("append") ||
@@ -403,8 +430,13 @@ private[sources] class GraftLakeMicroBatchStream(
         s"streaming read needs append-only history; snapshot ${sn.seq} is " +
           s"'${sn.operation}' — start a fresh checkpoint from the current state instead")
     }
+    if (s0 == Bootstrap)
+      require(t.snapshot(s).deleteFiles.isEmpty,
+        s"streaming bootstrap snapshot $s carries merge-on-read deletes; " +
+          "compact the table before streaming it")
     val newFiles = snap.dataFiles
-      .filter(f => f.seq > s && f.seq <= e)
+      // bootstrap batch = the WHOLE earliest snapshot, then strict increments
+      .filter(f => (if (s0 == Bootstrap) f.seq <= s else false) || (f.seq > s && f.seq <= e))
       .filter(f => filters.forall(fl => PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl)))
     newFiles.flatMap { f =>
       val abs = t.abs(f.path)

@@ -91,7 +91,7 @@ private[sources] class GraftLakeBatchWrite(t: LakeTable, replaceAll: Boolean = f
     // moved into data/ would leak unreferenced (abort only clears staging)
     val moved = mutable.ListBuffer.empty[Path]
     try {
-      val entries = staged.zipWithIndex.map { case (f, i) =>
+      val placed = staged.zipWithIndex.map { case (f, i) =>
         val src = new Path(root, f.stagedRel)
         val partDirs = f.partition.toSeq.sortBy(_._1)
           // Hive-style escaping, matching the DataFrame-API writer's
@@ -106,10 +106,14 @@ private[sources] class GraftLakeBatchWrite(t: LakeTable, replaceAll: Boolean = f
         if (!fs.rename(src, dest))
           throw new IllegalStateException(s"DSv2 commit failed moving ${f.stagedRel}")
         moved += dest
-        DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen,
-          splits = LakeTable.rowGroupSplits(dest, conf))
+        (f, destRel, dest)
       }
       fs.delete(new Path(root, stagingRel), true)
+      val splitsByPath = LakeTable.rowGroupSplitsAll(placed.map(_._3).toSeq, conf)
+      val entries = placed.map { case (f, destRel, dest) =>
+        DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen,
+          splits = splitsByPath(dest))
+      }
       if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2")
       else t.commitStagedAppend(entries.toSeq, "append-dsv2")
     } catch {

@@ -123,6 +123,17 @@ class PruneProps extends AnyFunSuite {
     }
   }
 
+  test("range compare follows UTF-8 byte order (Spark's), not Java UTF-16 order") {
+    // U+FFFD (3-byte UTF-8) sorts BELOW a supplementary char (4-byte) in
+    // UTF-8/Spark order, but ABOVE its surrogates in Java's compareTo —
+    // a UTF-16 comparison would falsely prune this file for `col <= supp`
+    val supp = new String(Character.toChars(0x10000))
+    val tr = Transform.Truncate(3)
+    val spec = Seq(PartitionField("c", tr, "p"))
+    val fileVal = tr.valueOf("\uFFFD" + "ab").get
+    assert(PruneFilter.mayMatch(spec, Map("p" -> fileVal), PruneFilter.Le("c", supp + "zz")))
+  }
+
   test("identity on temporal columns never prunes (render formats differ from directory encoding)") {
     (1 to 500).foreach { _ =>
       val ts = randTs()

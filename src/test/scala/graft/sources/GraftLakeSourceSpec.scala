@@ -162,6 +162,29 @@ class GraftLakeSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("streaming read bootstraps from the earliest retained snapshot after expiry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamexp-spec").toString
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "a")).toDF("id", "s").schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    graft.lake.Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(-1000L))
+    assert(t.snapshots.size == 1, "expiry did not run")
+    // a FRESH stream must still deliver the full retained content
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graftlake").option("path", t.location).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.as[(Long, String)].collect() }; ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt-fresh")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(buf.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("metadata columns _graft_seq/_graft_file select by name, hidden from SELECT *") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-metacol-spec").toString

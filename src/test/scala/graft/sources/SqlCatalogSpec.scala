@@ -103,6 +103,25 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.tow VERSION AS OF 1").count() == 2)
   }
 
+  test("SQL DELETE still works on a table above the tombstone-collect gate") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqldel-gate").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tdg (id BIGINT, s STRING)
+        |TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tdg VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("DELETE FROM graft.tdg WHERE id = 1") // creates delete files
+    spark.conf.set("spark.graft.lake.tombstoneCollectMaxBytes", "0")
+    try {
+      // the MoR plan rewrite must NOT fire under the DELETE command itself
+      spark.sql("DELETE FROM graft.tdg WHERE id = 2")
+      assert(spark.sql("SELECT id FROM graft.tdg").as[Long].collect().toSet == Set(3L, 4L))
+      // and reads above the gate go through the distributed anti-join
+      val plan = spark.sql("SELECT * FROM graft.tdg").queryExecution.executedPlan.toString
+      assert(plan.contains("mor=deferred"))
+    } finally spark.conf.unset("spark.graft.lake.tombstoneCollectMaxBytes")
+  }
+
   test("SQL CTAS-equivalent medallion flow: INSERT INTO ... SELECT from a raw view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat2").toString
     register(wh)
