@@ -137,7 +137,7 @@ object SqlCatalogOps {
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
         |  o_totalprice AS total_amount
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q61_sql_gold_serve", sqlGoldServe, oracle = Some(
+    NamedQuery("q61_sql_gold_serve", sqlGoldServe, bench = true, oracle = Some(
       """SELECT CAST(o_orderdate AS DATE) AS order_month, o_orderstatus AS status,
         |  COUNT(DISTINCT o_custkey) AS user_count, COUNT(*) AS order_count,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
