@@ -71,6 +71,18 @@ class SqlCatalogSpec extends SparkSpec {
     assert(t.scan().count() == n)
   }
 
+  test("USE graft: unqualified names resolve through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-usecat").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.tu (id BIGINT)")
+    spark.sql("INSERT INTO graft.tu VALUES (7)")
+    spark.sql("USE graft")
+    try {
+      assert(spark.sql("SELECT id FROM tu").as[Long].head() == 7L)
+      assert(spark.sql("SHOW TABLES").collect().map(_.getString(1)).contains("tu"))
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("SQL DELETE FROM commits a merge-on-read delete, no table rewrite") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
     register(wh)
