@@ -43,15 +43,17 @@ object VectorMath {
 
   /** Sign-random-projection LSH code (`bits` hyperplanes): bit h is the
     * sign of the dot product with a deterministic ±1 hyperplane derived
-    * from xxhash64(h, j). Vectors at small angles share codes with high
-    * probability (bit-sampling LSH for cosine). */
-  def srpCode(v: Column, bits: Int = 8): Column = {
+    * from xxhash64(offset + h, j). Vectors at small angles share codes
+    * with high probability (bit-sampling LSH for cosine); `offset` selects
+    * an independent hyperplane family per band for multi-band LSH. */
+  def srpCode(v: Column, bits: Int = 8, offset: Int = 0): Column = {
+    require(bits >= 1 && bits <= 30, s"srpCode bits must be in [1, 30], got $bits (Int code)")
     val proj = (0 until bits).map { h =>
       val signed = aggregate(
         zip_with(
           v,
           sequence(lit(0), size(v) - 1),
-          (x, j) => when(xxhash64(lit(h), j).bitwiseAND(1) === 1, x.cast("double"))
+          (x, j) => when(xxhash64(lit(offset + h), j).bitwiseAND(1) === 1, x.cast("double"))
             .otherwise(-x.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
       when(signed >= 0, lit(1)).otherwise(lit(0)) * lit(1 << h)

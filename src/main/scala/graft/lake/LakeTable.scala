@@ -572,18 +572,29 @@ object LakeTable {
     } finally rd.close()
   }
 
-  /** Footer reads for a batch of freshly committed files, parallelized —
-    * a big append can publish thousands of files and a serial loop would
-    * stretch the commit critical section by O(files) round-trips. */
+  /** Footer reads for a batch of files, parallelized — a big append can
+    * publish thousands of files and a serial loop would stretch the commit
+    * critical section (or read planning) by O(files) round-trips. */
   private[graft] def rowGroupSplitsAll(
       paths: Seq[Path],
-      conf: org.apache.hadoop.conf.Configuration): Map[Path, Seq[(Long, Long)]] = {
+      conf: org.apache.hadoop.conf.Configuration): Map[Path, Seq[(Long, Long)]] =
+    fileMetaAll(paths, conf, withLen = false).view.mapValues(_._2).toMap
+
+  /** Parallel (length, row-group splits) per file — the single pooled
+    * footer/stat reader shared by commit paths and legacy read planning. */
+  private[graft] def fileMetaAll(
+      paths: Seq[Path],
+      conf: org.apache.hadoop.conf.Configuration,
+      withLen: Boolean = true): Map[Path, (Long, Seq[(Long, Long)])] = {
     if (paths.isEmpty) return Map.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, paths.size))
     try {
       paths.map { p =>
-        p -> pool.submit(new java.util.concurrent.Callable[Seq[(Long, Long)]] {
-          def call(): Seq[(Long, Long)] = rowGroupSplits(p, conf)
+        p -> pool.submit(new java.util.concurrent.Callable[(Long, Seq[(Long, Long)])] {
+          def call(): (Long, Seq[(Long, Long)]) = {
+            val len = if (withLen) p.getFileSystem(conf).getFileStatus(p).getLen else -1L
+            (len, rowGroupSplits(p, conf))
+          }
         })
       }.map { case (p, f) => p -> f.get() }.toMap
     } finally pool.shutdown()

@@ -144,9 +144,16 @@ object Transform {
   final case class Truncate(w: Int) extends Transform {
     val name = s"truncate[$w]"
     def apply(source: Column): Column = substring(source, 1, w)
+    // truncate by CODE POINTS, matching Spark's substring (UTF8String
+    // counts code points) — String.take counts UTF-16 units and would
+    // render a different prefix for supplementary characters (splitting a
+    // surrogate pair), mismatching the stored partition value and falsely
+    // pruning the file on equality.
     def valueOf(literal: Any): Option[String] = literal match {
-      case s: String => Some(s.take(w))
-      case _         => None
+      case s: String =>
+        val cp = s.codePointCount(0, s.length)
+        Some(if (cp <= w) s else s.substring(0, s.offsetByCodePoints(0, w)))
+      case _ => None
     }
     val orderPreserving = true
   }

@@ -152,29 +152,33 @@ object VectorOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
-  /** Embedding near-dup pairs at `minSim`, LSH-bucketed: vectors meet only
-    * inside a shared sign-random-projection bucket, then exact cosine
-    * verifies. One groupBy on the code with in-bucket pair expansion (the
-    * [[DedupOps.bucketPairs]] shape) — quantization + SRP coding run ONCE
-    * per row; the previous self-join form recomputed both sides because
-    * AQE does not reuse the exchange. No join in the plan at all.
+  /** Embedding near-dup pairs at `minSim`, MULTI-BAND SRP-LSH: vectors
+    * meet only inside a shared (band, code) bucket — candidates collide in
+    * ANY of `bands` independent `bits`-wide sign-random-projection codes —
+    * then exact cosine verifies. Same shape as the MinHash pipeline
+    * ([[DedupOps.lshCandidates]]): codes computed ONCE per row, posexplode
+    * to (band, code), bucket groupBy, in-bucket pair expansion, distinct.
+    * No join in the plan at all.
     *
-    * `bits` sizes the bucket fan-out AND the per-bucket membership: buckets
-    * hold ~N/2^bits random vectors, and each bucket's members materialize
-    * in one aggregation row before pair expansion, so bits must grow with
-    * the corpus (≈ 2·log2(N) keeps expected bucket size ~1 for non-dup
-    * collisions; true near-dups share a code at any width). Probabilistic
-    * recall by construction — spec-validated on planted dups; the fixture
-    * holds no organic pairs above 0.7. */
+    * Tuning (standard banding trade-off): recall for a cos-θ pair is
+    * 1-(1-a^bits)^bands with a = 1-θ/π — defaults give ≈0.94 at sim 0.9
+    * and ≈0.999 at sim 0.95 — while per-band buckets hold ~N/2^bits random
+    * vectors; grow `bits` with the corpus (collision mass) and `bands` to
+    * buy recall back. Spec-validated on planted dups; the fixture holds no
+    * organic pairs above 0.7. */
   def lshNeardupPairs(s: SparkSession, dir: String, minSim: Double = 0.9,
-      df: Option[DataFrame] = None, bits: Int = 16): DataFrame = {
+      df: Option[DataFrame] = None, bands: Int = 8, bits: Int = 8): DataFrame = {
     val base = df.getOrElse(emb(s, dir))
+    val codes = array((0 until bands).map(b =>
+      VectorMath.srpCode(col("embedding"), bits, offset = b * bits)): _*)
     val e = base.select(
       col("vec_id"),
       VectorMath.quantize(col("embedding")).as("qv"),
-      VectorMath.srpCode(col("embedding"), bits).as("code"))
+      codes.as("codes"))
       .withColumn("nq", VectorMath.normSq(col("qv")))
-    e.groupBy(col("code"))
+    e.select(col("vec_id"), col("qv"), col("nq"), posexplode(col("codes")))
+      .select(col("vec_id"), col("qv"), col("nq"), col("pos").as("band"), col("col").as("code"))
+      .groupBy(col("band"), col("code"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("qv"), col("nq")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(DedupOps.bucketPairs(col("ms")) { (x, y) =>
@@ -187,6 +191,7 @@ object VectorOps {
       }).as("p"))
       .filter(col("p.sim") >= minSim)
       .select(col("p.vec_i").as("vec_i"), col("p.vec_j").as("vec_j"), col("p.sim").as("sim"))
+      .distinct() // a pair may collide in several bands
   }
 
   private val quantCte =

@@ -182,7 +182,8 @@ private[graft] class GraftLakeV2Table(
     new GraftLakeV2Table(t, Some(snap.seq), raw = true)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw)
+    new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw,
+      gateBytes = tombstoneGateBytes)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -239,7 +240,7 @@ private[graft] object GraftLakeV2Table {
 }
 
 private[sources] class GraftLakeScanBuilder(
-    t: LakeTable, seq: Long, tableSchema: StructType, skipDeletes: Boolean)
+    t: LakeTable, seq: Long, tableSchema: StructType, skipDeletes: Boolean, gateBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -270,7 +271,8 @@ private[sources] class GraftLakeScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes)
+  override def build(): Scan =
+    new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes, gateBytes)
 }
 
 private[sources] class GraftLakeScan(
@@ -279,7 +281,8 @@ private[sources] class GraftLakeScan(
     tableSchema: StructType,
     required: StructType,
     filters: Seq[PruneFilter],
-    skipDeletes: Boolean) extends Scan with Batch {
+    skipDeletes: Boolean,
+    gateBytes: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -311,21 +314,14 @@ private[sources] class GraftLakeScan(
     val fromFooters =
       if (legacy.isEmpty) Nil
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, legacy.size))
-        try {
-          val futures = legacy.map { f =>
-            val abs = t.abs(f.path)
-            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-              def call(): Seq[InputPartition] = {
-                val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
-                try rd.getRowGroups.asScala.toSeq.map(b =>
-                  GraftLakeInputPartition(abs, b.getStartingPos, b.getCompressedSize): InputPartition)
-                finally rd.close()
-              }
-            })
+        val splitsByPath = LakeTable.rowGroupSplitsAll(
+          legacy.map(f => new Path(t.abs(f.path))), conf)
+        legacy.flatMap { f =>
+          val p = new Path(t.abs(f.path))
+          splitsByPath(p).map { case (start, len) =>
+            GraftLakeInputPartition(p.toString, start, len): InputPartition
           }
-          futures.flatMap(_.get())
-        } finally pool.shutdown()
+        }
       }
     (fromMeta ++ fromFooters).toArray
   }
@@ -341,14 +337,14 @@ private[sources] class GraftLakeScan(
     // 10^8+ keys would OOM the driver silently, so fail actionably unless
     // explicitly allowed.
     if (!skipDeletes && snap.deleteFiles.nonEmpty) {
-      val gate = t.spark.conf.getOption("spark.graft.lake.tombstoneCollectMaxBytes")
-        .map(_.toLong).getOrElse(64L << 20)
+      // same gate value the TABLE captured at planning (so this check and
+      // LakeMorRewrite's morJoinNeeded can never disagree mid-query)
       val bytes = snap.deleteFiles.map(_.bytes).sum
       val allow = t.spark.conf.getOption("spark.graft.lake.allowDriverTombstones")
         .exists(_.toBoolean)
-      require(bytes <= gate || allow,
+      require(bytes <= gateBytes || allow,
         s"${t.meta.name}: $bytes bytes of delete files exceed the driver-collect gate " +
-          s"($gate). Register graft.plans.GraftExtensions (spark.sql.extensions) so the " +
+          s"($gateBytes). Register graft.plans.GraftExtensions (spark.sql.extensions) so the " +
           "merge plans as a distributed anti-join, compact the table, or set " +
           "spark.graft.lake.allowDriverTombstones=true to accept the driver cost.")
     }
@@ -418,11 +414,18 @@ private[sources] class GraftLakeMicroBatchStream(
     if (e <= s0 && s0 != Bootstrap) return Array.empty
     val earliest = t.snapshots.map(_.seq).min
     val s = if (s0 == Bootstrap) earliest else s0
+    // both directions of staleness fail LOUDLY: a checkpointed start older
+    // than retention, and a REPLAYED bootstrap batch whose recorded end
+    // predates retention (expiry between the offset write and the replay)
+    // — returning empty would silently drop the pre-expiry content forever
     require(s0 == Bootstrap || s0 + 1 >= earliest,
       s"streaming checkpoint at seq $s0 is older than the retained history " +
         s"(earliest snapshot $earliest) — snapshots it needs were expired; " +
         "restart from a fresh checkpoint")
-    if (e < s) return Array.empty
+    require(s0 != Bootstrap || e >= earliest,
+      s"bootstrap batch end $e predates the retained history (earliest " +
+        s"snapshot $earliest) — snapshots were expired mid-replay; " +
+        "restart from a fresh checkpoint")
     val snap = t.snapshot(e)
     ((s + 1) to e).map(t.snapshot).foreach { sn =>
       require(sn.operation == "create" || sn.operation.startsWith("append") ||
@@ -438,18 +441,18 @@ private[sources] class GraftLakeMicroBatchStream(
       // bootstrap batch = the WHOLE earliest snapshot, then strict increments
       .filter(f => (if (s0 == Bootstrap) f.seq <= s else false) || (f.seq > s && f.seq <= e))
       .filter(f => filters.forall(fl => PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl)))
-    newFiles.flatMap { f =>
+    val (recorded, legacy) = newFiles.partition(_.splits.nonEmpty)
+    val legacySplits = LakeTable.rowGroupSplitsAll(
+      legacy.map(f => new Path(t.abs(f.path))), t.spark.sparkContext.hadoopConfiguration)
+    (recorded.flatMap { f =>
       val abs = t.abs(f.path)
-      if (f.splits.nonEmpty)
-        f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }
-      else {
-        val conf = t.spark.sparkContext.hadoopConfiguration
-        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
-        try rd.getRowGroups.asScala.toSeq.map(b =>
-          GraftLakeInputPartition(abs, b.getStartingPos, b.getCompressedSize): InputPartition)
-        finally rd.close()
+      f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }
+    } ++ legacy.flatMap { f =>
+      val p = new Path(t.abs(f.path))
+      legacySplits(p).map { case (st, len) =>
+        GraftLakeInputPartition(p.toString, st, len): InputPartition
       }
-    }.toArray
+    }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -109,10 +109,12 @@ private[sources] class GraftLakeBatchWrite(t: LakeTable, replaceAll: Boolean = f
         (f, destRel, dest)
       }
       fs.delete(new Path(root, stagingRel), true)
-      val splitsByPath = LakeTable.rowGroupSplitsAll(placed.map(_._3).toSeq, conf)
+      // one parallel pass for both stat + footer: no serial per-file RPCs
+      // inside the commit window
+      val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf)
       val entries = placed.map { case (f, destRel, dest) =>
-        DataFile(destRel, f.seq, f.partition, fs.getFileStatus(dest).getLen,
-          splits = splitsByPath(dest))
+        val (len, splits) = metaByPath(dest)
+        DataFile(destRel, f.seq, f.partition, len, splits = splits)
       }
       if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2")
       else t.commitStagedAppend(entries.toSeq, "append-dsv2")

@@ -134,6 +134,18 @@ class PruneProps extends AnyFunSuite {
     assert(PruneFilter.mayMatch(spec, Map("p" -> fileVal), PruneFilter.Le("c", supp + "zz")))
   }
 
+  test("truncate renders literals by code points, matching the writer's substring") {
+    // String.take counts UTF-16 units and would split a surrogate pair,
+    // rendering a prefix that never matches the stored partition value
+    val emoji = new String(Character.toChars(0x1F600)) // 2 UTF-16 units
+    val tr = Transform.Truncate(2)
+    assert(tr.valueOf(emoji + emoji + "abc").contains(emoji + emoji))
+    val spec = Seq(PartitionField("c", tr, "p"))
+    assert(PruneFilter.mayMatch(spec, Map("p" -> (emoji + emoji)),
+      PruneFilter.Eq("c", emoji + emoji + "abc")),
+      "truncate partition falsely pruned for a supplementary-character prefix")
+  }
+
   test("identity on temporal columns never prunes (render formats differ from directory encoding)") {
     (1 to 500).foreach { _ =>
       val ts = randTs()
