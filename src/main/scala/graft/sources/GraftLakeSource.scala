@@ -108,7 +108,8 @@ private[graft] class GraftLakeV2Table(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private[graft] val snap = t.snapshot(asOf.getOrElse(t.currentSeq))
 
   private[graft] def userSchema: StructType = t.schema(snap.schemaVersion)
@@ -188,7 +189,35 @@ private[graft] class GraftLakeV2Table(
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(asOf.isEmpty && !raw, "cannot write to a time-travel or raw snapshot")
-    new GraftLakeWriteBuilder(t)
+    new GraftLakeWriteBuilder(t, Option(info.schema()))
+  }
+
+  // ------------------------------------------- SQL UPDATE / MERGE INTO (COW)
+
+  /** SQL `UPDATE` and `MERGE INTO` via Spark's GROUP-BASED row-level
+    * framework: the operation's scan reads the current merged content,
+    * Spark's rewrite computes the post-operation rows, and the write
+    * REPLACES the table in one snapshot — copy-on-write, the mode the
+    * reference configures for occasional corrections while CDC ingest
+    * stays merge-on-read ([[deleteWhere]] / upsert). Without runtime group
+    * filtering the affected-group set is the whole table, so these
+    * statements are O(table) by design — the right tool for rare bulk
+    * restatements, not the ingest path. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty && !raw, "cannot mutate a time-travel or raw snapshot")
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def description(): String = s"graftlake copy-on-write ${info.command()}"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        GraftLakeV2Table.this.newScanBuilder(options)
+      override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new GraftLakeWriteBuilder(t, Option(winfo.schema())).overwrite(
+          Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue()))
+    }
   }
 
   // ------------------------------------------------- SQL DELETE FROM (MoR)

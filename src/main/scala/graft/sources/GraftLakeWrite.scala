@@ -41,7 +41,7 @@ import scala.collection.mutable
   * scripts/iceberg-setup.sql re-runs the INSERT over the curated tier).
   * Filtered overwrite (replace-where) is refused: the lake format models
   * row-level change as merge-on-read deletes, not partition overwrites. */
-private[sources] class GraftLakeWriteBuilder(t: LakeTable)
+private[sources] class GraftLakeWriteBuilder(t: LakeTable, writeSchema: Option[StructType] = None)
     extends WriteBuilder with SupportsOverwrite {
   private var replaceAll = false
 
@@ -53,17 +53,27 @@ private[sources] class GraftLakeWriteBuilder(t: LakeTable)
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t, replaceAll)
+    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t, replaceAll, writeSchema)
   }
 }
 
-private[sources] class GraftLakeBatchWrite(t: LakeTable, replaceAll: Boolean = false)
+private[sources] class GraftLakeBatchWrite(
+    t: LakeTable, replaceAll: Boolean = false, writeSchema: Option[StructType] = None)
     extends BatchWrite {
   private val stagingRel = s"_staging/dsv2-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val snap = t.currentSnapshot
-    val schema = t.schema(snap.schemaVersion)
+    // rows arrive in the SHAPE the logical write declared (row-level
+    // rewrites may order columns differently from the table definition);
+    // files are written in that order and every reader resolves columns
+    // by NAME, so layout order is free — but the name/type SET must match
+    val tableSchema = t.schema(snap.schemaVersion)
+    val schema = writeSchema.getOrElse(tableSchema)
+    require(
+      schema.fields.map(f => f.name -> f.dataType).toSet ==
+        tableSchema.fields.map(f => f.name -> f.dataType).toSet,
+      s"write schema ${schema.simpleString} does not match table ${tableSchema.simpleString}")
     val spec = t.meta.partitionSpec.map(pf =>
       (schema.fieldIndex(pf.source), pf.transform.name, pf.name))
     spec.foreach { case (_, trName, name) =>
@@ -176,10 +186,21 @@ private[sources] class GraftLakeDataWriter(
   private val writers = mutable.Map.empty[Map[String, String], (ParquetWriter[Group], String)]
   private val staged = mutable.ListBuffer.empty[StagedFile]
 
+  /** Leading fields to skip: Spark's GROUP-BASED row-level rewrites
+    * (UPDATE/MERGE → ReplaceData) PREPEND a `__row_operation` marker
+    * column to each row while the logical write schema stays the table
+    * schema — detected from the first row's arity. */
+  private var fieldOffset = -1
+
   override def write(row: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset = row.numFields - f.schema.length
+      require(fieldOffset >= 0,
+        s"row has ${row.numFields} fields for schema ${f.schema.simpleString}")
+    }
     val partition = f.partitionSpec.map { case (srcIdx, trName, name) =>
       name -> GraftLakeWrite.renderPartition(
-        trName, row, srcIdx, f.schema.fields(srcIdx).dataType)
+        trName, row, srcIdx + fieldOffset, f.schema.fields(srcIdx).dataType)
     }.toMap
     val (w, _) = writers.getOrElseUpdate(partition, {
       val rel = s"${f.stagingRel}/p$partitionId-t$taskId-${writers.size}.parquet"
@@ -192,7 +213,7 @@ private[sources] class GraftLakeDataWriter(
       staged += StagedFile(rel, f.writeSeq, partition)
       (writer, rel)
     })
-    w.write(GraftLakeWrite.toGroup(groupFactory, f.schema, row, f.writeSeq))
+    w.write(GraftLakeWrite.toGroup(groupFactory, f.schema, row, f.writeSeq, fieldOffset))
   }
 
   override def commit(): WriterCommitMessage = {
@@ -237,9 +258,11 @@ private[sources] object GraftLakeWrite {
     b.named("graft_lake_row")
   }
 
-  def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow, seq: Long): Group = {
+  def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow, seq: Long,
+      offset: Int = 0): Group = {
     val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (field, i) =>
+    schema.fields.zipWithIndex.foreach { case (field, idx) =>
+      val i = idx + offset
       if (!row.isNullAt(i)) field.dataType match {
         case LongType => g.add(field.name, row.getLong(i))
         case IntegerType => g.add(field.name, row.getInt(i))

@@ -71,6 +71,30 @@ class SqlCatalogSpec extends SparkSpec {
     assert(t.scan().count() == n)
   }
 
+  test("SQL UPDATE and MERGE INTO: copy-on-write restatements") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlupd").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tm (id BIGINT, s STRING, v DOUBLE)
+        |TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tm VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
+    spark.sql("UPDATE graft.tm SET v = v * 10 WHERE id >= 2")
+    assert(spark.sql("SELECT SUM(v) FROM graft.tm").head().getDouble(0) == 1.0 + 20.0 + 30.0)
+    // MERGE: update matched, insert unmatched
+    Seq((2L, "B", 200.0), (4L, "d", 4.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("tm_changes")
+    spark.sql(
+      """MERGE INTO graft.tm t USING tm_changes c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET t.s = c.s, t.v = c.v
+        |WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (c.id, c.s, c.v)""".stripMargin)
+    val got = spark.sql("SELECT id, s, v FROM graft.tm")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 4.0)),
+      s"MERGE result wrong: $got")
+    // history preserved: the pre-UPDATE state is still time-travelable
+    assert(spark.sql("SELECT SUM(v) FROM graft.tm VERSION AS OF 1").head().getDouble(0) == 6.0)
+  }
+
   test("USE graft: unqualified names resolve through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft-usecat").toString
     register(wh)
