@@ -60,4 +60,31 @@ object VectorMath {
     }
     proj.reduce(_ + _)
   }
+
+  /** All `n` signed projection sums in ONE traversal of the vector — the
+    * multi-band coding path. Hyperplane k's sum uses xxhash64(k, j) signs,
+    * bit-identical to chaining [[srpCode]] with offset = band·bits (each
+    * vector element updates every sum as it streams past, instead of n
+    * full re-traversals — the single-pass aggregate lesson). */
+  def srpSums(v: Column, n: Int): Column =
+    aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, j) => struct(x.cast("double").as("x"), j.as("j"))),
+      array_repeat(lit(0.0), n),
+      (acc, e) => zip_with(acc, sequence(lit(0), lit(n - 1)), (s, k) =>
+        s + when(xxhash64(k, e.getField("j")).bitwiseAND(1) === 1, e.getField("x"))
+          .otherwise(-e.getField("x"))))
+
+  /** Fold a MATERIALIZED sums column into per-band integer codes (band b =
+    * sign bits of sums[b·bits .. b·bits+bits)). `sums` must be a stored
+    * attribute, not an inline [[srpSums]] expression — the per-band lambda
+    * references it `bands` times and an inline expression would recompute
+    * the whole projection each time. */
+  def srpBandCodes(sums: Column, bands: Int, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, s"srp bits must be in [1, 30], got $bits (Int code)")
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (code, h) =>
+        code + when(element_at(sums, b * lit(bits) + h + 1) >= 0,
+          pow(lit(2.0), h).cast("int")).otherwise(lit(0))))
+  }
 }

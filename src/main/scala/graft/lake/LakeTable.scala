@@ -301,15 +301,28 @@ final class LakeTable private (
     synchronized { commitAppendWithRetry(files, op) }
 
   /** REPLACE the table content with already-staged files (the DSv2
-    * INSERT OVERWRITE commit). No rebase retry: overwrite racing any other
-    * commit is a real conflict and must surface. */
-  def commitStagedReplace(files: Seq[DataFile], op: String): Snapshot = synchronized {
-    val cur = currentSnapshot
-    commitSnapshot(Snapshot(
-      seq = cur.seq + 1, parent = Some(cur.seq),
-      timestampMs = System.currentTimeMillis(), operation = op,
-      schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil))
-  }
+    * INSERT OVERWRITE / row-level COW commit). No rebase retry: overwrite
+    * racing any other commit is a real conflict and must surface.
+    *
+    * @param expectedBase when given (UPDATE/MERGE: the snapshot the
+    *                     operation's SCAN read), the commit refuses if any
+    *                     other commit landed since — without this, a COW
+    *                     restatement would silently wipe a concurrent
+    *                     append/delete (lost update). Plain INSERT
+    *                     OVERWRITE passes None: "replace whatever is
+    *                     there" is its stated semantic. */
+  def commitStagedReplace(
+      files: Seq[DataFile], op: String, expectedBase: Option[Long] = None): Snapshot =
+    synchronized {
+      val cur = currentSnapshot
+      expectedBase.foreach(base => require(cur.seq == base,
+        s"${meta.name}: concurrent commit detected (snapshot $base read, " +
+          s"${cur.seq} current) — retry the statement"))
+      commitSnapshot(Snapshot(
+        seq = cur.seq + 1, parent = Some(cur.seq),
+        timestampMs = System.currentTimeMillis(), operation = op,
+        schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil))
+    }
 
   /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
     * shape): on losing the snapshot race, re-read the new current snapshot

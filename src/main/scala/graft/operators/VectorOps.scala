@@ -169,13 +169,15 @@ object VectorOps {
   def lshNeardupPairs(s: SparkSession, dir: String, minSim: Double = 0.9,
       df: Option[DataFrame] = None, bands: Int = 8, bits: Int = 8): DataFrame = {
     val base = df.getOrElse(emb(s, dir))
-    val codes = array((0 until bands).map(b =>
-      VectorMath.srpCode(col("embedding"), bits, offset = b * bits)): _*)
+    // ONE traversal computes all bands*bits projection sums; the sums land
+    // as a materialized column so the per-band code fold references them
+    // for free (an inline expression would re-project once per band)
     val e = base.select(
       col("vec_id"),
       VectorMath.quantize(col("embedding")).as("qv"),
-      codes.as("codes"))
+      VectorMath.srpSums(col("embedding"), bands * bits).as("sums"))
       .withColumn("nq", VectorMath.normSq(col("qv")))
+      .withColumn("codes", VectorMath.srpBandCodes(col("sums"), bands, bits))
     e.select(col("vec_id"), col("qv"), col("nq"), posexplode(col("codes")))
       .select(col("vec_id"), col("qv"), col("nq"), col("pos").as("band"), col("col").as("code"))
       .groupBy(col("band"), col("code"))

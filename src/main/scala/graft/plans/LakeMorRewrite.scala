@@ -43,10 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class LakeMorRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // row-level commands (DELETE FROM) keep the relation as their direct
-    // child and pattern-match on it — rewriting it would unresolve the
-    // command exactly on the tables whose tombstones most need trimming
+    // row-level command plans (DELETE FROM, and the ReplaceData that
+    // UPDATE/MERGE rewrite into) pattern-match on their target relation —
+    // rewriting it would unresolve the command exactly on the tables whose
+    // tombstones most need trimming. Their scans instead hit the reader's
+    // loud tombstone gate (compact first / explicit driver opt-in).
     case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => plan
+    case _: org.apache.spark.sql.catalyst.plans.logical.ReplaceData => plan
     case _ => plan.transform {
       case rel: DataSourceV2Relation
           if rel.table.isInstanceOf[GraftLakeV2Table] &&

@@ -78,6 +78,25 @@ object GraftLakeSource {
   /** Metadata column: absolute path of the data file serving a row. */
   val FileCol = "_graft_file"
 
+  /** Data files → one InputPartition per row group: recorded split offsets
+    * are pure metadata; files from pre-splits snapshots fall back to a
+    * parallelized footer read. Shared by the batch and streaming planners. */
+  private[sources] def planFileSplits(
+      t: LakeTable, files: Seq[graft.lake.DataFile]): Array[InputPartition] = {
+    val (recorded, legacy) = files.partition(_.splits.nonEmpty)
+    val legacySplits = LakeTable.rowGroupSplitsAll(
+      legacy.map(f => new Path(t.abs(f.path))), t.spark.sparkContext.hadoopConfiguration)
+    (recorded.flatMap { f =>
+      val abs = t.abs(f.path)
+      f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }
+    } ++ legacy.flatMap { f =>
+      val p = new Path(t.abs(f.path))
+      legacySplits(p).map { case (st, len) =>
+        GraftLakeInputPartition(p.toString, st, len): InputPartition
+      }
+    }).toArray
+  }
+
   /** Driver-side tombstone key rendering, normalized to the SAME primitive
     * representation the parquet reader extracts (micros for timestamps,
     * epoch days for dates) — external java.sql types stringify differently
@@ -215,8 +234,12 @@ private[graft] class GraftLakeV2Table(
         GraftLakeV2Table.this.newScanBuilder(options)
       override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
-        new GraftLakeWriteBuilder(t, Option(winfo.schema())).overwrite(
-          Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue()))
+        // expectedBase = the snapshot the operation's scan reads: a commit
+        // landing between scan and replace fails the statement instead of
+        // being silently wiped (lost update)
+        new GraftLakeWriteBuilder(t, Option(winfo.schema()), expectedBase = Some(snap.seq))
+          .overwrite(
+            Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue()))
     }
   }
 
@@ -224,9 +247,12 @@ private[graft] class GraftLakeV2Table(
 
   /** `DELETE FROM graft.t WHERE …` as a MERGE-ON-READ delete: evaluate the
     * predicate with a distributed scan, commit the matching primary keys
-    * as one delete-key file — O(matching rows), never a table rewrite.
+    * as one delete-key file — O(matching rows), no table rewrite.
     * Predicates Spark cannot push as v1 filters (expressions over columns)
-    * are refused via canDeleteWhere, surfacing Spark's standard error. */
+    * are declined via canDeleteWhere and fall back to the GROUP-BASED
+    * row-level path ([[newRowLevelOperationBuilder]]) — a copy-on-write
+    * rewrite, correct but O(table); keep hot-path deletes on pushable
+    * predicates. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     asOf.isEmpty && !raw && t.meta.primaryKey.nonEmpty &&
       filters.forall(f => GraftLakeV2Table.filterColumn(f).isDefined)
@@ -333,26 +359,7 @@ private[sources] class GraftLakeScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = t.snapshot(seq)
     val (files, _) = t.planFiles(snap, filters)
-    if (files.isEmpty) return Array.empty
-    val conf = t.spark.sparkContext.hadoopConfiguration
-    val (recorded, legacy) = files.partition(_.splits.nonEmpty)
-    val fromMeta = recorded.flatMap { f =>
-      val abs = t.abs(f.path)
-      f.splits.map { case (start, len) => GraftLakeInputPartition(abs, start, len): InputPartition }
-    }
-    val fromFooters =
-      if (legacy.isEmpty) Nil
-      else {
-        val splitsByPath = LakeTable.rowGroupSplitsAll(
-          legacy.map(f => new Path(t.abs(f.path))), conf)
-        legacy.flatMap { f =>
-          val p = new Path(t.abs(f.path))
-          splitsByPath(p).map { case (start, len) =>
-            GraftLakeInputPartition(p.toString, start, len): InputPartition
-          }
-        }
-      }
-    (fromMeta ++ fromFooters).toArray
+    GraftLakeSource.planFileSplits(t, files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -470,18 +477,7 @@ private[sources] class GraftLakeMicroBatchStream(
       // bootstrap batch = the WHOLE earliest snapshot, then strict increments
       .filter(f => (if (s0 == Bootstrap) f.seq <= s else false) || (f.seq > s && f.seq <= e))
       .filter(f => filters.forall(fl => PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl)))
-    val (recorded, legacy) = newFiles.partition(_.splits.nonEmpty)
-    val legacySplits = LakeTable.rowGroupSplitsAll(
-      legacy.map(f => new Path(t.abs(f.path))), t.spark.sparkContext.hadoopConfiguration)
-    (recorded.flatMap { f =>
-      val abs = t.abs(f.path)
-      f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }
-    } ++ legacy.flatMap { f =>
-      val p = new Path(t.abs(f.path))
-      legacySplits(p).map { case (st, len) =>
-        GraftLakeInputPartition(p.toString, st, len): InputPartition
-      }
-    }).toArray
+    GraftLakeSource.planFileSplits(t, newFiles)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

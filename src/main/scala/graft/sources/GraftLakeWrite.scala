@@ -41,7 +41,10 @@ import scala.collection.mutable
   * scripts/iceberg-setup.sql re-runs the INSERT over the curated tier).
   * Filtered overwrite (replace-where) is refused: the lake format models
   * row-level change as merge-on-read deletes, not partition overwrites. */
-private[sources] class GraftLakeWriteBuilder(t: LakeTable, writeSchema: Option[StructType] = None)
+private[sources] class GraftLakeWriteBuilder(
+    t: LakeTable,
+    writeSchema: Option[StructType] = None,
+    expectedBase: Option[Long] = None)
     extends WriteBuilder with SupportsOverwrite {
   private var replaceAll = false
 
@@ -53,12 +56,15 @@ private[sources] class GraftLakeWriteBuilder(t: LakeTable, writeSchema: Option[S
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t, replaceAll, writeSchema)
+    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t, replaceAll, writeSchema, expectedBase)
   }
 }
 
 private[sources] class GraftLakeBatchWrite(
-    t: LakeTable, replaceAll: Boolean = false, writeSchema: Option[StructType] = None)
+    t: LakeTable,
+    replaceAll: Boolean = false,
+    writeSchema: Option[StructType] = None,
+    expectedBase: Option[Long] = None)
     extends BatchWrite {
   private val stagingRel = s"_staging/dsv2-${UUID.randomUUID()}"
 
@@ -71,11 +77,14 @@ private[sources] class GraftLakeBatchWrite(
     val tableSchema = t.schema(snap.schemaVersion)
     val schema = writeSchema.getOrElse(tableSchema)
     require(
-      schema.fields.map(f => f.name -> f.dataType).toSet ==
-        tableSchema.fields.map(f => f.name -> f.dataType).toSet,
+      schema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet ==
+        tableSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet,
       s"write schema ${schema.simpleString} does not match table ${tableSchema.simpleString}")
-    val spec = t.meta.partitionSpec.map(pf =>
-      (schema.fieldIndex(pf.source), pf.transform.name, pf.name))
+    val spec = t.meta.partitionSpec.map { pf =>
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
+      require(idx >= 0, s"partition source ${pf.source} missing from write schema")
+      (idx, pf.transform.name, pf.name)
+    }
     spec.foreach { case (_, trName, name) =>
       require(!trName.startsWith("bucket"),
         s"DSv2 write cannot render $trName($name) engine-side")
@@ -126,7 +135,7 @@ private[sources] class GraftLakeBatchWrite(
         val (len, splits) = metaByPath(dest)
         DataFile(destRel, f.seq, f.partition, len, splits = splits)
       }
-      if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2")
+      if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2", expectedBase)
       else t.commitStagedAppend(entries.toSeq, "append-dsv2")
     } catch {
       case e: Throwable =>
@@ -303,7 +312,13 @@ private[sources] object GraftLakeWrite {
       case Transform.Year => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy"))
       case Transform.Month => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
       case Transform.Day => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"))
-      case Transform.Truncate(w) => row.getUTF8String(idx).toString.take(w)
+      case Transform.Truncate(w) =>
+        // code points, like Spark's substring and Transform.valueOf —
+        // String.take counts UTF-16 units and would render a different
+        // prefix for supplementary characters (false pruning)
+        val s = row.getUTF8String(idx).toString
+        if (s.codePointCount(0, s.length) <= w) s
+        else s.substring(0, s.offsetByCodePoints(0, w))
       case other => throw new UnsupportedOperationException(s"DSv2 write: $other")
     }
   }

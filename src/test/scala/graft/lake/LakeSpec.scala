@@ -219,6 +219,21 @@ class LakeSpec extends SparkSpec {
     intercept[Exception](cat.table("t1"))
   }
 
+  test("replace commit with an expected base refuses when another commit raced in") {
+    val dir = Files.createTempDirectory("graft-cowrace-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    val base = t.currentSeq // what a COW UPDATE's scan would have read
+    t.append(Seq((2L, "y")).toDF("id", "s")) // the racing commit
+    val err = intercept[IllegalArgumentException](
+      t.commitStagedReplace(Nil, "overwrite-dsv2", expectedBase = Some(base)))
+    assert(err.getMessage.contains("concurrent commit"))
+    // without an expected base (plain INSERT OVERWRITE) the replace lands
+    assert(t.commitStagedReplace(Nil, "overwrite-dsv2").operation == "overwrite-dsv2")
+  }
+
   test("racing writers: second commit of the same seq fails loudly") {
     val dir = Files.createTempDirectory("graft-race-spec").toString
     import spark.implicits._

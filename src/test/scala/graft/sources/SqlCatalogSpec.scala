@@ -95,6 +95,22 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT SUM(v) FROM graft.tm VERSION AS OF 1").head().getDouble(0) == 6.0)
   }
 
+  test("DELETE with an unpushable predicate falls back to copy-on-write") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cowdel").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tcw (id BIGINT, s STRING)
+        |TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tcw VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    // id % 2 has no v1-filter form: canDeleteWhere declines, the row-level
+    // group-based path rewrites the table instead of erroring
+    spark.sql("DELETE FROM graft.tcw WHERE id % 2 = 0")
+    assert(spark.sql("SELECT id FROM graft.tcw").as[Long].collect().toSet == Set(1L, 3L))
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tcw")
+    assert(t.currentSnapshot.operation == "overwrite-dsv2",
+      s"expected COW fallback, got ${t.currentSnapshot.operation}")
+  }
+
   test("USE graft: unqualified names resolve through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft-usecat").toString
     register(wh)
