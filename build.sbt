@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked process's stdio instead of logging it line-by-line:
+// without this, sbt prefixes every stdout line with "[info] ", which
+// mangles the one-line JSON contract of Bench/Verify (the collector needs
+// a raw parseable line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

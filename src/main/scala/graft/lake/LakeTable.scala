@@ -18,11 +18,21 @@ import scala.collection.mutable.ArrayBuffer
   * {{{
   *   meta/table.json            immutable definition (spec, clustering, pk)
   *   meta/schema-v{N}.json      one StructType per schema version
-  *   meta/snap-{seq}.json       one full file listing per commit
+  *   meta/snap-{seq}.json       commit header + manifest references
+  *   meta/man-{seq}-{uuid}.json immutable manifest: data/delete file list
   *   meta/version-hint.text     best-effort pointer to the latest seq
   *   data/p=v/.../s{seq}-*.parquet   data files (user columns + _graft_seq)
   *   deletes/d-{seq}-*.parquet       MoR delete keys (pk cols + _graft_dseq)
   * }}}
+  *
+  * Metadata scales O(delta) per commit, not O(table): a snapshot file
+  * lists [[ManifestRef]]s, a commit writes ONE new manifest per file kind
+  * for what changed and re-references its parent's manifests for what did
+  * not (the Iceberg snapshot → manifest-list shape). A year of appends to
+  * a 10^5-file table costs one small manifest per commit; reading any
+  * snapshot re-assembles the full listing from the (JVM-cached, immutable)
+  * manifests, and filtered scans skip whole manifests via their recorded
+  * partition summaries before parsing a single file entry.
   *
   * Commit protocol (single-writer optimistic, the public Iceberg
   * HadoopTableOperations shape): stage files under `_staging/<uuid>`, move
@@ -84,9 +94,53 @@ final class LakeTable private (
     seq
   }
 
-  def snapshot(seq: Long): Snapshot = MetaJson.readSnapshot(readString(snapPath(seq)))
+  def snapshot(seq: Long): Snapshot = assemble(snapshotFile(seq), pruneTo = None)
   def currentSnapshot: Snapshot = snapshot(currentSeq)
   def currentSchema: StructType = schema(currentSnapshot.schemaVersion)
+
+  /** Snapshot with data manifests whose partition summaries cannot match
+    * `filters` SKIPPED ENTIRELY — their file entries are never parsed (nor
+    * fetched, on a remote store). Delete manifests always load: tombstones
+    * must be complete for merge-on-read regardless of data pruning. File-
+    * level pruning ([[planFiles]]) still applies on top; decisions are
+    * identical because both use [[PruneFilter.mayMatch]] per tuple. */
+  def snapshotPruned(seq: Long, filters: Seq[PruneFilter]): Snapshot =
+    if (filters.isEmpty) snapshot(seq)
+    else assemble(snapshotFile(seq), pruneTo = Some(filters))
+
+  /** Raw snapshot file content (header + manifest refs). */
+  private[lake] def snapshotFile(seq: Long): SnapshotFile =
+    MetaJson.readSnapshotFile(readString(snapPath(seq)))
+
+  /** True iff some file in a manifest with this partition summary may
+    * satisfy every filter. `None` (no summary recorded) never prunes. */
+  private[lake] def manifestMayMatch(
+      partitions: Option[Seq[Map[String, String]]], filters: Seq[PruneFilter]): Boolean =
+    partitions.forall(_.exists(tuple =>
+      filters.forall(f => PruneFilter.mayMatch(meta.partitionSpec, tuple, f))))
+
+  private def assemble(sf: SnapshotFile, pruneTo: Option[Seq[PruneFilter]]): Snapshot = {
+    if (sf.legacy)
+      return Snapshot(sf.seq, sf.parent, sf.timestampMs, sf.operation, sf.schemaVersion,
+        sf.legacyData, sf.legacyDeletes)
+    val dataRefs = sf.manifests.filter(_.isData)
+    val kept = pruneTo match {
+      case Some(filters) => dataRefs.filter(m => manifestMayMatch(m.partitions, filters))
+      case None          => dataRefs
+    }
+    Snapshot(sf.seq, sf.parent, sf.timestampMs, sf.operation, sf.schemaVersion,
+      dataFiles = kept.flatMap(m => loadManifest(m)._1),
+      deleteFiles = sf.manifests.filterNot(_.isData).flatMap(m => loadManifest(m)._2))
+  }
+
+  /** (dataFiles, deleteFiles) of one manifest, via the process-wide cache
+    * (manifests are immutable and shared across snapshots, so a history
+    * listing parses each exactly once per JVM). */
+  private def loadManifest(m: ManifestRef): (Seq[DataFile], Seq[DeleteFile]) =
+    LakeTable.manifestCache.get(abs(m.path), () => {
+      val (_, data, dels) = MetaJson.readManifest(readString(new Path(root, m.path)))
+      (data, dels)
+    })
 
   def snapshots: Seq[Snapshot] =
     fs.listStatus(metaDir).map(_.getPath.getName)
@@ -163,7 +217,10 @@ final class LakeTable private (
     *                pushed into the parquet scan for row-group skipping)
     */
   def scan(asOf: Option[Long] = None, filters: Seq[PruneFilter] = Nil): DataFrame = {
-    val snap = asOf.map(snapshot).getOrElse(currentSnapshot)
+    // manifest-level pruning first: whole manifests whose partition
+    // summaries cannot match are never parsed, then file-level pruning
+    // below trims within the loaded ones
+    val snap = snapshotPruned(asOf.getOrElse(currentSeq), filters)
     val userSchema = schema(snap.schemaVersion)
     val (files, _) = planFiles(snap, filters)
     val merged = morMerged(snap, files)
@@ -484,14 +541,64 @@ final class LakeTable private (
     out.toSeq
   }
 
+  /** Persist `s`: write manifests for what changed vs the parent, reuse
+    * parent manifests whose every entry survives verbatim, then publish
+    * the snapshot header. An append touches O(new files) metadata; a
+    * partition-scoped compaction rewrites only manifests that LOST a file,
+    * so clean partitions' manifests carry over by reference. */
+  private def planManifests(s: Snapshot): Seq[ManifestRef] = {
+    val parentRefs: Seq[ManifestRef] = s.parent
+      .filter(p => fs.exists(snapPath(p)))
+      .map(p => snapshotFile(p))
+      .filterNot(_.legacy)
+      .map(_.manifests)
+      .getOrElse(Nil)
+
+    def diff[F](
+        cur: Seq[F], path: F => String, fromRefs: ManifestRef => Seq[F],
+        refsOfKind: Seq[ManifestRef]): (Seq[ManifestRef], Seq[F]) = {
+      val curByPath = cur.map(f => path(f) -> f).toMap
+      require(curByPath.size == cur.size, s"${meta.name}: duplicate file entries in commit ${s.seq}")
+      val reused = refsOfKind.filter { m =>
+        val entries = fromRefs(m)
+        entries.nonEmpty && entries.forall(f => curByPath.get(path(f)).contains(f))
+      }
+      val covered = reused.flatMap(m => fromRefs(m).map(path)).toSet
+      (reused, cur.filterNot(f => covered(path(f))))
+    }
+
+    val (dataReused, dataNew) = diff[DataFile](
+      s.dataFiles, _.path, m => loadManifest(m)._1, parentRefs.filter(_.isData))
+    val (delReused, delNew) = diff[DeleteFile](
+      s.deleteFiles, _.path, m => loadManifest(m)._2, parentRefs.filterNot(_.isData))
+
+    def writeNew(kind: String, data: Seq[DataFile], dels: Seq[DeleteFile]): Option[ManifestRef] = {
+      if (data.isEmpty && dels.isEmpty) return None
+      val rel = f"meta/man-${s.seq}%05d-${UUID.randomUUID()}.json"
+      writeString(new Path(root, rel), MetaJson.writeManifest(kind, data, dels))
+      val ref = ManifestRef(
+        path = rel, kind = kind,
+        count = if (kind == "data") data.size else dels.size,
+        bytes = if (kind == "data") data.map(_.bytes).sum else dels.map(_.bytes).sum,
+        partitions = if (kind == "data") ManifestRef.summarize(data) else None)
+      LakeTable.manifestCache.put(abs(rel), (data, dels))
+      Some(ref)
+    }
+
+    (dataReused ++ writeNew("data", dataNew, Nil) ++
+      delReused ++ writeNew("delete", Nil, delNew)).toSeq
+  }
+
   private[lake] def commitSnapshot(s: Snapshot): Snapshot = {
     // exclusive create: a racing writer loses here, loudly. On file:// the
     // Hadoop local fs implements create(overwrite=false) as
     // check-then-create (NOT atomic — two racers can both pass the exists
     // check), so use java.nio's O_EXCL there; HDFS/object-store schemes
-    // get the filesystem's own atomic create.
+    // get the filesystem's own atomic create. Manifests written by a
+    // LOSING racer are unreferenced by any snapshot and age-swept by
+    // [[Maintenance.removeOrphans]].
     val p = snapPath(s.seq)
-    val bytes = MetaJson.writeSnapshot(s).getBytes(StandardCharsets.UTF_8)
+    val bytes = MetaJson.writeSnapshotFile(s, planManifests(s)).getBytes(StandardCharsets.UTF_8)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
@@ -535,6 +642,35 @@ final class LakeTable private (
 }
 
 object LakeTable {
+  /** Process-wide manifest cache. Manifest files are IMMUTABLE (uuid
+    * names, write-once), so caching by absolute path is always coherent —
+    * across LakeTable instances, catalog lookups, and snapshot history
+    * walks. Bounded LRU: 4096 manifests ≈ the metadata of a few hundred
+    * large tables; eviction only costs a re-parse. */
+  private[lake] val manifestCache = new ManifestCache(4096)
+
+  private[lake] final class ManifestCache(max: Int) {
+    private val m =
+      new java.util.LinkedHashMap[String, (Seq[DataFile], Seq[DeleteFile])](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Seq[DataFile], Seq[DeleteFile])]): Boolean =
+          size() > max
+      }
+    /** Count of loader invocations — lets tests assert that pruned reads
+      * never parse skipped manifests. */
+    @volatile private[lake] var misses: Long = 0L
+    def get(key: String, load: () => (Seq[DataFile], Seq[DeleteFile])): (Seq[DataFile], Seq[DeleteFile]) =
+      synchronized {
+        val v = m.get(key)
+        if (v != null) v
+        else { misses += 1; val nv = load(); m.put(key, nv); nv }
+      }
+    def put(key: String, v: (Seq[DataFile], Seq[DeleteFile])): Unit =
+      synchronized { m.put(key, v) }
+    /** Test hook: drop all entries so load counts start from zero. */
+    private[lake] def clear(): Unit = synchronized { m.clear() }
+  }
+
   /** Storage column carrying the commit sequence of each data row. */
   val SeqCol = "_graft_seq"
   /** Column in delete files carrying the delete's commit sequence. */

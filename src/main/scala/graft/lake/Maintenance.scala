@@ -64,8 +64,17 @@ object Maintenance {
       .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
       .distinct.filterNot(live)
 
+    // manifests are SHARED across snapshots (commits re-reference their
+    // parent's): delete one only when no retained snapshot points at it
+    val liveManifests: Set[String] =
+      retained.flatMap(s => table.snapshotFile(s.seq).manifests.map(_.path)).toSet
+    val deadManifests = expired
+      .flatMap(s => table.snapshotFile(s.seq).manifests.map(_.path))
+      .distinct.filterNot(liveManifests)
+
     val root = new Path(table.location)
     dead.foreach(p => table.fs.delete(new Path(root, p), false))
+    deadManifests.foreach(p => table.fs.delete(new Path(root, p), false))
     expired.foreach(s => table.fs.delete(new Path(root, f"meta/snap-${s.seq}%05d.json"), false))
   }
 
@@ -107,5 +116,21 @@ object Maintenance {
         }
       }
     }
+
+    // manifests stranded by a commit that lost the snapshot race (or died
+    // before publishing its snapshot) — referenced by nothing, age-gated
+    val metaDir = new Path(root, "meta")
+    val snapSeqs = table.fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
+    val liveManifests: Set[String] =
+      snapSeqs.flatMap(q => table.snapshotFile(q).manifests.map(_.path)).toSet
+    table.fs.listStatus(metaDir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("man-") && n.endsWith(".json") &&
+          !liveManifests(s"meta/$n") && st.getModificationTime < cutoff
+      }
+      .foreach(st => table.fs.delete(st.getPath, false))
   }
 }

@@ -31,10 +31,12 @@ final case class DataFile(
   * constant `_dseq` column = the commit sequence of the delete. */
 final case class DeleteFile(path: String, seq: Long, bytes: Long)
 
-/** One committed table version. Carries the FULL file listing (not a delta):
-  * metadata stays O(files), which is fine up to ~10^5 files per table; at
-  * larger counts the natural evolution is Iceberg-style manifest deltas —
-  * the read/commit protocol here would not change. */
+/** One committed table version, with the FULL file listing inlined
+  * in memory (read planning needs it). PERSISTENCE is manifest-based
+  * (Iceberg's snapshot → manifest-list shape): the snapshot file stores
+  * [[ManifestRef]]s and a commit writes only the manifests its parent did
+  * not already carry — O(delta) metadata per commit, with unchanged
+  * manifests shared structurally across the whole snapshot history. */
 final case class Snapshot(
     seq: Long,
     parent: Option[Long],
@@ -46,6 +48,51 @@ final case class Snapshot(
 ) {
   def totalBytes: Long = dataFiles.map(_.bytes).sum
 }
+
+/** Reference to one immutable manifest file (`meta/man-*.json`) holding a
+  * list of data OR delete file entries.
+  *
+  * `partitions` is the manifest's distinct partition tuples, recorded at
+  * write time when there are at most [[ManifestRef.MaxPartitionSummary]]
+  * of them (`None` = too many / unknown — never prune). Scan planning uses
+  * it to SKIP whole manifests whose partitions cannot match a predicate,
+  * so a filtered read of a 10^5-file table parses only the matching
+  * slice of metadata (Iceberg keeps the same idea as per-manifest
+  * partition field summaries in the manifest list). */
+final case class ManifestRef(
+    path: String,
+    kind: String, // "data" | "delete"
+    count: Int,
+    bytes: Long,
+    partitions: Option[Seq[Map[String, String]]]) {
+  def isData: Boolean = kind == "data"
+}
+
+object ManifestRef {
+  /** Cap on distinct partition tuples recorded per manifest. Commits are
+    * typically partition-scoped (a CDC batch lands in the hot partitions),
+    * so most manifests stay well under it. */
+  val MaxPartitionSummary = 128
+
+  def summarize(files: Seq[DataFile]): Option[Seq[Map[String, String]]] = {
+    val distinct = files.iterator.map(_.partition).distinct.take(MaxPartitionSummary + 1).toSeq
+    if (distinct.size > MaxPartitionSummary) None else Some(distinct)
+  }
+}
+
+/** The decoded content of one snapshot file: header + manifest refs for
+  * the current format, or the inline listings of the pre-manifest layout
+  * (kept readable so tables written by earlier versions still open). */
+final case class SnapshotFile(
+    seq: Long,
+    parent: Option[Long],
+    timestampMs: Long,
+    operation: String,
+    schemaVersion: Int,
+    manifests: Seq[ManifestRef],
+    legacyData: Seq[DataFile],
+    legacyDeletes: Seq[DeleteFile],
+    legacy: Boolean)
 
 /** Immutable table definition, written once at CREATE TABLE time. Schema
   * lives NEXT to this (meta/schema-v*.json) and is versioned per snapshot,
@@ -89,59 +136,109 @@ object MetaJson {
     )
   }
 
-  def writeSnapshot(s: Snapshot): String = {
+  /** Snapshot file, manifest format: header + manifest references. */
+  def writeSnapshotFile(s: Snapshot, manifests: Seq[ManifestRef]): String = {
     val root = M.createObjectNode()
     root.put("seq", s.seq)
     s.parent.foreach(p => root.put("parent", p))
     root.put("timestampMs", s.timestampMs)
     root.put("operation", s.operation)
     root.put("schemaVersion", s.schemaVersion)
-    val dfs = root.putArray("dataFiles")
-    s.dataFiles.foreach { df =>
-      val f = dfs.addObject()
-      f.put("path", df.path); f.put("seq", df.seq); f.put("bytes", df.bytes)
-      val p = f.putObject("partition")
-      df.partition.foreach { case (k, v) => p.put(k, v) }
-      if (df.splits.nonEmpty) {
-        val sp = f.putArray("splits")
-        df.splits.foreach { case (start, len) =>
-          val pair = sp.addArray(); pair.add(start); pair.add(len)
+    val ms = root.putArray("manifests")
+    manifests.foreach { m =>
+      val f = ms.addObject()
+      f.put("path", m.path); f.put("kind", m.kind)
+      f.put("count", m.count); f.put("bytes", m.bytes)
+      m.partitions.foreach { ps =>
+        val pa = f.putArray("partitions")
+        ps.foreach { tuple =>
+          val o = pa.addObject()
+          tuple.foreach { case (k, v) => o.put(k, v) }
         }
       }
-    }
-    val dels = root.putArray("deleteFiles")
-    s.deleteFiles.foreach { d =>
-      val f = dels.addObject()
-      f.put("path", d.path); f.put("seq", d.seq); f.put("bytes", d.bytes)
     }
     root.toPrettyString
   }
 
-  def readSnapshot(s: String): Snapshot = {
+  def readSnapshotFile(s: String): SnapshotFile = {
     val root = M.readTree(s)
-    Snapshot(
+    val legacy = root.has("dataFiles")
+    SnapshotFile(
       seq = root.get("seq").asLong(),
       parent = Option(root.get("parent")).map(_.asLong()),
       timestampMs = root.get("timestampMs").asLong(),
       operation = root.get("operation").asText(),
       schemaVersion = root.get("schemaVersion").asInt(),
-      dataFiles = arr(root, "dataFiles").map { f =>
-        DataFile(
+      manifests = arr(root, "manifests").map { f =>
+        ManifestRef(
           path = f.get("path").asText(),
-          seq = f.get("seq").asLong(),
-          partition = Option(f.get("partition")).map { p =>
-            p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-          }.getOrElse(Map.empty),
+          kind = f.get("kind").asText(),
+          count = f.get("count").asInt(),
           bytes = f.get("bytes").asLong(),
-          splits = arr(f, "splits").map(pair =>
-            (pair.get(0).asLong(), pair.get(1).asLong())),
+          partitions =
+            if (f.has("partitions"))
+              Some(arr(f, "partitions").map(o =>
+                o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap))
+            else None,
         )
       },
-      deleteFiles = arr(root, "deleteFiles").map { f =>
+      legacyData = arr(root, "dataFiles").map(readDataFile),
+      legacyDeletes = arr(root, "deleteFiles").map { f =>
         DeleteFile(f.get("path").asText(), f.get("seq").asLong(), f.get("bytes").asLong())
       },
+      legacy = legacy,
     )
   }
+
+  /** One manifest: a flat list of data OR delete file entries. */
+  def writeManifest(kind: String, data: Seq[DataFile], dels: Seq[DeleteFile]): String = {
+    val root = M.createObjectNode()
+    root.put("kind", kind)
+    if (kind == "data") {
+      val dfs = root.putArray("dataFiles")
+      data.foreach { df =>
+        val f = dfs.addObject()
+        f.put("path", df.path); f.put("seq", df.seq); f.put("bytes", df.bytes)
+        val p = f.putObject("partition")
+        df.partition.foreach { case (k, v) => p.put(k, v) }
+        if (df.splits.nonEmpty) {
+          val sp = f.putArray("splits")
+          df.splits.foreach { case (start, len) =>
+            val pair = sp.addArray(); pair.add(start); pair.add(len)
+          }
+        }
+      }
+    } else {
+      val ds = root.putArray("deleteFiles")
+      dels.foreach { d =>
+        val f = ds.addObject()
+        f.put("path", d.path); f.put("seq", d.seq); f.put("bytes", d.bytes)
+      }
+    }
+    root.toPrettyString
+  }
+
+  def readManifest(s: String): (String, Seq[DataFile], Seq[DeleteFile]) = {
+    val root = M.readTree(s)
+    val kind = root.get("kind").asText()
+    (kind,
+      arr(root, "dataFiles").map(readDataFile),
+      arr(root, "deleteFiles").map { f =>
+        DeleteFile(f.get("path").asText(), f.get("seq").asLong(), f.get("bytes").asLong())
+      })
+  }
+
+  private def readDataFile(f: JsonNode): DataFile =
+    DataFile(
+      path = f.get("path").asText(),
+      seq = f.get("seq").asLong(),
+      partition = Option(f.get("partition")).map { p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty),
+      bytes = f.get("bytes").asLong(),
+      splits = arr(f, "splits").map(pair =>
+        (pair.get(0).asLong(), pair.get(1).asLong())),
+    )
 
   def writeSchema(schema: StructType): String = schema.json
   def readSchema(s: String): StructType = DataType.fromJson(s).asInstanceOf[StructType]

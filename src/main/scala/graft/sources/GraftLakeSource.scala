@@ -357,7 +357,9 @@ private[sources] class GraftLakeScan(
     * Iceberg's `split_offsets`), so planning is pure metadata; files from
     * pre-splits snapshots fall back to a parallelized driver footer read. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val snap = t.snapshot(seq)
+    // manifest-level pruning first (skips whole metadata files via their
+    // partition summaries), then file-level pruning within what loaded
+    val snap = t.snapshotPruned(seq, filters)
     val (files, _) = t.planFiles(snap, filters)
     GraftLakeSource.planFileSplits(t, files)
   }

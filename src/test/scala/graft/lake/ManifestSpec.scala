@@ -1,0 +1,136 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+import java.nio.file.Files
+
+/** Manifest-based snapshot persistence: commits must write O(delta)
+  * metadata, reuse their parent's manifests by reference, prune whole
+  * manifests on filtered reads, and stay readable after expiry drops
+  * shared history. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refsOf(t: LakeTable, seq: Long): Seq[ManifestRef] =
+    t.snapshotFile(seq).manifests
+
+  test("append reuses every parent manifest and writes exactly one new one") {
+    val dir = Files.createTempDirectory("graft-man-append").toString
+    val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    t.append(df)
+    t.append(df)
+    val r1 = refsOf(t, 1); val r2 = refsOf(t, 2); val r3 = refsOf(t, 3)
+    assert(r1.size == 1 && r2.size == 2 && r3.size == 3)
+    // structural sharing: each commit carries its ancestors' manifests verbatim
+    assert(r2.map(_.path).toSet.subsetOf(r3.map(_.path).toSet))
+    assert(r1.map(_.path).toSet.subsetOf(r2.map(_.path).toSet))
+    assert((r3.map(_.path).toSet -- r2.map(_.path).toSet).size == 1)
+    // the reassembled listing is complete
+    assert(t.currentSnapshot.dataFiles.size == r3.map(_.count).sum)
+    assert(t.scan().count() == 30)
+  }
+
+  test("upsert adds one data and one delete manifest, reusing the rest") {
+    val dir = Files.createTempDirectory("graft-man-upsert").toString
+    val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    t.upsert(Seq((1L, 99.0)).toDF("id", "v"))
+    val r1 = refsOf(t, 1); val r2 = refsOf(t, 2)
+    assert(r2.count(_.isData) == 2 && r2.count(!_.isData) == 1)
+    assert(r1.map(_.path).toSet.subsetOf(r2.map(_.path).toSet))
+    assert(t.scan().as[(Long, Double)].collect().toMap.apply(1L) == 99.0)
+  }
+
+  test("partition-scoped compaction keeps clean partitions' manifests by reference") {
+    val dir = Files.createTempDirectory("graft-man-compact").toString
+    val a = (1L to 50L).map(i => (i, "A", i * 1.0)).toDF("id", "s", "v")
+    val b = (51L to 100L).map(i => (i, "B", i * 1.0)).toDF("id", "s", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", a.schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")),
+      primaryKey = Seq("id"))
+    t.append(b) // commit 1: clean partition B, its own manifest
+    t.append(a) // commit 2: partition A
+    t.upsert(Seq((1L, "A", 2.0)).toDF("id", "s", "v")) // commit 3: dirties A only
+    val bManifest = refsOf(t, 1).head
+    t.compactDirty(targetFilesPerPartition = 2)
+    val after = refsOf(t, t.currentSeq)
+    assert(after.map(_.path).contains(bManifest.path),
+      "compaction rewrote the clean partition's manifest")
+    assert(after.forall(_.isData), "compaction left delete manifests behind")
+    assert(t.scan().count() == 100)
+  }
+
+  test("filtered scans skip non-matching manifests without parsing them") {
+    val dir = Files.createTempDirectory("graft-man-prune").toString
+    val a = (1L to 50L).map(i => (i, "A", i * 1.0)).toDF("id", "s", "v")
+    val b = (51L to 100L).map(i => (i, "B", i * 1.0)).toDF("id", "s", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", a.schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")))
+    t.append(a) // manifest 1: only partition A
+    t.append(b) // manifest 2: only partition B
+    val seq = t.currentSeq
+
+    // partition summaries are recorded per manifest
+    val dataRefs = refsOf(t, seq).filter(_.isData)
+    assert(dataRefs.size == 2)
+    assert(dataRefs.forall(_.partitions.isDefined))
+
+    LakeTable.manifestCache.clear()
+    val before = LakeTable.manifestCache.misses
+    val pruned = t.snapshotPruned(seq, Seq(PruneFilter.Eq("s", "A")))
+    val loads = LakeTable.manifestCache.misses - before
+    assert(loads == 1, s"pruned read parsed $loads manifests, expected 1")
+    assert(pruned.dataFiles.nonEmpty && pruned.dataFiles.forall(_.partition("p_s") == "A"))
+
+    // and the full scan result through the pruned path is correct
+    assert(t.scan(filters = Seq(PruneFilter.Eq("s", "A"))).count() == 50)
+    assert(t.scan().count() == 100)
+  }
+
+  test("expiry deletes manifests only when no retained snapshot references them") {
+    val dir = Files.createTempDirectory("graft-man-expire").toString
+    val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)           // manifest M1
+    t.append(df)           // M1 + M2
+    t.overwrite(df)        // M3 only — M1/M2 now referenced only by history
+    val m12 = refsOf(t, 2).map(_.path).toSet
+    val m3 = refsOf(t, 3).map(_.path).toSet
+    assert((m12 & m3).isEmpty)
+    Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(-1000L))
+    val root = new Path(t.location)
+    assert(m12.forall(p => !t.fs.exists(new Path(root, p))),
+      "expired-only manifests were not deleted")
+    assert(m3.forall(p => t.fs.exists(new Path(root, p))),
+      "a retained snapshot's manifest was deleted")
+    assert(t.scan().count() == 10)
+  }
+
+  test("pre-manifest (inline) snapshot files still open") {
+    val dir = Files.createTempDirectory("graft-man-legacy").toString
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    // rewrite snap 1 in the legacy inline layout
+    val cur = t.currentSnapshot
+    val legacyJson = {
+      val f = cur.dataFiles.head
+      s"""{"seq":1,"parent":0,"timestampMs":${cur.timestampMs},"operation":"append",
+         |"schemaVersion":1,
+         |"dataFiles":[{"path":"${f.path}","seq":${f.seq},"bytes":${f.bytes},
+         |"partition":{}}],
+         |"deleteFiles":[]}""".stripMargin
+    }
+    val snapPath = new Path(new Path(t.location), "meta/snap-00001.json")
+    t.fs.delete(snapPath, false)
+    val out = t.fs.create(snapPath, true)
+    out.write(legacyJson.getBytes("UTF-8")); out.close()
+    val reopened = LakeTable.load(spark, t.location)
+    assert(reopened.currentSnapshot.dataFiles.map(_.path) == cur.dataFiles.map(_.path))
+    assert(reopened.scan().count() == 1)
+  }
+}
