@@ -128,6 +128,79 @@ object DedupOps {
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard similarity self-join via PREFIX FILTERING — the
+    * deterministic-complete sibling of the MinHash pipeline: every pair at
+    * or above the threshold is found, no banding escape probability.
+    *
+    * Classic distributed set-similarity-join shape (public literature:
+    * Vernica/Carey/Li, "Efficient Parallel Set-Similarity Joins Using
+    * MapReduce", SIGMOD 2010; the prefix-filter principle of
+    * Chaudhuri/Ganti/Kaushik, ICDE 2006):
+    *  - order each document's shingle set by GLOBAL document frequency,
+    *    rarest first (one groupBy for the dictionary, one shuffle join to
+    *    stamp frequencies — both keyed shuffles, no pair enumeration);
+    *  - a set x can only reach Jaccard t with a set sharing one of x's
+    *    first |x| - ceil(t*|x|) + 1 ordered tokens (if all prefix tokens
+    *    miss, the remaining overlap is < ceil(t*|x|) <= the needed
+    *    overlap), so candidates = pairs sharing a PREFIX token — generated
+    *    with the same groupBy-bucket + in-bucket pair expansion as
+    *    [[lshCandidates]], never a self-join re-computation;
+    *  - exact Jaccard verification on candidates only. Rarest-first
+    *    ordering makes prefix buckets small by construction (the most
+    *    selective tokens carry the candidates), which is what bounds the
+    *    expansion at corpus scale.
+    *
+    * The threshold is a RATIONAL (tNum/tDen): ceil(t*|x|) must be computed
+    * in exact integer arithmetic — double rounding (0.8*5 = 4.0000...02 →
+    * ceil 5) would shorten the prefix and silently drop true pairs. */
+  def jaccardPrefixCandidates(shingles: DataFrame,
+      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val sh = shingles.filter(size(col("sh")) > 0)
+    val toks = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rarest-first total order (df, tok): deterministic and frequency-aware
+    val ordered = toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"), transform(col("ts"), t => t.getField("tok")).as("toks"))
+    val sz = size(col("toks"))
+    // ceil(t*sz) = floor((tNum*sz + tDen-1) / tDen): the numerator is an
+    // exact integer and the quotient sits >= 1/tDen away from any wrong
+    // integer boundary, so the double division floors exactly
+    val minOverlap = floor((lit(tNum) * sz + lit(tDen - 1)) / lit(tDen)).cast("int")
+    val prefixLen = sz - minOverlap + lit(1)
+    ordered
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids")) { (x, y) =>
+        struct(x.as("doc_i"), y.as("doc_j"))
+      }).as("p"))
+      .select(col("p.doc_i"), col("p.doc_j"))
+      .distinct()
+  }
+
+  // q68 — exact Jaccard similarity join at threshold 0.8: prefix-filter
+  // candidates verified by exact bigram Jaccard. Unlike q38 there is no
+  // probabilistic caveat — the oracle's all-pairs result is matched by
+  // CONSTRUCTION, at any corpus, at a lower (harder) threshold.
+  val JaccardJoinNum = 4; val JaccardJoinDen = 5
+  val jaccardSimilarityJoin: (SparkSession, String) => DataFrame = (s, dir) =>
+    jaccardSimilarityJoinOn(shingled(s, dir), JaccardJoinNum, JaccardJoinDen)
+
+  def jaccardSimilarityJoinOn(shingles: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val cand = jaccardPrefixCandidates(shingles, tNum, tDen)
+    val jac = size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+      (size(col("sh_i")) + size(col("sh_j")) - size(array_intersect(col("sh_i"), col("sh_j"))))
+    cand
+      .join(shingles.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
+      .join(shingles.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+  }
+
   /** SimHash near-dup pairs within hamming distance `maxDist` (default 3):
     * 4 × 16-bit band buckets are a COMPLETE candidate generator for
     * distance <= 3 (pigeonhole: 3 flipped bits touch at most 3 of the 4
@@ -203,6 +276,19 @@ object DedupOps {
           |FROM s a JOIN s b ON a.doc_id < b.doc_id
           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+          |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // No completeness caveat here (contrast q38): prefix filtering is an
+    // EXACT algorithm — the oracle's brute-force all-pairs result is
+    // reproduced by construction on any corpus.
+    NamedQuery("q68_jaccard_similarity_join", jaccardSimilarityJoin, oracle = Some(
+      shingleCte +
+        """
+          |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

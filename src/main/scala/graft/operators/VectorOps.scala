@@ -196,6 +196,33 @@ object VectorOps {
       .distinct() // a pair may collide in several bands
   }
 
+  /** q69 — embedding-cosine near-dup pairs, EXACT: every (i < j) pair at
+    * `minSim` or above, scored on quantized vectors so the oracle matches
+    * bit-for-bit. This is the VERIFICATION BASELINE of the cosine-dedup
+    * family — an upper-triangle all-pairs comparison (broadcast
+    * nested-loop; O(N²) by definition) that exists to pin down the exact
+    * answer the sub-quadratic scale path ([[lshNeardupPairs]], bucketed
+    * SRP-LSH, no join at all) is measured against — the same exact/LSH
+    * split as q68 vs q38 on the text side. The fixture's organic pair
+    * similarities top out near 0.5 (no planted vector dups), so the
+    * near-dup threshold here is 0.45. */
+  val NeardupMinSim = 0.45
+  val exactCosinePairs: (SparkSession, String) => DataFrame = (s, dir) =>
+    exactCosinePairsOn(emb(s, dir), NeardupMinSim)
+
+  def exactCosinePairsOn(base: DataFrame, minSim: Double): DataFrame = {
+    val e = base
+      .select(col("vec_id"), VectorMath.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", VectorMath.normSq(col("qv")))
+    val a = e.select(col("vec_id").as("vec_i"), col("qv").as("qi"), col("nq").as("ni"))
+    val b = e.select(col("vec_id").as("vec_j"), col("qv").as("qj"), col("nq").as("nj"))
+    a.join(b, col("vec_i") < col("vec_j"))
+      .withColumn("sim",
+        VectorMath.cosineFromParts(VectorMath.dot(col("qi"), col("qj")), col("ni"), col("nj")))
+      .filter(col("sim") >= lit(minSim))
+      .select(col("vec_i"), col("vec_j"), col("sim"))
+  }
+
   private val quantCte =
     """WITH e AS (
       |  SELECT vec_id, label,
@@ -223,6 +250,16 @@ object VectorOps {
           |  FROM s
           |)
           |SELECT probe_id, rank, vec_id, sim FROM r WHERE rank <= 10
+          |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q69_exact_cosine_pairs", exactCosinePairs, oracle = Some(
+      quantCte +
+        """
+          |, pr AS (
+          |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+          |    list_dot_product(a.qv, b.qv) / sqrt(a.nq * b.nq) AS sim
+          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |)
+          |SELECT vec_i, vec_j, sim FROM pr WHERE sim >= 0.45
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

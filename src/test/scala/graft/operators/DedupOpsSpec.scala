@@ -51,6 +51,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("prefix-filter Jaccard join is EXACT: equals brute force at 0.8, no all-pairs join") {
+    val sh = DedupOps.shingled(spark, sfDir)
+    val a = sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+    val b = sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    val truth = a.crossJoin(b).filter(col("doc_i") < col("doc_j"))
+      .withColumn("jac", inter.cast("double") / (size(col("sh_i")) + size(col("sh_j")) - inter))
+      .filter(col("jac") >= 0.8)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    val got = DedupOps.jaccardSimilarityJoin(spark, sfDir)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture has no pairs at 0.8; test is vacuous")
+    assert(got == truth, s"missed=${truth -- got} extra=${got -- truth}")
+    val plan = planOf(DedupOps.jaccardSimilarityJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "prefix-filter join degenerated to all-pairs")
+  }
+
+  test("prefix length survives ceil boundaries: exact pairs on adversarial set sizes") {
+    // sets sized so that t*|x| lands exactly on integers (the double-ceil
+    // trap: ceil(0.8*5) must be 4, not 5) — x1/x2 share 4 of 5 shingles
+    // (jac 4/6 < 0.8), x3/x4 are identical 5-sets (jac 1.0), x5/x6 overlap
+    // 9 of 10 (jac 9/11 = 0.818 >= 0.8)
+    val docs = Seq(
+      1L -> "a b c d e f",       // bigrams: ab bc cd de ef (5)
+      2L -> "a b c d e g",       // ab bc cd de eg — shares 4
+      3L -> "p q r s t u",       // 5 bigrams
+      4L -> "p q r s t u",       // identical
+      5L -> "m n o w x y z m2 n2 o2 w2", // 10 bigrams
+      6L -> "m n o w x y z m2 n2 o2 w3", // last bigram differs: 9/11 = 0.818
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), graft.functions.TextSig.shingles(col("text")).as("sh"))
+    val got = DedupOps.jaccardSimilarityJoinOn(sh, 4, 5)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L), (5L, 6L)), s"operator found: $got")
+  }
+
   test("dedup survivors partition the corpus: sum of group sizes = corpus size") {
     val total = graft.Tables.load(spark, sfDir, "documents").count()
     val survivors = DedupOps.dedupSurvivors(spark, sfDir)

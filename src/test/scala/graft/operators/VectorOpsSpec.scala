@@ -77,6 +77,18 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact cosine pairs: SRP-LSH scale path reproduces the exact baseline on planted dups") {
+    val base = graft.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val df = base.unionByName(planted)
+    val exact = VectorOps.exactCosinePairsOn(df.select(col("vec_id"), col("embedding")), 0.999)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    val lsh = VectorOps.lshNeardupPairs(spark, sfDir, minSim = 0.999, df = Some(df))
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "no planted pairs at 0.999; test is vacuous")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
   test("LSH near-dup finds planted duplicate vectors without an all-pairs join") {
     val base = graft.Tables.load(spark, sfDir, "embeddings").limit(50)
     val planted = base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
