@@ -290,5 +290,9 @@ object DedupOps {
           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // rows-only by nature: the simhash bit mixing (xxhash64-based) is not
+    // reproducible in DuckDB SQL; completeness for hamming distance <= 3
+    // is spec-PROVEN against brute force instead (DedupOpsSpec)
+    NamedQuery("q72_simhash_neardup_pairs", (s, dir) => simhashNeardupPairs(s, dir)),
   )
 }

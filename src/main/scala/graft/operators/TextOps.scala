@@ -87,6 +87,26 @@ object TextOps {
       md5(col("text")).as("fingerprint"),
       substring(md5(col("text")), 1, 4).as("shard"))
 
+  /** BPE-style pre-tokenizer regex (the GPT-2 shape reduced to constructs
+    * both Java regex and DuckDB's RE2 support — no lookahead, no \p
+    * classes): a token is an optional leading space followed by a letter
+    * run, a digit run, or a punctuation run. Word-boundary splitting like
+    * this is what real BPE vocabularies pre-segment on; the fixture text
+    * is ASCII so the simplified classes are exact. */
+  val BpeTokenRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  // q70 — token counting, whitespace vs BPE-ish: per-doc whitespace token
+  // count, regex pre-token count, and chars-per-pretoken (the
+  // compression-rate proxy used to budget training-token costs)
+  val tokenCounts: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .withColumn("bpe", regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0)))
+      .select(
+        col("doc_id"),
+        size(TextSig.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(col("bpe")).cast("long").as("n_bpe_tokens"),
+        (col("n_chars").cast("double") / size(col("bpe"))).as("chars_per_bpe_token"))
+
   /** Language-ID over the corpus (heuristic; spec-tested — see scaladoc). */
   def detectLanguages(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -125,6 +145,14 @@ object TextOps {
         |GROUP BY token ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q43_fingerprints", fingerprints, oracle = Some(
       """SELECT doc_id, md5(text) AS fingerprint, substring(md5(text), 1, 4) AS shard
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q70_token_counts", tokenCounts, oracle = Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+        |  CAST(n_chars AS DOUBLE)
+        |    / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+        |    AS chars_per_bpe_token
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

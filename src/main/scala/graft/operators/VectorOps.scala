@@ -261,5 +261,10 @@ object VectorOps {
           |)
           |SELECT vec_i, vec_j, sim FROM pr WHERE sim >= 0.45
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // rows-only by nature: the k-means coarse quantizer's centroid means
+    // are engine-internal float reductions (no cross-engine oracle can
+    // reproduce them); result SHAPE is checked here, recall vs the exact
+    // baseline is spec-asserted (VectorOpsSpec)
+    NamedQuery("q71_ivf_ann_topk", (s, dir) => ivfTopK(s, dir, nprobe = 5)),
   )
 }
