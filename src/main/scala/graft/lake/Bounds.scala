@@ -1,0 +1,173 @@
+package graft.lake
+
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.LogicalTypeAnnotation
+
+import java.math.{MathContext, RoundingMode}
+import java.nio.charset.StandardCharsets
+
+/** Per-file column bounds — Iceberg's `lower_bounds`/`upper_bounds`
+  * (reference tables record per-column min/max metrics:
+  * olake-config/destination.json:84-87 `write.metadata.metrics.default`)
+  * — captured from parquet footer statistics at commit time and stored in
+  * the manifest entry, so a filtered scan can skip whole FILES from
+  * metadata alone, before any task launches. Clustering at write
+  * ([[LakeTable]] sorts on the cluster keys) makes these ranges tight
+  * exactly where queries filter.
+  *
+  * `kind` partitions the value domain: "n" = numeric (integers, exact
+  * decimal expansions of floats, DATE epoch days, TIMESTAMP epoch micros),
+  * "s" = UTF-8 string. A bound only ever compares against a literal of its
+  * own domain; any mismatch or unparseable shape keeps the file
+  * (pruning is conservative by construction — the raw predicate is always
+  * re-applied at scan). */
+final case class ColBound(kind: String, min: String, max: String)
+
+object ColumnBounds {
+  /** Max rendered length of a string bound; longer values drop the column
+    * (same spirit as Iceberg's truncate(16) metric mode, without the
+    * round-up subtlety of truncated upper bounds). */
+  val MaxStringLen = 64
+
+  /** Numeric bounds are rounded to 30 significant digits — DOWN for mins,
+    * UP for maxes — so exact decimal expansions of doubles stay short
+    * while the interval only ever widens (never mis-prunes). */
+  private val FloorMc = new MathContext(30, RoundingMode.FLOOR)
+  private val CeilMc  = new MathContext(30, RoundingMode.CEILING)
+
+  // ------------------------------------------------------------- extraction
+
+  /** Bounds of one parquet file from an OPEN reader's footer: a column
+    * contributes iff every row group carries usable statistics for it
+    * (all-null row groups contribute nothing — null rows can never satisfy
+    * a comparison predicate, so they do not widen the value interval). */
+  def fromFooter(rd: ParquetFileReader): Map[String, ColBound] = {
+    import scala.jdk.CollectionConverters._
+    val blocks = rd.getFooter.getBlocks.asScala.toSeq
+    if (blocks.isEmpty) return Map.empty
+    var acc = Map.empty[String, (String, BigDecimal, BigDecimal, Array[Byte], Array[Byte])]
+    var dropped = Set.empty[String]
+
+    def widenNum(name: String, mn: BigDecimal, mx: BigDecimal): Unit =
+      acc.get(name) match {
+        case None => acc += name -> (("n", mn, mx, null, null))
+        case Some(("n", amn, amx, _, _)) => acc += name -> (("n", amn.min(mn), amx.max(mx), null, null))
+        case _ => dropped += name
+      }
+    def widenStr(name: String, mn: Array[Byte], mx: Array[Byte]): Unit =
+      acc.get(name) match {
+        case None => acc += name -> (("s", null, null, mn, mx))
+        case Some(("s", _, _, amn, amx)) =>
+          val nmn = if (java.util.Arrays.compareUnsigned(mn, amn) < 0) mn else amn
+          val nmx = if (java.util.Arrays.compareUnsigned(mx, amx) > 0) mx else amx
+          acc += name -> (("s", null, null, nmn, nmx))
+        case _ => dropped += name
+      }
+
+    blocks.foreach { block =>
+      block.getColumns.asScala.foreach { col =>
+        val name = col.getPath.toDotString
+        if (!dropped(name) && name != LakeTable.SeqCol) {
+          val stats = col.getStatistics
+          if (stats == null || stats.isEmpty) dropped += name
+          else if (!stats.hasNonNullValue) () // all-null chunk: no widening
+          else stats match {
+            case s: IntStatistics    => widenNum(name, BigDecimal(s.getMin), BigDecimal(s.getMax))
+            case s: LongStatistics   => widenNum(name, BigDecimal(s.getMin), BigDecimal(s.getMax))
+            case s: FloatStatistics =>
+              if (s.getMin.isNaN || s.getMax.isNaN) dropped += name
+              // exact binary expansion — shortest-repr toString would shave
+              // sub-ulp mass off the interval and could mis-prune boundary
+              // predicates
+              else widenNum(name,
+                BigDecimal(new java.math.BigDecimal(s.getMin.toDouble)),
+                BigDecimal(new java.math.BigDecimal(s.getMax.toDouble)))
+            case s: DoubleStatistics =>
+              if (s.getMin.isNaN || s.getMax.isNaN) dropped += name
+              else widenNum(name,
+                BigDecimal(new java.math.BigDecimal(s.getMin)),
+                BigDecimal(new java.math.BigDecimal(s.getMax)))
+            case s: BinaryStatistics
+                if col.getPrimitiveType.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              val mn = s.genericGetMin.getBytes
+              val mx = s.genericGetMax.getBytes
+              if (mn.length > MaxStringLen || mx.length > MaxStringLen) dropped += name
+              else widenStr(name, mn, mx)
+            case _ => dropped += name
+          }
+        }
+      }
+    }
+    acc.collect {
+      case (name, ("n", mn, mx, _, _)) if !dropped(name) =>
+        name -> ColBound("n",
+          mn.round(FloorMc).underlying.toPlainString,
+          mx.round(CeilMc).underlying.toPlainString)
+      case (name, ("s", _, _, mn, mx)) if !dropped(name) =>
+        name -> ColBound("s",
+          new String(mn, StandardCharsets.UTF_8), new String(mx, StandardCharsets.UTF_8))
+    }
+  }
+
+  // -------------------------------------------------------------- pruning
+
+  /** sign(bound - literal) in the bound's domain, None when incomparable
+    * (→ caller keeps the file). */
+  private def cmp(b: ColBound, bound: String, literal: Any): Option[Int] =
+    (b.kind, canon(literal)) match {
+      case ("n", Some(Left(lit))) =>
+        try Some(BigDecimal(bound).compare(lit).sign)
+        catch { case _: NumberFormatException => None }
+      case ("s", Some(Right(lit))) =>
+        Some(java.util.Arrays.compareUnsigned(
+          bound.getBytes(StandardCharsets.UTF_8), lit).sign)
+      case _ => None
+    }
+
+  /** Literal → its comparison domain. Temporal types canonicalize to the
+    * same integers parquet stores (DATE → epoch days, TIMESTAMP → epoch
+    * micros UTC); floats/doubles to their exact decimal expansion. */
+  private def canon(v: Any): Option[Either[BigDecimal, Array[Byte]]] = v match {
+    case null => None
+    case s: String => Some(Right(s.getBytes(StandardCharsets.UTF_8)))
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => Some(Left(BigDecimal(n.toString)))
+    case d: Double if !d.isNaN => Some(Left(BigDecimal(new java.math.BigDecimal(d))))
+    case f: Float if !f.isNaN => Some(Left(BigDecimal(new java.math.BigDecimal(f.toDouble))))
+    case d: java.math.BigDecimal => Some(Left(BigDecimal(d)))
+    case d: BigDecimal => Some(Left(d))
+    case t: java.sql.Timestamp =>
+      Some(Left(BigDecimal(t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L)))
+    case i: java.time.Instant =>
+      Some(Left(BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000L)))
+    case d: java.time.LocalDateTime =>
+      Some(Left(BigDecimal(
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L)))
+    case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+    case d: java.time.LocalDate => Some(Left(BigDecimal(d.toEpochDay)))
+    case _ => None
+  }
+
+  /** Conservative file-survival test against recorded column bounds:
+    * false ONLY when no value in [min, max] can satisfy the filter.
+    * Bounds cover non-null values; null rows never satisfy a comparison
+    * predicate, so their presence cannot invalidate a prune. */
+  def mayMatch(bounds: Map[String, ColBound], f: PruneFilter): Boolean =
+    bounds.get(f.column) match {
+      case None => true // no bounds recorded: cannot prune
+      case Some(b) =>
+        import PruneFilter._
+        def geMin(v: Any) = cmp(b, b.min, v) // sign(min - v)
+        def geMax(v: Any) = cmp(b, b.max, v) // sign(max - v)
+        f match {
+          case Eq(_, v) => geMin(v).forall(_ <= 0) && geMax(v).forall(_ >= 0)
+          case In(_, vs) =>
+            vs.isEmpty || vs.exists(v => geMin(v).forall(_ <= 0) && geMax(v).forall(_ >= 0))
+          case Ge(_, v) => geMax(v).forall(_ >= 0)
+          case Gt(_, v) => geMax(v).forall(_ > 0)
+          case Lt(_, v) => geMin(v).forall(_ < 0)
+          case Le(_, v) => geMin(v).forall(_ <= 0)
+        }
+    }
+}

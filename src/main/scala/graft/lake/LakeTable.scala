@@ -320,7 +320,9 @@ final class LakeTable private (
   def planFiles(snap: Snapshot, filters: Seq[PruneFilter]): (Seq[DataFile], Int) = {
     val total = snap.dataFiles.size
     val kept = snap.dataFiles.filter { f =>
-      filters.forall(fl => PruneFilter.mayMatch(meta.partitionSpec, f.partition, fl))
+      filters.forall(fl =>
+        PruneFilter.mayMatch(meta.partitionSpec, f.partition, fl) &&
+          ColumnBounds.mayMatch(f.bounds, fl))
     }
     (kept, total)
   }
@@ -498,10 +500,11 @@ final class LakeTable private (
       }
     }
     fs.delete(staging, true)
-    val splitsByPath = LakeTable.rowGroupSplitsAll(
-      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration)
+    val metaByPath = LakeTable.fileMetaAll(
+      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = false)
     moved.map { case (destRel, dest, partition, len) =>
-      DataFile(destRel, seq, partition, len, splits = splitsByPath(dest))
+      val fm = metaByPath(dest)
+      DataFile(destRel, seq, partition, len, splits = fm.splits, bounds = fm.bounds)
     }.toSeq
   }
 
@@ -708,18 +711,27 @@ object LakeTable {
     t
   }
 
-  /** Parquet row-group byte ranges of a committed file — recorded once in
-    * the snapshot (Iceberg's `split_offsets`) so read planning never has
-    * to reopen footers. */
-  private[graft] def rowGroupSplits(
-      p: Path, conf: org.apache.hadoop.conf.Configuration): Seq[(Long, Long)] = {
+  /** Per-file footer metadata recorded once at commit: length, row-group
+    * byte ranges (Iceberg's `split_offsets`) and column bounds (Iceberg's
+    * lower/upper_bounds) — read planning never reopens footers. */
+  private[graft] final case class FileMeta(
+      len: Long, splits: Seq[(Long, Long)], bounds: Map[String, ColBound])
+
+  /** One footer open serving splits AND bounds. */
+  private[graft] def readFooterMeta(
+      p: Path, conf: org.apache.hadoop.conf.Configuration): (Seq[(Long, Long)], Map[String, ColBound]) = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       import scala.jdk.CollectionConverters._
-      rd.getRowGroups.asScala.toSeq.map(b => (b.getStartingPos, b.getCompressedSize))
+      (rd.getRowGroups.asScala.toSeq.map(b => (b.getStartingPos, b.getCompressedSize)),
+        ColumnBounds.fromFooter(rd))
     } finally rd.close()
   }
+
+  private[graft] def rowGroupSplits(
+      p: Path, conf: org.apache.hadoop.conf.Configuration): Seq[(Long, Long)] =
+    readFooterMeta(p, conf)._1
 
   /** Footer reads for a batch of files, parallelized — a big append can
     * publish thousands of files and a serial loop would stretch the commit
@@ -727,22 +739,23 @@ object LakeTable {
   private[graft] def rowGroupSplitsAll(
       paths: Seq[Path],
       conf: org.apache.hadoop.conf.Configuration): Map[Path, Seq[(Long, Long)]] =
-    fileMetaAll(paths, conf, withLen = false).view.mapValues(_._2).toMap
+    fileMetaAll(paths, conf, withLen = false).view.mapValues(_.splits).toMap
 
-  /** Parallel (length, row-group splits) per file — the single pooled
-    * footer/stat reader shared by commit paths and legacy read planning. */
+  /** Parallel FileMeta per file — the single pooled footer/stat reader
+    * shared by commit paths and legacy read planning. */
   private[graft] def fileMetaAll(
       paths: Seq[Path],
       conf: org.apache.hadoop.conf.Configuration,
-      withLen: Boolean = true): Map[Path, (Long, Seq[(Long, Long)])] = {
+      withLen: Boolean = true): Map[Path, FileMeta] = {
     if (paths.isEmpty) return Map.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, paths.size))
     try {
       paths.map { p =>
-        p -> pool.submit(new java.util.concurrent.Callable[(Long, Seq[(Long, Long)])] {
-          def call(): (Long, Seq[(Long, Long)]) = {
+        p -> pool.submit(new java.util.concurrent.Callable[FileMeta] {
+          def call(): FileMeta = {
             val len = if (withLen) p.getFileSystem(conf).getFileStatus(p).getLen else -1L
-            (len, rowGroupSplits(p, conf))
+            val (splits, bounds) = readFooterMeta(p, conf)
+            FileMeta(len, splits, bounds)
           }
         })
       }.map { case (p, f) => p -> f.get() }.toMap

@@ -25,7 +25,11 @@ final case class DataFile(
     seq: Long,
     partition: Map[String, String],
     bytes: Long,
-    splits: Seq[(Long, Long)] = Nil)
+    splits: Seq[(Long, Long)] = Nil,
+    /** Per-column value bounds (Iceberg's lower/upper_bounds), captured
+      * from footer stats at commit; empty on metadata written before this
+      * field existed — readers simply cannot stats-skip those files. */
+    bounds: Map[String, ColBound] = Map.empty)
 
 /** A merge-on-read delete-key file: parquet of primary-key columns plus a
   * constant `_dseq` column = the commit sequence of the delete. */
@@ -207,6 +211,12 @@ object MetaJson {
             val pair = sp.addArray(); pair.add(start); pair.add(len)
           }
         }
+        if (df.bounds.nonEmpty) {
+          val bo = f.putObject("bounds")
+          df.bounds.foreach { case (c, b) =>
+            val e = bo.putArray(c); e.add(b.kind); e.add(b.min); e.add(b.max)
+          }
+        }
       }
     } else {
       val ds = root.putArray("deleteFiles")
@@ -238,6 +248,12 @@ object MetaJson {
       bytes = f.get("bytes").asLong(),
       splits = arr(f, "splits").map(pair =>
         (pair.get(0).asLong(), pair.get(1).asLong())),
+      bounds = Option(f.get("bounds")).map { b =>
+        b.properties().asScala.map { e =>
+          val a = e.getValue
+          e.getKey -> ColBound(a.get(0).asText(), a.get(1).asText(), a.get(2).asText())
+        }.toMap
+      }.getOrElse(Map.empty),
     )
 
   def writeSchema(schema: StructType): String = schema.json

@@ -115,6 +115,131 @@ object GraftLakeSource {
   }
 }
 
+/** Translates pushed v1 filters into a parquet [[FilterPredicate]] so the
+  * readers skip whole ROW GROUPS from footer statistics (and pages, via
+  * column indexes) — the same machinery `spark.read.parquet` engages with
+  * `spark.sql.parquet.filterPushdown`. File-level skipping already
+  * happened at planning (partition pruning + column bounds); this layer
+  * catches the remaining selectivity INSIDE multi-row-group files, where
+  * clustering keeps per-row-group ranges tight.
+  *
+  * Only flat scalar shapes are translated (the whole lake data model,
+  * SURVEY §1.3); anything else is simply not pushed — Spark re-applies
+  * every predicate post-scan either way, so this is a pure I/O
+  * optimization. A filter on a column a file predates evaluates against
+  * an all-null chunk and correctly drops the row group (null never
+  * satisfies a comparison). */
+private[sources] object ParquetPushdown {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+
+  def build(schema: StructType, filters: Seq[Filter]): Option[FilterPredicate] =
+    filters.flatMap(translate(schema, _)).reduceOption(FilterApi.and)
+
+  private val MaxInValues = 20
+
+  private def translate(schema: StructType, f: Filter): Option[FilterPredicate] = f match {
+    case EqualTo(c, v) => pred(schema, c, v, "eq")
+    case GreaterThan(c, v) => pred(schema, c, v, "gt")
+    case GreaterThanOrEqual(c, v) => pred(schema, c, v, "gtEq")
+    case LessThan(c, v) => pred(schema, c, v, "lt")
+    case LessThanOrEqual(c, v) => pred(schema, c, v, "ltEq")
+    case In(c, vs) if vs.nonEmpty && vs.length <= MaxInValues && !vs.contains(null) =>
+      val eqs = vs.toSeq.map(v => pred(schema, c, v, "eq"))
+      if (eqs.forall(_.isDefined)) eqs.flatten.reduceOption(FilterApi.or) else None
+    case _ => None
+  }
+
+  private def pred(schema: StructType, name: String, v: Any, op: String): Option[FilterPredicate] = {
+    if (v == null || !schema.fieldNames.contains(name)) return None
+    schema(name).dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        asLong(v).map(l => longPred(name, l, op))
+      case IntegerType => v match {
+        case i: Int => Some(intPred(name, i, op))
+        case _ => None
+      }
+      case DateType => asDays(v).map(d => intPred(name, d, op))
+      case DoubleType => v match {
+        case d: Double if !d.isNaN => Some(doublePred(name, d, op))
+        case _ => None
+      }
+      case FloatType => v match {
+        case f: Float if !f.isNaN => Some(floatPred(name, f, op))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(binaryPred(name, Binary.fromString(s), op))
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: Boolean if op == "eq" =>
+          Some(FilterApi.eq(FilterApi.booleanColumn(name), java.lang.Boolean.valueOf(b)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def asLong(v: Any): Option[java.lang.Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case t: java.sql.Timestamp =>
+      Some(t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L)
+    case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.time.LocalDateTime =>
+      Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L)
+    case _ => None
+  }
+
+  private def asDays(v: Any): Option[java.lang.Integer] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case _ => None
+  }
+
+  private def longPred(c: String, v: java.lang.Long, op: String): FilterPredicate = {
+    val col = FilterApi.longColumn(c)
+    op match {
+      case "eq" => FilterApi.eq(col, v); case "gt" => FilterApi.gt(col, v)
+      case "gtEq" => FilterApi.gtEq(col, v); case "lt" => FilterApi.lt(col, v)
+      case "ltEq" => FilterApi.ltEq(col, v)
+    }
+  }
+  private def intPred(c: String, v: java.lang.Integer, op: String): FilterPredicate = {
+    val col = FilterApi.intColumn(c)
+    op match {
+      case "eq" => FilterApi.eq(col, v); case "gt" => FilterApi.gt(col, v)
+      case "gtEq" => FilterApi.gtEq(col, v); case "lt" => FilterApi.lt(col, v)
+      case "ltEq" => FilterApi.ltEq(col, v)
+    }
+  }
+  private def doublePred(c: String, v: java.lang.Double, op: String): FilterPredicate = {
+    val col = FilterApi.doubleColumn(c)
+    op match {
+      case "eq" => FilterApi.eq(col, v); case "gt" => FilterApi.gt(col, v)
+      case "gtEq" => FilterApi.gtEq(col, v); case "lt" => FilterApi.lt(col, v)
+      case "ltEq" => FilterApi.ltEq(col, v)
+    }
+  }
+  private def floatPred(c: String, v: java.lang.Float, op: String): FilterPredicate = {
+    val col = FilterApi.floatColumn(c)
+    op match {
+      case "eq" => FilterApi.eq(col, v); case "gt" => FilterApi.gt(col, v)
+      case "gtEq" => FilterApi.gtEq(col, v); case "lt" => FilterApi.lt(col, v)
+      case "ltEq" => FilterApi.ltEq(col, v)
+    }
+  }
+  private def binaryPred(c: String, v: Binary, op: String): FilterPredicate = {
+    val col = FilterApi.binaryColumn(c)
+    op match {
+      case "eq" => FilterApi.eq(col, v); case "gt" => FilterApi.gt(col, v)
+      case "gtEq" => FilterApi.gtEq(col, v); case "lt" => FilterApi.lt(col, v)
+      case "ltEq" => FilterApi.ltEq(col, v)
+    }
+  }
+}
+
 /** @param raw expose the table WITHOUT merge-on-read tombstone filtering
   *            and WITH the `_graft_seq` commit-seq column appended — the
   *            building block [[graft.plans.LakeMorRewrite]] uses to plan
@@ -230,8 +355,14 @@ private[graft] class GraftLakeV2Table(
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
       override def description(): String = s"graftlake copy-on-write ${info.command()}"
+      // The rewrite's write REPLACES the whole table, so this scan must
+      // return EVERY current row — filters Spark pushes here are group-
+      // discovery hints, and acting on them (file pruning or parquet
+      // row-group skipping) would silently drop carry-over rows from the
+      // replacement. Ignore them; the rewrite re-evaluates the condition.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        GraftLakeV2Table.this.newScanBuilder(options)
+        new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = false,
+          tombstoneGateBytes, acceptFilters = false)
       override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
         // expectedBase = the snapshot the operation's scan reads: a commit
@@ -295,25 +426,36 @@ private[graft] object GraftLakeV2Table {
 }
 
 private[sources] class GraftLakeScanBuilder(
-    t: LakeTable, seq: Long, tableSchema: StructType, skipDeletes: Boolean, gateBytes: Long)
+    t: LakeTable, seq: Long, tableSchema: StructType, skipDeletes: Boolean, gateBytes: Long,
+    acceptFilters: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
   private var pruneFilters: Seq[PruneFilter] = Nil
   private var reported: Array[Filter] = Array.empty
+  private var dataFilters: Seq[Filter] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val sources = t.meta.partitionSpec.map(_.source).toSet
+    // row-level-operation scans must read every row (see
+    // newRowLevelOperationBuilder): no pruning, no reader pushdown
+    if (!acceptFilters) return filters
+    // every conjunct is kept for READER-level pushdown (parquet row-group
+    // stats skipping); the translatable subset below additionally prunes
+    // FILES (and whole manifests) at planning — against the partition
+    // tuple when the column is a partition source, and against the
+    // per-file column bounds for ANY column (clustering keeps those tight
+    // on the cluster keys, so this is the scan path's zone-map skip)
+    dataFilters = filters.toSeq
     // Catalyst splits top-level conjunctions before pushdown, so each
     // element here is one conjunct; any untranslated shape simply doesn't
     // prune (and is re-applied post-scan like everything else).
     val translated = filters.flatMap {
-      case EqualTo(c, v) if sources(c) => Some(PruneFilter.Eq(c, v) -> EqualTo(c, v))
-      case GreaterThanOrEqual(c, v) if sources(c) => Some(PruneFilter.Ge(c, v) -> GreaterThanOrEqual(c, v))
-      case GreaterThan(c, v) if sources(c) => Some(PruneFilter.Gt(c, v) -> GreaterThan(c, v))
-      case LessThan(c, v) if sources(c) => Some(PruneFilter.Lt(c, v) -> LessThan(c, v))
-      case LessThanOrEqual(c, v) if sources(c) => Some(PruneFilter.Le(c, v) -> LessThanOrEqual(c, v))
-      case In(c, vs) if sources(c) => Some(PruneFilter.In(c, vs.toSeq) -> In(c, vs))
+      case EqualTo(c, v) => Some(PruneFilter.Eq(c, v) -> EqualTo(c, v))
+      case GreaterThanOrEqual(c, v) => Some(PruneFilter.Ge(c, v) -> GreaterThanOrEqual(c, v))
+      case GreaterThan(c, v) => Some(PruneFilter.Gt(c, v) -> GreaterThan(c, v))
+      case LessThan(c, v) => Some(PruneFilter.Lt(c, v) -> LessThan(c, v))
+      case LessThanOrEqual(c, v) => Some(PruneFilter.Le(c, v) -> LessThanOrEqual(c, v))
+      case In(c, vs) => Some(PruneFilter.In(c, vs.toSeq) -> In(c, vs))
       case _ => None
     }
     pruneFilters = translated.map(_._1).toSeq
@@ -327,7 +469,8 @@ private[sources] class GraftLakeScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes, gateBytes)
+    new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes, gateBytes,
+      dataFilters)
 }
 
 private[sources] class GraftLakeScan(
@@ -337,7 +480,8 @@ private[sources] class GraftLakeScan(
     required: StructType,
     filters: Seq[PruneFilter],
     skipDeletes: Boolean,
-    gateBytes: Long) extends Scan with Batch {
+    gateBytes: Long,
+    dataFilters: Seq[Filter] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -408,7 +552,8 @@ private[sources] class GraftLakeScan(
     val hadoopConf: Map[String, String] =
       t.spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap
-    GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types, hadoopConf)
+    GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types, hadoopConf,
+      ParquetPushdown.build(tableSchema, dataFilters))
   }
 }
 
@@ -478,7 +623,9 @@ private[sources] class GraftLakeMicroBatchStream(
     val newFiles = snap.dataFiles
       // bootstrap batch = the WHOLE earliest snapshot, then strict increments
       .filter(f => (if (s0 == Bootstrap) f.seq <= s else false) || (f.seq > s && f.seq <= e))
-      .filter(f => filters.forall(fl => PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl)))
+      .filter(f => filters.forall(fl =>
+        PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl) &&
+          graft.lake.ColumnBounds.mayMatch(f.bounds, fl)))
     GraftLakeSource.planFileSplits(t, newFiles)
   }
 
@@ -506,11 +653,20 @@ private[sources] case class GraftLakeReaderFactory(
     primaryKey: Seq[String],
     tombstones: Map[Seq[String], Long],
     types: Map[String, DataType],
-    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
+    hadoopConf: Map[String, String],
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    extends PartitionReaderFactory {
 
   private def confOf(): Configuration = {
     val conf = new Configuration(false)
     hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    // row-group statistics skipping: HadoopReadOptions picks this up in
+    // BOTH readers below (vectorized via SpecificParquetRecordReaderBase,
+    // Group API via the explicit builder) — a row group whose stats refute
+    // the predicate is never decoded. Tombstone merging is unaffected:
+    // skipping only removes rows the query filter would drop anyway.
+    filter.foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
     conf
   }
 

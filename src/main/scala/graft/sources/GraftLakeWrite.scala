@@ -132,8 +132,8 @@ private[sources] class GraftLakeBatchWrite(
       // inside the commit window
       val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf)
       val entries = placed.map { case (f, destRel, dest) =>
-        val (len, splits) = metaByPath(dest)
-        DataFile(destRel, f.seq, f.partition, len, splits = splits)
+        val fm = metaByPath(dest)
+        DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds)
       }
       if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2", expectedBase)
       else t.commitStagedAppend(entries.toSeq, "append-dsv2")

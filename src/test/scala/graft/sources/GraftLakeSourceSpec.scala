@@ -129,6 +129,58 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushed predicates skip whole row groups from parquet stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgskip-spec").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 65536)
+    hc.setInt("parquet.page.size", 8192)
+    try {
+      val n = 200000L
+      // repartition(1) + ascending sort: one file, many row groups, id
+      // ranges monotone across them — stats refute a point predicate for
+      // every row group but one
+      val df = spark.range(n).repartition(1).sortWithinPartitions("id")
+        .select(col("id"), (col("id") * 31 % 1000).as("v"))
+      val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema)
+      t.append(df)
+      val file = t.currentSnapshot.dataFiles.maxBy(_.splits.size)
+      assert(file.splits.size > 2, s"fixture produced ${file.splits.size} row groups")
+
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val required = StructType(Seq(StructField("id", LongType)))
+      val types = Map("id" -> (LongType: org.apache.spark.sql.types.DataType))
+      val hcMap = hc.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      val lastSplit = file.splits.last // holds only the largest ids
+
+      def readerFor(filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) =
+        GraftLakeReaderFactory(required, Nil, Map.empty, types, hcMap, filter)
+          .createColumnarReader(
+            GraftLakeInputPartition(t.abs(file.path), lastSplit._1, lastSplit._2))
+
+      // without a predicate the row group decodes batches...
+      val open = readerFor(None)
+      assert(open.next(), "unfiltered row group returned no batch")
+      open.close()
+      // ...with a refuted predicate (id = 5 lives in the FIRST row group)
+      // the reader skips the entire row group without decoding anything
+      val pred = ParquetPushdown.build(required,
+        Seq(org.apache.spark.sql.sources.EqualTo("id", 5L)))
+      assert(pred.isDefined)
+      val skipped = readerFor(pred)
+      assert(!skipped.next(), "stats-refuted row group was decoded")
+      skipped.close()
+
+      // end to end: the SQL-visible result is exact with pushdown active
+      val v2 = readLake(t.location)
+      assert(v2.filter(col("id") === 5L).count() == 1)
+      assert(v2.filter(col("id") < 100L).agg(sum("id")).head.getLong(0) == 4950L)
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size")
+    }
+  }
+
   test("streaming read: appends stream incrementally through a checkpoint, non-append fails") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-streamread-spec").toString
