@@ -504,7 +504,8 @@ final class LakeTable private (
       moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = false)
     moved.map { case (destRel, dest, partition, len) =>
       val fm = metaByPath(dest)
-      DataFile(destRel, seq, partition, len, splits = fm.splits, bounds = fm.bounds)
+      DataFile(destRel, seq, partition, len, splits = fm.splits, bounds = fm.bounds,
+        rows = fm.rows)
     }.toSeq
   }
 
@@ -712,20 +713,24 @@ object LakeTable {
   }
 
   /** Per-file footer metadata recorded once at commit: length, row-group
-    * byte ranges (Iceberg's `split_offsets`) and column bounds (Iceberg's
-    * lower/upper_bounds) — read planning never reopens footers. */
+    * byte ranges (Iceberg's `split_offsets`), column bounds (Iceberg's
+    * lower/upper_bounds) and row count (Iceberg's `record_count`) — read
+    * planning never reopens footers. */
   private[graft] final case class FileMeta(
-      len: Long, splits: Seq[(Long, Long)], bounds: Map[String, ColBound])
+      len: Long, splits: Seq[(Long, Long)], bounds: Map[String, ColBound], rows: Long)
 
-  /** One footer open serving splits AND bounds. */
+  /** One footer open serving splits, bounds AND the row count. */
   private[graft] def readFooterMeta(
-      p: Path, conf: org.apache.hadoop.conf.Configuration): (Seq[(Long, Long)], Map[String, ColBound]) = {
+      p: Path, conf: org.apache.hadoop.conf.Configuration)
+      : (Seq[(Long, Long)], Map[String, ColBound], Long) = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       import scala.jdk.CollectionConverters._
-      (rd.getRowGroups.asScala.toSeq.map(b => (b.getStartingPos, b.getCompressedSize)),
-        ColumnBounds.fromFooter(rd))
+      val groups = rd.getRowGroups.asScala.toSeq
+      (groups.map(b => (b.getStartingPos, b.getCompressedSize)),
+        ColumnBounds.fromFooter(rd),
+        groups.map(_.getRowCount).sum)
     } finally rd.close()
   }
 
@@ -754,8 +759,8 @@ object LakeTable {
         p -> pool.submit(new java.util.concurrent.Callable[FileMeta] {
           def call(): FileMeta = {
             val len = if (withLen) p.getFileSystem(conf).getFileStatus(p).getLen else -1L
-            val (splits, bounds) = readFooterMeta(p, conf)
-            FileMeta(len, splits, bounds)
+            val (splits, bounds, rows) = readFooterMeta(p, conf)
+            FileMeta(len, splits, bounds, rows)
           }
         })
       }.map { case (p, f) => p -> f.get() }.toMap

@@ -29,7 +29,11 @@ final case class DataFile(
     /** Per-column value bounds (Iceberg's lower/upper_bounds), captured
       * from footer stats at commit; empty on metadata written before this
       * field existed — readers simply cannot stats-skip those files. */
-    bounds: Map[String, ColBound] = Map.empty)
+    bounds: Map[String, ColBound] = Map.empty,
+    /** Row count (Iceberg's `record_count`), captured from the footer at
+      * commit. Feeds scan statistics (broadcast planning) and metadata-only
+      * COUNT(*) serving; -1 on metadata written before this field existed. */
+    rows: Long = -1L)
 
 /** A merge-on-read delete-key file: parquet of primary-key columns plus a
   * constant `_dseq` column = the commit sequence of the delete. */
@@ -203,6 +207,7 @@ object MetaJson {
       data.foreach { df =>
         val f = dfs.addObject()
         f.put("path", df.path); f.put("seq", df.seq); f.put("bytes", df.bytes)
+        if (df.rows >= 0) f.put("rows", df.rows)
         val p = f.putObject("partition")
         df.partition.foreach { case (k, v) => p.put(k, v) }
         if (df.splits.nonEmpty) {
@@ -254,6 +259,7 @@ object MetaJson {
           e.getKey -> ColBound(a.get(0).asText(), a.get(1).asText(), a.get(2).asText())
         }.toMap
       }.getOrElse(Map.empty),
+      rows = Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
     )
 
   def writeSchema(schema: StructType): String = schema.json

@@ -45,7 +45,7 @@ object LakePipelines {
   /** Bump whenever any fixture BUILD logic in this file (or the lake write
     * path) changes semantics: the completion markers under the warehouse
     * would otherwise let a later run silently reuse a stale build. */
-  val LayoutVersion = 3
+  val LayoutVersion = 4
 
   def warehouse(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")

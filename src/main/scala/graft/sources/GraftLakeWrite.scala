@@ -133,7 +133,8 @@ private[sources] class GraftLakeBatchWrite(
       val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf)
       val entries = placed.map { case (f, destRel, dest) =>
         val fm = metaByPath(dest)
-        DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds)
+        DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
+          rows = fm.rows)
       }
       if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2", expectedBase)
       else t.commitStagedAppend(entries.toSeq, "append-dsv2")

@@ -253,6 +253,149 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(md(1L)._2 != md(2L)._2, "rows of different commits share a file")
   }
 
+  test("scan reports snapshot statistics; small lake tables auto-broadcast in joins") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val snap = t.currentSnapshot
+    val stats = new GraftLakeScanBuilder(t, snap.seq, t.currentSchema,
+      skipDeletes = false, gateBytes = 64L << 20)
+      .build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(stats.sizeInBytes().getAsLong == snap.dataFiles.map(_.bytes).sum)
+    assert(stats.numRows().getAsLong == t.scan().count())
+    // end to end: a join against a big DF broadcasts the lake side because
+    // its reported size is under the auto-broadcast threshold
+    val big = spark.range(200000).select(col("id").as("o_orderkey"))
+    val joined = big.join(readLake(t.location).select("o_orderkey", "o_totalprice"), "o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"lake side not broadcast:\n$plan")
+  }
+
+  test("statistics respect pruning: filtered scans report fewer bytes/rows") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val snap = t.currentSnapshot
+    def statsFor(fs: Array[org.apache.spark.sql.sources.Filter]) = {
+      val b = new GraftLakeScanBuilder(t, snap.seq, t.currentSchema,
+        skipDeletes = false, gateBytes = 64L << 20)
+      b.pushFilters(fs)
+      b.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }
+    val all = statsFor(Array.empty)
+    val pruned = statsFor(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "o_orderdate", LakePipelines.PruneLo)))
+    assert(pruned.sizeInBytes().getAsLong < all.sizeInBytes().getAsLong)
+    assert(pruned.numRows().getAsLong < all.numRows().getAsLong)
+  }
+
+  test("runtime filtering: join-driven IN filters re-prune input partitions (DPP)") {
+    val t = LakePipelines.ordersLake(spark, sfDir)
+    val snap = t.currentSnapshot
+    val scan = new GraftLakeScanBuilder(t, snap.seq, t.currentSchema,
+      skipDeletes = false, gateBytes = 64L << 20).build().asInstanceOf[GraftLakeScan]
+    // partition sources + cluster keys are advertised for runtime filtering
+    val attrs = scan.filterAttributes().map(_.fieldNames().mkString("."))
+    assert(attrs.toSet == Set("o_orderdate", "o_orderstatus", "o_orderkey"))
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("o_orderstatus", Array[Any]("F"))))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime IN filter pruned nothing ($after of $before)")
+    // an untranslatable runtime filter is ignored, not wrongly applied
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringStartsWith("o_orderstatus", "F")))
+    assert(scan.planInputPartitions().length == before)
+  }
+
+  test("ungrouped COUNT/MIN/MAX are answered from metadata (zero scan tasks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metaagg-spec").toString
+    val df = Seq((3L, "cherry"), (1L, "apple"), (2L, "banana")).toDF("id", "s")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    t.append(Seq((10L, "zucchini"), (7L, "fig")).toDF("id", "s"))
+    val agg = readLake(t.location)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+        min("s").as("smn"), max("s").as("smx"))
+    // a metadata-served aggregate plans as a LocalTableScan of the answer
+    // row — no BatchScan, no tasks against data files
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && plan.contains("count_star"),
+      s"aggregate not metadata-served:\n$plan")
+    assert(!plan.contains("BatchScan"), s"data scan still present:\n$plan")
+    val r = agg.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)) ==
+      ((5L, 1L, 10L, "apple", "zucchini")))
+
+    // a WHERE clause keeps the real scan (results must stay exact)
+    val filtered = readLake(t.location).filter(col("id") > 2L).agg(count(lit(1)))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.head.getLong(0) == 3L)
+
+    // live tombstones decline metadata serving — counts must see deletes
+    t.deleteKeys(Seq(Tuple1(1L)).toDF("id"))
+    val afterDel = readLake(t.location).agg(count(lit(1)).as("n"))
+    assert(afterDel.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(afterDel.head.getLong(0) == 4L)
+
+    // float/double min-max is NOT metadata-served (bounds are rounded)
+    val dfd = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "d")
+    val td = graft.lake.LakeTable.create(spark, s"$dir/td", "td", dfd.schema)
+    td.append(dfd)
+    val dagg = readLake(td.location).agg(min("d"), max("d"))
+    assert(dagg.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(dagg.head.getDouble(0) == 1.5 && dagg.head.getDouble(1) == 2.5)
+  }
+
+  test("metadata-served SQL aggregate through the graft catalog") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-metaagg-sql").toString
+    spark.conf.set("spark.sql.catalog.graftmeta", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.graft.catalog.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE graftmeta.counts (id BIGINT, v STRING)")
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+        .writeTo("graftmeta.counts").append()
+      val q = spark.sql("SELECT count(*) AS n, min(id) AS mn FROM graftmeta.counts")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"SQL aggregate not metadata-served:\n$plan")
+      assert(q.head.getLong(0) == 2L && q.head.getLong(1) == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graftmeta.counts")
+      spark.conf.unset("spark.graft.catalog.warehouse")
+    }
+  }
+
+  test("pushed LIMIT plans only enough files to cover it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-limit-spec").toString
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      primaryKey = Seq("id"))
+    (0 until 5).foreach(i => t.append(df.filter(col("id") % 5 === i)))
+    val snap = t.currentSnapshot
+    assert(snap.dataFiles.size >= 5)
+    def scanWithLimit(n: Option[Int]): GraftLakeScan = {
+      val b = new GraftLakeScanBuilder(t, snap.seq, t.currentSchema,
+        skipDeletes = false, gateBytes = 64L << 20)
+      n.foreach(l => assert(b.pushLimit(l), "limit not accepted"))
+      b.build().asInstanceOf[GraftLakeScan]
+    }
+    val full = scanWithLimit(None).planInputPartitions().length
+    val limited = scanWithLimit(Some(10)).planInputPartitions().length
+    assert(limited < full, s"limit pruned nothing ($limited of $full)")
+    // end to end: correct rows, and the limit is visible in the scan
+    val got = readLake(t.location).limit(10)
+    assert(got.count() == 10)
+    // tombstones refuse limit pushdown (kept files could under-deliver)
+    t.deleteKeys(spark.range(0, 1000, 2).select(col("id")))
+    val b2 = new GraftLakeScanBuilder(t, t.currentSeq, t.currentSchema,
+      skipDeletes = false, gateBytes = 64L << 20)
+    assert(!b2.pushLimit(10))
+    assert(readLake(t.location).limit(10).count() == 10)
+  }
+
   test("lake tables are queryable from plain SQL via the DSv2 source") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     readLake(t.location).createOrReplaceTempView("orders_lake_sql")
