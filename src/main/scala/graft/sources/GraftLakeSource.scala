@@ -634,11 +634,18 @@ private[sources] class GraftLakeScan(
 
   /** Columns worth shipping runtime IN-filters for: partition sources
     * (file pruning via the transform spec) and cluster keys (file pruning
-    * via tight per-file bounds). */
-  override def filterAttributes(): Array[NamedReference] =
+    * via tight per-file bounds). Restricted to columns surviving column
+    * pruning: Spark's `PartitionPruning.getFilterableTableScan` resolves
+    * these refs against the PRUNED scan output and throws AnalysisException
+    * on any it cannot find — a join that doesn't project the partition
+    * source column must simply not be offered that column for DPP. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val readable = required.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     (t.meta.partitionSpec.map(_.source) ++ t.meta.clusterBy).distinct
+      .filter(c => readable.contains(c.toLowerCase(java.util.Locale.ROOT)))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
+  }
 
   override def filter(runtime: Array[Filter]): Unit =
     runtimeFilters = runtime.toSeq.flatMap(GraftLakeScanBuilder.toPruneFilter)
