@@ -205,6 +205,33 @@ final class LakeTable private (
       operation = "add-column", schemaVersion = next))
   }
 
+  /** Schema evolution: widen a column's type in place (metadata-only
+    * commit; the reference's `auto_promote_types`,
+    * olake-config/destination.json:74-79 — SURVEY §1.4 "type promotion
+    * int→long, float→double at read"). Old data files keep their narrow
+    * physical encoding; every read path reconciles by requesting the
+    * widened type (parquet INT32 decodes as LONG, FLOAT as DOUBLE), the
+    * same way add-column null-fills. Only lossless promotions are legal —
+    * anything else must be an explicit rewrite, not an ALTER. */
+  def promoteColumn(name: String, dataType: String): Snapshot = synchronized {
+    val cur = currentSnapshot
+    val old = schema(cur.schemaVersion)
+    require(old.fieldNames.contains(name), s"${meta.name}: no column $name to promote")
+    val from = old(name).dataType
+    val to = org.apache.spark.sql.types.DataType.fromDDL(dataType)
+    if (from == to) return cur // idempotent: CDC replays re-request promotions
+    require(legalPromotion(from, to),
+      s"${meta.name}: cannot promote $name from ${from.sql} to ${to.sql} — " +
+        "only lossless widenings (byte/short/int -> long, float -> double) are supported")
+    val next = cur.schemaVersion + 1
+    val evolved = StructType(old.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
+    commitSnapshot(cur.copy(
+      seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+      operation = "promote-type", schemaVersion = next))
+  }
+
   // ------------------------------------------------------------------ read
 
   /** Snapshot-pinned, pruned, merge-on-read scan.
@@ -431,9 +458,23 @@ final class LakeTable private (
     * (destination.json:37-73 transforms, :115-118 clustering). */
   private def stageDataFiles(df: DataFrame, schemaVersion: Int, seq: Long): Seq[DataFile] = {
     val userSchema = schema(schemaVersion)
-    // align to the table schema (adds nulls for missing evolved columns)
-    val aligned = userSchema.fieldNames.foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f)) d else d.withColumn(f, lit(null).cast(userSchema(f).dataType))
+    // align to the table schema: add nulls for missing evolved columns and
+    // up-cast narrower incoming types (a CDC batch written before a type
+    // promotion landed still carries e.g. INT where the table says BIGINT).
+    // Widening only — a batch WIDER than the table is a real schema
+    // conflict and fails loudly instead of silently truncating.
+    val aligned = userSchema.fields.foldLeft(df) { (d, f) =>
+      if (!d.columns.contains(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
+      else {
+        val have = d.schema(f.name).dataType
+        if (have == f.dataType) d
+        else {
+          require(LakeTable.legalPromotion(have, f.dataType),
+            s"${meta.name}: column ${f.name} arrives as ${have.sql} but the table " +
+              s"stores ${f.dataType.sql} — not a lossless widening; rewrite the batch")
+          d.withColumn(f.name, col(f.name).cast(f.dataType))
+        }
+      }
     }.select(userSchema.fieldNames.map(col): _*)
 
     val spec = meta.partitionSpec
@@ -674,6 +715,24 @@ object LakeTable {
     /** Test hook: drop all entries so load counts start from zero. */
     private[lake] def clear(): Unit = synchronized { m.clear() }
   }
+
+  /** Lossless type widenings the read path can reconcile without rewriting
+    * old files: parquet stores byte/short/int as INT32, which Spark's
+    * reader decodes as LONG on request; FLOAT decodes as DOUBLE (exact —
+    * every float is a double). Mirrors the reference's `auto_promote_types`
+    * set (int→long, float→double; destination.json:74-79). */
+  private val integralRank: Map[org.apache.spark.sql.types.DataType, Int] = Map(
+    org.apache.spark.sql.types.ByteType -> 0, org.apache.spark.sql.types.ShortType -> 1,
+    org.apache.spark.sql.types.IntegerType -> 2, LongType -> 3)
+  private[graft] def legalPromotion(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    (from, to) match {
+      case (f, t) if integralRank.contains(f) && integralRank.contains(t) =>
+        integralRank(f) < integralRank(t)
+      case (org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
 
   /** Storage column carrying the commit sequence of each data row. */
   val SeqCol = "_graft_seq"

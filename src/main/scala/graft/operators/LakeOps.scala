@@ -202,6 +202,14 @@ object LakeOps {
     LakePipelines.catalog(s, dir).describe("customer_evolved")
   }
 
+  // q73 — read-time TYPE PROMOTION (§1.4 auto_promote_types,
+  // destination.json:74-79): qty was INT and ratio FLOAT at schema v1;
+  // after ALTER to BIGINT/DOUBLE, files from BOTH eras read back through
+  // the one widened schema — old INT32/FLOAT pages decode as LONG/DOUBLE,
+  // new files hold values only the wide types can represent
+  val lakeTypePromotion: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersPromoted(s, dir).scan()
+
   /** The q16/q27 merged state as a DuckDB CTE (shared by q27–q29). */
   private val morMergedCte =
     """WITH base AS (
@@ -328,6 +336,13 @@ object LakeOps {
         |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT),  'compact', 1)
         |) AS t(seq, parent, operation, schema_version)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q73_type_promotion", lakeTypePromotion, oracle = Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_orderkey % 1000 AS BIGINT)
+        |       ELSE o_orderkey % 1000 + 5000000000 END AS qty,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN CAST(CAST(o_orderkey % 7 AS REAL) AS DOUBLE)
+        |       ELSE CAST(o_orderkey % 7 AS DOUBLE) + 0.5 END AS ratio
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q54_cross_layer_consistency", crossLayerConsistency, oracle = Some(
       """WITH agg AS (
         |  SELECT o_orderstatus AS status, COUNT(*) AS order_count,

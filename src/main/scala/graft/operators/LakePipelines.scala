@@ -294,6 +294,33 @@ object LakePipelines {
       t
     }
 
+  /** Type-promotion table (§1.4 `auto_promote_types`): v1 stores `qty` as
+    * INT and `ratio` as FLOAT (odd keys); ALTER promotes them to BIGINT /
+    * DOUBLE; a second append (even keys) then writes values only the wide
+    * types can hold — qty beyond int range. Old files keep their narrow
+    * physical encoding and must reconcile at read. All values are small
+    * integers or exact binary fractions, so the cross-engine hash is
+    * stable. */
+  def ordersPromoted(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_promoted") { cat =>
+      val o = Tables.load(spark, sfDir, "orders")
+      val narrow = o.filter(col("o_orderkey") % 2 === 1).select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 1000).cast("int").as("qty"),
+        (col("o_orderkey") % 7).cast("float").as("ratio"))
+      val t = cat.createTable(
+        "orders_promoted", narrow.schema,
+        clusterBy = Seq("o_orderkey"), primaryKey = Seq("o_orderkey"))
+      t.append(narrow)
+      t.promoteColumn("qty", "bigint")
+      t.promoteColumn("ratio", "double")
+      t.append(o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 1000 + 5000000000L).as("qty"),
+        ((col("o_orderkey") % 7).cast("double") + 0.5).as("ratio")))
+      t
+    }
+
   /** Build-once-per-JVM with an on-disk completion marker, so a Verify run
     * and a later Bench run (separate JVMs) reuse the same deterministic
     * build, while a half-built directory from a crashed run is discarded. */

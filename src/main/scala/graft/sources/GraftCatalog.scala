@@ -135,9 +135,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  /** ALTER TABLE — ADD COLUMN maps onto the lake's metadata-only schema
-    * evolution; everything else the lake format cannot express is rejected
-    * loudly. */
+  /** ALTER TABLE — ADD COLUMN and ALTER COLUMN TYPE (lossless widening)
+    * map onto the lake's metadata-only schema evolution; everything else
+    * the lake format cannot express is rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val cat = lakeCatalog
     val n = tableName(ident)
@@ -148,6 +148,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.fieldNames().length == 1,
           s"nested columns unsupported: ${add.fieldNames().mkString(".")}")
         t.addColumn(add.fieldNames()(0), add.dataType().sql)
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames().length == 1,
+          s"nested columns unsupported: ${up.fieldNames().mkString(".")}")
+        t.promoteColumn(up.fieldNames()(0), up.newDataType().sql)
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         throw new UnsupportedOperationException("graft tables have immutable properties")
       case other =>

@@ -809,7 +809,7 @@ private[sources] class GraftLakeMicroBatchStream(
     val snap = t.snapshot(e)
     ((s + 1) to e).map(t.snapshot).foreach { sn =>
       require(sn.operation == "create" || sn.operation.startsWith("append") ||
-        sn.operation == "add-column",
+        sn.operation == "add-column" || sn.operation == "promote-type",
         s"streaming read needs append-only history; snapshot ${sn.seq} is " +
           s"'${sn.operation}' — start a fresh checkpoint from the current state instead")
     }
@@ -1015,15 +1015,26 @@ private[sources] class GraftLakePartitionReader(
   private val fieldIndex: Map[String, Int] =
     present.zipWithIndex.map { case (n, _) => n -> projection.getFieldIndex(n) }.toMap
 
+  // physical parquet type per projected column — a file written before a
+  // type promotion still stores the NARROW encoding (INT32 under a LONG
+  // column, FLOAT under a DOUBLE), so decode must follow the file, then
+  // widen to the requested logical type
+  private val physical: Map[String, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
+    present.map(n => n -> projection.getType(projection.getFieldIndex(n))
+      .asPrimitiveType().getPrimitiveTypeName).toMap
+
   private def extract(g: org.apache.parquet.example.data.Group, name: String): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     if (name == GraftLakeSource.FileCol) return UTF8String.fromString(file)
     fieldIndex.get(name) match {
       case None => null // evolved column the file predates
       case Some(i) =>
         if (g.getFieldRepetitionCount(i) == 0) null
         else types(name) match {
+          case LongType if physical(name) == INT32 => g.getInteger(i, 0).toLong
           case LongType => g.getLong(i, 0)
           case IntegerType => g.getInteger(i, 0)
+          case DoubleType if physical(name) == FLOAT => g.getFloat(i, 0).toDouble
           case DoubleType => g.getDouble(i, 0)
           case FloatType => g.getFloat(i, 0)
           case BooleanType => g.getBoolean(i, 0)

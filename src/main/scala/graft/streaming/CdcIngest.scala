@@ -119,15 +119,23 @@ object CdcIngest {
     batches
   }
 
-  /** One micro-batch: widen the table for any new columns (C6), then apply
-    * the CDC merge (C3/C4). Public so a replayed batch (C5) can be pushed
-    * through the exact same path. */
+  /** One micro-batch: widen the table for any new columns AND promote
+    * column types the batch arrives wider than (C6 — the reference's
+    * `auto_promote_types`: a source ALTER from INT to BIGINT shows up as a
+    * batch whose column outgrew the table, destination.json:74-79), then
+    * apply the CDC merge (C3/C4). Public so a replayed batch (C5) can be
+    * pushed through the exact same path. */
   def applyBatch(table: LakeTable, batch: DataFrame): Unit = {
     if (batch.isEmpty) return
-    val known = table.currentSchema.fieldNames.toSet
-    batch.schema.fields
-      .filterNot(f => f.name == OpCol || f.name == TsCol || known.contains(f.name))
-      .foreach(f => table.addColumn(f.name, f.dataType.sql))
+    val known = table.currentSchema.fields.map(f => f.name -> f.dataType).toMap
+    batch.schema.fields.filterNot(f => f.name == OpCol || f.name == TsCol).foreach { f =>
+      known.get(f.name) match {
+        case None => table.addColumn(f.name, f.dataType.sql)
+        case Some(have) if have != f.dataType && LakeTable.legalPromotion(have, f.dataType) =>
+          table.promoteColumn(f.name, f.dataType.sql)
+        case _ => () // same type, or narrower than the table: write-side up-cast aligns it
+      }
+    }
     table.applyCdcBatch(batch, OpCol, TsCol)
   }
 }

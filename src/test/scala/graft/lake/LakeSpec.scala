@@ -74,6 +74,38 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().count() == Tables.load(spark, sfDir, "orders").count())
   }
 
+  test("type promotion: int->long and float->double reconcile files from both eras") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-promote-spec").toString
+    val v1 = Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("id", "qty", "ratio")
+    val t = LakeTable.create(spark, s"$dir/t", "t", v1.schema, primaryKey = Seq("id"))
+    t.append(v1)
+    t.promoteColumn("qty", "bigint")
+    t.promoteColumn("ratio", "double")
+    // post-promotion append holds values only the wide types represent
+    t.append(Seq((3L, 5000000000L, 3.25)).toDF("id", "qty", "ratio"))
+    val got = t.scan().as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L, 1.5), (2L, 20L, 2.5), (3L, 5000000000L, 3.25)))
+    assert(t.currentSchema("qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.currentSchema("ratio").dataType == org.apache.spark.sql.types.DoubleType)
+    // a narrow batch arriving AFTER the promotion up-casts at write
+    t.append(Seq((4, 40, 4.5f)).toDF("id", "qty", "ratio")
+      .selectExpr("cast(id as long) id", "cast(qty as int) qty", "ratio"))
+    assert(t.scan().filter(col("id") === 4L).as[(Long, Long, Double)].head() == ((4L, 40L, 4.5)))
+    // upserts against pre-promotion rows still match keys across encodings
+    t.upsert(Seq((1L, 11L, 1.75)).toDF("id", "qty", "ratio"))
+    assert(t.scan().filter(col("id") === 1L).as[(Long, Long, Double)].head() == ((1L, 11L, 1.75)))
+    // narrowing and type changes are rejected loudly; re-promotion is a no-op
+    assertThrows[IllegalArgumentException](t.promoteColumn("qty", "int"))
+    assertThrows[IllegalArgumentException](t.promoteColumn("ratio", "string"))
+    val seqBefore = t.currentSeq
+    t.promoteColumn("qty", "bigint")
+    assert(t.currentSeq == seqBefore, "idempotent re-promotion must not commit")
+    // a batch WIDER than the table is a conflict, not a silent truncation
+    assertThrows[IllegalArgumentException](
+      t.append(Seq((9L, 1L, "x")).toDF("id", "qty", "ratio")))
+  }
+
   test("schema evolution: pre-ALTER rows null-fill the evolved column") {
     val t = LakePipelines.customerEvolved(spark, sfDir)
     val df = t.scan()

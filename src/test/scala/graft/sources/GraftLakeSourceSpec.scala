@@ -35,6 +35,34 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(sortedRows(df) == sortedRows(t.scan()))
   }
 
+  test("DSv2 type promotion: narrow-era files decode wide on both reader paths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-promote-dsv2").toString
+    val v1 = Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("id", "qty", "ratio")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", v1.schema, primaryKey = Seq("id"))
+    t.append(v1)
+    t.promoteColumn("qty", "bigint")
+    t.promoteColumn("ratio", "double")
+    t.append(Seq((3L, 5000000000L, 3.25)).toDF("id", "qty", "ratio"))
+    val expected = Seq((1L, 10L, 1.5), (2L, 20L, 2.5), (3L, 5000000000L, 3.25))
+    // tombstone-free: Spark's VECTORIZED parquet reader widens INT32/FLOAT pages
+    val vec = readLake(t.location)
+    assert(vec.schema("qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(vec.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq == expected)
+    // _graft_file projection forces the row-at-a-time Group reader, which
+    // must follow each FILE's physical type and widen per value
+    val viaGroup = readLake(t.location)
+      .select(col("id"), col("qty"), col("ratio"), col("_graft_file"))
+      .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(viaGroup.map(r => (r._1, r._2, r._3)).toSeq == expected)
+    assert(viaGroup.map(_._4).distinct.length >= 2, "expected files from both eras")
+    // live tombstones (MoR survive check) also run the Group reader; the
+    // promoted pk-adjacent columns must merge across encodings
+    t.deleteKeys(Seq(Tuple1(2L)).toDF("id"))
+    assert(readLake(t.location).as[(Long, Long, Double)].collect().sortBy(_._1).toSeq ==
+      expected.filterNot(_._1 == 2L))
+  }
+
   test("DSv2 time travel via asOf option") {
     val t = LakePipelines.ordersLake(spark, sfDir)
     val v1 = readLake(t.location, Some(LakePipelines.OrdersFirstAppendSeq))

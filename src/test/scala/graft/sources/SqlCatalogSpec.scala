@@ -56,6 +56,22 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM graft.tx").collect())
   }
 
+  test("SQL ALTER COLUMN TYPE: lossless widening promotes; narrowing is rejected") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlpromote").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.tp (id BIGINT, qty INT, ratio FLOAT) " +
+      "TBLPROPERTIES ('primary_key'='id')")
+    spark.sql("INSERT INTO graft.tp VALUES (1, 10, CAST(1.5 AS FLOAT))")
+    spark.sql("ALTER TABLE graft.tp ALTER COLUMN qty TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.tp ALTER COLUMN ratio TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.tp VALUES (2, 5000000000, 2.25)")
+    val got = spark.sql("SELECT id, qty, ratio FROM graft.tp ORDER BY id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.5), (2L, 5000000000L, 2.25)))
+    intercept[Exception](spark.sql("ALTER TABLE graft.tp ALTER COLUMN qty TYPE INT"))
+    spark.sql("DROP TABLE graft.tp")
+  }
+
   test("CTAS: CREATE TABLE ... AS SELECT materializes a lake table") {
     val wh = java.nio.file.Files.createTempDirectory("graft-ctas").toString
     register(wh)

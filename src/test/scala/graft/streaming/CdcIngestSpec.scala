@@ -90,6 +90,27 @@ class CdcIngestSpec extends SparkSpec {
     assert(df.filter(col("id") === 3 && col("loyalty_tier") === "gold").count() == 1)
   }
 
+  test("a batch with a WIDENED column type promotes the schema mid-stream (C6)") {
+    val t = LakeTable.create(spark, freshLoc(), "t",
+      Seq((1L, 10, 1.5f)).toDF("id", "qty", "ratio").schema, primaryKey = Seq("id"))
+    t.append(Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("id", "qty", "ratio"))
+    // the source ALTERed qty to BIGINT and ratio to DOUBLE: the batch
+    // arrives wider than the table and must auto-promote, not fail
+    val batch = Seq(
+      (2L, 5000000000L, 2.75, "update", java.sql.Timestamp.valueOf("2020-01-01 00:00:01")),
+      (3L, 30L, 3.25, "insert", java.sql.Timestamp.valueOf("2020-01-01 00:00:02")),
+    ).toDF("id", "qty", "ratio", CdcIngest.OpCol, CdcIngest.TsCol)
+    CdcIngest.applyBatch(t, batch)
+    assert(t.currentSchema("qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.currentSchema("ratio").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(t.scan().as[(Long, Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 10L, 1.5), (2L, 5000000000L, 2.75), (3L, 30L, 3.25)))
+    // replaying the promoting batch is a no-op on the schema (idempotent)
+    val v = t.currentSnapshot.schemaVersion
+    CdcIngest.applyBatch(t, batch)
+    assert(t.currentSnapshot.schemaVersion == v)
+  }
+
   test("in-batch last-writer-wins: latest sync-ts per key wins, delete beats older update") {
     val t = LakeTable.create(spark, freshLoc(), "t",
       Seq((1, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
