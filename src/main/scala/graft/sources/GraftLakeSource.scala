@@ -337,7 +337,8 @@ private[graft] class GraftLakeV2Table(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw,
-      gateBytes = tombstoneGateBytes)
+      gateBytes = tombstoneGateBytes,
+      streamMaxSnapshots = Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -436,7 +437,8 @@ private[graft] object GraftLakeV2Table {
 
 private[sources] class GraftLakeScanBuilder(
     t: LakeTable, seq: Long, tableSchema: StructType, skipDeletes: Boolean, gateBytes: Long,
-    acceptFilters: Boolean = true)
+    acceptFilters: Boolean = true,
+    streamMaxSnapshots: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -584,7 +586,7 @@ private[sources] class GraftLakeScanBuilder(
     case Some((schema, values)) => new GraftLakeMetaScan(t.meta.name, seq, schema, values)
     case None =>
       new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes, gateBytes,
-        dataFilters, limit)
+        dataFilters, limit, streamMaxSnapshots)
   }
 }
 
@@ -621,7 +623,8 @@ private[sources] class GraftLakeScan(
     skipDeletes: Boolean,
     gateBytes: Long,
     dataFilters: Seq[Filter] = Nil,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    streamMaxSnapshots: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Runtime (join-driven) filters, delivered by AQE after the build side
@@ -675,7 +678,7 @@ private[sources] class GraftLakeScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftLakeMicroBatchStream(t, required, filters)
+    new GraftLakeMicroBatchStream(t, required, filters, streamMaxSnapshots)
   override def description(): String = {
     val (kept, total) = t.planFiles(t.snapshot(seq), filters)
     val mor = if (skipDeletes) " mor=deferred" else ""
@@ -772,15 +775,46 @@ private[sources] case class GraftLakeOffset(seq: Long)
 private[sources] class GraftLakeMicroBatchStream(
     t: LakeTable,
     required: StructType,
-    filters: Seq[PruneFilter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    filters: Seq[PruneFilter],
+    maxSnapshotsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   /** Sentinel "before any snapshot": the first batch BOOTSTRAPS from the
     * earliest snapshot still on disk (routine expiry deletes old snapshot
     * files while the current file listing retains their data), then
     * increments follow. */
   private val Bootstrap = -1L
+
+  /** End pinned by `Trigger.AvailableNow` at query start: the drain
+    * consumes exactly the range committed BEFORE the trigger fired —
+    * possibly across several micro-batches when `maxSnapshotsPerTrigger`
+    * caps each one — and stops there even while writers keep committing
+    * (the bounded-drain guarantee production backfills rely on; without
+    * this trait Spark falls back to one unbounded batch). */
+  @volatile private var pinnedEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = { pinnedEnd = Some(t.currentSeq) }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: the next batch ends `maxSnapshotsPerTrigger`
+    * commits past the start (all available otherwise), never beyond the
+    * AvailableNow pin. Returning the start offset unchanged signals "no
+    * new data" and ends an AvailableNow drain. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftLakeOffset].seq
+    val cap = pinnedEnd.getOrElse(t.currentSeq)
+    val eff = if (s == Bootstrap) math.min(t.snapshots.map(_.seq).min, cap) else s
+    val end = maxSnapshotsPerTrigger match {
+      case Some(n) => math.min(cap, eff + n.max(1).toLong)
+      case None    => cap
+    }
+    GraftLakeOffset(math.max(end, eff))
+  }
+
+  override def reportLatestOffset(): Offset = GraftLakeOffset(t.currentSeq)
 
   override def initialOffset(): Offset = GraftLakeOffset(Bootstrap)
   override def latestOffset(): Offset = GraftLakeOffset(t.currentSeq)

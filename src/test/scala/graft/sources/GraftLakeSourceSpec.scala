@@ -242,6 +242,49 @@ class GraftLakeSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("Trigger.AvailableNow drains the pinned range across multiple micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-availnow-spec").toString
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "a")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val batches = scala.collection.mutable.ListBuffer.empty[Set[(Long, String)]]
+    var raceArmed = true
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option("path", t.location)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            val rows = b.as[(Long, String)].collect().toSet
+            // a writer races the drain mid-run: committed AFTER the
+            // trigger pinned its end, so this run must NOT see it
+            if (raceArmed) { raceArmed = false; t.append(Seq((4L, "late")).toDF("id", "s")) }
+            batches += rows
+          }; ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // one snapshot per micro-batch (bootstrap, then two increments) — the
+    // no-trait fallback would have drained everything in a single batch
+    assert(batches.toList == List(
+      Set((1L, "a")), Set((2L, "b")), Set((3L, "c"))),
+      s"bounded drain wrong: ${batches.toList}")
+    // the next AvailableNow run picks up exactly the late commit
+    batches.clear()
+    drain()
+    assert(batches.toList.filter(_.nonEmpty) == List(Set((4L, "late"))),
+      s"resume wrong: ${batches.toList}")
+  }
+
   test("streaming read bootstraps from the earliest retained snapshot after expiry") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-streamexp-spec").toString
