@@ -542,7 +542,8 @@ final class LakeTable private (
     }
     fs.delete(staging, true)
     val metaByPath = LakeTable.fileMetaAll(
-      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = false)
+      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = false,
+      spark = Some(spark))
     moved.map { case (destRel, dest, partition, len) =>
       val fm = metaByPath(dest)
       DataFile(destRel, seq, partition, len, splits = fm.splits, bounds = fm.bounds,
@@ -802,28 +803,77 @@ object LakeTable {
     * critical section (or read planning) by O(files) round-trips. */
   private[graft] def rowGroupSplitsAll(
       paths: Seq[Path],
-      conf: org.apache.hadoop.conf.Configuration): Map[Path, Seq[(Long, Long)]] =
-    fileMetaAll(paths, conf, withLen = false).view.mapValues(_.splits).toMap
+      conf: org.apache.hadoop.conf.Configuration,
+      spark: Option[SparkSession] = None): Map[Path, Seq[(Long, Long)]] =
+    fileMetaAll(paths, conf, withLen = false, spark = spark).view.mapValues(_.splits).toMap
 
-  /** Parallel FileMeta per file — the single pooled footer/stat reader
-    * shared by commit paths and legacy read planning. */
+  /** Below this many files, footer stats are read on the driver (pooled);
+    * at or above it — a 10^5-file append from a big cluster write — the
+    * reads run as a Spark job so the commit critical section stays
+    * O(files / executors), not O(files / 8 driver threads). */
+  private[graft] def statsDistributeMinFiles(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.lake.statsDistributeMinFiles")
+      .map(_.toInt).getOrElse(512)
+
+  /** Observable for specs: number of DISTRIBUTED footer-stat jobs run. */
+  private[graft] val distributedStatJobs = new java.util.concurrent.atomic.AtomicLong
+
+  /** Parallel FileMeta per file — the single footer/stat reader shared by
+    * commit paths and legacy read planning. Small batches use a driver
+    * thread pool; batches of `statsDistributeMinFiles`+ files distribute
+    * as a Spark job over the executors (when a session is supplied). */
   private[graft] def fileMetaAll(
       paths: Seq[Path],
       conf: org.apache.hadoop.conf.Configuration,
-      withLen: Boolean = true): Map[Path, FileMeta] = {
+      withLen: Boolean = true,
+      spark: Option[SparkSession] = None): Map[Path, FileMeta] = {
     if (paths.isEmpty) return Map.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, paths.size))
-    try {
-      paths.map { p =>
-        p -> pool.submit(new java.util.concurrent.Callable[FileMeta] {
-          def call(): FileMeta = {
-            val len = if (withLen) p.getFileSystem(conf).getFileStatus(p).getLen else -1L
-            val (splits, bounds, rows) = readFooterMeta(p, conf)
-            FileMeta(len, splits, bounds, rows)
-          }
-        })
-      }.map { case (p, f) => p -> f.get() }.toMap
-    } finally pool.shutdown()
+    spark match {
+      case Some(s) if paths.size >= statsDistributeMinFiles(s) =>
+        fileMetaDistributed(s, paths, conf, withLen)
+      case _ =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, paths.size))
+        try {
+          paths.map { p =>
+            p -> pool.submit(new java.util.concurrent.Callable[FileMeta] {
+              def call(): FileMeta = {
+                val len = if (withLen) p.getFileSystem(conf).getFileStatus(p).getLen else -1L
+                val (splits, bounds, rows) = readFooterMeta(p, conf)
+                FileMeta(len, splits, bounds, rows)
+              }
+            })
+          }.map { case (p, f) => p -> f.get() }.toMap
+        } finally pool.shutdown()
+    }
+  }
+
+  /** Footer stats as a Spark job: ship the hadoop conf as entries (the
+    * Configuration object itself is not serializable), one task per slice
+    * of files, each opening only its own footers. */
+  private def fileMetaDistributed(
+      spark: SparkSession,
+      paths: Seq[Path],
+      conf: org.apache.hadoop.conf.Configuration,
+      withLen: Boolean): Map[Path, FileMeta] = {
+    import scala.jdk.CollectionConverters._
+    distributedStatJobs.incrementAndGet()
+    val confEntries: Array[(String, String)] =
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val strs = paths.map(_.toString)
+    val slices = math.max(1, math.min(strs.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(strs, slices)
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        it.map { s =>
+          val p = new Path(s)
+          val len = if (withLen) p.getFileSystem(c).getFileStatus(p).getLen else -1L
+          val (splits, bounds, rows) = readFooterMeta(p, c)
+          s -> FileMeta(len, splits, bounds, rows)
+        }
+      }
+      .collect().iterator.map { case (s, fm) => new Path(s) -> fm }.toMap
   }
 
   private[lake] def relativize(base: Path, p: Path): String = {

@@ -94,7 +94,8 @@ object GraftLakeSource {
       t: LakeTable, files: Seq[graft.lake.DataFile]): Array[InputPartition] = {
     val (recorded, legacy) = files.partition(_.splits.nonEmpty)
     val legacySplits = LakeTable.rowGroupSplitsAll(
-      legacy.map(f => new Path(t.abs(f.path))), t.spark.sparkContext.hadoopConfiguration)
+      legacy.map(f => new Path(t.abs(f.path))), t.spark.sparkContext.hadoopConfiguration,
+      spark = Some(t.spark))
     (recorded.flatMap { f =>
       val abs = t.abs(f.path)
       f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }

@@ -130,7 +130,8 @@ private[sources] class GraftLakeBatchWrite(
       fs.delete(new Path(root, stagingRel), true)
       // one parallel pass for both stat + footer: no serial per-file RPCs
       // inside the commit window
-      val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf)
+      val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf,
+        spark = Some(t.spark))
       val entries = placed.map { case (f, destRel, dest) =>
         val fm = metaByPath(dest)
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,

@@ -106,6 +106,35 @@ class LakeSpec extends SparkSpec {
       t.append(Seq((9L, 1L, "x")).toDF("id", "qty", "ratio")))
   }
 
+  test("many-file appends collect footer stats as a distributed job, bounds intact") {
+    val dir = Files.createTempDirectory("graft-dststats-spec").toString
+    spark.conf.set("spark.graft.lake.statsDistributeMinFiles", "4")
+    spark.conf.set("spark.graft.lake.writeSplits", "8")
+    try {
+      val df = spark.range(0, 800).select(col("id"), (col("id") % 100).as("v"))
+      val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, clusterBy = Seq("id"))
+      val before = LakeTable.distributedStatJobs.get()
+      t.append(df)
+      assert(LakeTable.distributedStatJobs.get() > before,
+        "footer stats above the threshold must run as a Spark job, not a driver loop")
+      val snap = t.currentSnapshot
+      assert(snap.dataFiles.size >= 4, s"expected a fanned-out write, got ${snap.dataFiles.size}")
+      assert(snap.dataFiles.forall(f =>
+        f.rows >= 0 && f.splits.nonEmpty && f.bounds.contains("id")),
+        "distributed stat collection must record rows, splits and bounds per file")
+      assert(snap.dataFiles.map(_.rows).sum == 800)
+      assert(t.scan().agg(sum("id")).head.getLong(0) == (0L until 800L).sum)
+      // below the threshold the driver pool still serves (no job counted)
+      spark.conf.set("spark.graft.lake.writeSplits", "1")
+      val mid = LakeTable.distributedStatJobs.get()
+      t.append(spark.range(800, 810).select(col("id"), (col("id") % 100).as("v")).coalesce(1))
+      assert(LakeTable.distributedStatJobs.get() == mid, "small append must stay on the driver")
+    } finally {
+      spark.conf.unset("spark.graft.lake.statsDistributeMinFiles")
+      spark.conf.unset("spark.graft.lake.writeSplits")
+    }
+  }
+
   test("schema evolution: pre-ALTER rows null-fill the evolved column") {
     val t = LakePipelines.customerEvolved(spark, sfDir)
     val df = t.scan()
