@@ -439,17 +439,36 @@ final class LakeTable private (
     throw new IllegalStateException("unreachable")
   }
 
+  /** Upsert/delete commits are NOT blind-rebase-safe (unlike appends): the
+    * staged data and delete files embed the commit seq, and rebasing onto
+    * a racing winner without re-stamping could let this commit's own
+    * tombstones swallow its rows. A lost race therefore surfaces as a
+    * [[java.util.ConcurrentModificationException]] telling the caller the
+    * retry recipe: re-run the SAME upsert/delete against the new current
+    * snapshot (the operation is a pure function of its batch, so re-running
+    * re-stages with the right seq); the loser's staged files are
+    * unreferenced by any snapshot and age-swept by
+    * [[Maintenance.removeOrphans]]. */
   private def commitUpsert(upserts: Option[DataFrame], deleteKeys: DataFrame, op: String): Snapshot =
     synchronized {
       val cur = currentSnapshot
       val seq = cur.seq + 1
       val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq)).getOrElse(Nil)
       val delFiles = writeDeleteFiles(deleteKeys, seq)
-      commitSnapshot(Snapshot(
+      try commitSnapshot(Snapshot(
         seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
         dataFiles = cur.dataFiles ++ newData,
         deleteFiles = cur.deleteFiles ++ delFiles))
+      catch {
+        case e: java.io.IOException if fs.exists(snapPath(seq)) =>
+          throw new java.util.ConcurrentModificationException(
+            s"${meta.name}: $op lost the race for snapshot $seq — another writer committed " +
+              "first. Upsert/delete commits embed their sequence in staged files and cannot " +
+              "be rebased; re-run the operation against the current snapshot (it will " +
+              "re-stage with the right sequence). This attempt's staged files are " +
+              "unreferenced and will be removed by Maintenance.removeOrphans.", e)
+      }
     }
 
   /** Write `df` as partitioned + clustered parquet under a staging dir,

@@ -307,6 +307,51 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("racing upserts: exactly one winner, the loser's failure is actionable and retryable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-race-spec").toString
+    val base = (1L to 50L).map(k => (k, "base")).toDF("id", "s")
+    val t0 = LakeTable.create(spark, s"$dir/t", "t", base.schema, primaryKey = Seq("id"))
+    t0.append(base)
+    // two INDEPENDENT writers (separate instances: the per-instance lock
+    // must not be what serializes them) race upserts of different keys
+    val w1 = LakeTable.load(spark, s"$dir/t")
+    val w2 = LakeTable.load(spark, s"$dir/t")
+    val b1 = Seq((1L, "w1")).toDF("id", "s")
+    val b2 = Seq((2L, "w2")).toDF("id", "s")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    val threads = Seq(("w1", w1, b1), ("w2", w2, b2)).map { case (name, w, b) =>
+      new Thread(() => {
+        barrier.await()
+        try { results.put(name, Right(w.upsert(b).seq)) }
+        catch { case e: Throwable => results.put(name, Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (losers, winners) = Seq("w1", "w2").map(results.get).partition(_.isLeft)
+    if (losers.nonEmpty) {
+      // the real race: one winner, one actionable ConcurrentModificationException
+      assert(winners.size == 1 && losers.size == 1, s"want 1 winner/1 loser: $results")
+      val err = losers.head.swap.toOption.get
+      assert(err.isInstanceOf[java.util.ConcurrentModificationException], s"wrong error: $err")
+      assert(err.getMessage.contains("re-run the operation"),
+        s"loser's error must carry the retry recipe: ${err.getMessage}")
+      // the promised recipe works: re-running the SAME batch now succeeds
+      val loserName = Seq("w1", "w2").find(n => results.get(n).isLeft).get
+      val (lw, lb) = if (loserName == "w1") (w1, b1) else (w2, b2)
+      lw.upsert(lb)
+    }
+    // both upserts are in (either via the race or the documented retry)
+    val got = LakeTable.load(spark, s"$dir/t").scan()
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "w1" && got(2L) == "w2" && got(3L) == "base" && got.size == 50)
+    // the loser's orphaned staged files sweep away without touching state
+    Maintenance.removeOrphans(t0, olderThanMs = -1000L)
+    val after = LakeTable.load(spark, s"$dir/t").scan().as[(Long, String)].collect().toMap
+    assert(after == got, "orphan sweep must not change table content")
+  }
+
   test("negative paths fail loudly: missing snapshot, dropped table, upsert without PK") {
     val dir = Files.createTempDirectory("graft-neg-spec").toString
     import spark.implicits._
