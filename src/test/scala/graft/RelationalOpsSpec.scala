@@ -82,18 +82,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(once != other, "different seed should reorder the sample")
   }
 
-  test("q56 approx distinct stays within 3x the configured 2% relative standard deviation") {
+  test("q56 approx distinct stays within 3x the configured 2% rsd at two scale factors") {
     import org.apache.spark.sql.functions._
-    val approx = RelationalOps.approxDistinct(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.load(spark, sfDir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(countDistinct(col("o_custkey")).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      // rsd is a standard deviation, not a hard bound: allow 3 sigma
-      assert(math.abs(a - n).toDouble / n <= 0.06, s"$k: approx $a vs exact $n")
+    // two SFs so a scale-dependent sketch regression (register sizing,
+    // merge bias) cannot hide behind the tiny fixture
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val approx = RelationalOps.approxDistinct(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, n) =>
+        val a = approx(k)
+        // rsd is a standard deviation, not a hard bound: allow 3 sigma
+        assert(math.abs(a - n).toDouble / n <= 0.06, s"$dir $k: approx $a vs exact $n")
+      }
     }
   }
 
