@@ -69,6 +69,61 @@ object DedupOps {
     flatten(transform(members, (x, i) =>
       transform(slice(members, i + 2, size(members)), y => pair(x, y))))
 
+  /** Default cap on quadratic in-bucket pair expansion; override with
+    * `spark.graft.dedup.lshMaxBucket`. */
+  val DefaultLshMaxBucket = 1024
+
+  private[operators] def lshMaxBucket(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.lshMaxBucket")
+      .map(_.toInt).getOrElse(DefaultLshMaxBucket)
+
+  /** [[bucketPairs]] with a SKEW GUARD: a bucket over `cap` members
+    * SUB-BANDS instead of expanding quadratically — members split into
+    * ceil(m/cap) groups by a secondary hash, pairs only within a group, so
+    * a degenerate bucket of m members costs O(m·cap) pairs instead of
+    * O(m²). A giant bucket means that band digest carries no signal (in
+    * the wild: boilerplate-dominated corpora whose shingle sets collapse);
+    * true near-dups keep their collision chances in the other bands, and
+    * the guard turns a job-killing quadratic blowup into a bounded,
+    * logged degradation. Single expression — no second aggregation, no
+    * extra shuffle. */
+  private[operators] def cappedBucketPairs(members: Column, cap: Int)(
+      pair: (Column, Column) => Column): Column = {
+    val k = ceil(size(members).cast("double") / lit(cap)).cast("long")
+    when(size(members) <= cap, bucketPairs(members)(pair))
+      .otherwise(flatten(transform(sequence(lit(0L), k - 1), j =>
+        bucketPairs(filter(members, x => pmod(xxhash64(x), k) === j))(pair))))
+  }
+
+  /** Per-session listener that surfaces the skew guard when it fires:
+    * every query whose plan observed `graft_lsh_skew` logs a warning with
+    * the giant-bucket count and the largest bucket seen. */
+  private val skewListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def ensureSkewListener(s: SparkSession): Unit =
+    if (skewListenerSessions.add(s)) {
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(
+            funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get("graft_lsh_skew").foreach { row =>
+            val giants = row.getAs[Long]("giant_buckets")
+            if (giants > 0) log.warn(
+              s"LSH skew guard engaged: $giants bucket(s) over the " +
+                s"${lshMaxBucket(s)}-member cap (largest: ${row.getAs[Long]("max_bucket")} " +
+                "members) were sub-banded instead of expanded quadratically; " +
+                "recall within those buckets is reduced. Raise " +
+                "spark.graft.dedup.lshMaxBucket or add bands if this corpus " +
+                "legitimately collapses into few buckets.")
+          }
+        override def onFailure(
+            funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+
   /** MinHash/LSH candidate pairs (doc_i < doc_j): signature → band digests
     * → explode → groupBy bucket → in-bucket pair expansion → distinct.
     * This is the scale path: candidates only ever meet inside a bucket,
@@ -88,12 +143,20 @@ object DedupOps {
     else TextSig.minhashBands(sh, bands, rows)
 
   def lshCandidates(s: SparkSession, dir: String,
+      bands: Int = 8, rows: Int = 4): DataFrame =
+    lshCandidatesOf(s, shingled(s, dir), bands, rows)
+
+  /** LSH candidate pairs over any (doc_id, sh) DataFrame — split from
+    * [[lshCandidates]] so specs can plant degenerate corpora. */
+  private[graft] def lshCandidatesOf(s: SparkSession, shingledDf: DataFrame,
       bands: Int = 8, rows: Int = 4): DataFrame = {
+    ensureSkewListener(s)
+    val cap = lshMaxBucket(s)
     // guard: documents with < 2 tokens have EMPTY shingle sets — all of
     // them would share the identical all-sentinel signature and pile into
     // one giant bucket (quadratic pair expansion for pairs that can never
     // verify, jaccard undefined on empty sets)
-    val withBands = shingled(s, dir)
+    val withBands = shingledDf
       .filter(size(col("sh")) > 0)
       .select(
         col("doc_id"),
@@ -103,7 +166,11 @@ object DedupOps {
       .groupBy(col("band"), col("digest"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs(col("ids")) { (x, y) =>
+      // skew telemetry rides the same pass; the listener logs when > 0
+      .observe("graft_lsh_skew",
+        sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("giant_buckets"),
+        max(size(col("ids")).cast("long")).as("max_bucket"))
+      .select(explode(cappedBucketPairs(col("ids"), cap) { (x, y) =>
         struct(x.as("doc_i"), y.as("doc_j"))
       }).as("p"))
       .select(col("p.doc_i"), col("p.doc_j"))

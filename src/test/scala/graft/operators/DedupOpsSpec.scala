@@ -34,6 +34,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
   }
 
+  test("LSH skew guard: a planted giant bucket sub-bands into bounded pairs") {
+    // 200 docs with IDENTICAL shingle sets: every band hashes them into
+    // ONE bucket — ungated, that is C(200,2) = 19900 pairs per band
+    val n = 200
+    val cap = 10
+    val planted = (1L to n.toLong).map(i => (i, Seq("ab", "bc", "cd", "de")))
+      .toDF("doc_id", "sh")
+    spark.conf.set("spark.graft.dedup.lshMaxBucket", cap.toString)
+    try {
+      val pairs = DedupOps.lshCandidatesOf(spark, planted)
+        .as[(Long, Long)].collect()
+      assert(pairs.nonEmpty, "sub-banding must still produce in-group candidates")
+      assert(pairs.forall { case (i, j) => i < j })
+      // bounded: O(n*cap), nowhere near the quadratic C(n,2)
+      assert(pairs.length <= n * cap * 2,
+        s"skew guard ineffective: ${pairs.length} pairs from one giant bucket")
+      assert(pairs.length < n * (n - 1) / 4,
+        s"pair count ${pairs.length} is still quadratic-scale")
+      // without the conf the same corpus stays under the default cap logic
+      // (planted bucket of 200 < default 1024 -> full expansion)
+      spark.conf.unset("spark.graft.dedup.lshMaxBucket")
+      assert(DedupOps.lshCandidatesOf(spark, planted).count() == n.toLong * (n - 1) / 2)
+    } finally spark.conf.unset("spark.graft.dedup.lshMaxBucket")
+  }
+
   test("simhash hamming-band candidates are complete for distance <= 3") {
     val pairs = DedupOps.simhashNeardupPairs(spark, sfDir)
     // brute-force hamming over all pairs as truth
