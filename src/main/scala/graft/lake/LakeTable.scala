@@ -223,6 +223,19 @@ final class LakeTable private (
     require(legalPromotion(from, to),
       s"${meta.name}: cannot promote $name from ${from.sql} to ${to.sql} — " +
         "only lossless widenings (byte/short/int -> long, float -> double) are supported")
+    // Spark's Murmur3 `hash` is TYPE-dependent (hash(5: int) != hash(5: long)),
+    // so widening a bucket-partition source would route the same logical key
+    // to a different bucket in new files than in old ones — reads stay
+    // correct (bucket values never drive pruning, Transform.Bucket.valueOf
+    // is None) but the co-location bucketing exists to provide is silently
+    // gone. That needs a rewrite, not an ALTER. (Iceberg avoids this by
+    // spec'ing bucket-of-int as bucket-of-long; Spark's hash does not.)
+    require(!meta.partitionSpec.exists(pf =>
+      pf.source == name && pf.transform.isInstanceOf[Transform.Bucket]),
+      s"${meta.name}: $name is a bucket-partition source; promoting its type would " +
+        "bucket the same value differently in old and new files (Spark's hash is " +
+        "type-dependent), destroying co-location — rewrite the table with the wide " +
+        "type instead")
     val next = cur.schemaVersion + 1
     val evolved = StructType(old.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))

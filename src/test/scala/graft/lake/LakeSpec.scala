@@ -104,6 +104,14 @@ class LakeSpec extends SparkSpec {
     // a batch WIDER than the table is a conflict, not a silent truncation
     assertThrows[IllegalArgumentException](
       t.append(Seq((9L, 1L, "x")).toDF("id", "qty", "ratio")))
+    // a bucket-partition source refuses promotion: Spark's hash is
+    // type-dependent, old and new files would bucket the same key apart
+    val tb = LakeTable.create(spark, s"$dir/tb", "tb",
+      Seq((1, "a")).toDF("k", "s").schema,
+      partitionSpec = Seq(PartitionField("k", Transform.Bucket(8), "p_bucket")))
+    tb.append(Seq((1, "a"), (2, "b")).toDF("k", "s"))
+    val err = intercept[IllegalArgumentException](tb.promoteColumn("k", "bigint"))
+    assert(err.getMessage.contains("co-location"), err.getMessage)
   }
 
   test("many-file appends collect footer stats as a distributed job, bounds intact") {
