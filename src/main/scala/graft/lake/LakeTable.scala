@@ -423,6 +423,31 @@ final class LakeTable private (
         schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil))
     }
 
+  /** GROUP replace (the row-level UPDATE/MERGE/DELETE commit): swap the
+    * `removed` files for `files`, carrying every other data-file entry
+    * over verbatim — a selective restatement costs O(affected files), not
+    * O(table). Delete files are retained: they still tombstone rows in
+    * carried-over files, and rows of the replacement files embed a commit
+    * seq newer than any live tombstone (seq >= dseq survives the MoR
+    * merge). When the group set is the whole table this folds delete
+    * files away like a full replace. */
+  def commitStagedReplaceFiles(
+      removed: Set[String], files: Seq[DataFile], op: String,
+      expectedBase: Option[Long] = None): Snapshot =
+    synchronized {
+      val cur = currentSnapshot
+      expectedBase.foreach(base => require(cur.seq == base,
+        s"${meta.name}: concurrent commit detected (snapshot $base read, " +
+          s"${cur.seq} current) — retry the statement"))
+      val keep = cur.dataFiles.filterNot(f => removed.contains(f.path))
+      commitSnapshot(Snapshot(
+        seq = cur.seq + 1, parent = Some(cur.seq),
+        timestampMs = System.currentTimeMillis(), operation = op,
+        schemaVersion = cur.schemaVersion,
+        dataFiles = keep ++ files,
+        deleteFiles = if (keep.isEmpty) Nil else cur.deleteFiles))
+    }
+
   /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
     * shape): on losing the snapshot race, re-read the new current snapshot
     * and re-commit the already-staged files on top of it. Appends are

@@ -350,36 +350,60 @@ private[graft] class GraftLakeV2Table(
   // ------------------------------------------- SQL UPDATE / MERGE INTO (COW)
 
   /** SQL `UPDATE` and `MERGE INTO` via Spark's GROUP-BASED row-level
-    * framework: the operation's scan reads the current merged content,
-    * Spark's rewrite computes the post-operation rows, and the write
-    * REPLACES the table in one snapshot — copy-on-write, the mode the
-    * reference configures for occasional corrections while CDC ingest
-    * stays merge-on-read ([[deleteWhere]] / upsert). Without runtime group
-    * filtering the affected-group set is the whole table, so these
-    * statements are O(table) by design — the right tool for rare bulk
-    * restatements, not the ingest path. */
+    * framework with RUNTIME GROUP FILTERING: the operation's scan reads
+    * the current merged content, Spark's rewrite computes the
+    * post-operation rows, and the write replaces the read group in one
+    * snapshot. The group granularity is the FILE — this operation declares
+    * `_graft_file` as a required metadata attribute and the scan offers it
+    * for runtime filtering, so Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` rule runs the command's
+    * condition as a subquery, collects the distinct files holding matching
+    * rows, and the scan plans ONLY those files. The commit then swaps
+    * exactly the planned files and carries every other file entry over
+    * verbatim: a selective UPDATE on a 100 TB table rewrites the few
+    * affected files, not the table. An unfiltered restatement (no
+    * condition, or one the rule cannot push) degrades to the full-table
+    * replace it always was. CDC ingest stays merge-on-read
+    * ([[deleteWhere]] / upsert) — this is the restatement path. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty && !raw, "cannot mutate a time-travel or raw snapshot")
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      // shared between the operation's scan and write: the write's commit
+      // replaces exactly the files the (runtime-filtered) scan planned
+      @volatile private var scanBuilder: Option[GraftLakeScanBuilder] = None
+
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
       override def description(): String = s"graftlake copy-on-write ${info.command()}"
-      // The rewrite's write REPLACES the whole table, so this scan must
-      // return EVERY current row — filters Spark pushes here are group-
-      // discovery hints, and acting on them (file pruning or parquet
-      // row-group skipping) would silently drop carry-over rows from the
-      // replacement. Ignore them; the rewrite re-evaluates the condition.
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = false,
+
+      /** Ask the analyzer to keep `_graft_file` on the operation's rows —
+        * the group id the runtime filter and the replace commit speak. */
+      override def requiredMetadataAttributes(): Array[NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+          GraftLakeSource.FileCol))
+
+      // The scan must return EVERY row of every file it plans — the write
+      // replaces whole files, so STATIC filter pushdown (file pruning or
+      // parquet row-group skipping on the command condition) would drop
+      // carry-over rows. acceptFilters=false blocks that; the only pruning
+      // comes from the runtime _graft_file whitelist, whose granularity is
+      // exactly the replace granularity.
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val b = new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = false,
           tombstoneGateBytes, acceptFilters = false)
+        scanBuilder = Some(b)
+        b
+      }
+
       override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
         // expectedBase = the snapshot the operation's scan reads: a commit
         // landing between scan and replace fails the statement instead of
         // being silently wiped (lost update)
-        new GraftLakeWriteBuilder(t, Option(winfo.schema()), expectedBase = Some(snap.seq))
+        new GraftLakeWriteBuilder(t, Option(winfo.schema()), expectedBase = Some(snap.seq),
+          replacedFiles = Some(() => scanBuilder.flatMap(_.builtScan).flatMap(_.plannedRelPaths)))
           .overwrite(
             Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue()))
     }
@@ -583,11 +607,18 @@ private[sources] class GraftLakeScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Last non-metadata scan this builder produced — the row-level write
+    * reads its planned file set to commit a partial (group) replace. */
+  @volatile private[sources] var builtScan: Option[GraftLakeScan] = None
+
   override def build(): Scan = aggAnswer match {
     case Some((schema, values)) => new GraftLakeMetaScan(t.meta.name, seq, schema, values)
     case None =>
-      new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes, gateBytes,
-        dataFilters, limit, streamMaxSnapshots)
+      val s = new GraftLakeScan(t, seq, tableSchema, required, pruneFilters, skipDeletes,
+        gateBytes, dataFilters, limit, streamMaxSnapshots,
+        rowLevelScan = !acceptFilters)
+      builtScan = Some(s)
+      s
   }
 }
 
@@ -625,7 +656,8 @@ private[sources] class GraftLakeScan(
     gateBytes: Long,
     dataFilters: Seq[Filter] = Nil,
     limit: Option[Int] = None,
-    streamMaxSnapshots: Option[Int] = None)
+    streamMaxSnapshots: Option[Int] = None,
+    rowLevelScan: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Runtime (join-driven) filters, delivered by AQE after the build side
@@ -636,23 +668,51 @@ private[sources] class GraftLakeScan(
   @volatile private var runtimeFilters: Seq[PruneFilter] = Nil
   private def allFilters: Seq[PruneFilter] = filters ++ runtimeFilters
 
-  /** Columns worth shipping runtime IN-filters for: partition sources
-    * (file pruning via the transform spec) and cluster keys (file pruning
-    * via tight per-file bounds). Restricted to columns surviving column
-    * pruning: Spark's `PartitionPruning.getFilterableTableScan` resolves
-    * these refs against the PRUNED scan output and throws AnalysisException
-    * on any it cannot find — a join that doesn't project the partition
-    * source column must simply not be offered that column for DPP. */
+  /** Runtime whitelist on the `_graft_file` metadata column — the GROUP
+    * filter of Spark's row-level framework
+    * (`RowLevelOperationRuntimeGroupFiltering` computes the distinct files
+    * holding rows the UPDATE/MERGE/DELETE condition matches and ships them
+    * as an IN filter): only those files are read AND therefore only those
+    * files are replaced by the copy-on-write commit. */
+  @volatile private var fileWhitelist: Option[Set[String]] = None
+
+  /** Relative paths of the data files the LAST `planInputPartitions` call
+    * planned — the group set a row-level REPLACE commit must swap out. */
+  @volatile private[sources] var plannedRelPaths: Option[Set[String]] = None
+
+  /** Columns worth shipping runtime IN-filters for. A ROW-LEVEL scan
+    * (`rowLevelScan`) advertises ONLY the `_graft_file` group id: with
+    * more than one attribute Spark builds a composite `struct(...) IN
+    * subquery` runtime filter that cannot translate to a v1 In on the file
+    * column, and the group filter would silently not restrict the rewrite.
+    * Regular scans advertise partition sources (file pruning via the
+    * transform spec) and cluster keys (file pruning via tight per-file
+    * bounds), restricted to columns surviving column pruning: Spark's
+    * `PartitionPruning.getFilterableTableScan` resolves these refs against
+    * the PRUNED scan output and throws AnalysisException on any it cannot
+    * find — a join that doesn't project the partition source column must
+    * simply not be offered that column for DPP. */
   override def filterAttributes(): Array[NamedReference] = {
     val readable = required.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    (t.meta.partitionSpec.map(_.source) ++ t.meta.clusterBy).distinct
-      .filter(c => readable.contains(c.toLowerCase(java.util.Locale.ROOT)))
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
-      .toArray
+    val cols =
+      if (rowLevelScan)
+        if (readable.contains(GraftLakeSource.FileCol)) Seq(GraftLakeSource.FileCol) else Nil
+      else
+        (t.meta.partitionSpec.map(_.source) ++ t.meta.clusterBy).distinct
+          .filter(c => readable.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
 
-  override def filter(runtime: Array[Filter]): Unit =
-    runtimeFilters = runtime.toSeq.flatMap(GraftLakeScanBuilder.toPruneFilter)
+  override def filter(runtime: Array[Filter]): Unit = {
+    val (fileFilters, rest) = runtime.toSeq.partition {
+      case In(c, _) => c == GraftLakeSource.FileCol
+      case _ => false
+    }
+    fileFilters.foreach { case In(_, vs) =>
+      fileWhitelist = Some(vs.map(String.valueOf).toSet)
+    }
+    runtimeFilters = rest.flatMap(GraftLakeScanBuilder.toPruneFilter)
+  }
 
   /** Post-pruning size/row statistics from snapshot metadata, so Catalyst
     * auto-broadcasts small lake tables in joins (a DSv2 relation without
@@ -697,15 +757,22 @@ private[sources] class GraftLakeScan(
     // manifest-level pruning first (skips whole metadata files via their
     // partition summaries), then file-level pruning within what loaded
     val snap = t.snapshotPruned(seq, allFilters)
-    val (files, _) = t.planFiles(snap, allFilters)
+    val (pruned, _) = t.planFiles(snap, allFilters)
+    // row-level group filter: only files the runtime subquery named (they
+    // arrive as the absolute paths the readers stamp into _graft_file)
+    val files = fileWhitelist match {
+      case Some(names) => pruned.filter(f => names.contains(t.abs(f.path)))
+      case None => pruned
+    }
     // pushed LIMIT (only granted unfiltered + tombstone-free): keep just
     // enough files to cover it — recorded row counts make this metadata
     val kept = limit match {
-      case Some(n) if allFilters.isEmpty =>
+      case Some(n) if allFilters.isEmpty && fileWhitelist.isEmpty =>
         var acc = 0L
         files.takeWhile { f => val need = acc < n; acc += f.rows; need }
       case _ => files
     }
+    plannedRelPaths = Some(kept.map(_.path).toSet)
     GraftLakeSource.planFileSplits(t, kept)
   }
 

@@ -44,7 +44,8 @@ import scala.collection.mutable
 private[sources] class GraftLakeWriteBuilder(
     t: LakeTable,
     writeSchema: Option[StructType] = None,
-    expectedBase: Option[Long] = None)
+    expectedBase: Option[Long] = None,
+    replacedFiles: Option[() => Option[Set[String]]] = None)
     extends WriteBuilder with SupportsOverwrite {
   private var replaceAll = false
 
@@ -56,7 +57,8 @@ private[sources] class GraftLakeWriteBuilder(
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftLakeBatchWrite(t, replaceAll, writeSchema, expectedBase)
+    override def toBatch: BatchWrite =
+      new GraftLakeBatchWrite(t, replaceAll, writeSchema, expectedBase, replacedFiles)
   }
 }
 
@@ -64,7 +66,12 @@ private[sources] class GraftLakeBatchWrite(
     t: LakeTable,
     replaceAll: Boolean = false,
     writeSchema: Option[StructType] = None,
-    expectedBase: Option[Long] = None)
+    expectedBase: Option[Long] = None,
+    /** Row-level (group) replace: a late-bound view of the REL paths the
+      * operation's runtime-filtered scan planned — the commit swaps exactly
+      * those files and carries every other entry over. None = plain INSERT
+      * OVERWRITE (full replace). */
+    replacedFiles: Option[() => Option[Set[String]]] = None)
     extends BatchWrite {
   private val stagingRel = s"_staging/dsv2-${UUID.randomUUID()}"
 
@@ -137,8 +144,19 @@ private[sources] class GraftLakeBatchWrite(
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
           rows = fm.rows)
       }
-      if (replaceAll) t.commitStagedReplace(entries.toSeq, "overwrite-dsv2", expectedBase)
-      else t.commitStagedAppend(entries.toSeq, "append-dsv2")
+      (replaceAll, replacedFiles) match {
+        case (true, Some(planned)) =>
+          // group replace: swap exactly the files the row-level scan read.
+          // A missing planned set would make "replace" mean "drop every
+          // row the scan did not read" — fail loudly instead.
+          val removed = planned().getOrElse(throw new IllegalStateException(
+            s"${t.meta.name}: row-level write committed before its scan planned files"))
+          t.commitStagedReplaceFiles(removed, entries.toSeq, "rewrite-dsv2", expectedBase)
+        case (true, None) =>
+          t.commitStagedReplace(entries.toSeq, "overwrite-dsv2", expectedBase)
+        case _ =>
+          t.commitStagedAppend(entries.toSeq, "append-dsv2")
+      }
     } catch {
       case e: Throwable =>
         moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => })

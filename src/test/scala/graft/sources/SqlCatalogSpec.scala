@@ -123,8 +123,40 @@ class SqlCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft.tcw WHERE id % 2 = 0")
     assert(spark.sql("SELECT id FROM graft.tcw").as[Long].collect().toSet == Set(1L, 3L))
     val t = graft.lake.LakeTable.load(spark, s"$wh/tcw")
-    assert(t.currentSnapshot.operation == "overwrite-dsv2",
-      s"expected COW fallback, got ${t.currentSnapshot.operation}")
+    assert(t.currentSnapshot.operation == "rewrite-dsv2",
+      s"expected group-replace COW fallback, got ${t.currentSnapshot.operation}")
+  }
+
+  test("row-level UPDATE rewrites ONLY the files holding matching rows (runtime group filter)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-groupfilter").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tgf (id BIGINT, d TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (months(d)) TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    // three commits -> at least three files across three month partitions
+    spark.sql("INSERT INTO graft.tgf VALUES (1, TIMESTAMP '2024-01-15 00:00:00', 1.0)")
+    spark.sql("INSERT INTO graft.tgf VALUES (2, TIMESTAMP '2024-02-15 00:00:00', 2.0)")
+    spark.sql("INSERT INTO graft.tgf VALUES (3, TIMESTAMP '2024-03-15 00:00:00', 3.0)")
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tgf")
+    val before = t.currentSnapshot.dataFiles
+    assert(before.size >= 3)
+    // UPDATE touching only the February row: the runtime group filter must
+    // confine the rewrite to the file(s) holding it
+    spark.sql("UPDATE graft.tgf SET v = v * 10 WHERE id % 10 = 2")
+    val after = t.currentSnapshot
+    assert(after.operation == "rewrite-dsv2", s"got ${after.operation}")
+    val beforePaths = before.map(_.path).toSet
+    val carried = after.dataFiles.filter(f => beforePaths.contains(f.path))
+    assert(carried.size == before.size - 1,
+      s"expected exactly one file replaced; before=${before.size} carried=${carried.size}")
+    assert(carried.forall(f => before.find(_.path == f.path).contains(f)),
+      "carried-over file entries must be byte-identical")
+    // content correct: only id=2 restated
+    assert(spark.sql("SELECT id, v FROM graft.tgf ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    // time travel still serves the pre-update state
+    assert(spark.sql("SELECT v FROM graft.tgf VERSION AS OF 3 WHERE id = 2")
+      .as[Double].head() == 2.0)
   }
 
   test("USE graft: unqualified names resolve through the catalog") {
