@@ -157,6 +157,17 @@ class SqlCatalogSpec extends SparkSpec {
     // time travel still serves the pre-update state
     assert(spark.sql("SELECT v FROM graft.tgf VERSION AS OF 3 WHERE id = 2")
       .as[Double].head() == 2.0)
+    // MERGE INTO group-filters the same way: only the matched file rewrites
+    spark.range(1).selectExpr("cast(3 as bigint) id", "cast(99.0 as double) nv")
+      .createOrReplaceTempView("tgf_src")
+    val preMerge = t.currentSnapshot.dataFiles.map(_.path).toSet
+    spark.sql("MERGE INTO graft.tgf t USING tgf_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    val postMerge = t.currentSnapshot
+    assert(postMerge.operation == "rewrite-dsv2")
+    assert(postMerge.dataFiles.map(_.path).toSet.intersect(preMerge).size == preMerge.size - 1,
+      "MERGE must carry every unmatched file over")
+    assert(spark.sql("SELECT v FROM graft.tgf WHERE id = 3").as[Double].head() == 99.0)
   }
 
   test("USE graft: unqualified names resolve through the catalog") {
