@@ -45,7 +45,7 @@ final class LakeCatalog(spark: SparkSession, rootDir: String) {
     val t = table(name)
     val schema = t.currentSchema
     val cols = schema.fields.map(f => (f.name, f.dataType.simpleString, if (f.nullable) "YES" else "NO"))
-    val spec = t.meta.partitionSpec.map(pf => (s"# partition: ${pf.name}", s"${pf.transform.name}(${pf.source})", ""))
+    val spec = t.currentPartitionSpec.map(pf => (s"# partition: ${pf.name}", s"${pf.transform.name}(${pf.source})", ""))
     val props = Seq(
       ("# clustering", t.meta.clusterBy.mkString(", "), ""),
       ("# primary key", t.meta.primaryKey.mkString(", "), ""),

@@ -70,6 +70,35 @@ final class LakeTable private (
   def schema(version: Int): StructType =
     MetaJson.readSchema(readString(new Path(metaDir, f"schema-v$version%03d.json")))
 
+  /** Partition spec by version: 0 = the CREATE-time spec in table.json,
+    * N>=1 = meta/spec-vNNN.json written by [[evolvePartitionSpec]]. Spec
+    * files are immutable, so versions cache per table instance. */
+  def partitionSpec(version: Int): Seq[PartitionField] =
+    if (version == 0) meta.partitionSpec
+    else specCache.computeIfAbsent(version, v =>
+      MetaJson.readSpec(readString(new Path(metaDir, f"spec-v$v%03d.json"))))
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[PartitionField]]()
+
+  /** The spec new writes partition under (the current snapshot's). */
+  def currentPartitionSpec: Seq[PartitionField] = partitionSpec(currentSnapshot.specVersion)
+
+  /** Union of every partition field across spec versions 0..maxVersion,
+    * deduped by field name. Pruning resolves each FILE's fields by the
+    * names present in its recorded partition tuple ([[PruneFilter.mayMatch]]
+    * keeps files lacking a field's name), so matching against the union
+    * prunes every file under the spec it was written with — old-spec files
+    * stay pruneable after an evolution, new-spec files prune on the new
+    * fields. Sound because [[evolvePartitionSpec]] forbids re-using a field
+    * name with a different derivation. */
+  private[graft] def specFieldsThrough(maxVersion: Int): Seq[PartitionField] = {
+    if (maxVersion == 0) return meta.partitionSpec
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, PartitionField]
+    (0 to maxVersion).foreach(v => partitionSpec(v).foreach(pf =>
+      if (!seen.contains(pf.name)) seen(pf.name) = pf))
+    seen.values.toSeq
+  }
+
   def currentSeq: Long = {
     val hint = new Path(metaDir, "version-hint.text")
     val fromHint =
@@ -115,22 +144,26 @@ final class LakeTable private (
   /** True iff some file in a manifest with this partition summary may
     * satisfy every filter. `None` (no summary recorded) never prunes. */
   private[lake] def manifestMayMatch(
+      spec: Seq[PartitionField],
       partitions: Option[Seq[Map[String, String]]], filters: Seq[PruneFilter]): Boolean =
     partitions.forall(_.exists(tuple =>
-      filters.forall(f => PruneFilter.mayMatch(meta.partitionSpec, tuple, f))))
+      filters.forall(f => PruneFilter.mayMatch(spec, tuple, f))))
 
   private def assemble(sf: SnapshotFile, pruneTo: Option[Seq[PruneFilter]]): Snapshot = {
     if (sf.legacy)
       return Snapshot(sf.seq, sf.parent, sf.timestampMs, sf.operation, sf.schemaVersion,
-        sf.legacyData, sf.legacyDeletes)
+        sf.legacyData, sf.legacyDeletes, specVersion = sf.specVersion)
     val dataRefs = sf.manifests.filter(_.isData)
     val kept = pruneTo match {
-      case Some(filters) => dataRefs.filter(m => manifestMayMatch(m.partitions, filters))
+      case Some(filters) =>
+        val spec = specFieldsThrough(sf.specVersion)
+        dataRefs.filter(m => manifestMayMatch(spec, m.partitions, filters))
       case None          => dataRefs
     }
     Snapshot(sf.seq, sf.parent, sf.timestampMs, sf.operation, sf.schemaVersion,
       dataFiles = kept.flatMap(m => loadManifest(m)._1),
-      deleteFiles = sf.manifests.filterNot(_.isData).flatMap(m => loadManifest(m)._2))
+      deleteFiles = sf.manifests.filterNot(_.isData).flatMap(m => loadManifest(m)._2),
+      specVersion = sf.specVersion)
   }
 
   /** (dataFiles, deleteFiles) of one manifest, via the process-wide cache
@@ -230,7 +263,7 @@ final class LakeTable private (
     // is None) but the co-location bucketing exists to provide is silently
     // gone. That needs a rewrite, not an ALTER. (Iceberg avoids this by
     // spec'ing bucket-of-int as bucket-of-long; Spark's hash does not.)
-    require(!meta.partitionSpec.exists(pf =>
+    require(!partitionSpec(cur.specVersion).exists(pf =>
       pf.source == name && pf.transform.isInstanceOf[Transform.Bucket]),
       s"${meta.name}: $name is a bucket-partition source; promoting its type would " +
         "bucket the same value differently in old and new files (Spark's hash is " +
@@ -243,6 +276,68 @@ final class LakeTable private (
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "promote-type", schemaVersion = next))
+  }
+
+  /** Partition-spec evolution (metadata-only commit; Iceberg's
+    * "partition evolution"): NEW data partitions under `newSpec`, existing
+    * files keep the layout — and the partition tuple — they were written
+    * with, because at 100 TB re-partitioning by rewrite is not an option.
+    * Pruning keeps working on BOTH populations: each file's tuple is
+    * matched against the union of historical specs by field name
+    * ([[specFieldsThrough]]), and a file simply survives any filter whose
+    * field its spec never derived. Compaction migrates dirty partitions to
+    * the current spec as a side effect (it re-stages through the current
+    * writer path).
+    *
+    * A field name is forever: re-using one with a different source or
+    * transform would make old tuples mean something new and silently
+    * mis-prune, so that is refused — pick a fresh name instead. */
+  def evolvePartitionSpec(newSpec: Seq[PartitionField]): Snapshot = synchronized {
+    val cur = currentSnapshot
+    if (newSpec == partitionSpec(cur.specVersion)) return cur // idempotent
+    val sch = schema(cur.schemaVersion)
+    require(newSpec.map(_.name).distinct.size == newSpec.size,
+      s"${meta.name}: duplicate partition field names in ${newSpec.map(_.name)}")
+    newSpec.foreach { pf =>
+      require(sch.fieldNames.contains(pf.source),
+        s"${meta.name}: partition source ${pf.source} is not a table column")
+      require(!sch.fieldNames.contains(pf.name),
+        s"${meta.name}: partition field ${pf.name} collides with a data column")
+    }
+    val history = (0 to cur.specVersion).flatMap(partitionSpec)
+    newSpec.foreach { pf =>
+      history.find(h => h.name == pf.name &&
+          (h.source != pf.source || h.transform != pf.transform)).foreach { h =>
+        throw new IllegalArgumentException(
+          s"${meta.name}: partition field name ${pf.name} was " +
+            s"${h.transform.name}(${h.source}) in an earlier spec and cannot be redefined " +
+            s"as ${pf.transform.name}(${pf.source}) — old files' recorded tuples would be " +
+            "misread and mis-pruned; use a new field name")
+      }
+    }
+    val v = cur.specVersion + 1
+    writeString(new Path(metaDir, f"spec-v$v%03d.json"), MetaJson.writeSpec(newSpec))
+    commitSnapshot(cur.copy(
+      seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+      operation = "evolve-spec", specVersion = v))
+  }
+
+  /** Roll the table back to the state of snapshot `toSeq` — a NEW commit
+    * whose content (files, schema version, spec version) is the target's,
+    * so history stays intact: the bad commits remain time-travelable, the
+    * rollback is itself one more snapshot, and nothing is deleted (Iceberg's
+    * rollback_to_snapshot). O(metadata): the target's manifests are reused
+    * by reference, no data moves. */
+  def rollbackTo(toSeq: Long): Snapshot = synchronized {
+    val cur = currentSnapshot
+    if (toSeq == cur.seq) return cur
+    require(toSeq < cur.seq, s"${meta.name}: cannot roll back to future snapshot $toSeq")
+    require(fs.exists(snapPath(toSeq)),
+      s"${meta.name}: snapshot $toSeq does not exist (expired or never committed)")
+    val target = snapshot(toSeq)
+    commitSnapshot(target.copy(
+      seq = cur.seq + 1, parent = Some(cur.seq),
+      timestampMs = System.currentTimeMillis(), operation = "rollback"))
   }
 
   // ------------------------------------------------------------------ read
@@ -326,11 +421,11 @@ final class LakeTable private (
       if (dirtyFiles.isEmpty) Nil // tombstones matched nothing: metadata-only fold
       else stageDataFiles(
         morMerged(cur, dirtyFiles).select(userSchema.fieldNames.map(col): _*),
-        cur.schemaVersion, seq)
+        cur.schemaVersion, seq, cur.specVersion)
     commitSnapshot(Snapshot(
       seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "compact", schemaVersion = cur.schemaVersion,
-      dataFiles = keepFiles ++ newFiles, deleteFiles = Nil))
+      dataFiles = keepFiles ++ newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
   }
 
   /** Data files containing at least one row version a live tombstone
@@ -359,9 +454,10 @@ final class LakeTable private (
     * Exposed so tests can assert pruning effectiveness (SURVEY §7.4). */
   def planFiles(snap: Snapshot, filters: Seq[PruneFilter]): (Seq[DataFile], Int) = {
     val total = snap.dataFiles.size
+    val spec = specFieldsThrough(snap.specVersion)
     val kept = snap.dataFiles.filter { f =>
       filters.forall(fl =>
-        PruneFilter.mayMatch(meta.partitionSpec, f.partition, fl) &&
+        PruneFilter.mayMatch(spec, f.partition, fl) &&
           ColumnBounds.mayMatch(f.bounds, fl))
     }
     (kept, total)
@@ -386,12 +482,13 @@ final class LakeTable private (
   private def commitWrite(df: DataFrame, op: String, keepExisting: Boolean): Snapshot = synchronized {
     val cur  = currentSnapshot
     val seq  = cur.seq + 1
-    val newFiles = stageDataFiles(df, schemaVersion = cur.schemaVersion, seq = seq)
+    val newFiles = stageDataFiles(df, schemaVersion = cur.schemaVersion, seq = seq,
+      specVersion = cur.specVersion)
     if (keepExisting) commitAppendWithRetry(newFiles, op)
     else commitSnapshot(Snapshot(
       seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
       schemaVersion = cur.schemaVersion,
-      dataFiles = newFiles, deleteFiles = Nil))
+      dataFiles = newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
   }
 
   /** Append ALREADY-STAGED data files (moved into `data/` by an external
@@ -420,7 +517,8 @@ final class LakeTable private (
       commitSnapshot(Snapshot(
         seq = cur.seq + 1, parent = Some(cur.seq),
         timestampMs = System.currentTimeMillis(), operation = op,
-        schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil))
+        schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil,
+        specVersion = cur.specVersion))
     }
 
   /** GROUP replace (the row-level UPDATE/MERGE/DELETE commit): swap the
@@ -445,7 +543,8 @@ final class LakeTable private (
         timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
         dataFiles = keep ++ files,
-        deleteFiles = if (keep.isEmpty) Nil else cur.deleteFiles))
+        deleteFiles = if (keep.isEmpty) Nil else cur.deleteFiles,
+        specVersion = cur.specVersion))
     }
 
   /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
@@ -468,7 +567,7 @@ final class LakeTable private (
           timestampMs = System.currentTimeMillis(), operation = op,
           schemaVersion = cur.schemaVersion,
           dataFiles = cur.dataFiles ++ newFiles,
-          deleteFiles = cur.deleteFiles))
+          deleteFiles = cur.deleteFiles, specVersion = cur.specVersion))
       } catch {
         case e: java.io.IOException if attempt < maxRetries && fs.exists(snapPath(cur.seq + 1)) =>
           attempt += 1 // lost the race: rebase onto the winner
@@ -491,13 +590,13 @@ final class LakeTable private (
     synchronized {
       val cur = currentSnapshot
       val seq = cur.seq + 1
-      val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq)).getOrElse(Nil)
+      val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq, cur.specVersion)).getOrElse(Nil)
       val delFiles = writeDeleteFiles(deleteKeys, seq)
       try commitSnapshot(Snapshot(
         seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
         dataFiles = cur.dataFiles ++ newData,
-        deleteFiles = cur.deleteFiles ++ delFiles))
+        deleteFiles = cur.deleteFiles ++ delFiles, specVersion = cur.specVersion))
       catch {
         case e: java.io.IOException if fs.exists(snapPath(seq)) =>
           throw new java.util.ConcurrentModificationException(
@@ -513,7 +612,8 @@ final class LakeTable private (
     * then move the files into `data/` and return their entries.
     * Partitioning/clustering per the reference's per-table specs
     * (destination.json:37-73 transforms, :115-118 clustering). */
-  private def stageDataFiles(df: DataFrame, schemaVersion: Int, seq: Long): Seq[DataFile] = {
+  private def stageDataFiles(
+      df: DataFrame, schemaVersion: Int, seq: Long, specVersion: Int = 0): Seq[DataFile] = {
     val userSchema = schema(schemaVersion)
     // align to the table schema: add nulls for missing evolved columns and
     // up-cast narrower incoming types (a CDC batch written before a type
@@ -534,7 +634,7 @@ final class LakeTable private (
       }
     }.select(userSchema.fieldNames.map(col): _*)
 
-    val spec = meta.partitionSpec
+    val spec = partitionSpec(specVersion)
     val partCols = spec.map(_.name)
     val derived = spec.foldLeft(aligned.withColumn(SeqCol, lit(seq)))(
       (d, pf) => d.withColumn(pf.name, pf.transform(col(pf.source))))

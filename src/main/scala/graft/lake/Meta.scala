@@ -53,6 +53,11 @@ final case class Snapshot(
     schemaVersion: Int,
     dataFiles: Seq[DataFile],
     deleteFiles: Seq[DeleteFile],
+    /** Partition-spec version this snapshot writes under: 0 = the
+      * CREATE-time spec in table.json, N>=1 = meta/spec-vNNN.json
+      * (Iceberg's spec-id — specs evolve without rewriting data; each
+      * data file keeps the tuple of the spec it was written with). */
+    specVersion: Int = 0,
 ) {
   def totalBytes: Long = dataFiles.map(_.bytes).sum
 }
@@ -100,7 +105,8 @@ final case class SnapshotFile(
     manifests: Seq[ManifestRef],
     legacyData: Seq[DataFile],
     legacyDeletes: Seq[DeleteFile],
-    legacy: Boolean)
+    legacy: Boolean,
+    specVersion: Int = 0)
 
 /** Immutable table definition, written once at CREATE TABLE time. Schema
   * lives NEXT to this (meta/schema-v*.json) and is versioned per snapshot,
@@ -152,6 +158,7 @@ object MetaJson {
     root.put("timestampMs", s.timestampMs)
     root.put("operation", s.operation)
     root.put("schemaVersion", s.schemaVersion)
+    if (s.specVersion != 0) root.put("specVersion", s.specVersion)
     val ms = root.putArray("manifests")
     manifests.foreach { m =>
       val f = ms.addObject()
@@ -195,8 +202,27 @@ object MetaJson {
         DeleteFile(f.get("path").asText(), f.get("seq").asLong(), f.get("bytes").asLong())
       },
       legacy = legacy,
+      specVersion = Option(root.get("specVersion")).map(_.asInt()).getOrElse(0),
     )
   }
+
+  /** Evolved partition spec file (meta/spec-v{N}.json) — same field shape
+    * as table.json's partitionSpec array. */
+  def writeSpec(spec: Seq[PartitionField]): String = {
+    val root = M.createObjectNode()
+    val arr = root.putArray("partitionSpec")
+    spec.foreach { pf =>
+      val f = arr.addObject()
+      f.put("source", pf.source); f.put("transform", pf.transform.name); f.put("name", pf.name)
+    }
+    root.toPrettyString
+  }
+
+  def readSpec(s: String): Seq[PartitionField] =
+    arr(M.readTree(s), "partitionSpec").map { f =>
+      PartitionField(f.get("source").asText(), Transform.parse(f.get("transform").asText()),
+        f.get("name").asText())
+    }
 
   /** One manifest: a flat list of data OR delete file entries. */
   def writeManifest(kind: String, data: Seq[DataFile], dels: Seq[DeleteFile]): String = {

@@ -210,6 +210,26 @@ object LakeOps {
   val lakeTypePromotion: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersPromoted(s, dir).scan()
 
+  // q74 — PARTITION SPEC EVOLUTION (Iceberg partition evolution; at 100 TB
+  // re-partitioning by rewrite is not an option, so the spec is versioned
+  // like the schema and evolves metadata-only): a date+status filter
+  // straddling the evolution boundary reads files laid out under BOTH
+  // specs — old files prune by month only, new files by month AND status,
+  // and the returned rows must be the plain SQL answer either way
+  val lakeSpecEvolved: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersSpecEvolved(s, dir).scan(filters = Seq(
+      PruneFilter.Ge("o_orderdate",
+        java.sql.Timestamp.from(java.time.Instant.parse("1998-07-01T00:00:00Z"))),
+      PruneFilter.Lt("o_orderdate",
+        java.sql.Timestamp.from(java.time.Instant.parse("1999-07-01T00:00:00Z"))),
+      PruneFilter.Eq("o_orderstatus", "F")))
+
+  // q75 — ROLLBACK: the table after an undo of its latest append
+  // (metadata-only restatement; the bad commit stays time-travelable).
+  // The scan must serve exactly the pre-bad-commit content.
+  val lakeRolledBack: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersRolledBack(s, dir).scan()
+
   /** The q16/q27 merged state as a DuckDB CTE (shared by q27–q29). */
   private val morMergedCte =
     """WITH base AS (
@@ -343,6 +363,17 @@ object LakeOps {
         |  CASE WHEN o_orderkey % 2 = 1 THEN CAST(CAST(o_orderkey % 7 AS REAL) AS DOUBLE)
         |       ELSE CAST(o_orderkey % 7 AS DOUBLE) + 0.5 END AS ratio
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q74_partition_spec_evolution", lakeSpecEvolved, oracle = Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
+        |  AND o_orderstatus = 'F'
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q75_rollback", lakeRolledBack, oracle = Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q54_cross_layer_consistency", crossLayerConsistency, oracle = Some(
       """WITH agg AS (
         |  SELECT o_orderstatus AS status, COUNT(*) AS order_count,

@@ -324,6 +324,42 @@ object LakePipelines {
   /** Build-once-per-JVM with an on-disk completion marker, so a Verify run
     * and a later Bench run (separate JVMs) reuse the same deterministic
     * build, while a half-built directory from a crashed run is discarded. */
+  /** Partition-spec-evolution table (Iceberg partition evolution, done
+    * metadata-only): era 1 appends orders before [[TtPivot]] under
+    * month(o_orderdate); the spec then evolves to month + identity(status)
+    * WITHOUT rewriting anything; era 2 appends the rest under the new
+    * layout. Reads must prune and merge across both populations. */
+  def ordersSpecEvolved(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_spec_evolved") { cat =>
+      val o = Tables.load(spark, sfDir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val t = cat.createTable(
+        "orders_spec_evolved", o.schema,
+        partitionSpec = Seq(PartitionField("o_orderdate", Transform.Month, "p_month")),
+        clusterBy = Seq("o_orderkey"))
+      t.append(o.filter(col("o_orderdate") < lit(TtPivot)))
+      t.evolvePartitionSpec(Seq(
+        PartitionField("o_orderdate", Transform.Month, "p_month"),
+        PartitionField("o_orderstatus", Transform.Identity, "p_status")))
+      t.append(o.filter(col("o_orderdate") >= lit(TtPivot)))
+      t
+    }
+
+  /** Rollback table: seq 1 appends the odd-key half (the good state),
+    * seq 2 appends the rest (the commit to undo), seq 3 rolls back to
+    * seq 1 — a metadata-only restatement that leaves the bad commit
+    * time-travelable. */
+  def ordersRolledBack(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_rolled_back") { cat =>
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = cat.createTable("orders_rolled_back", o.schema, clusterBy = Seq("o_orderkey"))
+      t.append(o.filter(col("o_orderkey") % 2 === 1))
+      t.append(o.filter(col("o_orderkey") % 2 === 0))
+      t.rollbackTo(1L)
+      t
+    }
+
   private[operators] def cached(spark: SparkSession, sfDir: String, name: String)(
       build: LakeCatalog => LakeTable): LakeTable = synchronized {
     built.getOrElseUpdate((sfDir, name), {

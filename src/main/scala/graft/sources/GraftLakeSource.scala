@@ -299,7 +299,7 @@ private[graft] class GraftLakeV2Table(
 
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    t.meta.partitionSpec.map { pf =>
+    t.partitionSpec(snap.specVersion).map { pf =>
       pf.transform match {
         case graft.lake.Transform.Identity    => Expressions.identity(pf.source)
         case graft.lake.Transform.Year        => Expressions.years(pf.source)
@@ -692,13 +692,18 @@ private[sources] class GraftLakeScan(
     * the PRUNED scan output and throws AnalysisException on any it cannot
     * find — a join that doesn't project the partition source column must
     * simply not be offered that column for DPP. */
+  /** Partition sources across the scanned snapshot's whole spec history
+    * (evolution-aware: old-spec files prune on old fields, new on new). */
+  private lazy val specSources: Seq[String] =
+    t.specFieldsThrough(t.snapshot(seq).specVersion).map(_.source)
+
   override def filterAttributes(): Array[NamedReference] = {
     val readable = required.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val cols =
       if (rowLevelScan)
         if (readable.contains(GraftLakeSource.FileCol)) Seq(GraftLakeSource.FileCol) else Nil
       else
-        (t.meta.partitionSpec.map(_.source) ++ t.meta.clusterBy).distinct
+        (specSources ++ t.meta.clusterBy).distinct
           .filter(c => readable.contains(c.toLowerCase(java.util.Locale.ROOT)))
     cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
@@ -911,7 +916,8 @@ private[sources] class GraftLakeMicroBatchStream(
     val snap = t.snapshot(e)
     ((s + 1) to e).map(t.snapshot).foreach { sn =>
       require(sn.operation == "create" || sn.operation.startsWith("append") ||
-        sn.operation == "add-column" || sn.operation == "promote-type",
+        sn.operation == "add-column" || sn.operation == "promote-type" ||
+        sn.operation == "evolve-spec",
         s"streaming read needs append-only history; snapshot ${sn.seq} is " +
           s"'${sn.operation}' — start a fresh checkpoint from the current state instead")
     }
@@ -919,11 +925,12 @@ private[sources] class GraftLakeMicroBatchStream(
       require(t.snapshot(s).deleteFiles.isEmpty,
         s"streaming bootstrap snapshot $s carries merge-on-read deletes; " +
           "compact the table before streaming it")
+    val spec = t.specFieldsThrough(snap.specVersion)
     val newFiles = snap.dataFiles
       // bootstrap batch = the WHOLE earliest snapshot, then strict increments
       .filter(f => (if (s0 == Bootstrap) f.seq <= s else false) || (f.seq > s && f.seq <= e))
       .filter(f => filters.forall(fl =>
-        PruneFilter.mayMatch(t.meta.partitionSpec, f.partition, fl) &&
+        PruneFilter.mayMatch(spec, f.partition, fl) &&
           graft.lake.ColumnBounds.mayMatch(f.bounds, fl)))
     GraftLakeSource.planFileSplits(t, newFiles)
   }

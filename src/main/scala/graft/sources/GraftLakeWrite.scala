@@ -87,7 +87,7 @@ private[sources] class GraftLakeBatchWrite(
       schema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet ==
         tableSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet,
       s"write schema ${schema.simpleString} does not match table ${tableSchema.simpleString}")
-    val spec = t.meta.partitionSpec.map { pf =>
+    val spec = t.partitionSpec(snap.specVersion).map { pf =>
       val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
       require(idx >= 0, s"partition source ${pf.source} missing from write schema")
       (idx, pf.transform.name, pf.name)

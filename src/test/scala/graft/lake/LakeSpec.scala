@@ -462,6 +462,112 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().select("id").as[Long].collect().toSet == Set(0L, 100L, 200L))
   }
 
+  test("partition spec evolution: new files under the new spec, pruning serves both populations") {
+    val dir = Files.createTempDirectory("graft-evolve-spec").toString
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val b1 = Seq(
+      (1L, "A", ts("2024-01-10T00:00:00Z")), (2L, "A", ts("2024-01-20T00:00:00Z")),
+      (3L, "B", ts("2024-02-05T00:00:00Z"))).toDF("id", "s", "d")
+    val t = LakeTable.create(spark, s"$dir/t", "t", b1.schema,
+      partitionSpec = Seq(PartitionField("d", Transform.Month, "p_month")),
+      primaryKey = Seq("id"))
+    t.append(b1)
+    assert(t.currentSnapshot.specVersion == 0)
+
+    // metadata-only evolution: repartition NEW data by identity(s)
+    val evolved = t.evolvePartitionSpec(Seq(PartitionField("s", Transform.Identity, "p_s")))
+    assert(evolved.operation == "evolve-spec" && evolved.specVersion == 1)
+    assert(evolved.dataFiles.map(_.path).toSet == t.snapshot(evolved.seq - 1).dataFiles.map(_.path).toSet,
+      "evolution moved data")
+    val b2 = Seq(
+      (4L, "A", ts("2024-03-01T00:00:00Z")), (5L, "B", ts("2024-03-02T00:00:00Z"))).toDF("id", "s", "d")
+    t.append(b2)
+
+    val snap = t.currentSnapshot
+    val (oldFiles, newFiles) = snap.dataFiles.partition(_.partition.contains("p_month"))
+    assert(oldFiles.nonEmpty && newFiles.nonEmpty)
+    assert(newFiles.forall(f => f.partition.contains("p_s") && !f.partition.contains("p_month")))
+
+    // full scan = union of both populations
+    assert(contentEqual(t.scan(), b1.unionAll(b2)))
+
+    // filter on the OLD spec's source: prunes old files by month, keeps new
+    // files via bounds or conservatism — and returns the exact rows
+    val feb = Seq(PruneFilter.Ge("d", ts("2024-02-01T00:00:00Z")),
+      PruneFilter.Lt("d", ts("2024-03-01T00:00:00Z")))
+    val (keptFeb, _) = t.planFiles(snap, feb)
+    assert(!keptFeb.exists(_.partition.get("p_month").contains("2024-01")),
+      "January files survived a February filter")
+    assert(contentEqual(t.scan(filters = feb), b1.filter($"id" === 3L)))
+
+    // filter on the NEW spec's source: prunes among new files by partition
+    // value; old files never partition-prune on s (their spec never derived
+    // p_s — only their per-file column BOUNDS may skip them, which is why
+    // the pure-partition check below goes through mayMatch directly)
+    val histSpec = t.specFieldsThrough(snap.specVersion)
+    assert(oldFiles.forall(f => PruneFilter.mayMatch(histSpec, f.partition, PruneFilter.Eq("s", "B"))),
+      "old-spec file partition-pruned on a field its spec never derived")
+    val (keptA, _) = t.planFiles(snap, Seq(PruneFilter.Eq("s", "B")))
+    assert(!keptA.exists(_.partition.get("p_s").contains("A")), "new-spec A file survived s=B")
+    assert(contentEqual(t.scan(filters = Seq(PruneFilter.Eq("s", "B"))),
+      b1.unionAll(b2).filter($"s" === "B")))
+
+    // DSv2 route reads the evolved table exactly
+    val v2 = spark.read.format("graftlake").option("path", t.location).load()
+    assert(v2.where($"s" === "A").count() == 3)
+
+    // guard rails
+    intercept[IllegalArgumentException](
+      t.evolvePartitionSpec(Seq(PartitionField("d", Transform.Day, "p_month")))) // name reuse
+    intercept[IllegalArgumentException](
+      t.evolvePartitionSpec(Seq(PartitionField("nope", Transform.Identity, "p_x"))))
+    intercept[IllegalArgumentException](
+      t.evolvePartitionSpec(Seq(PartitionField("d", Transform.Day, "s")))) // data-column collision
+    // idempotent: re-declaring the current spec commits nothing
+    val seqBefore = t.currentSeq
+    t.evolvePartitionSpec(Seq(PartitionField("s", Transform.Identity, "p_s")))
+    assert(t.currentSeq == seqBefore)
+
+    // compaction migrates DIRTY partitions to the current spec
+    t.upsert(Seq((1L, "A", ts("2024-01-10T00:00:00Z"))).toDF("id", "s", "d")) // dirties a p_month file
+    Maintenance.compact(t, targetFilesPerPartition = 10)
+    val after = t.currentSnapshot
+    val rewritten = after.dataFiles.filter(_.seq == after.seq)
+    assert(rewritten.nonEmpty && rewritten.forall(_.partition.contains("p_s")),
+      s"compaction kept the retired spec: ${rewritten.map(_.partition)}")
+    assert(contentEqual(t.scan(), b1.unionAll(b2)))
+  }
+
+  test("rollback restores a prior snapshot's content, keeps full history, moves no data") {
+    val dir = Files.createTempDirectory("graft-rollback-spec").toString
+    import spark.implicits._
+    val b1 = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", b1.schema)
+    t.append(b1)
+    val goodSeq = t.currentSeq
+    t.append(Seq((3L, "bad")).toDF("id", "s")) // the commit to undo
+    t.addColumn("extra", "int")                // schema drift after the bad data
+    val badSeq = t.currentSeq
+
+    val rb = t.rollbackTo(goodSeq)
+    assert(rb.operation == "rollback" && rb.seq == badSeq + 1)
+    assert(contentEqual(t.scan(), b1))
+    // the rolled-back state restores the target's schema version too
+    assert(!t.currentSchema.fieldNames.contains("extra"))
+    // nothing was deleted: the bad history is still time-travelable
+    assert(t.scan(asOf = Some(badSeq)).count() == 3)
+    // O(metadata): the rollback references the target's files verbatim
+    assert(rb.dataFiles.map(_.path).toSet == t.snapshot(goodSeq).dataFiles.map(_.path).toSet)
+    // guard: future seqs refuse
+    intercept[IllegalArgumentException](t.rollbackTo(rb.seq + 5))
+    // idempotent: rolling back to the current head is a no-op
+    assert(t.rollbackTo(t.currentSeq).seq == t.currentSeq)
+    // appends continue on top of the rolled-back line
+    t.append(Seq((4L, "z")).toDF("id", "s"))
+    assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
     val dir = Files.createTempDirectory("graft-splits-spec").toString
     import spark.implicits._
