@@ -43,7 +43,7 @@ import scala.jdk.CollectionConverters._
   * Hadoop catalog); `graft.t` and `graft.default.t` both resolve to
   * `<warehouse>/t`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var initWarehouse: Option[String] = None
@@ -167,6 +167,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  // ------------------------------------------------------------ procedures
+
+  /** `CALL graft.system.<proc>(...)` — table maintenance from pure SQL
+    * (rollback, snapshot expiry, compaction, orphan sweep, partition-spec
+    * evolution). The `system` namespace mirrors the Iceberg idiom; the
+    * procedures drive the same Scala entry points. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name()}")
+    GraftProcedures.load(ident.name(), () => lakeCatalog).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()} — available: ${GraftProcedures.Names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ------------------------------------------------------------ namespaces
 

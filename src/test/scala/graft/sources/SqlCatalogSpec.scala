@@ -253,4 +253,59 @@ class SqlCatalogSpec extends SparkSpec {
     assert(t.scan().count() == n)
     assert(t.currentSnapshot.dataFiles.forall(_.partition.contains("p_month_order_date")))
   }
+
+  test("CALL graft.system.*: rollback, compaction, expiry, spec evolution from pure SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlproc").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.pt (id BIGINT, d TIMESTAMP, s STRING)
+        |PARTITIONED BY (months(d))
+        |TBLPROPERTIES ('cluster_by'='id','primary_key'='id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt VALUES
+        |  (1, TIMESTAMP '2024-01-15 00:00:00', 'a'),
+        |  (2, TIMESTAMP '2024-02-15 00:00:00', 'b')""".stripMargin)
+    spark.sql("INSERT INTO graft.pt VALUES (3, TIMESTAMP '2024-03-15 00:00:00', 'bad')")
+
+    // rollback undoes the bad insert, returns (previous_seq, current_seq)
+    val rb = spark.sql("CALL graft.system.rollback_to_snapshot('pt', 1)").head()
+    assert(rb.getLong(0) == 2L && rb.getLong(1) == 3L)
+    assert(spark.sql("SELECT * FROM graft.pt").count() == 2)
+
+    // spec evolution from SQL: new writes partition by month AND identity(s)
+    val ev = spark.sql(
+      "CALL graft.system.evolve_partition_spec('pt', 'months(d), identity(s) AS p_s')").head()
+    assert(ev.getInt(0) == 1 && ev.getString(1).contains("identity(s) AS p_s"))
+    spark.sql("INSERT INTO graft.pt VALUES (4, TIMESTAMP '2024-04-15 00:00:00', 'c')")
+    val t = graft.lake.LakeTable.load(spark, s"$wh/pt")
+    val newest = t.currentSnapshot.dataFiles.filter(_.seq == t.currentSeq)
+    assert(newest.nonEmpty && newest.forall(_.partition.contains("p_s")))
+    assert(spark.sql("SELECT * FROM graft.pt WHERE s = 'c'").count() == 1)
+
+    // compaction (named-arg style) reports the new snapshot's layout
+    val rw = spark.sql(
+      "CALL graft.system.rewrite_data_files(`table` => 'pt', target_files_per_partition => 1)").head()
+    assert(rw.getLong(0) == t.currentSeq + 0 || rw.getLong(0) >= 5L)
+    assert(spark.sql("SELECT * FROM graft.pt").count() == 3)
+
+    // expiry keeps the head only; history shrinks to 1 snapshot
+    val ex = spark.sql("CALL graft.system.expire_snapshots('pt', 1)").head()
+    assert(ex.getInt(1) == 1, s"retained ${ex.getInt(1)} snapshots")
+    assert(spark.sql("SELECT * FROM graft.pt").count() == 3)
+
+    // orphan sweep with age 0 runs clean on a healthy table (0 removed —
+    // nothing live may be touched)
+    val ro = spark.sql("CALL graft.system.remove_orphan_files('pt', 0)").head()
+    assert(ro.getInt(0) == 0, s"orphan sweep removed ${ro.getInt(0)} live files")
+    assert(spark.sql("SELECT * FROM graft.pt").count() == 3)
+
+    // unknown procedure fails; the cause names the available procedures
+    val err = intercept[Exception](spark.sql("CALL graft.system.nope('pt')").collect())
+    val messages = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(messages.contains("nope") &&
+      (messages.contains("rollback_to_snapshot") || messages.contains("FAILED_TO_LOAD")),
+      s"unhelpful error: $messages")
+    spark.sql("DROP TABLE graft.pt")
+  }
 }
