@@ -131,7 +131,30 @@ object SqlCatalogOps {
         col("col_name") =!= "" && !col("col_name").startsWith("Part "))
   }
 
+  // q76 — METADATA TABLE through SQL: `graft.`t$snapshots`` serves the
+  // commit log of the MoR lifecycle table from snapshot metadata alone
+  // (zero tasks, zero data I/O — the Iceberg `table$snapshots` idiom).
+  // Deterministic columns only: wall-clock timestamps and layout-dependent
+  // file counts/bytes are excluded; delete_files IS deterministic here
+  // (upsert adds 1, delete adds 1 more, compact folds to 0).
+  val sqlSnapshotsMeta: (SparkSession, String) => DataFrame = (s, dir) => {
+    LakePipelines.ordersMor(s, dir) // ensure built in this warehouse
+    registerCatalog(s, dir)
+    s.sql(
+      """SELECT seq, parent, operation, schema_version, spec_version, delete_files
+        |FROM graft.`orders_mor$snapshots`""".stripMargin)
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q76_sql_snapshots_meta", sqlSnapshotsMeta, oracle = Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), 'create',  1, 0, 0),
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT),  'append',  1, 0, 0),
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT),  'upsert',  1, 0, 1),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT),  'delete',  1, 0, 2),
+        |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT),  'compact', 1, 0, 0)
+        |) AS t(seq, parent, operation, schema_version, spec_version, delete_files)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q60_sql_silver_serve", sqlSilverServe, oracle = Some(
       """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,

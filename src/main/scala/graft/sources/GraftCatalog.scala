@@ -81,6 +81,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def loadTable(ident: Identifier): Table = {
     val cat = lakeCatalog
     val n = tableName(ident)
+    // Iceberg-style metadata tables: `graft.`t$snapshots`` / `$files` /
+    // `$partitions` answer from snapshot metadata as a local scan
+    val dollar = n.lastIndexOf('$')
+    if (dollar > 0 && GraftLakeMetaTable.Kinds.contains(n.substring(dollar + 1))) {
+      val base = n.substring(0, dollar)
+      if (!cat.tableExists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakeMetaTable(cat.table(base), n.substring(dollar + 1))
+    }
     if (!cat.tableExists(n)) throw new NoSuchTableException(ident)
     new GraftLakeV2Table(cat.table(n), None)
   }

@@ -254,6 +254,42 @@ class SqlCatalogSpec extends SparkSpec {
     assert(t.currentSnapshot.dataFiles.forall(_.partition.contains("p_month_order_date")))
   }
 
+  test("metadata tables: $snapshots/$files/$partitions answer from metadata, no data I/O") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlmeta").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.mt (id BIGINT, s STRING)
+        |PARTITIONED BY (identity(s))""".stripMargin)
+    spark.sql("INSERT INTO graft.mt VALUES (1, 'A'), (2, 'A'), (3, 'B')")
+    spark.sql("INSERT INTO graft.mt VALUES (4, 'B')")
+
+    val snaps = spark.sql("SELECT seq, operation FROM graft.`mt$snapshots`")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(snaps.map(_._2).toSeq == Seq("create", "append-dsv2", "append-dsv2"))
+
+    val files = spark.sql("SELECT path, partition, rows FROM graft.`mt$files`")
+      .as[(String, String, Long)].collect()
+    assert(files.length == t0FileCount(wh))
+    assert(files.forall(f => f._2.startsWith("p_s=")))
+    assert(files.map(_._3).sum == 4, s"metadata row counts wrong: ${files.mkString(", ")}")
+
+    val parts = spark.sql("SELECT partition, files, rows FROM graft.`mt$partitions`")
+      .as[(String, Int, Long)].collect().sortBy(_._1)
+    assert(parts.map(p => (p._1, p._3)).toSeq == Seq(("p_s=A", 2L), ("p_s=B", 2L)))
+
+    // a zero-task plan: the scan is driver-local
+    val plan = spark.sql("SELECT * FROM graft.`mt$snapshots`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("GraftLakeMetaTable"),
+      s"metadata table planned a distributed scan:\n$plan")
+    // unknown suffix still resolves as a (missing) plain table
+    intercept[Exception](spark.sql("SELECT * FROM graft.`mt$nope`").collect())
+    spark.sql("DROP TABLE graft.mt")
+  }
+
+  private def t0FileCount(wh: String): Int =
+    graft.lake.LakeTable.load(spark, s"$wh/mt").currentSnapshot.dataFiles.size
+
   test("CALL graft.system.*: rollback, compaction, expiry, spec evolution from pure SQL") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlproc").toString
     register(wh)
