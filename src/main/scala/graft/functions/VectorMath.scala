@@ -41,6 +41,10 @@ object VectorMath {
   def cosineRaw(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
 
+  /** Squared L2 distance — the product-quantization assignment metric. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** Sign-random-projection LSH code (`bits` hyperplanes): bit h is the
     * sign of the dot product with a deterministic ±1 hyperplane derived
     * from xxhash64(offset + h, j). Vectors at small angles share codes

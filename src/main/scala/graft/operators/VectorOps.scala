@@ -152,6 +152,131 @@ object VectorOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** (vec_id, sub, subvec): each vector split into `m` contiguous
+    * subspaces (the 64-dim fixture with m=8 gives 8-dim subvectors). */
+  private[operators] def subvectors(e: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val subs = array((0 until m).map(i => slice(col("embedding"), i * dsub + 1, dsub)): _*)
+    e.select(col("vec_id"), posexplode(subs)).toDF("vec_id", "sub", "subvec")
+  }
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast join
+    * against the m×ksub codebook, argmin squared-L2 via map-side-combining
+    * `min_by` — one row per (vector, subspace) crosses the shuffle. */
+  private def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .withColumn("d2", VectorMath.l2Sq(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+        first(col("subvec")).as("subvec"))
+
+  /** PRODUCT-QUANTIZATION codebook (Jégou/Douze/Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): an
+    * independent ksub-codeword k-means per subspace, all m subspaces
+    * trained JOINTLY in one DataFrame job per Lloyd iteration (subspace id
+    * is just one more grouping key). Seeded deterministic init; empty
+    * codewords drop out naturally (assignment only ever references
+    * surviving codes). At corpus scale codebook training runs on a sample
+    * — the per-subspace seeding window is the only per-sub sort here and
+    * bounds at (rows·m)/m rows per partition. Returns (sub, code, centroid). */
+  def pqCodebook(e: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val sv = subvectors(e.select(col("vec_id"), col("embedding")), m, dim)
+    var cb = sv
+      .withColumn("h", xxhash64(col("vec_id"), col("sub")))
+      .withColumn("r", row_number().over(Window.partitionBy(col("sub")).orderBy(col("h"))))
+      .filter(col("r") <= ksub)
+      .select(col("sub"), (col("r") - 1).cast("int").as("code"), col("subvec").as("centroid"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      cb = assignCodes(sv, cb)
+        .select(col("sub"), col("code"), posexplode(col("subvec")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("sub"), col("code"),
+          transform(col("ps"), p => p.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Encode each vector as m codebook indices — 8 small ints instead of
+    * 64 floats (a 32× memory cut: THE reason PQ is the 100 TB ANN path;
+    * the raw embedding column never needs to be resident for scoring).
+    * `anq` carries the reconstruction's squared norm (sum of assigned
+    * codeword norms) for approximate cosine. Returns (vec_id, codes, anq). */
+  def pqEncode(e: DataFrame, cb: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
+    val cn = cb.select(col("sub"), col("code"), VectorMath.normSq(col("centroid")).as("cn"))
+    assignCodes(subvectors(e.select(col("vec_id"), col("embedding")), m, dim), cb)
+      .join(broadcast(cn), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+          p => p.getField("code")).as("codes"),
+        sum(col("cn")).as("anq"))
+  }
+
+  /** q77 — PQ ANN top-k with ASYMMETRIC DISTANCE COMPUTATION: each probe
+    * precomputes dot(probe_sub, codeword) for all m×ksub codewords (one
+    * small lookup map, broadcast), so scoring a candidate is m map lookups
+    * over its codes — the raw vectors never participate. The ADC top
+    * `rerank` shortlist is then exactly re-scored (quantized, bit-parity
+    * with q39's math) and cut to top-k. Same output shape as [[exactTopK]];
+    * recall vs the exact baseline is spec-asserted. */
+  def pqTopK(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 32,
+      rerank: Int = 100, dim: Int = 64): DataFrame = {
+    val raw = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cb = pqCodebook(raw, m, ksub, dim = dim)
+    val encoded = pqEncode(raw, cb, m, dim)
+    val probesRaw = raw.filter(col("vec_id").isin(ProbeIds: _*))
+    // per-probe ADC table: slot (sub·ksub + code) -> dot(probe_sub, codeword)
+    val tbl = subvectors(probesRaw, m, dim)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("probe_id"),
+        (col("sub") * ksub + col("code")).as("slot"),
+        VectorMath.dot(col("subvec"), col("centroid")).as("pd"))
+      .groupBy(col("probe_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("pd")))).as("tbl"))
+    val probes = probesRaw
+      .select(col("vec_id").as("probe_id"), VectorMath.normSq(col("embedding")).as("pnq"))
+      .join(tbl, "probe_id")
+    // candidate scoring: m lookups per (candidate, probe), no raw vectors
+    val cands = encoded.join(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, i) => element_at(col("tbl"), (i * ksub + c).cast("int"))),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx", col("adc") / sqrt(col("anq") * col("pnq")))
+    val wa = Window.partitionBy(col("probe_id")).orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = cands
+      .withColumn("r", row_number().over(wa)).filter(col("r") <= rerank)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank of the shortlist only (the standard PQ refine step)
+    val eq = prepared(s, dir).select(col("vec_id"), col("qv"), col("nq"))
+    val pq = prepared(s, dir)
+      .filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nq").as("pnq"))
+    val rescored = shortlist
+      .join(eq, "vec_id")
+      .join(broadcast(pq), "probe_id")
+      .withColumn("sim",
+        VectorMath.cosineFromParts(
+          VectorMath.dot(col("qv"), col("pqv")), col("nq"), col("pnq")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    rescored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Embedding near-dup pairs at `minSim`, MULTI-BAND SRP-LSH: vectors
     * meet only inside a shared (band, code) bucket — candidates collide in
     * ANY of `bands` independent `bits`-wide sign-random-projection codes —
@@ -266,5 +391,8 @@ object VectorOps {
     // reproduce them); result SHAPE is checked here, recall vs the exact
     // baseline is spec-asserted (VectorOpsSpec)
     NamedQuery("q71_ivf_ann_topk", (s, dir) => ivfTopK(s, dir, nprobe = 5)),
+    // rows-only by nature, like q71: the PQ codebook is engine-internal
+    // k-means; recall@k vs the exact q39 baseline is spec-asserted
+    NamedQuery("q77_pq_ann_topk", (s, dir) => pqTopK(s, dir)),
   )
 }
