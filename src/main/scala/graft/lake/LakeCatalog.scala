@@ -25,8 +25,10 @@ final class LakeCatalog(spark: SparkSession, rootDir: String) {
       partitionSpec: Seq[PartitionField] = Nil,
       clusterBy: Seq[String] = Nil,
       primaryKey: Seq[String] = Nil,
+      clusterStrategy: String = "linear",
   ): LakeTable =
-    LakeTable.create(spark, location(name), name, schema, partitionSpec, clusterBy, primaryKey)
+    LakeTable.create(spark, location(name), name, schema, partitionSpec, clusterBy, primaryKey,
+      clusterStrategy)
 
   def table(name: String): LakeTable = LakeTable.load(spark, location(name))
 

@@ -648,7 +648,22 @@ final class LakeTable private (
     // value can hold terabytes, so a single task per value would serialize
     // the write — salting fans each value out to N tasks / N files, which
     // the snapshot format tracks per-file anyway.
-    val arranged = {
+    val arranged = if (meta.clusterStrategy == "zorder" && meta.clusterBy.nonEmpty) {
+      // Z-ORDER clustering: range-partition + sort the write on the Morton
+      // z-value of the cluster keys (partition values lead, so files stay
+      // partition-major). Each file then covers a small hyper-cube of the
+      // key space and its commit-time bounds are tight in EVERY clustered
+      // dimension — multi-column file skipping, where lexicographic
+      // clustering only ever serves the first key. The quantile job inside
+      // ZOrder.zvalue is one aggregation over the batch.
+      val z = ZOrder.zvalue(aligned, meta.clusterBy, ZOrder.bits(spark))
+      val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val keys = partCols.map(col) :+ col(ZOrderCol)
+      derived.withColumn(ZOrderCol, z)
+        .repartitionByRange(n, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop(ZOrderCol) // projection only: in-partition order survives
+    } else {
       val splits = spark.conf.getOption("spark.graft.lake.writeSplits")
         .map(_.toInt).getOrElse(1).max(1)
       val spreadCols = if (meta.clusterBy.nonEmpty) meta.clusterBy else userSchema.fieldNames.toSeq
@@ -894,6 +909,8 @@ object LakeTable {
 
   /** Storage column carrying the commit sequence of each data row. */
   val SeqCol = "_graft_seq"
+  /** Transient write-arrangement column for z-order clustering. */
+  private val ZOrderCol = "_graft_z"
   /** Column in delete files carrying the delete's commit sequence. */
   val DseqCol = "_graft_dseq"
   private val RnCol = "_graft_rn"
@@ -909,13 +926,22 @@ object LakeTable {
       partitionSpec: Seq[PartitionField] = Nil,
       clusterBy: Seq[String] = Nil,
       primaryKey: Seq[String] = Nil,
+      clusterStrategy: String = "linear",
   ): LakeTable = {
+    require(Set("linear", "zorder")(clusterStrategy),
+      s"unknown cluster strategy $clusterStrategy (linear | zorder)")
+    if (clusterStrategy == "zorder") {
+      require(clusterBy.nonEmpty, "z-order clustering needs cluster_by columns")
+      clusterBy.foreach(c => require(
+        schema.fieldNames.contains(c) && ZOrder.supported(schema(c).dataType),
+        s"z-order key $c must be a numeric/temporal table column"))
+    }
     val t = new LakeTable(spark, location)
     val metaDir = new Path(new Path(location), "meta")
     if (t.fs.exists(metaDir)) throw new IllegalStateException(s"table already exists at $location")
     t.fs.mkdirs(metaDir)
     t.writeString(new Path(metaDir, "table.json"),
-      MetaJson.writeTableMeta(TableMeta(name, partitionSpec, clusterBy, primaryKey)))
+      MetaJson.writeTableMeta(TableMeta(name, partitionSpec, clusterBy, primaryKey, clusterStrategy)))
     t.writeString(new Path(metaDir, "schema-v001.json"), MetaJson.writeSchema(schema))
     t.commitSnapshot(Snapshot(0L, None, System.currentTimeMillis(), "create", 1, Nil, Nil))
     t

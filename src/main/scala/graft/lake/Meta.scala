@@ -116,6 +116,10 @@ final case class TableMeta(
     partitionSpec: Seq[PartitionField],
     clusterBy: Seq[String],
     primaryKey: Seq[String],
+    /** "linear" = lexicographic sortWithinPartitions on clusterBy;
+      * "zorder" = Morton-curve range clustering ([[ZOrder]]) so per-file
+      * bounds stay tight in EVERY clustered dimension. */
+    clusterStrategy: String = "linear",
 )
 
 /** Hand-rolled (de)serialization over Jackson (ships with Spark).
@@ -135,6 +139,7 @@ object MetaJson {
     }
     putStrings(root, "clusterBy", t.clusterBy)
     putStrings(root, "primaryKey", t.primaryKey)
+    if (t.clusterStrategy != "linear") root.put("clusterStrategy", t.clusterStrategy)
     root.toPrettyString
   }
 
@@ -147,6 +152,7 @@ object MetaJson {
       },
       clusterBy = strings(root, "clusterBy"),
       primaryKey = strings(root, "primaryKey"),
+      clusterStrategy = Option(root.get("clusterStrategy")).map(_.asText()).getOrElse("linear"),
     )
   }
 

@@ -118,7 +118,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       n, schema,
       partitionSpec = partitions.map(toPartitionField).toSeq,
       clusterBy = listProp("cluster_by"),
-      primaryKey = listProp("primary_key"))
+      primaryKey = listProp("primary_key"),
+      clusterStrategy = props.getOrElse("cluster_strategy", "linear"))
     new GraftLakeV2Table(t, None)
   }
 

@@ -539,6 +539,57 @@ class LakeSpec extends SparkSpec {
     assert(contentEqual(t.scan(), b1.unionAll(b2)))
   }
 
+  test("z-order clustering: per-file bounds skip on EVERY clustered key, linear only on the first") {
+    import spark.implicits._
+    // two INDEPENDENT uniform keys — the shape where lexicographic
+    // clustering leaves the second key's per-file bounds spanning ~the
+    // whole domain while z-ordering keeps both tight
+    val rng = new scala.util.Random(7)
+    val df = (1 to 20000).map(i =>
+      (i.toLong, rng.nextInt(100000), rng.nextInt(100000))).toDF("id", "x", "y")
+
+    // 16 write tasks → 16 z-range files (the test session default of 4
+    // would leave too few files to demonstrate skipping)
+    val dir = Files.createTempDirectory("graft-zorder-spec").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    val z =
+      try {
+        val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+          clusterBy = Seq("x", "y"), clusterStrategy = "zorder")
+        t.append(df)
+        t
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = z.currentSnapshot.dataFiles.size
+    assert(total > 4, s"need several files to show skipping, got $total")
+
+    assert(contentEqual(z.scan(), df))
+    // the arrangement column never leaks into storage
+    assert(!spark.read.parquet(z.abs(z.currentSnapshot.dataFiles.head.path))
+      .columns.contains("_graft_z"))
+
+    def kept(f: PruneFilter): Int = z.planFiles(z.currentSnapshot, Seq(f))._1.size
+    // a range on EITHER key alone skips files: every file covers a small
+    // hyper-cube, so its bounds are tight in both dimensions — the whole
+    // point vs lexicographic clustering, which only serves the first key
+    val yf = PruneFilter.Lt("y", 5000)
+    val xf = PruneFilter.Lt("x", 5000)
+    assert(kept(yf) <= total / 2, s"z-order barely skipped on y: ${kept(yf)}/$total")
+    assert(kept(xf) <= total / 2, s"z-order barely skipped on x: ${kept(xf)}/$total")
+    // scans agree with the raw answer under the same predicates
+    assert(contentEqual(z.scan(filters = Seq(yf)), df.filter($"y" < 5000)))
+    assert(contentEqual(z.scan(filters = Seq(xf)), df.filter($"x" < 5000)))
+
+    // guard rails: zorder needs numeric/temporal cluster keys
+    val sdir = Files.createTempDirectory("graft-zorder-bad").toString
+    intercept[IllegalArgumentException](
+      LakeTable.create(spark, s"$sdir/t", "t",
+        Seq((1L, "s")).toDF("id", "s").schema,
+        clusterBy = Seq("s"), clusterStrategy = "zorder"))
+    intercept[IllegalArgumentException](
+      LakeTable.create(spark, s"$sdir/t2", "t2", df.schema, clusterStrategy = "zorder"))
+  }
+
   test("rollback restores a prior snapshot's content, keeps full history, moves no data") {
     val dir = Files.createTempDirectory("graft-rollback-spec").toString
     import spark.implicits._

@@ -254,6 +254,23 @@ class SqlCatalogSpec extends SparkSpec {
     assert(t.currentSnapshot.dataFiles.forall(_.partition.contains("p_month_order_date")))
   }
 
+  test("CREATE TABLE ... cluster_strategy=zorder plumbs through to the lake table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlzorder").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.zt (id BIGINT, x INT, y INT)
+        |TBLPROPERTIES ('cluster_by'='x,y', 'cluster_strategy'='zorder')""".stripMargin)
+    assert(graft.lake.LakeTable.load(spark, s"$wh/zt").meta.clusterStrategy == "zorder")
+    spark.sql("INSERT INTO graft.zt VALUES (1, 10, 20), (2, 30, 40)")
+    assert(spark.sql("SELECT * FROM graft.zt").count() == 2)
+    spark.sql("DROP TABLE graft.zt")
+    // a string cluster key refuses z-order at CREATE time
+    val err = intercept[Exception](spark.sql(
+      """CREATE TABLE graft.zbad (id BIGINT, s STRING)
+        |TBLPROPERTIES ('cluster_by'='s', 'cluster_strategy'='zorder')""".stripMargin))
+    assert(err.getMessage.contains("numeric"))
+  }
+
   test("metadata tables: $snapshots/$files/$partitions answer from metadata, no data I/O") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlmeta").toString
     register(wh)
