@@ -230,6 +230,13 @@ final class LakeTable private (
     val cur = currentSnapshot
     val old = schema(cur.schemaVersion)
     require(!old.fieldNames.contains(name), s"column $name already exists")
+    // a DROPPED name cannot come back: readers project files by name, so
+    // old files' stale physical values would silently resurface as the
+    // "new" column instead of nulls — pick a fresh name (Iceberg avoids
+    // this with field ids; name-mapped formats must refuse)
+    require(!(1 until cur.schemaVersion).exists(v => schema(v).fieldNames.contains(name)),
+      s"${meta.name}: $name existed in an earlier schema version and was dropped — " +
+        "old files still hold values under that name and would resurface; use a new name")
     val next = cur.schemaVersion + 1
     val evolved = StructType(old.fields :+ StructField(name, org.apache.spark.sql.types.DataType.fromDDL(dataType), nullable = true))
     writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
@@ -276,6 +283,37 @@ final class LakeTable private (
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "promote-type", schemaVersion = next))
+  }
+
+  /** Schema evolution: DROP a column (metadata-only commit). Old data
+    * files keep the column physically; every reader projects the current
+    * schema BY NAME, so the dropped column is simply never decoded — the
+    * symmetric twin of add-column's null-fill. Columns the table's
+    * machinery depends on refuse: primary-key (MoR identity), cluster
+    * keys (write arrangement), and any CURRENT partition-spec source
+    * (new writes must derive the partition value). Re-adding the name
+    * later via addColumn is safe ONLY because readers project by name
+    * against each file's data: old files' stale values would resurface —
+    * so re-using a dropped name is refused too (tracked via schema
+    * history). */
+  def dropColumn(name: String): Snapshot = synchronized {
+    val cur = currentSnapshot
+    val old = schema(cur.schemaVersion)
+    require(old.fieldNames.contains(name), s"${meta.name}: no column $name to drop")
+    require(!meta.primaryKey.contains(name),
+      s"${meta.name}: $name is a primary-key column — merge-on-read needs it")
+    require(!meta.clusterBy.contains(name),
+      s"${meta.name}: $name is a cluster key — rewrite the table instead")
+    require(!partitionSpec(cur.specVersion).exists(_.source == name),
+      s"${meta.name}: $name is a partition source of the current spec — evolve the " +
+        "partition spec away from it first")
+    require(old.fields.length > 1, s"${meta.name}: cannot drop the only column")
+    val next = cur.schemaVersion + 1
+    val evolved = StructType(old.fields.filterNot(_.name == name))
+    writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
+    commitSnapshot(cur.copy(
+      seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+      operation = "drop-column", schemaVersion = next))
   }
 
   /** Partition-spec evolution (metadata-only commit; Iceberg's

@@ -224,6 +224,13 @@ object LakeOps {
         java.sql.Timestamp.from(java.time.Instant.parse("1999-07-01T00:00:00Z"))),
       PruneFilter.Eq("o_orderstatus", "F")))
 
+  // q78 — DROP COLUMN (metadata-only): files from before the drop still
+  // hold the column's bytes but readers project the narrowed schema by
+  // name and never decode them; files from after never wrote it. Both
+  // eras hash-match the two-column oracle.
+  val lakeDroppedColumn: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersDropped(s, dir).scan()
+
   // q75 — ROLLBACK: the table after an undo of its latest append
   // (metadata-only restatement; the bad commit stays time-travelable).
   // The scan must serve exactly the pre-bad-commit content.
@@ -370,6 +377,9 @@ object LakeOps {
         |  AND o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
         |  AND o_orderstatus = 'F'
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q78_drop_column", lakeDroppedColumn, oracle = Some(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q75_rollback", lakeRolledBack, oracle = Some(
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 1

@@ -345,6 +345,22 @@ object LakePipelines {
       t
     }
 
+  /** Drop-column table: era 1 appends three columns; DROP o_orderstatus
+    * (metadata-only — old files keep the bytes, readers never decode
+    * them); era 2 appends the remaining two. Both eras read back through
+    * the narrowed schema. */
+  def ordersDropped(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_dropped") { cat =>
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = cat.createTable("orders_dropped", o.schema, clusterBy = Seq("o_orderkey"))
+      t.append(o.filter(col("o_orderkey") % 2 === 1))
+      t.dropColumn("o_orderstatus")
+      t.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      t
+    }
+
   /** Rollback table: seq 1 appends the odd-key half (the good state),
     * seq 2 appends the rest (the commit to undo), seq 3 rolls back to
     * seq 1 — a metadata-only restatement that leaves the bad commit

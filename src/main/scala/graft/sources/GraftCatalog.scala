@@ -161,6 +161,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(up.fieldNames().length == 1,
           s"nested columns unsupported: ${up.fieldNames().mkString(".")}")
         t.promoteColumn(up.fieldNames()(0), up.newDataType().sql)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          s"nested columns unsupported: ${del.fieldNames().mkString(".")}")
+        t.dropColumn(del.fieldNames()(0))
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         throw new UnsupportedOperationException("graft tables have immutable properties")
       case other =>

@@ -590,6 +590,41 @@ class LakeSpec extends SparkSpec {
       LakeTable.create(spark, s"$sdir/t2", "t2", df.schema, clusterStrategy = "zorder"))
   }
 
+  test("drop column: metadata-only, both eras read narrowed, guards hold, names never resurrect") {
+    val dir = Files.createTempDirectory("graft-dropcol-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")),
+      clusterBy = Seq("id"), primaryKey = Seq("id"))
+    t.append(df)
+    // guards: pk, cluster key, current partition source, unknown
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    intercept[IllegalArgumentException](t.dropColumn("s"))
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+
+    val snap = t.dropColumn("v")
+    assert(snap.operation == "drop-column")
+    assert(t.currentSchema.fieldNames.toSeq == Seq("id", "s"))
+    // old files keep the bytes on disk, the scan never surfaces them
+    assert(t.scan().columns.toSeq == Seq("id", "s"))
+    assert(t.scan().count() == 2)
+    t.append(Seq((3L, "z")).toDF("id", "s"))
+    assert(t.scan().as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y"), (3L, "z")))
+    // DSv2 route projects identically (old files' extra column ignored)
+    val v2 = spark.read.format("graftlake").option("path", t.location).load()
+    assert(v2.columns.toSeq == Seq("id", "s") && v2.count() == 3)
+    // time travel still shows the pre-drop shape
+    assert(t.scan(asOf = Some(1L)).columns.contains("v"))
+    // the dropped NAME cannot come back: old files would resurface values
+    val err = intercept[IllegalArgumentException](t.addColumn("v", "double"))
+    assert(err.getMessage.contains("resurface"))
+    // a fresh name is fine
+    t.addColumn("v2", "double")
+    assert(t.currentSchema.fieldNames.toSeq == Seq("id", "s", "v2"))
+  }
+
   test("rollback restores a prior snapshot's content, keeps full history, moves no data") {
     val dir = Files.createTempDirectory("graft-rollback-spec").toString
     import spark.implicits._

@@ -69,6 +69,11 @@ class SqlCatalogSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 10L, 1.5), (2L, 5000000000L, 2.25)))
     intercept[Exception](spark.sql("ALTER TABLE graft.tp ALTER COLUMN qty TYPE INT"))
+    // DROP COLUMN: metadata-only, both eras read narrowed
+    spark.sql("ALTER TABLE graft.tp DROP COLUMN ratio")
+    assert(spark.sql("SELECT * FROM graft.tp").columns.toSeq == Seq("id", "qty"))
+    assert(spark.sql("SELECT * FROM graft.tp").count() == 2)
+    intercept[Exception](spark.sql("ALTER TABLE graft.tp DROP COLUMN id")) // pk refuses
     spark.sql("DROP TABLE graft.tp")
   }
 
