@@ -56,9 +56,44 @@ private[sources] class GraftLakeWriteBuilder(
     this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new GraftLakeBatchWrite(t, replaceAll, writeSchema, expectedBase, replacedFiles)
+
+    /** Ask Spark to arrange rows BEFORE they reach the writers (the
+      * standard DSv2 sink contract): cluster on the partition SOURCE
+      * columns so one task owns one-ish partition value (instead of every
+      * task opening a writer per value it happens to see — at cluster
+      * scale that is writers × partitions small files), and sort by
+      * (sources, cluster keys) so parquet row-group stats are tight on
+      * the cluster keys, same as the DataFrame-API writer's arrangement.
+      * Plain column references only — named transforms (months etc.)
+      * would need a FunctionCatalog to resolve; clustering on the raw
+      * source is finer-grained and always correct. Advisory
+      * (non-strict): a tiny CDC batch need not shuffle. */
+    private def specSources: Seq[String] = {
+      val schemaNames = writeSchema.getOrElse(t.currentSchema).fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      (t.partitionSpec(t.currentSnapshot.specVersion).map(_.source) ++ t.meta.clusterBy)
+        .distinct.filter(c => schemaNames.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    }
+
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val parts = t.partitionSpec(t.currentSnapshot.specVersion).map(_.source)
+        .filter(specSources.contains)
+      if (parts.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        parts.map(Expressions.column).toArray)
+    }
+
+    override def distributionStrictlyRequired(): Boolean = false
+
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      specSources.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    }
   }
 }
 

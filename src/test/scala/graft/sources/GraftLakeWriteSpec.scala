@@ -73,6 +73,31 @@ class GraftLakeWriteSpec extends SparkSpec {
       Seq("create", "append-dsv2", "append", "append-dsv2"))
   }
 
+  test("DSv2 write requests clustered distribution: one file per partition value, sorted keys") {
+    val loc = freshLoc()
+    // 200 rows across 2 partition values from MANY input partitions —
+    // without RequiresDistributionAndOrdering every task that sees a value
+    // opens a writer for it (files ≈ tasks × values); with the requested
+    // clustering each value funnels to one task → one file
+    val df = spark.range(0, 200, 1, 8)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS s")
+    LakeTable.create(spark, loc, "t", df.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("s", graft.lake.Transform.Identity, "p_s")),
+      clusterBy = Seq("id"))
+    df.write.format("graftlake").option("path", loc).mode("append").save()
+    val files = LakeTable.load(spark, loc).currentSnapshot.dataFiles
+    val perValue = files.groupBy(_.partition("p_s")).view.mapValues(_.size).toMap
+    assert(perValue.keySet == Set("A", "B"))
+    assert(perValue.values.forall(_ == 1),
+      s"distribution request ignored — files per partition value: $perValue")
+    // in-file ordering on the cluster key → tight id bounds per file
+    files.foreach { f =>
+      val b = f.bounds.get("id")
+      assert(b.nonEmpty, "no id bounds recorded")
+    }
+    assert(LakeTable.load(spark, loc).scan().count() == 200)
+  }
+
   test("DSv2-written rows respect tombstones from later upserts (seq embedding)") {
     val loc = freshLoc()
     val df = Seq((1L, "v1"), (2L, "v1")).toDF("id", "s")
