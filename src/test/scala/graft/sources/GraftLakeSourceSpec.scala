@@ -242,6 +242,29 @@ class GraftLakeSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("streaming read crosses an evolve-spec commit (metadata-only, append-safe)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamevolve-spec").toString
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df1.schema, primaryKey = Seq("id"))
+    t.append(df1)
+    t.evolvePartitionSpec(Seq(
+      graft.lake.PartitionField("s", graft.lake.Transform.Identity, "p_s")))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graftlake").option("path", t.location).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.as[(Long, String)].collect() }; ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(buf.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"stream dropped rows across the spec evolution: ${buf.toSet}")
+  }
+
   test("Trigger.AvailableNow drains the pinned range across multiple micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-availnow-spec").toString
