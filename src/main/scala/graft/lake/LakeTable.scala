@@ -83,6 +83,24 @@ final class LakeTable private (
   /** The spec new writes partition under (the current snapshot's). */
   def currentPartitionSpec: Seq[PartitionField] = partitionSpec(currentSnapshot.specVersion)
 
+  /** First unused metadata version number for `prefix` (schema | spec).
+    * Versions are allocated by probing PAST the highest existing FILE, not
+    * `current + 1`: after a rollback the current snapshot points at an old
+    * version while later version files still exist and are still
+    * referenced by time-travelable snapshots — reusing their numbers
+    * would overwrite immutable metadata and silently change what those
+    * snapshots mean. Probing keeps the version sequence gap-free. */
+  private def nextMetaVersion(prefix: String, from: Int): Int = {
+    var v = from + 1
+    while (fs.exists(new Path(metaDir, f"$prefix-v$v%03d.json"))) v += 1
+    v
+  }
+
+  /** Highest spec version for which a spec file exists (>= current —
+    * rollback can park the current snapshot below later, still-referenced
+    * versions). */
+  private def maxSpecVersion(cur: Int): Int = nextMetaVersion("spec", cur) - 1
+
   /** Union of every partition field across spec versions 0..maxVersion,
     * deduped by field name. Pruning resolves each FILE's fields by the
     * names present in its recorded partition tuple ([[PruneFilter.mayMatch]]
@@ -230,14 +248,22 @@ final class LakeTable private (
     val cur = currentSnapshot
     val old = schema(cur.schemaVersion)
     require(!old.fieldNames.contains(name), s"column $name already exists")
+    val next = nextMetaVersion("schema", cur.schemaVersion)
     // a DROPPED name cannot come back: readers project files by name, so
     // old files' stale physical values would silently resurface as the
     // "new" column instead of nulls — pick a fresh name (Iceberg avoids
-    // this with field ids; name-mapped formats must refuse)
-    require(!(1 until cur.schemaVersion).exists(v => schema(v).fieldNames.contains(name)),
+    // this with field ids; name-mapped formats must refuse). Scans EVERY
+    // existing version, including ones above the current after a rollback.
+    require(!(1 until next).exists(v => schema(v).fieldNames.contains(name)),
       s"${meta.name}: $name existed in an earlier schema version and was dropped — " +
         "old files still hold values under that name and would resurface; use a new name")
-    val next = cur.schemaVersion + 1
+    // nor may it shadow a partition FIELD of any spec era: stageDataFiles
+    // derives partition columns by withColumn(field.name, ...), which
+    // would REPLACE the user column's data and the writer would strip it
+    // into the directory name — silent data loss on the next append
+    require(!(0 to maxSpecVersion(cur.specVersion)).flatMap(partitionSpec).exists(_.name == name),
+      s"${meta.name}: $name is a partition field name — the write path derives that " +
+        "column and would overwrite the data; use a different name")
     val evolved = StructType(old.fields :+ StructField(name, org.apache.spark.sql.types.DataType.fromDDL(dataType), nullable = true))
     writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
     commitSnapshot(cur.copy(
@@ -276,7 +302,7 @@ final class LakeTable private (
         "bucket the same value differently in old and new files (Spark's hash is " +
         "type-dependent), destroying co-location — rewrite the table with the wide " +
         "type instead")
-    val next = cur.schemaVersion + 1
+    val next = nextMetaVersion("schema", cur.schemaVersion)
     val evolved = StructType(old.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
     writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
@@ -308,7 +334,7 @@ final class LakeTable private (
       s"${meta.name}: $name is a partition source of the current spec — evolve the " +
         "partition spec away from it first")
     require(old.fields.length > 1, s"${meta.name}: cannot drop the only column")
-    val next = cur.schemaVersion + 1
+    val next = nextMetaVersion("schema", cur.schemaVersion)
     val evolved = StructType(old.fields.filterNot(_.name == name))
     writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
     commitSnapshot(cur.copy(
@@ -342,7 +368,13 @@ final class LakeTable private (
       require(!sch.fieldNames.contains(pf.name),
         s"${meta.name}: partition field ${pf.name} collides with a data column")
     }
-    val history = (0 to cur.specVersion).flatMap(partitionSpec)
+    // the name check and the new version number both span EVERY existing
+    // spec file, not just 0..current: after a rollback parks the current
+    // snapshot on an old spec, later spec files still exist, are still
+    // referenced by time-travelable snapshots, and their field names are
+    // still recorded in data-file tuples
+    val v = nextMetaVersion("spec", cur.specVersion)
+    val history = (0 until v).flatMap(partitionSpec)
     newSpec.foreach { pf =>
       history.find(h => h.name == pf.name &&
           (h.source != pf.source || h.transform != pf.transform)).foreach { h =>
@@ -353,7 +385,6 @@ final class LakeTable private (
             "misread and mis-pruned; use a new field name")
       }
     }
-    val v = cur.specVersion + 1
     writeString(new Path(metaDir, f"spec-v$v%03d.json"), MetaJson.writeSpec(newSpec))
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
@@ -692,12 +723,15 @@ final class LakeTable private (
       // partition-major). Each file then covers a small hyper-cube of the
       // key space and its commit-time bounds are tight in EVERY clustered
       // dimension — multi-column file skipping, where lexicographic
-      // clustering only ever serves the first key. The quantile job inside
-      // ZOrder.zvalue is one aggregation over the batch.
-      val z = ZOrder.zvalue(aligned, meta.clusterBy, ZOrder.bits(spark))
+      // clustering only ever serves the first key.
+      // localCheckpoint first: the arrangement reads the input THREE times
+      // (quantile aggregation, range-boundary sampling, the write itself)
+      // and an expensive upstream plan must not run three times.
+      val src = derived.localCheckpoint(true)
+      val z = ZOrder.zvalue(src, meta.clusterBy, ZOrder.bits(spark))
       val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val keys = partCols.map(col) :+ col(ZOrderCol)
-      derived.withColumn(ZOrderCol, z)
+      src.withColumn(ZOrderCol, z)
         .repartitionByRange(n, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop(ZOrderCol) // projection only: in-partition order survives

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * bounded by construction, ~255 doubles per column), which makes the
   * curve robust to skewed value distributions the way fixed-width
   * bucketing is not.
+  *
+  * Route coverage: every write through `LakeTable.stageDataFiles` — the
+  * DataFrame-API writer, upserts, and COMPACTION — z-arranges. The DSv2
+  * row-push write path (SQL INSERT) cannot (its sink contract expresses
+  * only column-reference ordering, and the z-value needs the batch's
+  * quantiles), so SQL-inserted files land linear and
+  * `CALL graft.system.rewrite_data_files` restores the z-layout — the
+  * same split as Iceberg/Delta, where OPTIMIZE ZORDER is a maintenance
+  * rewrite, not an ingest-time guarantee.
   */
 object ZOrder {
 

@@ -72,16 +72,21 @@ private[sources] class GraftLakeWriteBuilder(
       * would need a FunctionCatalog to resolve; clustering on the raw
       * source is finer-grained and always correct. Advisory
       * (non-strict): a tiny CDC batch need not shuffle. */
-    private def specSources: Seq[String] = {
-      val schemaNames = writeSchema.getOrElse(t.currentSchema).fieldNames
+    // ONE snapshot load per write plan: requiredDistribution and
+    // requiredOrdering may each be called several times during planning,
+    // and two loads racing a concurrent commit could even disagree on the
+    // spec version
+    private lazy val planSnap = t.currentSnapshot
+    private lazy val specSources: Seq[String] = {
+      val schemaNames = writeSchema.getOrElse(t.schema(planSnap.schemaVersion)).fieldNames
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      (t.partitionSpec(t.currentSnapshot.specVersion).map(_.source) ++ t.meta.clusterBy)
+      (t.partitionSpec(planSnap.specVersion).map(_.source) ++ t.meta.clusterBy)
         .distinct.filter(c => schemaNames.contains(c.toLowerCase(java.util.Locale.ROOT)))
     }
 
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
       import org.apache.spark.sql.connector.expressions.Expressions
-      val parts = t.partitionSpec(t.currentSnapshot.specVersion).map(_.source)
+      val parts = t.partitionSpec(planSnap.specVersion).map(_.source)
         .filter(specSources.contains)
       if (parts.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       else org.apache.spark.sql.connector.distributions.Distributions.clustered(

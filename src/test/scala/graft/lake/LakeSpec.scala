@@ -654,6 +654,52 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("metadata versions never recycle across a rollback") {
+    val dir = Files.createTempDirectory("graft-vrecycle-spec").toString
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val df = Seq((1L, "x", ts("2024-01-10T00:00:00Z"))).toDF("a", "b", "d")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("d", Transform.Month, "p_m")))
+    t.append(df)
+    val preDrop = t.currentSeq
+
+    // SCHEMA versions: drop b (v2), roll back, add c — the new version
+    // must NOT overwrite schema-v002, which the dropped-era snapshot
+    // still references for time travel
+    t.dropColumn("b")
+    val dropSeq = t.currentSeq
+    t.rollbackTo(preDrop)
+    t.addColumn("c", "int")
+    assert(t.currentSchema.fieldNames.toSeq == Seq("a", "b", "d", "c"))
+    assert(t.scan(asOf = Some(dropSeq)).columns.toSeq == Seq("a", "d"),
+      "rolled-back drop-column snapshot lost its schema — version recycled")
+    // the resurrect guard sees versions ABOVE the rolled-back current too:
+    // roll back to the era before "c" ever existed — re-adding it must
+    // still refuse, because orphaned-era files hold values under that name
+    t.rollbackTo(preDrop)
+    assert(!t.currentSchema.fieldNames.contains("c"))
+    val err = intercept[IllegalArgumentException](t.addColumn("c", "int"))
+    assert(err.getMessage.contains("resurface"), s"got: ${err.getMessage}")
+
+    // SPEC versions: evolve (v1), roll back, evolve again — the name-reuse
+    // guard must reach the orphaned v1 and the new spec must get v2
+    val preEvolve = t.currentSeq
+    t.evolvePartitionSpec(Seq(PartitionField("b", Transform.Identity, "p_s")))
+    t.rollbackTo(preEvolve)
+    intercept[IllegalArgumentException](
+      t.evolvePartitionSpec(Seq(PartitionField("d", Transform.Day, "p_s"))))
+    val ev2 = t.evolvePartitionSpec(Seq(PartitionField("d", Transform.Day, "p_day")))
+    assert(ev2.specVersion == 2, s"spec version recycled: ${ev2.specVersion}")
+    assert(t.partitionSpec(1) == Seq(PartitionField("b", Transform.Identity, "p_s")),
+      "orphaned spec file overwritten")
+
+    // a data column may never take a partition FIELD name (the write path
+    // derives that column and would clobber the data)
+    val err2 = intercept[IllegalArgumentException](t.addColumn("p_m", "string"))
+    assert(err2.getMessage.contains("partition field"), s"got: ${err2.getMessage}")
+  }
+
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
     val dir = Files.createTempDirectory("graft-splits-spec").toString
     import spark.implicits._

@@ -266,8 +266,28 @@ class SqlCatalogSpec extends SparkSpec {
       """CREATE TABLE graft.zt (id BIGINT, x INT, y INT)
         |TBLPROPERTIES ('cluster_by'='x,y', 'cluster_strategy'='zorder')""".stripMargin)
     assert(graft.lake.LakeTable.load(spark, s"$wh/zt").meta.clusterStrategy == "zorder")
-    spark.sql("INSERT INTO graft.zt VALUES (1, 10, 20), (2, 30, 40)")
-    assert(spark.sql("SELECT * FROM graft.zt").count() == 2)
+    // SQL INSERT lands linear (the DSv2 row-push sink cannot z-arrange);
+    // rewrite_data_files is the OPTIMIZE ZORDER equivalent that restores
+    // the multi-dimensional layout
+    val rng = new scala.util.Random(11)
+    (1 to 20000).map(i => (i.toLong, rng.nextInt(100000), rng.nextInt(100000)))
+      .toDF("id", "x", "y").createOrReplaceTempView("zt_src")
+    // two commits → the (single, unpartitioned) bin is over-full at
+    // target 1, so rewrite_data_files really rewrites
+    spark.sql("INSERT INTO graft.zt SELECT * FROM zt_src WHERE id % 2 = 0")
+    spark.sql("INSERT INTO graft.zt SELECT * FROM zt_src WHERE id % 2 = 1")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try spark.sql("CALL graft.system.rewrite_data_files('zt')").collect()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val zt = graft.lake.LakeTable.load(spark, s"$wh/zt")
+    val totalZ = zt.currentSnapshot.dataFiles.size
+    assert(totalZ > 4, s"compaction produced too few files to check skipping: $totalZ")
+    val keptY = zt.planFiles(zt.currentSnapshot,
+      Seq(graft.lake.PruneFilter.Lt("y", 5000)))._1.size
+    assert(keptY <= totalZ / 2,
+      s"rewrite_data_files did not restore the z-layout: $keptY/$totalZ files on a y filter")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.zt").head().getLong(0) == 20000L)
     spark.sql("DROP TABLE graft.zt")
     // a string cluster key refuses z-order at CREATE time
     val err = intercept[Exception](spark.sql(
