@@ -432,6 +432,76 @@ final class LakeTable private (
     filtered.select(userSchema.fieldNames.map(col): _*)
   }
 
+  /** CHANGELOG between two committed snapshots (the `table_changes` /
+    * CDC-out idiom): every NET row-level change in `(from, to]`, labelled
+    * `_change_type` ∈ insert | update | delete. Semantics are net-effect
+    * as of `to`:
+    *   - insert — pk absent at `from`, live at `to`;
+    *   - update — pk present at `from`, restated in range, live at `to`;
+    *   - delete — pk present at `from`, gone at `to` (delete rows carry
+    *     the `from`-state column values);
+    *   - a row inserted AND deleted within the range nets to nothing.
+    * Cost: the insert/update side reads only the range's new data files
+    * (O(delta)); detecting updates vs inserts and producing delete rows
+    * joins against the `from` snapshot by primary key — one keyed shuffle
+    * of the base, no driver materialization. Tables without a primary key
+    * get the append-only changelog (every range row as insert).
+    * The range must be replayable: compaction / overwrite / rollback
+    * restate files without changing content and have no row-level
+    * changelog — ranges containing them are refused loudly (same contract
+    * as the streaming read). */
+  def changes(from: Long, to: Long): DataFrame = {
+    require(from <= to, s"${meta.name}: changes range [$from, $to] is inverted")
+    ((from + 1) to to).map(snapshotFile(_)).foreach { sf =>
+      require(Set("append", "append-dsv2", "upsert", "delete", "cdc", "add-column",
+        "promote-type", "drop-column", "evolve-spec").exists(op =>
+        sf.operation == op || sf.operation.startsWith("append")),
+        s"${meta.name}: snapshot ${sf.seq} is '${sf.operation}' — content restatements " +
+          "have no row-level changelog; consume changes up to the restatement, then " +
+          "re-baseline from its snapshot")
+    }
+    val endSnap = snapshot(to)
+    val userSchema = schema(endSnap.schemaVersion)
+    val userCols = userSchema.fieldNames.map(col).toSeq
+    val TypeCol = "_change_type"
+    // rows ADDED in the range that are still live at `to`
+    val added = morMerged(endSnap,
+      endSnap.dataFiles.filter(f => f.seq > from && f.seq <= to))
+    if (meta.primaryKey.isEmpty)
+      return added.select(userCols :+ lit("insert").as(TypeCol): _*)
+    val pk = meta.primaryKey
+    // base rows carry the FROM-era schema; align to the `to` schema the
+    // changelog is emitted in (null-fill added columns, widen promoted
+    // ones, drop since-removed ones)
+    val base = {
+      val raw = morMerged(snapshot(from), snapshot(from).dataFiles)
+      userSchema.fields.foldLeft(raw)((d, f) =>
+        if (d.columns.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    val basePk = base.select(pk.map(c => col(c).as(s"_b_$c")): _*)
+    val addCond = pk.map(c => col(c) === col(s"_b_$c")).reduce(_ && _)
+    val upserted = added.join(basePk.distinct(), addCond, "left_outer")
+      .withColumn(TypeCol,
+        when(col(s"_b_${pk.head}").isNotNull, "update").otherwise("insert"))
+      .select(userCols :+ col(TypeCol): _*)
+    // rows DELETED in the range: base rows tombstoned by a range delete
+    // whose pk is not live at `to` (live again = update, already emitted)
+    val rangeDels = endSnap.deleteFiles.filter(d => d.seq > from && d.seq <= to)
+    if (rangeDels.isEmpty) return upserted
+    val delSchema = StructType(
+      pk.map(c => userSchema(c)) :+ StructField(DseqCol, LongType, nullable = false))
+    val delKeys = spark.read.schema(delSchema).parquet(rangeDels.map(d => abs(d.path)): _*)
+    val delCond = pk.map(c => base(c) === delKeys(c)).reduce(_ && _) &&
+      base(SeqCol) < delKeys(DseqCol)
+    val endPk = added.select(pk.map(c => col(c).as(s"_e_$c")): _*).distinct()
+    val goneCond = pk.map(c => col(c) === col(s"_e_$c")).reduce(_ && _)
+    val deleted = base.join(delKeys, delCond, "left_semi")
+      .join(endPk, goneCond, "left_anti")
+      .select(userCols :+ lit("delete").as(TypeCol): _*)
+    upserted.unionByName(deleted)
+  }
+
   /** Merge-on-read content of a FILE SUBSET of `snap` (user columns +
     * [[LakeTable.SeqCol]]): base rows anti-joined against the snapshot's
     * delete keys. Shared by [[scan]] and partition-scoped compaction. */

@@ -231,6 +231,13 @@ object LakeOps {
   val lakeDroppedColumn: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersDropped(s, dir).scan()
 
+  // q79 — CHANGELOG READ (table_changes / CDC-out): the net row-level
+  // deltas of the MoR table's upsert+delete range as typed change rows —
+  // updates/inserts read only the range's new files (O(delta)); delete
+  // rows restate the pre-image via one keyed join against the base
+  val lakeChanges: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersMor(s, dir).changes(1L, 3L)
+
   // q75 — ROLLBACK: the table after an undo of its latest append
   // (metadata-only restatement; the bad commit stays time-travelable).
   // The scan must serve exactly the pre-bad-commit content.
@@ -380,6 +387,16 @@ object LakeOps {
     NamedQuery("q78_drop_column", lakeDroppedColumn, oracle = Some(
       """SELECT o_orderkey, o_totalprice
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q79_table_changes", lakeChanges, oracle = Some(
+      """WITH changes AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |    CASE WHEN o_orderkey % 4 <> 0 THEN 'update' ELSE 'insert' END AS _change_type
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+        |  FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0
+        |)
+        |SELECT * FROM changes ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q75_rollback", lakeRolledBack, oracle = Some(
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 1

@@ -654,6 +654,34 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("changelog read: net-effect typed deltas, in-range churn nets out, restatements refuse") {
+    val dir = Files.createTempDirectory("graft-changes-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df) // seq 1 — the baseline
+    t.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "s")) // update 2, insert 3
+    t.deleteKeys(Seq(Tuple1(1L)).toDF("id"))             // delete 1
+    t.upsert(Seq((9L, "x")).toDF("id", "s"))             // insert 9...
+    t.deleteKeys(Seq(Tuple1(9L)).toDF("id"))             // ...and delete it in-range
+    val got = t.changes(1L, t.currentSeq)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((2L, "b2", "update"), (3L, "c", "insert"), (1L, "a", "delete")),
+      s"got $got") // 9 netted out; the delete row carries the PRE-image (1, "a")
+    // a no-pk table yields the append-only changelog
+    val t2 = LakeTable.create(spark, s"$dir/t2", "t2", df.schema)
+    t2.append(df)
+    t2.append(Seq((3L, "c")).toDF("id", "s"))
+    assert(t2.changes(1L, 2L).as[(Long, String, String)].collect().toSet ==
+      Set((3L, "c", "insert")))
+    // content restatements have no changelog: refused loudly
+    Maintenance.compact(t)
+    val err = intercept[IllegalArgumentException](t.changes(1L, t.currentSeq))
+    assert(err.getMessage.contains("re-baseline"), s"got: ${err.getMessage}")
+    // ...but a post-compaction range works again
+    assert(t.changes(t.currentSeq, t.currentSeq).count() == 0)
+  }
+
   test("metadata versions never recycle across a rollback") {
     val dir = Files.createTempDirectory("graft-vrecycle-spec").toString
     import spark.implicits._
