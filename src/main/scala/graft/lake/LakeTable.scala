@@ -247,25 +247,35 @@ final class LakeTable private (
   def addColumn(name: String, dataType: String): Snapshot = synchronized {
     val cur = currentSnapshot
     val old = schema(cur.schemaVersion)
-    require(!old.fieldNames.contains(name), s"column $name already exists")
+    // all name guards compare CASE-INSENSITIVELY: Spark resolves columns
+    // case-insensitively by default, so "P_M" would collide with "p_m" at
+    // the first write even though the strings differ
+    val lname = name.toLowerCase(java.util.Locale.ROOT)
+    require(!old.fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname),
+      s"column $name already exists")
+    require(!LakeTable.isReservedName(lname),
+      s"${meta.name}: $name is reserved — the _graft namespace belongs to storage/" +
+        "arrangement columns the write path derives (would overwrite the data)")
     val next = nextMetaVersion("schema", cur.schemaVersion)
     // a DROPPED name cannot come back: readers project files by name, so
     // old files' stale physical values would silently resurface as the
     // "new" column instead of nulls — pick a fresh name (Iceberg avoids
     // this with field ids; name-mapped formats must refuse). Scans EVERY
     // existing version, including ones above the current after a rollback.
-    require(!(1 until next).exists(v => schema(v).fieldNames.contains(name)),
+    require(!(1 until next).exists(v =>
+      schema(v).fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname)),
       s"${meta.name}: $name existed in an earlier schema version and was dropped — " +
         "old files still hold values under that name and would resurface; use a new name")
     // nor may it shadow a partition FIELD of any spec era: stageDataFiles
     // derives partition columns by withColumn(field.name, ...), which
     // would REPLACE the user column's data and the writer would strip it
     // into the directory name — silent data loss on the next append
-    require(!(0 to maxSpecVersion(cur.specVersion)).flatMap(partitionSpec).exists(_.name == name),
+    require(!(0 to maxSpecVersion(cur.specVersion)).flatMap(partitionSpec)
+      .exists(_.name.toLowerCase(java.util.Locale.ROOT) == lname),
       s"${meta.name}: $name is a partition field name — the write path derives that " +
         "column and would overwrite the data; use a different name")
     val evolved = StructType(old.fields :+ StructField(name, org.apache.spark.sql.types.DataType.fromDDL(dataType), nullable = true))
-    writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
+    writeVersionFile(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "add-column", schemaVersion = next))
@@ -305,7 +315,7 @@ final class LakeTable private (
     val next = nextMetaVersion("schema", cur.schemaVersion)
     val evolved = StructType(old.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
-    writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
+    writeVersionFile(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "promote-type", schemaVersion = next))
@@ -336,7 +346,7 @@ final class LakeTable private (
     require(old.fields.length > 1, s"${meta.name}: cannot drop the only column")
     val next = nextMetaVersion("schema", cur.schemaVersion)
     val evolved = StructType(old.fields.filterNot(_.name == name))
-    writeString(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
+    writeVersionFile(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "drop-column", schemaVersion = next))
@@ -360,13 +370,16 @@ final class LakeTable private (
     val cur = currentSnapshot
     if (newSpec == partitionSpec(cur.specVersion)) return cur // idempotent
     val sch = schema(cur.schemaVersion)
-    require(newSpec.map(_.name).distinct.size == newSpec.size,
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    require(newSpec.map(pf => lc(pf.name)).distinct.size == newSpec.size,
       s"${meta.name}: duplicate partition field names in ${newSpec.map(_.name)}")
     newSpec.foreach { pf =>
       require(sch.fieldNames.contains(pf.source),
         s"${meta.name}: partition source ${pf.source} is not a table column")
-      require(!sch.fieldNames.contains(pf.name),
+      require(!sch.fieldNames.exists(f => lc(f) == lc(pf.name)),
         s"${meta.name}: partition field ${pf.name} collides with a data column")
+      require(!LakeTable.isReservedName(lc(pf.name)),
+        s"${meta.name}: partition field ${pf.name} is reserved (_graft namespace)")
     }
     // the name check and the new version number both span EVERY existing
     // spec file, not just 0..current: after a rollback parks the current
@@ -376,8 +389,8 @@ final class LakeTable private (
     val v = nextMetaVersion("spec", cur.specVersion)
     val history = (0 until v).flatMap(partitionSpec)
     newSpec.foreach { pf =>
-      history.find(h => h.name == pf.name &&
-          (h.source != pf.source || h.transform != pf.transform)).foreach { h =>
+      history.find(h => lc(h.name) == lc(pf.name) &&
+          (h.name != pf.name || h.source != pf.source || h.transform != pf.transform)).foreach { h =>
         throw new IllegalArgumentException(
           s"${meta.name}: partition field name ${pf.name} was " +
             s"${h.transform.name}(${h.source}) in an earlier spec and cannot be redefined " +
@@ -385,7 +398,7 @@ final class LakeTable private (
             "misread and mis-pruned; use a new field name")
       }
     }
-    writeString(new Path(metaDir, f"spec-v$v%03d.json"), MetaJson.writeSpec(newSpec))
+    writeVersionFile(new Path(metaDir, f"spec-v$v%03d.json"), MetaJson.writeSpec(newSpec))
     commitSnapshot(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "evolve-spec", specVersion = v))
@@ -452,10 +465,10 @@ final class LakeTable private (
     * as the streaming read). */
   def changes(from: Long, to: Long): DataFrame = {
     require(from <= to, s"${meta.name}: changes range [$from, $to] is inverted")
+    val replayable = Set("upsert", "delete", "cdc", "add-column",
+      "promote-type", "drop-column", "evolve-spec")
     ((from + 1) to to).map(snapshotFile(_)).foreach { sf =>
-      require(Set("append", "append-dsv2", "upsert", "delete", "cdc", "add-column",
-        "promote-type", "drop-column", "evolve-spec").exists(op =>
-        sf.operation == op || sf.operation.startsWith("append")),
+      require(replayable(sf.operation) || sf.operation.startsWith("append"),
         s"${meta.name}: snapshot ${sf.seq} is '${sf.operation}' — content restatements " +
           "have no row-level changelog; consume changes up to the restatement, then " +
           "re-baseline from its snapshot")
@@ -474,7 +487,8 @@ final class LakeTable private (
     // changelog is emitted in (null-fill added columns, widen promoted
     // ones, drop since-removed ones)
     val base = {
-      val raw = morMerged(snapshot(from), snapshot(from).dataFiles)
+      val fromSnap = snapshot(from)
+      val raw = morMerged(fromSnap, fromSnap.dataFiles)
       userSchema.fields.foldLeft(raw)((d, f) =>
         if (d.columns.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
         else d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -787,6 +801,7 @@ final class LakeTable private (
     // value can hold terabytes, so a single task per value would serialize
     // the write — salting fans each value out to N tasks / N files, which
     // the snapshot format tracks per-file anyway.
+    var unpersistAfterWrite: Option[DataFrame] = None
     val arranged = if (meta.clusterStrategy == "zorder" && meta.clusterBy.nonEmpty) {
       // Z-ORDER clustering: range-partition + sort the write on the Morton
       // z-value of the cluster keys (partition values lead, so files stay
@@ -794,10 +809,13 @@ final class LakeTable private (
       // key space and its commit-time bounds are tight in EVERY clustered
       // dimension — multi-column file skipping, where lexicographic
       // clustering only ever serves the first key.
-      // localCheckpoint first: the arrangement reads the input THREE times
+      // persist first: the arrangement reads the input THREE times
       // (quantile aggregation, range-boundary sampling, the write itself)
-      // and an expensive upstream plan must not run three times.
-      val src = derived.localCheckpoint(true)
+      // and an expensive upstream plan must not run three times. persist
+      // (not localCheckpoint) keeps the lineage recomputable on executor
+      // loss and spills to disk; unpersisted after the staging write below.
+      val src = derived.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      unpersistAfterWrite = Some(src)
       val z = ZOrder.zvalue(src, meta.clusterBy, ZOrder.bits(spark))
       val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val keys = partCols.map(col) :+ col(ZOrderCol)
@@ -825,7 +843,8 @@ final class LakeTable private (
 
     val staging = new Path(root, s"_staging/${UUID.randomUUID()}")
     val writer = arranged.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging.toString)
+    try (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging.toString)
+    finally unpersistAfterWrite.foreach(_.unpersist(false))
 
     val moved = ArrayBuffer.empty[(String, Path, Map[String, String], Long)]
     val it = fs.listFiles(staging, true)
@@ -949,16 +968,13 @@ final class LakeTable private (
       delReused ++ writeNew("delete", Nil, delNew)).toSeq
   }
 
-  private[lake] def commitSnapshot(s: Snapshot): Snapshot = {
-    // exclusive create: a racing writer loses here, loudly. On file:// the
-    // Hadoop local fs implements create(overwrite=false) as
-    // check-then-create (NOT atomic — two racers can both pass the exists
-    // check), so use java.nio's O_EXCL there; HDFS/object-store schemes
-    // get the filesystem's own atomic create. Manifests written by a
-    // LOSING racer are unreferenced by any snapshot and age-swept by
-    // [[Maintenance.removeOrphans]].
-    val p = snapPath(s.seq)
-    val bytes = MetaJson.writeSnapshotFile(s, planManifests(s)).getBytes(StandardCharsets.UTF_8)
+  /** Exclusive create of an immutable metadata file — a racing second
+    * writer fails loudly instead of overwriting. On file:// the Hadoop
+    * local fs implements create(overwrite=false) as check-then-create
+    * (NOT atomic — two racers can both pass the exists check), so use
+    * java.nio's O_EXCL there; HDFS/object-store schemes get the
+    * filesystem's own atomic create. */
+  private def createExclusive(p: Path, bytes: Array[Byte]): Unit = {
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
@@ -970,6 +986,23 @@ final class LakeTable private (
       val out = fs.create(p, false)
       try out.write(bytes) finally out.close()
     }
+  }
+
+  /** Publish a schema-v / spec-v version file. Exclusive: these files are
+    * immutable and may be referenced by committed snapshots forever — a
+    * concurrent ALTER that allocated the same probed version number must
+    * fail HERE, before its snapshot commit could reference a file the
+    * winner wrote with different content. The loser retries and probes a
+    * fresh number. */
+  private def writeVersionFile(p: Path, s: String): Unit =
+    createExclusive(p, s.getBytes(StandardCharsets.UTF_8))
+
+  private[lake] def commitSnapshot(s: Snapshot): Snapshot = {
+    // exclusive create: a racing writer loses here, loudly. Manifests
+    // written by a LOSING racer are unreferenced by any snapshot and
+    // age-swept by [[Maintenance.removeOrphans]].
+    val p = snapPath(s.seq)
+    createExclusive(p, MetaJson.writeSnapshotFile(s, planManifests(s)).getBytes(StandardCharsets.UTF_8))
     // the hint is ADVISORY (readers list meta/ when it lies) — it must not
     // be able to fail a commit whose snapshot file already exists: a caller
     // seeing an exception here would roll back files a durable snapshot
@@ -1053,6 +1086,13 @@ object LakeTable {
   val SeqCol = "_graft_seq"
   /** Transient write-arrangement column for z-order clustering. */
   private val ZOrderCol = "_graft_z"
+
+  /** The `_graft` prefix is reserved for storage/arrangement columns the
+    * write path derives (`_graft_seq`, `_graft_z`, `_graft_file`, …) — a
+    * user column or partition field in that namespace would be silently
+    * overwritten by `withColumn` at the next write. `lower` must already
+    * be lowercase. */
+  private[graft] def isReservedName(lower: String): Boolean = lower.startsWith("_graft")
   /** Column in delete files carrying the delete's commit sequence. */
   val DseqCol = "_graft_dseq"
   private val RnCol = "_graft_rn"
@@ -1072,6 +1112,9 @@ object LakeTable {
   ): LakeTable = {
     require(Set("linear", "zorder")(clusterStrategy),
       s"unknown cluster strategy $clusterStrategy (linear | zorder)")
+    (schema.fieldNames ++ partitionSpec.map(_.name)).foreach(n =>
+      require(!isReservedName(n.toLowerCase(java.util.Locale.ROOT)),
+        s"$name: $n is reserved — the _graft namespace belongs to derived storage columns"))
     if (clusterStrategy == "zorder") {
       require(clusterBy.nonEmpty, "z-order clustering needs cluster_by columns")
       clusterBy.foreach(c => require(

@@ -59,7 +59,11 @@ private[sources] class GraftLakeWriteBuilder(
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      new GraftLakeBatchWrite(t, replaceAll, writeSchema, expectedBase, replacedFiles)
+      new GraftLakeBatchWrite(t, replaceAll, writeSchema, expectedBase, replacedFiles,
+        // pin the PLANNING snapshot: a concurrent spec evolution between
+        // planning and execution would otherwise cluster rows by one spec
+        // while the writers render partitions from another
+        plannedSnap = Some(() => planSnap))
 
     /** Ask Spark to arrange rows BEFORE they reach the writers (the
       * standard DSv2 sink contract): cluster on the partition SOURCE
@@ -111,12 +115,13 @@ private[sources] class GraftLakeBatchWrite(
       * operation's runtime-filtered scan planned — the commit swaps exactly
       * those files and carries every other entry over. None = plain INSERT
       * OVERWRITE (full replace). */
-    replacedFiles: Option[() => Option[Set[String]]] = None)
+    replacedFiles: Option[() => Option[Set[String]]] = None,
+    plannedSnap: Option[() => graft.lake.Snapshot] = None)
     extends BatchWrite {
   private val stagingRel = s"_staging/dsv2-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val snap = t.currentSnapshot
+    val snap = plannedSnap.map(_()).getOrElse(t.currentSnapshot)
     // rows arrive in the SHAPE the logical write declared (row-level
     // rewrites may order columns differently from the table definition);
     // files are written in that order and every reader resolves columns

@@ -723,9 +723,15 @@ class LakeSpec extends SparkSpec {
       "orphaned spec file overwritten")
 
     // a data column may never take a partition FIELD name (the write path
-    // derives that column and would clobber the data)
+    // derives that column and would clobber the data) — nor a CASE VARIANT
+    // of one (Spark resolves case-insensitively), nor the reserved _graft
+    // namespace
     val err2 = intercept[IllegalArgumentException](t.addColumn("p_m", "string"))
     assert(err2.getMessage.contains("partition field"), s"got: ${err2.getMessage}")
+    intercept[IllegalArgumentException](t.addColumn("P_M", "string"))
+    intercept[IllegalArgumentException](t.addColumn("_graft_seq", "string"))
+    intercept[IllegalArgumentException](
+      t.evolvePartitionSpec(Seq(PartitionField("b", Transform.Identity, "_graft_x"))))
   }
 
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
