@@ -261,9 +261,12 @@ final class LakeTable private (
     // old files' stale physical values would silently resurface as the
     // "new" column instead of nulls — pick a fresh name (Iceberg avoids
     // this with field ids; name-mapped formats must refuse). Scans EVERY
-    // existing version, including ones above the current after a rollback.
+    // existing version, including ones above the current after a rollback;
+    // an unparseable version file (a crashed writer's partial exclusive
+    // create — referenced by no snapshot) is skipped, not fatal.
     require(!(1 until next).exists(v =>
-      schema(v).fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname)),
+      scala.util.Try(schema(v)).toOption.exists(
+        _.fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname))),
       s"${meta.name}: $name existed in an earlier schema version and was dropped — " +
         "old files still hold values under that name and would resurface; use a new name")
     // nor may it shadow a partition FIELD of any spec era: stageDataFiles
@@ -387,7 +390,9 @@ final class LakeTable private (
     // referenced by time-travelable snapshots, and their field names are
     // still recorded in data-file tuples
     val v = nextMetaVersion("spec", cur.specVersion)
-    val history = (0 until v).flatMap(partitionSpec)
+    // unreadable spec versions (crashed writer's partial file, referenced
+    // by no snapshot) don't block evolution
+    val history = (0 until v).flatMap(u => scala.util.Try(partitionSpec(u)).getOrElse(Nil))
     newSpec.foreach { pf =>
       history.find(h => lc(h.name) == lc(pf.name) &&
           (h.name != pf.name || h.source != pf.source || h.transform != pf.transform)).foreach { h =>
