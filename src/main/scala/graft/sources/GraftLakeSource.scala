@@ -91,19 +91,23 @@ object GraftLakeSource {
     * are pure metadata; files from pre-splits snapshots fall back to a
     * parallelized footer read. Shared by the batch and streaming planners. */
   private[sources] def planFileSplits(
-      t: LakeTable, files: Seq[graft.lake.DataFile]): Array[InputPartition] = {
+      t: LakeTable, files: Seq[graft.lake.DataFile],
+      keyOf: Option[graft.lake.DataFile => Array[Any]] = None): Array[InputPartition] = {
     val (recorded, legacy) = files.partition(_.splits.nonEmpty)
     val legacySplits = LakeTable.rowGroupSplitsAll(
       legacy.map(f => new Path(t.abs(f.path))), t.spark.sparkContext.hadoopConfiguration,
       spark = Some(t.spark))
+    def split(f: graft.lake.DataFile, abs: String, st: Long, len: Long): InputPartition =
+      keyOf match {
+        case Some(k) => GraftLakeKeyedInputPartition(abs, st, len, k(f))
+        case None    => GraftLakeInputPartition(abs, st, len)
+      }
     (recorded.flatMap { f =>
       val abs = t.abs(f.path)
-      f.splits.map { case (st, len) => GraftLakeInputPartition(abs, st, len): InputPartition }
+      f.splits.map { case (st, len) => split(f, abs, st, len) }
     } ++ legacy.flatMap { f =>
-      val p = new Path(t.abs(f.path))
-      legacySplits(p).map { case (st, len) =>
-        GraftLakeInputPartition(p.toString, st, len): InputPartition
-      }
+      val p = new Path(t.abs(f.path)).toString
+      legacySplits(new Path(p)).map { case (st, len) => split(f, p, st, len) }
     }).toArray
   }
 
@@ -658,7 +662,8 @@ private[sources] class GraftLakeScan(
     limit: Option[Int] = None,
     streamMaxSnapshots: Option[Int] = None,
     rowLevelScan: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Runtime (join-driven) filters, delivered by AQE after the build side
     * of a join materializes — Spark's dynamic partition pruning for DSv2.
@@ -696,6 +701,71 @@ private[sources] class GraftLakeScan(
     * (evolution-aware: old-spec files prune on old fields, new on new). */
   private lazy val specSources: Seq[String] =
     t.specFieldsThrough(t.snapshot(seq).specVersion).map(_.source)
+
+  // -------------------------------------------- storage-partitioned joins
+
+  /** SPJ key extractor, or None when this scan cannot be key-grouped.
+    * Eligible when the user opted in (`spark.sql.sources.v2.bucketing
+    * .enabled`), the CURRENT spec is all-identity over string/integral
+    * sources the projection retains (Spark resolves the reported key
+    * expressions against the scan output — an absent source would throw,
+    * the round-4 DPP lesson), and every planned file records every key
+    * field (pre-evolution files cannot be grouped). Keys parse the
+    * directory-rendered partition value back into catalyst values of the
+    * source type. Two graft tables partitioned alike then join with ZERO
+    * shuffle — at 100 TB the difference between a co-partitioned merge
+    * and re-shuffling both fact tables. */
+  private lazy val spjKeyOf: Option[graft.lake.DataFile => Array[Any]] = {
+    import org.apache.spark.sql.types._
+    val snap = t.snapshot(seq)
+    val spec = t.partitionSpec(snap.specVersion)
+    val readable = required.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def parser(dt: DataType): Option[String => Any] = dt match {
+      case StringType  => Some(s => org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case LongType    => Some(_.toLong)
+      case IntegerType => Some(_.toInt)
+      case ShortType   => Some(_.toShort)
+      case ByteType    => Some(_.toByte)
+      case _ => None
+    }
+    val enabled = t.spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!enabled || rowLevelScan || streamMaxSnapshots.nonEmpty || spec.isEmpty) None
+    else {
+      val parsers = spec.map { pf =>
+        if (pf.transform != graft.lake.Transform.Identity) None
+        else if (!readable.contains(pf.source.toLowerCase(java.util.Locale.ROOT))) None
+        else tableSchema.fields.find(_.name == pf.source).flatMap(f => parser(f.dataType))
+      }
+      if (parsers.exists(_.isEmpty)) None
+      else if (!t.planFiles(t.snapshotPruned(seq, filters), filters)._1
+          .forall(f => spec.forall(pf => f.partition.contains(pf.name)))) None
+      else Some { f =>
+        spec.zip(parsers).map { case (pf, p) =>
+          f.partition(pf.name) match {
+            case graft.lake.PartitionValues.NullSentinel => null
+            case v => p.get(v)
+          }
+        }.toArray[Any]
+      }
+    }
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeyOf match {
+      case Some(_) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val snap = t.snapshot(seq)
+        val keys = t.partitionSpec(snap.specVersion)
+          .map(pf => Expressions.identity(pf.source):
+            org.apache.spark.sql.connector.expressions.Expression).toArray
+        val distinct = t.planFiles(t.snapshotPruned(seq, filters), filters)._1
+          .map(_.partition).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          keys, math.max(distinct, 1))
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   override def filterAttributes(): Array[NamedReference] = {
     val readable = required.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -778,7 +848,9 @@ private[sources] class GraftLakeScan(
       case _ => files
     }
     plannedRelPaths = Some(kept.map(_.path).toSet)
-    GraftLakeSource.planFileSplits(t, kept)
+    // runtime filters only REMOVE files, so a key-grouped plan stays
+    // key-grouped after DPP narrows it
+    GraftLakeSource.planFileSplits(t, kept, keyOf = spjKeyOf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -951,8 +1023,24 @@ private[sources] class GraftLakeMicroBatchStream(
 /** One parquet row group: byte range [start, start+length) of `file` (the
   * standard parquet split contract — a row group belongs to the split
   * containing its midpoint). */
+private[sources] sealed trait GraftSplit extends InputPartition {
+  def file: String; def start: Long; def length: Long
+}
+
 private[sources] case class GraftLakeInputPartition(file: String, start: Long, length: Long)
-    extends InputPartition
+    extends GraftSplit
+
+/** A split that also carries its partition KEY (catalyst values of the
+  * identity-partition source columns) — the storage-partitioned-join
+  * contract: when every split of a scan exposes `partitionKey`, Spark can
+  * group splits by key and join two co-partitioned tables WITHOUT any
+  * shuffle (`spark.sql.sources.v2.bucketing.enabled`). */
+private[sources] case class GraftLakeKeyedInputPartition(
+    file: String, start: Long, length: Long, keyValues: Array[Any])
+    extends GraftSplit with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyValues)
+}
 
 private[sources] case class GraftLakeReaderFactory(
     required: StructType,
@@ -986,12 +1074,12 @@ private[sources] case class GraftLakeReaderFactory(
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val gp = p.asInstanceOf[GraftLakeInputPartition]
+    val gp = p.asInstanceOf[GraftSplit]
     new GraftLakeVectorizedReader(gp.file, gp.start, gp.length, required, confOf())
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftLakeInputPartition]
+    val gp = p.asInstanceOf[GraftSplit]
     new GraftLakePartitionReader(
       gp.file, gp.start, gp.length, required, primaryKey, tombstones, types, confOf())
   }

@@ -242,6 +242,44 @@ class GraftLakeSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("storage-partitioned join: co-partitioned lake tables join with NO shuffle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spj-spec").toString
+    def build(name: String, vals: Seq[(Long, String, Double)]): graft.lake.LakeTable = {
+      val df = vals.toDF("id", "s", "v")
+      val t = graft.lake.LakeTable.create(spark, s"$dir/$name", name, df.schema,
+        partitionSpec = Seq(graft.lake.PartitionField("s", graft.lake.Transform.Identity, "p_s")))
+      t.append(df)
+      t
+    }
+    val a = build("a", Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "C", 3.0)))
+    val b = build("b", Seq((10L, "A", 10.0), (20L, "B", 20.0), (30L, "C", 30.0)))
+    def joined = {
+      val da = spark.read.format("graftlake").option("path", a.location).load()
+      val db = spark.read.format("graftlake").option("path", b.location).load()
+      da.join(db.withColumnRenamed("id", "id2").withColumnRenamed("v", "v2"), "s")
+        .select($"s", $"id", $"id2")
+    }
+    val confs = Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a non-broadcast join
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = joined
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"co-partitioned join still shuffled:\n$plan")
+      assert(df.as[(String, Long, Long)].collect().toSet ==
+        Set(("A", 1L, 10L), ("B", 2L, 20L), ("C", 3L, 30L)))
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(s) => spark.conf.set(k, s); case None => spark.conf.unset(k) }
+    }
+    // with bucketing off (the default), the same join still answers
+    assert(joined.count() == 3)
+  }
+
   test("streaming read crosses an evolve-spec commit (metadata-only, append-safe)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-streamevolve-spec").toString
