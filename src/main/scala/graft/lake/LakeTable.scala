@@ -101,6 +101,26 @@ final class LakeTable private (
     * versions). */
   private def maxSpecVersion(cur: Int): Int = nextMetaVersion("spec", cur) - 1
 
+  /** A metadata version for the history GUARDS: an unparseable file (a
+    * crashed writer's partial exclusive create — referenced by no
+    * snapshot, so skipping is safe) reads as absent, but a transient I/O
+    * failure PROPAGATES — a guard silently weakened by a store blip would
+    * admit the corruption it refuses. */
+  private def schemaIfParseable(v: Int): Option[StructType] =
+    try Some(schema(v)) catch {
+      case e: java.io.IOException => throw e
+      case scala.util.control.NonFatal(_) => None
+    }
+  private def specIfParseable(v: Int): Seq[PartitionField] =
+    try partitionSpec(v) catch {
+      case e: java.io.IOException => throw e
+      case scala.util.control.NonFatal(_) => Nil
+    }
+
+  /** Spec version of one snapshot from its file HEADER alone — no
+    * manifest assembly (cheap enough for per-query planning probes). */
+  private[graft] def specVersionOf(seq: Long): Int = snapshotFile(seq).specVersion
+
   /** Union of every partition field across spec versions 0..maxVersion,
     * deduped by field name. Pruning resolves each FILE's fields by the
     * names present in its recorded partition tuple ([[PruneFilter.mayMatch]]
@@ -262,10 +282,12 @@ final class LakeTable private (
     // "new" column instead of nulls — pick a fresh name (Iceberg avoids
     // this with field ids; name-mapped formats must refuse). Scans EVERY
     // existing version, including ones above the current after a rollback;
-    // an unparseable version file (a crashed writer's partial exclusive
-    // create — referenced by no snapshot) is skipped, not fatal.
+    // an UNPARSEABLE version file (a crashed writer's partial exclusive
+    // create — referenced by no snapshot) is skipped, while a transient
+    // READ failure still propagates: a guard silently weakened by a store
+    // blip would wave through the exact corruption it exists to refuse.
     require(!(1 until next).exists(v =>
-      scala.util.Try(schema(v)).toOption.exists(
+      schemaIfParseable(v).exists(
         _.fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname))),
       s"${meta.name}: $name existed in an earlier schema version and was dropped — " +
         "old files still hold values under that name and would resurface; use a new name")
@@ -273,7 +295,7 @@ final class LakeTable private (
     // derives partition columns by withColumn(field.name, ...), which
     // would REPLACE the user column's data and the writer would strip it
     // into the directory name — silent data loss on the next append
-    require(!(0 to maxSpecVersion(cur.specVersion)).flatMap(partitionSpec)
+    require(!(0 to maxSpecVersion(cur.specVersion)).flatMap(specIfParseable)
       .exists(_.name.toLowerCase(java.util.Locale.ROOT) == lname),
       s"${meta.name}: $name is a partition field name — the write path derives that " +
         "column and would overwrite the data; use a different name")
@@ -390,9 +412,9 @@ final class LakeTable private (
     // referenced by time-travelable snapshots, and their field names are
     // still recorded in data-file tuples
     val v = nextMetaVersion("spec", cur.specVersion)
-    // unreadable spec versions (crashed writer's partial file, referenced
-    // by no snapshot) don't block evolution
-    val history = (0 until v).flatMap(u => scala.util.Try(partitionSpec(u)).getOrElse(Nil))
+    // unPARSEABLE spec versions (crashed writer's partial file, referenced
+    // by no snapshot) don't block evolution; transient read failures do
+    val history = (0 until v).flatMap(specIfParseable)
     newSpec.foreach { pf =>
       history.find(h => lc(h.name) == lc(pf.name) &&
           (h.name != pf.name || h.source != pf.source || h.transform != pf.transform)).foreach { h =>

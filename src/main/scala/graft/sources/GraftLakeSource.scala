@@ -704,21 +704,32 @@ private[sources] class GraftLakeScan(
 
   // -------------------------------------------- storage-partitioned joins
 
-  /** SPJ key extractor, or None when this scan cannot be key-grouped.
+  /** SPJ plan, or None when this scan cannot be key-grouped: the key
+    * extractor for each planned file, the key expressions, and the
+    * distinct-key count (computed from the EXTRACTED keys, so old-era
+    * files carrying extra retired spec fields don't overcount groups).
     * Eligible when the user opted in (`spark.sql.sources.v2.bucketing
-    * .enabled`), the CURRENT spec is all-identity over string/integral
-    * sources the projection retains (Spark resolves the reported key
-    * expressions against the scan output — an absent source would throw,
-    * the round-4 DPP lesson), and every planned file records every key
-    * field (pre-evolution files cannot be grouped). Keys parse the
-    * directory-rendered partition value back into catalyst values of the
-    * source type. Two graft tables partitioned alike then join with ZERO
-    * shuffle — at 100 TB the difference between a co-partitioned merge
-    * and re-shuffling both fact tables. */
-  private lazy val spjKeyOf: Option[graft.lake.DataFile => Array[Any]] = {
+    * .enabled` — checked FIRST: the default path must not pay any
+    * metadata reads for this), the CURRENT spec is all-identity over
+    * string/integral sources the projection retains (Spark resolves the
+    * reported key expressions against the scan output — an absent source
+    * would throw, the round-4 DPP lesson), and every planned file records
+    * every key field (pre-evolution files cannot be grouped). Keys parse
+    * the directory-rendered partition value back into catalyst values of
+    * the source type. Two graft tables partitioned alike then join with
+    * ZERO shuffle — at 100 TB the difference between a co-partitioned
+    * merge and re-shuffling both fact tables. */
+  private lazy val spjPlan: Option[(graft.lake.DataFile => Array[Any],
+      Array[org.apache.spark.sql.connector.expressions.Expression], Int)] = computeSpjPlan()
+
+  private def computeSpjPlan(): Option[(graft.lake.DataFile => Array[Any],
+      Array[org.apache.spark.sql.connector.expressions.Expression], Int)] = {
     import org.apache.spark.sql.types._
-    val snap = t.snapshot(seq)
-    val spec = t.partitionSpec(snap.specVersion)
+    val enabled = t.spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!enabled || rowLevelScan || streamMaxSnapshots.nonEmpty) return None
+    val spec = t.partitionSpec(t.specVersionOf(seq)) // header read, no manifest assembly
+    if (spec.isEmpty) return None
     val readable = required.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     def parser(dt: DataType): Option[String => Any] = dt match {
       case StringType  => Some(s => org.apache.spark.unsafe.types.UTF8String.fromString(s))
@@ -728,41 +739,38 @@ private[sources] class GraftLakeScan(
       case ByteType    => Some(_.toByte)
       case _ => None
     }
-    val enabled = t.spark.conf
-      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    if (!enabled || rowLevelScan || streamMaxSnapshots.nonEmpty || spec.isEmpty) None
-    else {
-      val parsers = spec.map { pf =>
-        if (pf.transform != graft.lake.Transform.Identity) None
-        else if (!readable.contains(pf.source.toLowerCase(java.util.Locale.ROOT))) None
-        else tableSchema.fields.find(_.name == pf.source).flatMap(f => parser(f.dataType))
-      }
-      if (parsers.exists(_.isEmpty)) None
-      else if (!t.planFiles(t.snapshotPruned(seq, filters), filters)._1
-          .forall(f => spec.forall(pf => f.partition.contains(pf.name)))) None
-      else Some { f =>
-        spec.zip(parsers).map { case (pf, p) =>
-          f.partition(pf.name) match {
-            case graft.lake.PartitionValues.NullSentinel => null
-            case v => p.get(v)
-          }
-        }.toArray[Any]
-      }
+    val parsers = spec.map { pf =>
+      if (pf.transform != graft.lake.Transform.Identity) None
+      else if (!readable.contains(pf.source.toLowerCase(java.util.Locale.ROOT))) None
+      else tableSchema.fields.find(_.name == pf.source).flatMap(f => parser(f.dataType))
     }
+    if (parsers.exists(_.isEmpty)) return None
+    val planned = t.planFiles(t.snapshotPruned(seq, filters), filters)._1
+    if (!planned.forall(f => spec.forall(pf => f.partition.contains(pf.name)))) return None
+    val keyOf: graft.lake.DataFile => Array[Any] = f =>
+      spec.zip(parsers).map { case (pf, p) =>
+        f.partition(pf.name) match {
+          case graft.lake.PartitionValues.NullSentinel => null
+          case v => p.get.apply(v)
+        }
+      }.toArray[Any]
+    // single-part field references by construction — an unquoted dotted
+    // column name would PARSE as a nested path and fail catalyst
+    // resolution instead of falling back, so backtick-quote the name
+    def quoted(n: String) = "`" + n.replace("`", "``") + "`"
+    val keys = spec.map(pf =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(quoted(pf.source)):
+        org.apache.spark.sql.connector.expressions.Expression).toArray
+    val distinct = planned.map(f => keyOf(f).toSeq).distinct.size
+    Some((keyOf, keys, math.max(distinct, 1)))
   }
 
+  private def spjKeyOf: Option[graft.lake.DataFile => Array[Any]] = spjPlan.map(_._1)
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    spjKeyOf match {
-      case Some(_) =>
-        import org.apache.spark.sql.connector.expressions.Expressions
-        val snap = t.snapshot(seq)
-        val keys = t.partitionSpec(snap.specVersion)
-          .map(pf => Expressions.identity(pf.source):
-            org.apache.spark.sql.connector.expressions.Expression).toArray
-        val distinct = t.planFiles(t.snapshotPruned(seq, filters), filters)._1
-          .map(_.partition).distinct.size
-        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          keys, math.max(distinct, 1))
+    spjPlan match {
+      case Some((_, keys, distinct)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(keys, distinct)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
