@@ -278,6 +278,31 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
     // with bucketing off (the default), the same join still answers
     assert(joined.count() == 3)
+
+    // INTEGRAL partition keys parse back from their directory rendering
+    // and group identically (the numeric keyOf path)
+    def buildN(name: String, vals: Seq[(Long, Long)]): graft.lake.LakeTable = {
+      val df = vals.toDF("k", "v")
+      val t = graft.lake.LakeTable.create(spark, s"$dir/$name", name, df.schema,
+        partitionSpec = Seq(graft.lake.PartitionField("k", graft.lake.Transform.Identity, "p_k")))
+      t.append(df)
+      t
+    }
+    val na = buildN("na", Seq((1L, 10L), (2L, 20L), (10L, 100L)))
+    val nb = buildN("nb", Seq((1L, 11L), (2L, 22L), (10L, 110L)))
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dn = spark.read.format("graftlake").option("path", na.location).load()
+        .join(spark.read.format("graftlake").option("path", nb.location).load()
+          .withColumnRenamed("v", "v2"), "k")
+      val plan = dn.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"numeric-keyed co-partitioned join shuffled:\n$plan")
+      assert(dn.as[(Long, Long, Long)].collect().toSet ==
+        Set((1L, 10L, 11L), (2L, 20L, 22L), (10L, 100L, 110L)))
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(s) => spark.conf.set(k, s); case None => spark.conf.unset(k) }
+    }
   }
 
   test("streaming read crosses an evolve-spec commit (metadata-only, append-safe)") {
