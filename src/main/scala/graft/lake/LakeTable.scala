@@ -493,7 +493,10 @@ final class LakeTable private (
   def changes(from: Long, to: Long): DataFrame = {
     require(from <= to, s"${meta.name}: changes range [$from, $to] is inverted")
     val replayable = Set("upsert", "delete", "cdc", "add-column",
-      "promote-type", "drop-column", "evolve-spec")
+      "promote-type", "drop-column", "evolve-spec",
+      // merge-on-read SQL row-level commits: new data files + delete-key
+      // sidecars, the exact shape the changelog replays
+      "update-mor", "merge-mor", "delete-mor")
     ((from + 1) to to).map(snapshotFile(_)).foreach { sf =>
       require(replayable(sf.operation) || sf.operation.startsWith("append"),
         s"${meta.name}: snapshot ${sf.seq} is '${sf.operation}' — content restatements " +
@@ -530,9 +533,10 @@ final class LakeTable private (
     // whose pk is not live at `to` (live again = update, already emitted)
     val rangeDels = endSnap.deleteFiles.filter(d => d.seq > from && d.seq <= to)
     if (rangeDels.isEmpty) return upserted
-    val delSchema = StructType(
-      pk.map(c => userSchema(c)) :+ StructField(DseqCol, LongType, nullable = false))
-    val delKeys = spark.read.schema(delSchema).parquet(rangeDels.map(d => abs(d.path)): _*)
+    // era-aware read: a pk-column type promotion inside the range leaves
+    // earlier delete files physically narrow — read each with its own
+    // era's pk types and widen to the `to` era explicitly
+    val delKeys = readDeleteKeys(rangeDels, endSnap.schemaVersion)
     val delCond = pk.map(c => base(c) === delKeys(c)).reduce(_ && _) &&
       base(SeqCol) < delKeys(DseqCol)
     val endPk = added.select(pk.map(c => col(c).as(s"_e_$c")): _*).distinct()
@@ -543,9 +547,23 @@ final class LakeTable private (
     upserted.unionByName(deleted)
   }
 
+  /** Delete files that can affect any of `files` — partition scoping on
+    * the read side. A delete file scoped to tuple P is skipped iff EVERY
+    * candidate data file records, for every field of P, a different value:
+    * a file recording the same value may hold matching rows; a file
+    * lacking the field (written under an older spec) might too, so it
+    * keeps the delete file conservatively. Global delete files (empty
+    * tuple) always apply. */
+  private[graft] def deleteFilesFor(snap: Snapshot, files: Seq[DataFile]): Seq[DeleteFile] =
+    snap.deleteFiles.filter { d =>
+      d.partition.isEmpty || files.exists(f =>
+        d.partition.forall { case (k, v) => f.partition.get(k).forall(_ == v) })
+    }
+
   /** Merge-on-read content of a FILE SUBSET of `snap` (user columns +
-    * [[LakeTable.SeqCol]]): base rows anti-joined against the snapshot's
-    * delete keys. Shared by [[scan]] and partition-scoped compaction. */
+    * [[LakeTable.SeqCol]]): base rows anti-joined against the delete keys
+    * whose partition scope can reach those files. Shared by [[scan]] and
+    * partition-scoped compaction. */
   private[lake] def morMerged(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
     val userSchema = schema(snap.schemaVersion)
     val storage = StructType(userSchema.fields :+ StructField(SeqCol, LongType, nullable = false))
@@ -554,23 +572,49 @@ final class LakeTable private (
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storage)
       else
         spark.read.schema(storage).parquet(files.map(f => abs(f.path)): _*)
-    if (snap.deleteFiles.isEmpty) base
+    val delFiles = deleteFilesFor(snap, files)
+    if (delFiles.isEmpty) base
     else {
-      val dels = deleteKeysDf(snap)
+      val dels = deleteKeysDf(snap, delFiles)
       val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&
         base(SeqCol) < dels(DseqCol)
       base.join(dels, cond, "left_anti")
     }
   }
 
-  /** The snapshot's delete keys (pk columns + [[LakeTable.DseqCol]]),
-    * broadcast while small, AQE-planned otherwise. */
-  private def deleteKeysDf(snap: Snapshot): DataFrame = {
-    val userSchema = schema(snap.schemaVersion)
-    val pkSchema = StructType(
-      meta.primaryKey.map(k => userSchema(k)) :+ StructField(DseqCol, LongType, nullable = false))
-    val rawDels = spark.read.schema(pkSchema).parquet(snap.deleteFiles.map(d => abs(d.path)): _*)
-    if (snap.deleteFiles.map(_.bytes).sum <= (64L << 20)) broadcast(rawDels) else rawDels
+  /** Delete keys of the given delete files (pk columns + [[LakeTable.DseqCol]]),
+    * broadcast while small, AQE-planned otherwise. Files are read with the
+    * pk types OF THEIR OWN ERA and widened to the snapshot's schema — a
+    * type promotion of a pk column inside the history leaves older delete
+    * files physically narrow, and reading them under the wide schema would
+    * lean on the parquet reader's widening instead of the explicit
+    * promotion path every other read uses. */
+  private def deleteKeysDf(snap: Snapshot, delFiles: Seq[DeleteFile]): DataFrame = {
+    val raw = readDeleteKeys(delFiles, snap.schemaVersion)
+    if (delFiles.map(_.bytes).sum <= (64L << 20)) broadcast(raw) else raw
+  }
+
+  /** Read delete-key files grouped by the pk types of the schema era each
+    * was committed under, each group cast to the target era's pk types.
+    * A delete file whose snapshot header has been expired falls back to
+    * the target era (the pre-fix behavior — correct whenever no pk column
+    * was promoted in the expired range). */
+  private[graft] def readDeleteKeys(delFiles: Seq[DeleteFile], toVersion: Int): DataFrame = {
+    val target = schema(toVersion)
+    val pk = meta.primaryKey
+    val targetPk = StructType(
+      pk.map(k => target(k)) :+ StructField(DseqCol, LongType, nullable = false))
+    def eraVersion(d: DeleteFile): Int =
+      try snapshotFile(d.seq).schemaVersion
+      catch { case scala.util.control.NonFatal(_) => toVersion }
+    delFiles.groupBy(eraVersion).map { case (v, group) =>
+      val era = schema(v)
+      val eraPk = StructType(
+        pk.map(k => era(k)) :+ StructField(DseqCol, LongType, nullable = false))
+      val df = spark.read.schema(eraPk).parquet(group.map(d => abs(d.path)): _*)
+      if (eraPk == targetPk) df
+      else df.select(targetPk.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Partition-scoped compaction: rewrites ONLY dirty partitions — those
@@ -619,7 +663,7 @@ final class LakeTable private (
     val base = spark.read.schema(readSchema)
       .parquet(snap.dataFiles.map(f => abs(f.path)): _*)
       .withColumn("_graft_file", input_file_name())
-    val dels = deleteKeysDf(snap)
+    val dels = deleteKeysDf(snap, snap.deleteFiles)
     val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&
       base(SeqCol) < dels(DseqCol)
     val dirtyNames: Set[String] = base.join(dels, cond, "left_semi")
@@ -727,6 +771,39 @@ final class LakeTable private (
         specVersion = cur.specVersion))
     }
 
+  /** MERGE-ON-READ row-level commit (the DSv2 delta write: SQL UPDATE /
+    * MERGE INTO / unpushable DELETE under `write.update/merge.mode =
+    * merge-on-read`): append the restated rows as new data files and the
+    * displaced row identities as delete-key sidecars — one snapshot, NO
+    * pre-existing data file rewritten, O(changed rows) not O(affected
+    * files). Like [[commitUpsert]], the staged files embed `expectedBase+1`
+    * as their sequence, so a lost race cannot be rebased — it surfaces
+    * with the retry recipe instead. */
+  def commitStagedDelta(
+      dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile], op: String,
+      expectedBase: Long): Snapshot =
+    synchronized {
+      val cur = currentSnapshot
+      require(cur.seq == expectedBase,
+        s"${meta.name}: concurrent commit detected (snapshot $expectedBase read, " +
+          s"${cur.seq} current) — retry the statement")
+      val seq = cur.seq + 1
+      try commitSnapshot(Snapshot(
+        seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+        operation = op, schemaVersion = cur.schemaVersion,
+        dataFiles = cur.dataFiles ++ dataFiles,
+        deleteFiles = cur.deleteFiles ++ deleteFiles, specVersion = cur.specVersion))
+      catch {
+        case e: java.io.IOException if fs.exists(snapPath(seq)) =>
+          throw new java.util.ConcurrentModificationException(
+            s"${meta.name}: $op lost the race for snapshot $seq — another writer committed " +
+              "first. Delta commits embed their sequence in staged files and cannot be " +
+              "rebased; re-run the statement against the current snapshot. This attempt's " +
+              "staged files are unreferenced and will be removed by " +
+              "Maintenance.removeOrphans.", e)
+      }
+    }
+
   /** Optimistic-concurrency retry for APPEND commits (the Iceberg rebase
     * shape): on losing the snapshot race, re-read the new current snapshot
     * and re-commit the already-staged files on top of it. Appends are
@@ -771,7 +848,7 @@ final class LakeTable private (
       val cur = currentSnapshot
       val seq = cur.seq + 1
       val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq, cur.specVersion)).getOrElse(Nil)
-      val delFiles = writeDeleteFiles(deleteKeys, seq)
+      val delFiles = writeDeleteFiles(deleteKeys, seq, cur.specVersion)
       try commitSnapshot(Snapshot(
         seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
@@ -912,33 +989,56 @@ final class LakeTable private (
   }
 
   /** Stage + publish a commit's delete-key files. Typical CDC batches are
-    * small, so the default is ONE file (smallest read-side plan). A bulk
-    * delete (GDPR purge, retention sweep) can set
+    * small, so the default is ONE file per partition tuple (smallest
+    * read-side plan). A bulk delete (GDPR purge, retention sweep) can set
     * `spark.graft.lake.deleteSplits` = N to fan the write out across N
     * tasks hashed on the primary key — a 10⁸-key batch should not funnel
     * through a single writer. Readers take the union of all delete files,
-    * so the split count is invisible to the merge. */
-  private def writeDeleteFiles(keys: DataFrame, seq: Long): Seq[DeleteFile] = {
+    * so the split count is invisible to the merge.
+    *
+    * PARTITION SCOPING (Iceberg's partition-scoped delete files): when
+    * every partition source of the commit's spec is a primary-key column,
+    * the partition of every row a key could tombstone is computable FROM
+    * THE KEY (old row and new row alike — the pk determines the value), so
+    * the keys are written partitioned and each delete file records its
+    * tuple. A partition-pruned scan then loads only the matching delete
+    * files instead of the table's whole tombstone set. Specs with
+    * non-key sources (e.g. time-partitioned tables with a surrogate pk)
+    * keep writing one global file — the old row's partition is unknowable
+    * without reading the table. */
+  private def writeDeleteFiles(keys: DataFrame, seq: Long, specVersion: Int): Seq[DeleteFile] = {
     val staging = new Path(root, s"_staging/${UUID.randomUUID()}")
     val splits = spark.conf.getOption("spark.graft.lake.deleteSplits")
       .map(_.toInt).getOrElse(1).max(1)
+    val spec = partitionSpec(specVersion)
+    val scoped = spec.nonEmpty && spec.forall(pf => meta.primaryKey.contains(pf.source))
     val deduped = keys.distinct().withColumn(DseqCol, lit(seq))
+    val derived =
+      if (scoped) spec.foldLeft(deduped)((d, pf) => d.withColumn(pf.name, pf.transform(col(pf.source))))
+      else deduped
     val arranged =
-      if (splits == 1) deduped.coalesce(1)
-      else deduped.repartition(splits, meta.primaryKey.map(col): _*)
-    arranged.write.mode("overwrite").parquet(staging.toString)
+      if (splits == 1) derived.coalesce(1)
+      else derived.repartition(splits, meta.primaryKey.map(col): _*)
+    val writer = arranged.write.mode("overwrite")
+    (if (scoped) writer.partitionBy(spec.map(_.name): _*) else writer).parquet(staging.toString)
     val out = ArrayBuffer.empty[DeleteFile]
     val it = fs.listFiles(staging, true)
     var i = 0
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0) {
+        val partition: Map[String, String] =
+          if (!scoped) Map.empty
+          else relativize(staging, st.getPath).split('/').dropRight(1).map { d =>
+            val Array(k, v) = d.split("=", 2)
+            k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+          }.toMap
         val destRel = s"deletes/d-$seq-$i-${st.getPath.getName}"
         val dest = new Path(root, destRel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
           throw new IllegalStateException("commit failed moving delete file")
-        out += DeleteFile(destRel, seq, fs.getFileStatus(dest).getLen)
+        out += DeleteFile(destRel, seq, fs.getFileStatus(dest).getLen, partition)
         i += 1
       }
     }
@@ -1019,10 +1119,20 @@ final class LakeTable private (
     * immutable and may be referenced by committed snapshots forever — a
     * concurrent ALTER that allocated the same probed version number must
     * fail HERE, before its snapshot commit could reference a file the
-    * winner wrote with different content. The loser retries and probes a
-    * fresh number. */
+    * winner wrote with different content. The loser FAILS LOUDLY and the
+    * caller re-runs the ALTER (which re-probes a fresh number and re-runs
+    * every history guard against the winner's file — an automatic retry
+    * here could not, the guards were computed before the race). */
   private def writeVersionFile(p: Path, s: String): Unit =
-    createExclusive(p, s.getBytes(StandardCharsets.UTF_8))
+    try createExclusive(p, s.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.name}: lost a metadata-version race for ${p.getName} — a concurrent " +
+            "ALTER committed the same version number first. Re-run this ALTER: it will " +
+            "probe a fresh version and re-validate against the winner's schema/spec.", e)
+    }
 
   private[lake] def commitSnapshot(s: Snapshot): Snapshot = {
     // exclusive create: a racing writer loses here, loudly. Manifests

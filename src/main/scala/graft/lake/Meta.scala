@@ -36,8 +36,20 @@ final case class DataFile(
     rows: Long = -1L)
 
 /** A merge-on-read delete-key file: parquet of primary-key columns plus a
-  * constant `_dseq` column = the commit sequence of the delete. */
-final case class DeleteFile(path: String, seq: Long, bytes: Long)
+  * constant `_dseq` column = the commit sequence of the delete.
+  *
+  * `partition` scopes the file to one partition tuple (Iceberg scopes
+  * delete files to partitions for the same reason): the write path records
+  * it when every partition SOURCE column is part of the primary key — then
+  * the key values determine the partition of every row they could
+  * tombstone, old era or new. Empty = global (applies everywhere); readers
+  * treat an unknown tuple field conservatively, so scoping is a pure
+  * planning optimization — a partition-pruned scan loads only the delete
+  * files whose tuple can match its planned data files instead of the
+  * table's entire delete-key set. */
+final case class DeleteFile(
+    path: String, seq: Long, bytes: Long,
+    partition: Map[String, String] = Map.empty)
 
 /** One committed table version, with the FULL file listing inlined
   * in memory (read planning needs it). PERSISTENCE is manifest-based
@@ -204,9 +216,7 @@ object MetaJson {
         )
       },
       legacyData = arr(root, "dataFiles").map(readDataFile),
-      legacyDeletes = arr(root, "deleteFiles").map { f =>
-        DeleteFile(f.get("path").asText(), f.get("seq").asLong(), f.get("bytes").asLong())
-      },
+      legacyDeletes = arr(root, "deleteFiles").map(readDeleteFile),
       legacy = legacy,
       specVersion = Option(root.get("specVersion")).map(_.asInt()).getOrElse(0),
     )
@@ -260,6 +270,10 @@ object MetaJson {
       dels.foreach { d =>
         val f = ds.addObject()
         f.put("path", d.path); f.put("seq", d.seq); f.put("bytes", d.bytes)
+        if (d.partition.nonEmpty) {
+          val p = f.putObject("partition")
+          d.partition.foreach { case (k, v) => p.put(k, v) }
+        }
       }
     }
     root.toPrettyString
@@ -270,10 +284,15 @@ object MetaJson {
     val kind = root.get("kind").asText()
     (kind,
       arr(root, "dataFiles").map(readDataFile),
-      arr(root, "deleteFiles").map { f =>
-        DeleteFile(f.get("path").asText(), f.get("seq").asLong(), f.get("bytes").asLong())
-      })
+      arr(root, "deleteFiles").map(readDeleteFile))
   }
+
+  private def readDeleteFile(f: JsonNode): DeleteFile =
+    DeleteFile(
+      f.get("path").asText(), f.get("seq").asLong(), f.get("bytes").asLong(),
+      partition = Option(f.get("partition")).map { p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty))
 
   private def readDataFile(f: JsonNode): DataFile =
     DataFile(

@@ -96,6 +96,97 @@ object SqlCatalogOps {
     s.sql("SELECT * FROM graft.orders_sqldel")
   }
 
+  /** Orders replicated via SQL across TWO commits (≥2 data files), then
+    * restated with SQL `UPDATE` under the reference's declared
+    * `write.update.mode = merge-on-read` (destination.json:89-91): matched
+    * rows land as new data files + delete-key sidecars; NO pre-existing
+    * data file is rewritten — at 100 TB a sparse UPDATE costs O(changed
+    * rows), not O(files holding them). The builder asserts exactly that. */
+  def ordersSqlUpdatedMor(s: SparkSession, dir: String): LakeTable =
+    LakePipelines.cached(s, dir, "orders_sqlupd") { cat =>
+      registerCatalog(s, dir)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_raw")
+      s.sql(
+        """CREATE TABLE graft.orders_sqlupd (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          |TBLPROPERTIES ('primary_key'='o_orderkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.orders_sqlupd
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft_orders_raw
+          |WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.orders_sqlupd
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft_orders_raw
+          |WHERE o_orderkey % 2 = 1""".stripMargin)
+      val before = cat.table("orders_sqlupd").currentSnapshot.dataFiles
+      s.sql(
+        """UPDATE graft.orders_sqlupd
+          |SET o_totalprice = o_totalprice + 100.0, o_orderstatus = 'U'
+          |WHERE o_orderkey % 7 = 0""".stripMargin)
+      val t = cat.table("orders_sqlupd")
+      val snap = t.currentSnapshot
+      require(snap.operation == "update-mor",
+        s"SQL UPDATE was not merge-on-read: ${snap.operation}")
+      require(snap.deleteFiles.nonEmpty, "MoR UPDATE committed no delete sidecar")
+      val carried = snap.dataFiles.filter(f => before.contains(f))
+      require(carried.size == before.size,
+        s"MoR UPDATE rewrote pre-existing data files: ${before.size - carried.size}")
+      t
+    }
+
+  // q80 — SQL UPDATE under merge-on-read: end state hash-matches the
+  // restated fixture; the builder proves no data file was rewritten
+  val sqlUpdateMorServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    ordersSqlUpdatedMor(s, dir)
+    registerCatalog(s, dir)
+    s.sql("SELECT * FROM graft.orders_sqlupd")
+  }
+
+  /** MERGE INTO under merge-on-read: matched rows delete+re-insert as
+    * deltas, unmatched source rows append — one snapshot, no rewrite. */
+  def ordersSqlMergedMor(s: SparkSession, dir: String): LakeTable =
+    LakePipelines.cached(s, dir, "orders_sqlmrg") { cat =>
+      registerCatalog(s, dir)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_raw")
+      s.sql(
+        """CREATE TABLE graft.orders_sqlmrg (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          |TBLPROPERTIES ('primary_key'='o_orderkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.orders_sqlmrg
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft_orders_raw""".stripMargin)
+      val before = cat.table("orders_sqlmrg").currentSnapshot.dataFiles
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW orders_sqlmrg_src AS
+          |SELECT o_orderkey, 'M' AS s, o_totalprice * 2 AS p
+          |FROM graft_orders_raw WHERE o_orderkey % 5 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 30000000, 'N', CAST(1.0 AS DOUBLE)
+          |FROM graft_orders_raw WHERE o_orderkey % 11 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.orders_sqlmrg t USING orders_sqlmrg_src c
+          |ON t.o_orderkey = c.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET t.o_orderstatus = c.s, t.o_totalprice = c.p
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (c.o_orderkey, c.s, c.p)""".stripMargin)
+      val t = cat.table("orders_sqlmrg")
+      val snap = t.currentSnapshot
+      require(snap.operation == "merge-mor",
+        s"SQL MERGE was not merge-on-read: ${snap.operation}")
+      require(snap.deleteFiles.nonEmpty, "MoR MERGE committed no delete sidecar")
+      require(snap.dataFiles.filter(f => before.contains(f)).size == before.size,
+        "MoR MERGE rewrote pre-existing data files")
+      t
+    }
+
+  // q81 — MERGE INTO under merge-on-read: matched rows restated, unmatched
+  // inserted; hash-matches the equivalent relational restatement
+  val sqlMergeMorServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    ordersSqlMergedMor(s, dir)
+    registerCatalog(s, dir)
+    s.sql("SELECT * FROM graft.orders_sqlmrg")
+  }
+
   // q60 — silver tier CREATEd, LOADed and SELECTed through SQL alone;
   // hash-matches q30's oracle (the Scala-API-built silver table)
   val sqlSilverServe: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -174,6 +265,22 @@ object SqlCatalogOps {
     NamedQuery("q67_sql_delete", sqlDeleteServe, oracle = Some(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q80_sql_update_mor", sqlUpdateMorServe, bench = true, oracle = Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END
+        |    AS o_totalprice
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q81_sql_merge_mor", sqlMergeMorServe, oracle = Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 'N', CAST(1.0 AS DOUBLE) FROM orders
+        |WHERE o_orderkey % 11 = 0
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q63_sql_describe", sqlDescribe, oracle = Some(
       """SELECT * FROM (VALUES

@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.plans.LeftAnti
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Plans the merge-on-read anti-join DISTRIBUTED when a lake table's live
@@ -50,6 +49,7 @@ class LakeMorRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // loud tombstone gate (compact first / explicit driver opt-in).
     case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => plan
     case _: org.apache.spark.sql.catalyst.plans.logical.ReplaceData => plan
+    case _: org.apache.spark.sql.catalyst.plans.logical.WriteDelta => plan
     case _ => plan.transform {
       case rel: DataSourceV2Relation
           if rel.table.isInstanceOf[GraftLakeV2Table] &&
@@ -69,11 +69,9 @@ class LakeMorRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val rawOut = raw.output.map(a => a.name -> a).toMap
 
     val pk = t.meta.primaryKey
-    val userSchema = tbl.userSchema
-    val pkSchema = StructType(
-      pk.map(k => userSchema(k)) :+ StructField(LakeTable.DseqCol, LongType, nullable = false))
-    val dels = t.spark.read.schema(pkSchema)
-      .parquet(tbl.snap.deleteFiles.map(d => t.abs(d.path)): _*)
+    // era-aware read (a pk promotion in history leaves old delete files
+    // physically narrow; each era reads with its own types, cast wide)
+    val dels = t.readDeleteKeys(tbl.snap.deleteFiles, tbl.snap.schemaVersion)
       .queryExecution.analyzed
     val delOut = dels.output.map(a => a.name -> a).toMap
 

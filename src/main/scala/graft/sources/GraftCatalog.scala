@@ -110,6 +110,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       properties: util.Map[String, String]): Table = {
     val cat = lakeCatalog
     val n = tableName(ident)
+    // '$' is reserved for metadata-table routing (`t$snapshots` etc., the
+    // Iceberg convention loadTable assumes) — a real table named that way
+    // would be unreachable or shadow another table's metadata view
+    require(!n.contains("$"),
+      s"invalid table name $n: '$$' is reserved for metadata tables (t$$snapshots, " +
+        "t$files, t$partitions)")
     if (cat.tableExists(n)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
     def listProp(key: String): Seq[String] =

@@ -51,10 +51,15 @@ import scala.jdk.CollectionConverters._
   *    a row is dropped iff its commit seq precedes a delete of its key.
   *  - time travel: `asOf` pins the snapshot like `scan(asOf = …)`.
   *
-  * One InputPartition per data file (file splitting would come next at
-  * production scale); readers decode parquet row groups through the
-  * public parquet-column Group API — flat scalar schemas only, which is
-  * exactly what lake tables hold (SURVEY §1.3: no nesting anywhere).
+  * One InputPartition per parquet ROW GROUP: split byte ranges come from
+  * the snapshot metadata (recorded at commit — Iceberg's `split_offsets`),
+  * so a 512 MB file fans out across tasks without the driver reopening
+  * footers; files from pre-splits snapshots fall back to a parallelized
+  * footer read. Tombstone-free scans decode through Spark's VECTORIZED
+  * parquet reader into ColumnarBatches; merge-on-read scans with live
+  * tombstones use the row-at-a-time Group API — flat scalar schemas only,
+  * which is exactly what lake tables hold (SURVEY §1.3: no nesting
+  * anywhere).
   */
 class GraftLakeSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -273,9 +278,21 @@ private[graft] class GraftLakeV2Table(
   private[graft] def userSchema: StructType = t.schema(snap.schemaVersion)
 
   override def name(): String = if (raw) s"${t.meta.name} (raw)" else t.meta.name
-  override def schema(): StructType =
-    if (raw) StructType(userSchema.fields :+ StructField(LakeTable.SeqCol, LongType, nullable = false))
-    else userSchema
+  override def schema(): StructType = {
+    val base =
+      if (raw) StructType(userSchema.fields :+ StructField(LakeTable.SeqCol, LongType, nullable = false))
+      else userSchema
+    // primary-key columns are NON-NULLABLE by contract: they are the
+    // merge-on-read row identity (a null key could never be upserted or
+    // tombstoned), Spark's delta-based row-level rewrites refuse nullable
+    // row IDs outright, and the default ANSI store-assignment policy
+    // guards INSERTs with a runtime AssertNotNull instead of an analysis
+    // error — a genuinely null key fails loudly at the write, which is
+    // exactly the primary-key semantic.
+    if (t.meta.primaryKey.isEmpty) base
+    else StructType(base.fields.map(f =>
+      if (t.meta.primaryKey.contains(f.name)) f.copy(nullable = false) else f))
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -351,7 +368,19 @@ private[graft] class GraftLakeV2Table(
     new GraftLakeWriteBuilder(t, Option(info.schema()))
   }
 
-  // ------------------------------------------- SQL UPDATE / MERGE INTO (COW)
+  // --------------------------------------- SQL UPDATE / MERGE INTO (MoR/COW)
+
+  /** Row-level write mode, the reference's `write.update/merge/delete.mode`
+    * (destination.json:89-91): `merge-on-read` (default — delta files via
+    * [[GraftLakeDeltaOperation]], no data-file rewrite) or `copy-on-write`
+    * (group-based file restatement below). MoR needs a primary key for
+    * equality deletes; keyless tables always restate. */
+  private def rowLevelMode: String = {
+    val m = t.spark.conf.getOption("spark.graft.lake.rowLevelMode").getOrElse("merge-on-read")
+    require(m == "merge-on-read" || m == "copy-on-write",
+      s"spark.graft.lake.rowLevelMode must be merge-on-read | copy-on-write, got $m")
+    m
+  }
 
   /** SQL `UPDATE` and `MERGE INTO` via Spark's GROUP-BASED row-level
     * framework with RUNTIME GROUP FILTERING: the operation's scan reads
@@ -373,6 +402,8 @@ private[graft] class GraftLakeV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty && !raw, "cannot mutate a time-travel or raw snapshot")
+    if (rowLevelMode == "merge-on-read" && t.meta.primaryKey.nonEmpty)
+      return () => new GraftLakeDeltaOperation(t, snap, info, tombstoneGateBytes)
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       // shared between the operation's scan and write: the write's commit
       // replaces exactly the files the (runtime-filtered) scan planned
@@ -747,6 +778,15 @@ private[sources] class GraftLakeScan(
     if (parsers.exists(_.isEmpty)) return None
     val planned = t.planFiles(t.snapshotPruned(seq, filters), filters)._1
     if (!planned.forall(f => spec.forall(pf => f.partition.contains(pf.name)))) return None
+    // null and "" both render as the Hive default-partition sentinel in
+    // directory names, so for STRING sources the recorded tuple cannot
+    // distinguish them — refuse key grouping for scans whose planned files
+    // carry the sentinel on a string key rather than conflate the two
+    // (numeric sources are unambiguous: "" is not a value they can take)
+    val stringKeys = spec.filter(pf =>
+      tableSchema.fields.find(_.name == pf.source).exists(_.dataType == StringType))
+    if (stringKeys.nonEmpty && planned.exists(f => stringKeys.exists(pf =>
+      f.partition(pf.name) == graft.lake.PartitionValues.NullSentinel))) return None
     val keyOf: graft.lake.DataFile => Array[Any] = f =>
       spec.zip(parsers).map { case (pf, p) =>
         f.partition(pf.name) match {
@@ -863,6 +903,13 @@ private[sources] class GraftLakeScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val snap = t.snapshot(seq)
+    // partition-scoped tombstones: only delete files whose recorded tuple
+    // can reach a PLANNED data file matter to this scan — a pruned read of
+    // one partition loads that partition's sidecars, not the table's whole
+    // delete-key set (Iceberg's partition-scoped delete files)
+    val scopedDels =
+      if (skipDeletes || snap.deleteFiles.isEmpty) Nil
+      else t.deleteFilesFor(snap, t.planFiles(t.snapshotPruned(seq, allFilters), allFilters)._1)
     // tombstones: key (rendered pk values) -> latest delete seq. Collected
     // to the driver ONLY while small (delete files are keys-only and fold
     // away at compaction); above the gate, LakeMorRewrite plans the MoR
@@ -871,10 +918,11 @@ private[sources] class GraftLakeScan(
     // the _graft_file projection forces the in-reader merge): collecting
     // 10^8+ keys would OOM the driver silently, so fail actionably unless
     // explicitly allowed.
-    if (!skipDeletes && snap.deleteFiles.nonEmpty) {
-      // same gate value the TABLE captured at planning (so this check and
-      // LakeMorRewrite's morJoinNeeded can never disagree mid-query)
-      val bytes = snap.deleteFiles.map(_.bytes).sum
+    if (!skipDeletes && scopedDels.nonEmpty) {
+      // the gate LakeMorRewrite's morJoinNeeded checks is the table-level
+      // byte sum; the scoped sum here is <= that, so this check can only
+      // be more permissive than planning, never stricter mid-query
+      val bytes = scopedDels.map(_.bytes).sum
       val allow = t.spark.conf.getOption("spark.graft.lake.allowDriverTombstones")
         .exists(_.toBoolean)
       require(bytes <= gateBytes || allow,
@@ -884,14 +932,10 @@ private[sources] class GraftLakeScan(
           "spark.graft.lake.allowDriverTombstones=true to accept the driver cost.")
     }
     val tombstones: Map[Seq[String], Long] =
-      if (skipDeletes || snap.deleteFiles.isEmpty) Map.empty
+      if (scopedDels.isEmpty) Map.empty
       else {
         val pk = t.meta.primaryKey
-        val userSchema = t.schema(snap.schemaVersion)
-        val pkSchema = StructType(
-          pk.map(k => userSchema(k)) :+ StructField(LakeTable.DseqCol, LongType, nullable = false))
-        val rows = t.spark.read.schema(pkSchema)
-          .parquet(snap.deleteFiles.map(d => t.abs(d.path)): _*).collect()
+        val rows = t.readDeleteKeys(scopedDels, snap.schemaVersion).collect()
         rows.groupBy(r =>
             pk.indices.map(i => GraftLakeSource.canonicalKey(r.get(i))).toList: Seq[String])
           .map { case (k, rs) => k -> rs.map(_.getLong(pk.size)).max }

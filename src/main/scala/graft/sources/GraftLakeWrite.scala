@@ -305,9 +305,9 @@ private[sources] object GraftLakeWrite {
     * what Spark's own parquet writer produces for these flat types, so the
     * imperative `spark.read.schema(storage)` scan reads DSv2-written files
     * interchangeably. */
-  def toParquetSchema(schema: StructType): MessageType = {
+  def toParquetSchema(schema: StructType, seqCol: String = LakeTable.SeqCol): MessageType = {
     val b = Types.buildMessage()
-    (schema.fields :+ StructField(LakeTable.SeqCol, LongType, nullable = false)).foreach { field =>
+    (schema.fields :+ StructField(seqCol, LongType, nullable = false)).foreach { field =>
       val t: PrimitiveType = field.dataType match {
         case LongType => Types.optional(PrimitiveTypeName.INT64).named(field.name)
         case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(field.name)
@@ -333,7 +333,7 @@ private[sources] object GraftLakeWrite {
   }
 
   def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow, seq: Long,
-      offset: Int = 0): Group = {
+      offset: Int = 0, seqCol: String = LakeTable.SeqCol): Group = {
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (field, idx) =>
       val i = idx + offset
@@ -349,7 +349,7 @@ private[sources] object GraftLakeWrite {
         case other => throw new UnsupportedOperationException(s"$other")
       }
     }
-    g.add(LakeTable.SeqCol, seq)
+    g.add(seqCol, seq)
     g
   }
 

@@ -734,6 +734,56 @@ class LakeSpec extends SparkSpec {
       t.evolvePartitionSpec(Seq(PartitionField("b", Transform.Identity, "_graft_x"))))
   }
 
+  test("partition-scoped delete files: a pruned MoR scan loads only its partition's sidecars") {
+    val dir = Files.createTempDirectory("graft-scopeddel-spec").toString
+    import spark.implicits._
+    // partition source (k) IS the primary key: every delete's partition is
+    // computable from the key, so sidecars are scoped (Iceberg's
+    // partition-scoped delete files)
+    val df = Seq((1L, "a"), (2L, "b"), (101L, "c"), (102L, "d")).toDF("k", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("k", Transform.Identity, "p_k")),
+      primaryKey = Seq("k"))
+    t.append(df)
+    // two upserts, each touching a DIFFERENT set of key-partitions
+    t.upsert(Seq((1L, "A")).toDF("k", "s"))
+    t.upsert(Seq((101L, "C"), (102L, "D")).toDF("k", "s"))
+    val snap = t.currentSnapshot
+    assert(snap.deleteFiles.nonEmpty)
+    assert(snap.deleteFiles.forall(_.partition.contains("p_k")),
+      s"delete files not scoped: ${snap.deleteFiles}")
+    // a scan pruned to k=1 must need ONLY the p_k=1 sidecar
+    val pruned = t.planFiles(snap, Seq(PruneFilter.Eq("k", 1L)))._1
+    val needed = t.deleteFilesFor(snap, pruned)
+    assert(needed.nonEmpty && needed.forall(_.partition("p_k") == "1"),
+      s"pruned scan loads foreign sidecars: $needed of ${snap.deleteFiles.size}")
+    assert(needed.size < snap.deleteFiles.size,
+      "scoping did not reduce the delete-file set")
+    // correctness: pruned + full scans serve the merged content
+    assert(t.scan(filters = Seq(PruneFilter.Eq("k", 1L)))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "A")))
+    assert(t.scan().as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "b"), (101L, "C"), (102L, "D")))
+
+    // a spec whose source is NOT part of the pk writes GLOBAL sidecars —
+    // the old row's partition is unknowable from the key alone
+    val df2 = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "cat", "v")
+    val t2 = LakeTable.create(spark, s"$dir/t2", "t2", df2.schema,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity, "p_cat")),
+      primaryKey = Seq("id"))
+    t2.append(df2)
+    // the upsert MOVES id=1 from cat=x to cat=z: only a global sidecar is sound
+    t2.upsert(Seq((1L, "z", 11.0)).toDF("id", "cat", "v"))
+    val snap2 = t2.currentSnapshot
+    assert(snap2.deleteFiles.forall(_.partition.isEmpty),
+      s"non-key-derivable partitions must write global sidecars: ${snap2.deleteFiles}")
+    // and the cross-partition upsert reads correctly everywhere
+    assert(t2.scan().as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "z", 11.0), (2L, "y", 20.0)))
+    assert(t2.scan(filters = Seq(PruneFilter.Eq("cat", "x"))).count() == 0,
+      "the old-partition row must be tombstoned even under pruning")
+  }
+
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
     val dir = Files.createTempDirectory("graft-splits-spec").toString
     import spark.implicits._

@@ -10,6 +10,12 @@ class SqlCatalogSpec extends SparkSpec {
     spark.conf.set("spark.graft.catalog.warehouse", warehouse)
   }
 
+  /** Pin the row-level write mode (default merge-on-read) for one test. */
+  private def withRowLevelMode[T](mode: String)(body: => T): T = {
+    spark.conf.set("spark.graft.lake.rowLevelMode", mode)
+    try body finally spark.conf.unset("spark.graft.lake.rowLevelMode")
+  }
+
   test("SQL lifecycle: CREATE, INSERT, SELECT, pruning, time travel, ALTER, DESCRIBE, DROP") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
     register(wh)
@@ -93,6 +99,7 @@ class SqlCatalogSpec extends SparkSpec {
   }
 
   test("SQL UPDATE and MERGE INTO: copy-on-write restatements") {
+    withRowLevelMode("copy-on-write") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlupd").toString
     register(wh)
     spark.sql(
@@ -114,9 +121,11 @@ class SqlCatalogSpec extends SparkSpec {
       s"MERGE result wrong: $got")
     // history preserved: the pre-UPDATE state is still time-travelable
     assert(spark.sql("SELECT SUM(v) FROM graft.tm VERSION AS OF 1").head().getDouble(0) == 6.0)
+    }
   }
 
   test("DELETE with an unpushable predicate falls back to copy-on-write") {
+    withRowLevelMode("copy-on-write") {
     val wh = java.nio.file.Files.createTempDirectory("graft-cowdel").toString
     register(wh)
     spark.sql(
@@ -130,9 +139,11 @@ class SqlCatalogSpec extends SparkSpec {
     val t = graft.lake.LakeTable.load(spark, s"$wh/tcw")
     assert(t.currentSnapshot.operation == "rewrite-dsv2",
       s"expected group-replace COW fallback, got ${t.currentSnapshot.operation}")
+    }
   }
 
   test("row-level UPDATE rewrites ONLY the files holding matching rows (runtime group filter)") {
+    withRowLevelMode("copy-on-write") {
     val wh = java.nio.file.Files.createTempDirectory("graft-groupfilter").toString
     register(wh)
     spark.sql(
@@ -173,6 +184,80 @@ class SqlCatalogSpec extends SparkSpec {
     assert(postMerge.dataFiles.map(_.path).toSet.intersect(preMerge).size == preMerge.size - 1,
       "MERGE must carry every unmatched file over")
     assert(spark.sql("SELECT v FROM graft.tgf WHERE id = 3").as[Double].head() == 99.0)
+    }
+  }
+
+  test("SQL UPDATE / MERGE / unpushable DELETE under merge-on-read: deltas, no file rewrite") {
+    // default mode — the reference declares write.update/merge.mode =
+    // merge-on-read (destination.json:89-91); no conf pin needed
+    val wh = java.nio.file.Files.createTempDirectory("graft-morupd").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tmor (id BIGINT, s STRING, v DOUBLE)
+        |TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tmor VALUES (1,'a',1.0), (2,'b',2.0)")
+    spark.sql("INSERT INTO graft.tmor VALUES (3,'c',3.0), (4,'d',4.0)")
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tmor")
+    val before = t.currentSnapshot.dataFiles
+    assert(before.size >= 2)
+
+    // UPDATE: delete+re-insert deltas, every pre-existing file carried verbatim
+    spark.sql("UPDATE graft.tmor SET v = v * 10 WHERE id >= 3")
+    val afterUpd = t.currentSnapshot
+    assert(afterUpd.operation == "update-mor", s"got ${afterUpd.operation}")
+    assert(afterUpd.deleteFiles.nonEmpty, "MoR UPDATE wrote no delete sidecar")
+    assert(before.forall(f => afterUpd.dataFiles.contains(f)),
+      "MoR UPDATE must not rewrite any pre-existing data file")
+    assert(spark.sql("SELECT id, v FROM graft.tmor ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 30.0), (4L, 40.0)))
+    // history: pre-update state still time-travelable
+    assert(spark.sql(s"SELECT SUM(v) FROM graft.tmor VERSION AS OF ${afterUpd.seq - 1}")
+      .head().getDouble(0) == 10.0)
+
+    // MERGE: matched restated, unmatched inserted — still no rewrite
+    val preMerge = t.currentSnapshot.dataFiles
+    Seq((2L, "B", 200.0), (9L, "i", 9.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("tmor_changes")
+    spark.sql(
+      """MERGE INTO graft.tmor t USING tmor_changes c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET t.s = c.s, t.v = c.v
+        |WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (c.id, c.s, c.v)""".stripMargin)
+    val afterMrg = t.currentSnapshot
+    assert(afterMrg.operation == "merge-mor", s"got ${afterMrg.operation}")
+    assert(preMerge.forall(f => afterMrg.dataFiles.contains(f)),
+      "MoR MERGE must not rewrite any pre-existing data file")
+    assert(spark.sql("SELECT id, s, v FROM graft.tmor").as[(Long, String, Double)]
+      .collect().toSet ==
+      Set((1L, "a", 1.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 40.0), (9L, "i", 9.0)))
+
+    // unpushable DELETE: delta delete keys, no COW fallback
+    val preDel = t.currentSnapshot.dataFiles
+    spark.sql("DELETE FROM graft.tmor WHERE id % 2 = 0")
+    val afterDel = t.currentSnapshot
+    assert(afterDel.operation == "delete-mor", s"got ${afterDel.operation}")
+    assert(preDel.forall(f => afterDel.dataFiles.contains(f)),
+      "MoR DELETE must not rewrite any pre-existing data file")
+    assert(spark.sql("SELECT id FROM graft.tmor").as[Long].collect().toSet ==
+      Set(1L, 3L, 9L))
+
+    // compaction folds the whole MoR lifecycle away; content unchanged
+    t.compactDirty()
+    assert(spark.sql("SELECT id, v FROM graft.tmor").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (3L, 30.0), (9L, 9.0)))
+  }
+
+  test("MoR UPDATE that rewrites the primary key itself stays correct (delete + re-insert)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-morpk").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tpkm (id BIGINT, s STRING)
+        |TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tpkm VALUES (1,'a'), (2,'b')")
+    spark.sql("UPDATE graft.tpkm SET id = id + 100 WHERE id = 2")
+    assert(spark.sql("SELECT id, s FROM graft.tpkm").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (102L, "b")),
+      "pk-rewriting UPDATE must tombstone the old identity and insert the new one")
   }
 
   test("USE graft: unqualified names resolve through the catalog") {
