@@ -2,10 +2,11 @@ package graft.sources
 
 import graft.lake.{LakeCatalog, PartitionField, Transform => LTransform}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{FieldReference, Literal => VLiteral, Transform => VTransform}
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
@@ -43,7 +44,8 @@ import scala.jdk.CollectionConverters._
   * Hadoop catalog); `graft.t` and `graft.default.t` both resolve to
   * `<warehouse>/t`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var initWarehouse: Option[String] = None
@@ -206,6 +208,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
+  // ------------------------------------------------------------- functions
+
+  /** [[FunctionCatalog]] serving the `bucket` partition-transform function —
+    * what lets Catalyst RESOLVE a scan-reported `bucket(n, col)` key for
+    * storage-partitioned joins (`V2ExpressionUtils.toCatalystTransformOpt`
+    * loads the transform's function from the relation's catalog; without
+    * it the reported KeyGroupedPartitioning silently degrades to unknown
+    * and the join shuffles). Both sides of a join resolve through the same
+    * catalog class, so the bound functions' `canonicalName`s agree and
+    * `KeyGroupedShuffleSpec` deems the partitionings compatible. */
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftCatalog.BucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (isRoot(namespace)) Array(Identifier.of(namespace, "bucket")) else Array.empty
+
   // ------------------------------------------------------------ namespaces
 
   private def isRoot(ns: Array[String]): Boolean =
@@ -227,4 +246,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     throw new UnsupportedOperationException("graft catalog namespace is fixed")
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("graft catalog namespace is fixed")
+}
+
+object GraftCatalog {
+
+  /** `bucket(n, col)` — the SAME hash the write path derives partitions
+    * with ([[graft.lake.Transform.Bucket]]: `pmod(hash(col), n)`, Spark's
+    * Murmur3 with seed 42, where a NULL input leaves the hash at the seed).
+    * Spark only needs the BINDING for storage-partitioned-join planning
+    * (canonical-name compatibility); `produceResult` matters if one side
+    * is re-shuffled onto the bucket function
+    * (`spark.sql.sources.v2.bucketing.shuffle.enabled`), so it must agree
+    * with the write-side derivation bit for bit. */
+  private[sources] object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): pmod(murmur3(col, seed=42), n) — the graft lake write transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket takes (numBuckets INT, col), got ${inputType.simpleString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket numBuckets must be INT, got ${inputType.fields(0).dataType.sql}")
+      BoundBucket(inputType.fields(1).dataType)
+    }
+  }
+
+  private[sources] final case class BoundBucket(sourceType: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, sourceType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${sourceType.simpleString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+      val n = input.getInt(0)
+      // Spark's Murmur3Hash EXPRESSION skips null children, leaving the
+      // hash at its seed — mirror that so null rows land in the same
+      // bucket the writer put them in
+      val h: Long =
+        if (input.isNullAt(1)) 42L
+        else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(input.get(1, sourceType), sourceType, 42L)
+      val i = h.toInt
+      ((i % n) + n) % n
+    }
+  }
 }

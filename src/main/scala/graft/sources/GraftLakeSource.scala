@@ -506,7 +506,7 @@ private[sources] class GraftLakeScanBuilder(
   private var pruneFilters: Seq[PruneFilter] = Nil
   private var reported: Array[Filter] = Array.empty
   private var dataFilters: Seq[Filter] = Nil
-  private var aggAnswer: Option[(StructType, Array[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Array[Any]])] = None
   private var limit: Option[Int] = None
 
   // ------------------------------------------------- metadata-only serving
@@ -524,12 +524,20 @@ private[sources] class GraftLakeScanBuilder(
   }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Ungrouped COUNT(*)/MIN/MAX answered from SNAPSHOT METADATA alone —
-    * recorded row counts and per-file column bounds — when no filter
-    * survives pushdown and no merge-on-read tombstone is live. The
-    * reference's row-count reconciliation (`COUNT(*)` after every pipeline
-    * stage, scripts/iceberg-setup.sql:13,23,33,43,77,103) becomes a
-    * zero-I/O lookup, like Iceberg's metadata-count optimization.
+  /** COUNT(*)/MIN/MAX answered from SNAPSHOT METADATA alone — recorded row
+    * counts and per-file column bounds — when no filter survives pushdown
+    * and no merge-on-read tombstone is live. The reference's row-count
+    * reconciliation (`COUNT(*)` after every pipeline stage,
+    * scripts/iceberg-setup.sql:13,23,33,43,77,103) becomes a zero-I/O
+    * lookup, like Iceberg's metadata-count optimization.
+    *
+    * GROUP BY an IDENTITY-partition source column is served the same way:
+    * every row of a file carries exactly the file's recorded partition
+    * value, so per-group COUNT(*) is a sum of per-file row counts and
+    * per-group MIN/MAX folds per-file bounds — a q2-shaped "count per
+    * partition" over a 10^5-file table runs as a LocalScan with zero
+    * tasks. Grouping by anything that is not an identity source (or by a
+    * field some planned file predates) declines — Spark scans normally.
     *
     * MIN/MAX only for types whose recorded bounds are EXACT: int/long/
     * date/timestamp (≤19 digits, below the 30-significant-digit rounding)
@@ -547,26 +555,94 @@ private[sources] class GraftLakeScanBuilder(
     ans.isDefined
   }
 
-  private def answerFromMetadata(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (!acceptFilters || dataFilters.nonEmpty || pruneFilters.nonEmpty ||
-      agg.groupByExpressions().nonEmpty) return None
+  private def answerFromMetadata(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+    if (!acceptFilters || dataFilters.nonEmpty || pruneFilters.nonEmpty) return None
     val snap = t.snapshot(seq)
     if (!skipDeletes && snap.deleteFiles.nonEmpty) return None
     val files = snap.dataFiles
-    val answered = agg.aggregateExpressions().toSeq.map {
-      case _: aggregate.CountStar =>
-        if (files.forall(_.rows >= 0))
-          Some((StructField("count_star", LongType, nullable = false), files.map(_.rows).sum: Any))
-        else None
-      case mn: aggregate.Min => boundOf(mn.column(), files, isMin = true)
-      case mx: aggregate.Max => boundOf(mx.column(), files, isMin = false)
-      case _ => None
+    if (agg.groupByExpressions().isEmpty) {
+      val answered = agg.aggregateExpressions().toSeq.map {
+        case _: aggregate.CountStar =>
+          if (files.forall(_.rows >= 0))
+            Some((StructField("count_star", LongType, nullable = false), files.map(_.rows).sum: Any))
+          else None
+        case mn: aggregate.Min => boundOf(mn.column(), files, isMin = true)
+        case mx: aggregate.Max => boundOf(mx.column(), files, isMin = false)
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty)) None
+      else {
+        val fields = answered.flatten
+        Some((StructType(fields.map(_._1)), Seq(fields.map(_._2).toArray)))
+      }
+    } else answerGroupedFromMetadata(agg, snap, files)
+  }
+
+  /** GROUP BY identity-partition-source columns: group the FILE LISTING by
+    * the recorded partition values, fold row counts / bounds per group.
+    * Pushed-scan output schema is [grouping cols..., aggregate cols...] —
+    * the order Spark's pushdown rule projects by position. */
+  private def answerGroupedFromMetadata(
+      agg: Aggregation, snap: graft.lake.Snapshot,
+      files: Seq[graft.lake.DataFile]): Option[(StructType, Seq[Array[Any]])] = {
+    val spec = t.specFieldsThrough(snap.specVersion)
+    // each grouping expression must be a bare identity-partition source
+    // column with a parseable directory rendering
+    val groupFields: Seq[(StructField, String, String => Any)] =
+      agg.groupByExpressions().toSeq.map {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          val name = ref.fieldNames()(0)
+          val field = tableSchema.fields.find(_.name.equalsIgnoreCase(name))
+            .getOrElse(return None)
+          val pf = spec.find(p =>
+            p.source.equalsIgnoreCase(name) && p.transform == graft.lake.Transform.Identity)
+            .getOrElse(return None)
+          val parse = GraftLakeScanBuilder.identityValueParser(field.dataType)
+            .getOrElse(return None)
+          (field, pf.name, parse)
+        case _ => return None
+      }
+    // every planned file must record every grouping field (a file from a
+    // pre-evolution spec cannot be grouped) and carry a row count
+    if (!files.forall(f => f.rows >= 0 && groupFields.forall(g => f.partition.contains(g._2))))
+      return None
+    val grouped: Seq[(Seq[String], Seq[graft.lake.DataFile])] =
+      files.groupBy(f => groupFields.map(g => f.partition(g._2))).toSeq
+    val aggExprs = agg.aggregateExpressions().toSeq
+    val rows = grouped.map { case (keyStrings, groupFiles) =>
+      val keyValues: Seq[Any] = groupFields.zip(keyStrings).map {
+        case (_, graft.lake.PartitionValues.NullSentinel) => null
+        case ((_, _, parse), s) => parse(s)
+      }
+      val aggValues: Seq[Any] = aggExprs.map {
+        case _: aggregate.CountStar => groupFiles.map(_.rows).sum: Any
+        case mn: aggregate.Min =>
+          boundOf(mn.column(), groupFiles, isMin = true) match {
+            case Some((_, v)) => v
+            case None => return None
+          }
+        case mx: aggregate.Max =>
+          boundOf(mx.column(), groupFiles, isMin = false) match {
+            case Some((_, v)) => v
+            case None => return None
+          }
+        case _ => return None
+      }
+      (keyValues ++ aggValues).toArray
     }
-    if (answered.exists(_.isEmpty)) None
-    else {
-      val fields = answered.flatten
-      Some((StructType(fields.map(_._1)), fields.map(_._2).toArray))
+    // aggregate column FIELDS: derive labels/types once (on the full set —
+    // per-group boundOf above already proved answerability)
+    val aggFields: Seq[StructField] = aggExprs.map {
+      case _: aggregate.CountStar => StructField("count_star", LongType, nullable = false)
+      case mn: aggregate.Min => boundOf(mn.column(), files, isMin = true) match {
+        case Some((f, _)) => f; case None => return None
+      }
+      case mx: aggregate.Max => boundOf(mx.column(), files, isMin = false) match {
+        case Some((f, _)) => f; case None => return None
+      }
+      case _ => return None
     }
+    Some((StructType(groupFields.map(_._1) ++ aggFields), rows))
   }
 
   /** Exact min/max of a column across `files` from recorded bounds, as the
@@ -658,6 +734,23 @@ private[sources] class GraftLakeScanBuilder(
 }
 
 private[sources] object GraftLakeScanBuilder {
+
+  /** Directory-rendered identity partition value → catalyst internal
+    * value of the source type; None = type not renderable round-trip
+    * (identity on temporals is never pruned or grouped for the same
+    * reason — the writer's rendering is not reproducible). */
+  def identityValueParser(dt: org.apache.spark.sql.types.DataType): Option[String => Any] =
+    dt match {
+      case StringType  => Some(s => UTF8String.fromString(s))
+      case LongType    => Some(_.toLong)
+      case IntegerType => Some(_.toInt)
+      case ShortType   => Some(_.toShort)
+      case ByteType    => Some(_.toByte)
+      case BooleanType => Some(_.toBoolean)
+      case DateType    => Some(s => java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case _ => None
+    }
+
   /** v1 Filter conjunct → file-pruning filter; None = shape not prunable.
     * Shared by planning-time pushdown and runtime (DPP) filtering. */
   def toPruneFilter(f: Filter): Option[PruneFilter] = f match {
@@ -671,14 +764,17 @@ private[sources] object GraftLakeScanBuilder {
   }
 }
 
-/** A metadata-answered aggregation: one local row, zero tasks, zero I/O. */
+/** A metadata-answered aggregation: local rows (one per group; one total
+  * for ungrouped), zero tasks, zero data I/O. */
 private[sources] class GraftLakeMetaScan(
-    table: String, seq: Long, schema: StructType, values: Array[Any])
+    table: String, seq: Long, schema: StructType, values: Seq[Array[Any]])
     extends LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(new GenericInternalRow(values))
+  override def rows(): Array[InternalRow] =
+    values.map(v => new GenericInternalRow(v): InternalRow).toArray
   override def description(): String =
-    s"GraftLakeMetaScan $table snapshot=$seq metadata-only ${schema.fieldNames.mkString(", ")}"
+    s"GraftLakeMetaScan $table snapshot=$seq metadata-only rows=${values.size} " +
+      schema.fieldNames.mkString(", ")
 }
 
 private[sources] class GraftLakeScan(
@@ -741,20 +837,25 @@ private[sources] class GraftLakeScan(
     * files carrying extra retired spec fields don't overcount groups).
     * Eligible when the user opted in (`spark.sql.sources.v2.bucketing
     * .enabled` — checked FIRST: the default path must not pay any
-    * metadata reads for this), the CURRENT spec is all-identity over
-    * string/integral sources the projection retains (Spark resolves the
-    * reported key expressions against the scan output — an absent source
-    * would throw, the round-4 DPP lesson), and every planned file records
-    * every key field (pre-evolution files cannot be grouped). Keys parse
-    * the directory-rendered partition value back into catalyst values of
-    * the source type. Two graft tables partitioned alike then join with
-    * ZERO shuffle — at 100 TB the difference between a co-partitioned
-    * merge and re-shuffling both fact tables. */
+    * metadata reads for this), every CURRENT-spec field is either
+    * identity over a string/integral source or `bucket(n, source)` (the
+    * standard 100 TB fact-fact layout — the key is the bucket id, the
+    * reported expression `bucket(n, col)` resolves through the catalog's
+    * [[GraftCatalog.BucketFunction]]), each source survives column pruning
+    * (Spark resolves the reported key expressions against the scan
+    * output — an absent source would throw, the round-4 DPP lesson), and
+    * every planned file records every key field (pre-evolution files
+    * cannot be grouped). Identity keys parse the directory-rendered
+    * partition value back into catalyst values of the source type; bucket
+    * keys parse the rendered bucket id. Two graft tables partitioned alike
+    * then join with ZERO shuffle — at 100 TB the difference between a
+    * co-partitioned merge and re-shuffling both fact tables. */
   private lazy val spjPlan: Option[(graft.lake.DataFile => Array[Any],
       Array[org.apache.spark.sql.connector.expressions.Expression], Int)] = computeSpjPlan()
 
   private def computeSpjPlan(): Option[(graft.lake.DataFile => Array[Any],
       Array[org.apache.spark.sql.connector.expressions.Expression], Int)] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions}
     import org.apache.spark.sql.types._
     val enabled = t.spark.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
@@ -770,12 +871,29 @@ private[sources] class GraftLakeScan(
       case ByteType    => Some(_.toByte)
       case _ => None
     }
-    val parsers = spec.map { pf =>
-      if (pf.transform != graft.lake.Transform.Identity) None
-      else if (!readable.contains(pf.source.toLowerCase(java.util.Locale.ROOT))) None
-      else tableSchema.fields.find(_.name == pf.source).flatMap(f => parser(f.dataType))
+    // single-part field references by construction — an unquoted dotted
+    // column name would PARSE as a nested path and fail catalyst
+    // resolution instead of falling back, so backtick-quote the name
+    def quoted(n: String) = "`" + n.replace("`", "``") + "`"
+    // per spec field: (rendered partition value -> catalyst key value,
+    // reported key expression); None = this spec cannot key-group
+    val fields: Seq[Option[(String => Any, VExpression)]] = spec.map { pf =>
+      if (!readable.contains(pf.source.toLowerCase(java.util.Locale.ROOT))) None
+      else pf.transform match {
+        case graft.lake.Transform.Identity =>
+          tableSchema.fields.find(_.name == pf.source)
+            .flatMap(f => parser(f.dataType))
+            .map(p => (p, Expressions.identity(quoted(pf.source)): VExpression))
+        case graft.lake.Transform.Bucket(n) =>
+          // the key VALUE is the bucket id the writer rendered (never the
+          // null sentinel: Spark's murmur3 hashes a null input to its
+          // seed, a real bucket)
+          Some(((s: String) => s.toInt: Any,
+            Expressions.bucket(n, quoted(pf.source)): VExpression))
+        case _ => None
+      }
     }
-    if (parsers.exists(_.isEmpty)) return None
+    if (fields.exists(_.isEmpty)) return None
     val planned = t.planFiles(t.snapshotPruned(seq, filters), filters)._1
     if (!planned.forall(f => spec.forall(pf => f.partition.contains(pf.name)))) return None
     // null and "" both render as the Hive default-partition sentinel in
@@ -784,23 +902,18 @@ private[sources] class GraftLakeScan(
     // carry the sentinel on a string key rather than conflate the two
     // (numeric sources are unambiguous: "" is not a value they can take)
     val stringKeys = spec.filter(pf =>
-      tableSchema.fields.find(_.name == pf.source).exists(_.dataType == StringType))
+      pf.transform == graft.lake.Transform.Identity &&
+        tableSchema.fields.find(_.name == pf.source).exists(_.dataType == StringType))
     if (stringKeys.nonEmpty && planned.exists(f => stringKeys.exists(pf =>
       f.partition(pf.name) == graft.lake.PartitionValues.NullSentinel))) return None
     val keyOf: graft.lake.DataFile => Array[Any] = f =>
-      spec.zip(parsers).map { case (pf, p) =>
+      spec.zip(fields).map { case (pf, field) =>
         f.partition(pf.name) match {
           case graft.lake.PartitionValues.NullSentinel => null
-          case v => p.get.apply(v)
+          case v => field.get._1.apply(v)
         }
       }.toArray[Any]
-    // single-part field references by construction — an unquoted dotted
-    // column name would PARSE as a nested path and fail catalyst
-    // resolution instead of falling back, so backtick-quote the name
-    def quoted(n: String) = "`" + n.replace("`", "``") + "`"
-    val keys = spec.map(pf =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(quoted(pf.source)):
-        org.apache.spark.sql.connector.expressions.Expression).toArray
+    val keys = fields.map(_.get._2).toArray
     val distinct = planned.map(f => keyOf(f).toSeq).distinct.size
     Some((keyOf, keys, math.max(distinct, 1)))
   }

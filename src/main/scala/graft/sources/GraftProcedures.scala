@@ -52,7 +52,7 @@ private[sources] object GraftProcedures {
 
   private def result(name: String, schema: StructType, values: Array[Any]): JIterator[Scan] =
     Collections.singletonList[Scan](
-      new GraftLakeMetaScan(name, -1L, schema, values)).iterator()
+      new GraftLakeMetaScan(name, -1L, schema, Seq(values))).iterator()
 
   /** One-row result helper: (names, types, values) with strings encoded. */
   private def row(cols: (String, DataType, Any)*): (StructType, Array[Any]) = {

@@ -305,6 +305,55 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join on bucket(n, key): zero Exchange, matches the shuffle plan") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spj-bucket").toString
+    // bucket partitioning writes through the DataFrame path (engine-side
+    // bucket rendering); the JOIN resolves bucket(n, col) through the SQL
+    // catalog's FunctionCatalog — the standard fact-fact layout
+    def build(name: String, col2: String, f: Long => Long): graft.lake.LakeTable = {
+      val df = (1L to 200L).map(i => (i, f(i))).toDF("id", col2)
+      val t = graft.lake.LakeTable.create(spark, s"$wh/$name", name, df.schema,
+        partitionSpec = Seq(graft.lake.PartitionField(
+          "id", graft.lake.Transform.Bucket(4), "p_bucket_id")))
+      t.append(df)
+      t
+    }
+    build("ba", "va", _ * 10)
+    build("bb", "vb", _ * 100)
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.graft.catalog.warehouse", wh)
+    def joined = spark.sql(
+      "SELECT a.id, a.va, b.vb FROM graft.ba a JOIN graft.bb b ON a.id = b.id")
+    val confs = Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val shuffled = joined.as[(Long, Long, Long)].collect().toSet // baseline: shuffle plan
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = joined
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket-co-partitioned join still shuffled:\n$plan")
+      assert(df.as[(Long, Long, Long)].collect().toSet == shuffled,
+        "zero-shuffle bucket join disagrees with the shuffle plan")
+      assert(shuffled.size == 200 && shuffled.contains((7L, 70L, 700L)))
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(s) => spark.conf.set(k, s); case None => spark.conf.unset(k) }
+    }
+    // the r5 guard still holds: promoting a bucket-source type would
+    // re-bucket the same value differently in old vs new files
+    val dfi = Seq((1, "x")).toDF("k", "s")
+    val ti = graft.lake.LakeTable.create(spark, s"$wh/bi", "bi", dfi.schema,
+      partitionSpec = Seq(graft.lake.PartitionField(
+        "k", graft.lake.Transform.Bucket(4), "p_bucket_k")))
+    ti.append(dfi)
+    val err2 = intercept[IllegalArgumentException](ti.promoteColumn("k", "BIGINT"))
+    assert(err2.getMessage.contains("bucket"), s"got: ${err2.getMessage}")
+  }
+
   test("streaming read crosses an evolve-spec commit (metadata-only, append-safe)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-streamevolve-spec").toString
@@ -528,6 +577,43 @@ class GraftLakeSourceSpec extends SparkSpec {
     val dagg = readLake(td.location).agg(min("d"), max("d"))
     assert(dagg.queryExecution.executedPlan.toString.contains("BatchScan"))
     assert(dagg.head.getDouble(0) == 1.5 && dagg.head.getDouble(1) == 2.5)
+  }
+
+  test("GROUP BY an identity-partition source answers from metadata (zero scan tasks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metagrp-spec").toString
+    val df = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L),
+      (4L, "B", 40L), (5L, "C", 50L)).toDF("id", "cat", "v")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("cat", graft.lake.Transform.Identity, "p_cat")))
+    t.append(df)
+    t.append(Seq((6L, "A", 60L), (7L, "C", 70L)).toDF("id", "cat", "v"))
+
+    def viaMeta = readLake(t.location)
+      .groupBy("cat").agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    val plan = viaMeta.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped aggregate not metadata-served:\n$plan")
+    val got = viaMeta.as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 1L, 6L), ("B", 2L, 3L, 4L), ("C", 2L, 5L, 7L)),
+      s"metadata answer wrong: $got")
+    // match the REAL scan path: the imperative parquet scan aggregates the
+    // data itself — the metadata answer must agree exactly
+    val viaScan = t.scan()
+      .groupBy("cat").agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    assert(viaScan.as[(String, Long, Long, Long)].collect().toSet == got)
+
+    // grouping by a NON-partition column keeps the real scan
+    val byV = readLake(t.location).groupBy("v").agg(count(lit(1)))
+    assert(byV.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(byV.count() == 7)
+
+    // a null partition value groups as SQL NULL
+    t.append(Seq((8L, null.asInstanceOf[String], 80L)).toDF("id", "cat", "v"))
+    val withNull = readLake(t.location).groupBy("cat").agg(count(lit(1)).as("n"))
+    assert(withNull.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(withNull.as[(Option[String], Long)].collect().toMap.get(None).contains(1L))
   }
 
   test("metadata-served SQL aggregate through the graft catalog") {
