@@ -110,6 +110,13 @@ object LakeOps {
   val streamedSilver: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.silverStreamed(s, dir).scan()
 
+  // q82 — CDC-OUT: a downstream replica kept in sync by the CHANGELOG
+  // stream across upstream upserts + deletes (history the q66 append
+  // stream must refuse); the replica's final state hash-matches the
+  // equivalent relational restatement of the fixture
+  val changelogReplica: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.ordersChangelogReplica(s, dir).scan()
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -327,6 +334,12 @@ object LakeOps {
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
         |  o_totalprice AS total_amount
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q82_changelog_replica", changelogReplica, oracle = Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q65_cdc_events", cdcEvents, oracle = Some(
       """SELECT event_id, user_id,
         |  CASE WHEN event_id % 3 = 0 THEN 'U' ELSE event_type END AS event_type,

@@ -260,6 +260,57 @@ object LakePipelines {
       t
     }
 
+  /** CDC-OUT replica: a downstream table kept in sync by the CHANGELOG
+    * stream (`option("changelog","true")`) — the read that keeps flowing
+    * through upserts and deletes where the plain append stream (q66)
+    * must refuse. Drain 1 bootstraps the converged state as typed
+    * `insert` rows; the source then churns (upsert restates one key
+    * slice, a MoR delete removes another); drain 2 emits the net-effect
+    * insert/update/delete rows and the replica applies them — upserts for
+    * insert/update, key-deletes for delete — all through distributed
+    * lake commits, no driver materialization. The q82 oracle hashes the
+    * replica's final scan against the equivalent relational restatement. */
+  def ordersChangelogReplica(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_cl_replica") { cat =>
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val src = cat.createTable("orders_cl_src", o.schema, primaryKey = Seq("o_orderkey"))
+      src.append(o)
+      val replica = cat.createTable("orders_cl_replica", o.schema, primaryKey = Seq("o_orderkey"))
+      val ckpt = s"${cat.location("orders_cl_replica")}/_ckpt"
+      def drain(): Unit = {
+        val q = spark.readStream.format("graftlake")
+          .option("path", src.location).option("changelog", "true").load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val persisted = batch.persist()
+              try {
+                val dels = persisted.filter(col("_change_type") === "delete")
+                  .select(col("o_orderkey"))
+                val ups = persisted.filter(col("_change_type") =!= "delete")
+                  .drop("_change_type")
+                if (!ups.isEmpty) replica.upsert(ups)
+                if (!dels.isEmpty) replica.deleteKeys(dels)
+              } finally persisted.unpersist()
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // bootstrap: full converged state as inserts
+      // churn upstream: restate one slice, delete another — history the
+      // append stream cannot replay, the changelog stream can
+      src.upsert(o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("X")))
+      src.deleteKeys(o.filter(col("o_orderkey") % 10 === 7).select(col("o_orderkey")))
+      drain() // incremental: typed net-effect deltas
+      replica
+    }
+
   /** Orders written through the DataSourceV2 WRITE path (distributed
     * two-phase append commit, per-row transform rendering) instead of the
     * DataFrame-API writer — the q59 oracle hashes the scan of the result,

@@ -68,29 +68,37 @@ class GraftLakeSource extends TableProvider with org.apache.spark.sql.sources.Da
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    loadTable(options) match { case (t, asOf) =>
-      t.schema(t.snapshot(asOf.getOrElse(t.currentSeq)).schemaVersion)
+    loadTable(options) match { case (t, asOf, changelog) =>
+      val user = t.schema(t.snapshot(asOf.getOrElse(t.currentSeq)).schemaVersion)
+      if (changelog)
+        StructType(user.fields :+ StructField(GraftLakeSource.ChangeTypeCol, StringType, nullable = false))
+      else user
     }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val (t, asOf) = loadTable(new CaseInsensitiveStringMap(properties))
-    new GraftLakeV2Table(t, asOf)
+    val (t, asOf, changelog) = loadTable(new CaseInsensitiveStringMap(properties))
+    new GraftLakeV2Table(t, asOf, changelog = changelog)
   }
 
-  private def loadTable(options: CaseInsensitiveStringMap): (LakeTable, Option[Long]) = {
+  private def loadTable(options: CaseInsensitiveStringMap): (LakeTable, Option[Long], Boolean) = {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft lake source requires option 'path'"))
     val asOf = Option(options.get("asOf")).map(_.toLong)
-    (LakeTable.load(SparkSession.active, path), asOf)
+    val changelog = Option(options.get("changelog")).exists(_.toBoolean)
+    require(!(changelog && asOf.nonEmpty), "changelog reads cannot pin asOf")
+    (LakeTable.load(SparkSession.active, path), asOf, changelog)
   }
 }
 
 object GraftLakeSource {
   /** Metadata column: absolute path of the data file serving a row. */
   val FileCol = "_graft_file"
+
+  /** Changelog-read label column: insert | update | delete. */
+  val ChangeTypeCol = "_change_type"
 
   /** Data files → one InputPartition per row group: recorded split offsets
     * are pure metadata; files from pre-splits snapshots fall back to a
@@ -267,7 +275,14 @@ private[sources] object ParquetPushdown {
 private[graft] class GraftLakeV2Table(
     private[graft] val t: LakeTable,
     private[graft] val asOf: Option[Long],
-    private[graft] val raw: Boolean = false)
+    private[graft] val raw: Boolean = false,
+    /** Changelog read mode (`option("changelog","true")` on readStream):
+      * the table exposes user columns + `_change_type` and its scan streams
+      * typed row-level deltas by bridging [[LakeTable.changes]] per
+      * trigger — the CDC-out path that lets an incremental silver tier
+      * survive upserts/deletes upstream instead of refusing non-append
+      * history. */
+    private[graft] val changelog: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -281,6 +296,9 @@ private[graft] class GraftLakeV2Table(
   override def schema(): StructType = {
     val base =
       if (raw) StructType(userSchema.fields :+ StructField(LakeTable.SeqCol, LongType, nullable = false))
+      else if (changelog)
+        StructType(userSchema.fields :+
+          StructField(GraftLakeSource.ChangeTypeCol, StringType, nullable = false))
       else userSchema
     // primary-key columns are NON-NULLABLE by contract: they are the
     // merge-on-read row identity (a null key could never be upserted or
@@ -358,13 +376,15 @@ private[graft] class GraftLakeV2Table(
     new GraftLakeV2Table(t, Some(snap.seq), raw = true)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw,
+    if (changelog) new GraftLakeChangelogScanBuilder(t, schema())
+    else new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw,
       gateBytes = tombstoneGateBytes,
       streamMaxSnapshots = Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(asOf.isEmpty && !raw, "cannot write to a time-travel or raw snapshot")
+    require(asOf.isEmpty && !raw && !changelog,
+      "cannot write to a time-travel, raw, or changelog view")
     new GraftLakeWriteBuilder(t, Option(info.schema()))
   }
 
@@ -401,7 +421,8 @@ private[graft] class GraftLakeV2Table(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(asOf.isEmpty && !raw, "cannot mutate a time-travel or raw snapshot")
+    require(asOf.isEmpty && !raw && !changelog,
+      "cannot mutate a time-travel, raw, or changelog view")
     if (rowLevelMode == "merge-on-read" && t.meta.primaryKey.nonEmpty)
       return () => new GraftLakeDeltaOperation(t, snap, info, tombstoneGateBytes)
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -455,7 +476,7 @@ private[graft] class GraftLakeV2Table(
     * rewrite, correct but O(table); keep hot-path deletes on pushable
     * predicates. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && !raw && t.meta.primaryKey.nonEmpty &&
+    asOf.isEmpty && !raw && !changelog && t.meta.primaryKey.nonEmpty &&
       filters.forall(f => GraftLakeV2Table.filterColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -1182,6 +1203,137 @@ private[sources] class GraftLakeMicroBatchStream(
         .map(e => e.getKey -> e.getValue).toMap
     // append-only ranges carry no tombstones by construction
     GraftLakeReaderFactory(required, t.meta.primaryKey, Map.empty, types, hadoopConf)
+  }
+}
+
+private[sources] class GraftLakeChangelogScanBuilder(t: LakeTable, outSchema: StructType)
+    extends ScanBuilder {
+  override def build(): Scan = new GraftLakeChangelogScan(t, outSchema)
+}
+
+private[sources] class GraftLakeChangelogScan(t: LakeTable, outSchema: StructType)
+    extends Scan {
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"GraftLakeChangelogScan ${t.meta.name}"
+  override def toBatch: Batch = throw new UnsupportedOperationException(
+    "changelog is a streaming read (spark.readStream); for a batch changelog use " +
+      "LakeTable.changes(from, to)")
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftLakeChangelogMicroBatchStream(t, outSchema)
+}
+
+/** CHANGELOG (CDC-out) micro-batch stream: each trigger emits the typed
+  * net-effect row deltas (`_change_type` ∈ insert | update | delete) of
+  * the snapshots committed in its offset range, by bridging the batch
+  * [[LakeTable.changes]] over `(startSeq, endSeq]` — so the stream keeps
+  * flowing through upserts, deletes and MoR row-level commits that the
+  * plain append stream must refuse. The FIRST batch bootstraps the
+  * current full state as `insert` rows (the converged baseline a
+  * downstream materialization starts from); increments follow.
+  *
+  * Mechanics: `changes` is a JOIN-shaped DataFrame (it labels updates vs
+  * inserts against the pre-range base), and a DSv2 stream must hand Spark
+  * InputPartitions — so each batch materializes its delta set once to a
+  * staging directory under the table (`_staging/changelog-*`, the
+  * orphan-swept namespace) as a DISTRIBUTED write, then plans ordinary
+  * parquet splits over it. Per batch that costs one extra write+read of
+  * the delta rows — O(changed rows), never O(table) — on top of the join
+  * `changes` itself plans; committed batches delete their staging
+  * eagerly, crashes leave them to [[graft.lake.Maintenance.removeOrphans]].
+  * Restatements (overwrite / compact / rollback) still refuse loudly
+  * inside `changes` — consume up to them, re-baseline from a fresh
+  * checkpoint. */
+private[sources] class GraftLakeChangelogMicroBatchStream(
+    t: LakeTable,
+    outSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private val Bootstrap = -1L
+  @volatile private var pinnedEnd: Option[Long] = None
+  /** Per-stream staging root; batch dirs underneath are DETERMINISTIC in
+    * (start, end) — planInputPartitions can be invoked more than once per
+    * micro-batch, and a re-stage must overwrite, not leak. */
+  private val streamStagingRel = s"_staging/changelog-${java.util.UUID.randomUUID()}"
+  /** Staged delta dirs by batch (start, end), for eager cleanup. */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), String]()
+
+  override def prepareForTriggerAvailableNow(): Unit = { pinnedEnd = Some(t.currentSeq) }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftLakeOffset].seq
+    val cap = pinnedEnd.getOrElse(t.currentSeq)
+    GraftLakeOffset(math.max(cap, s))
+  }
+  override def reportLatestOffset(): Offset = GraftLakeOffset(t.currentSeq)
+  override def initialOffset(): Offset = GraftLakeOffset(Bootstrap)
+  override def latestOffset(): Offset = GraftLakeOffset(t.currentSeq)
+  override def deserializeOffset(json: String): Offset = GraftLakeOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftLakeOffset].seq
+    val e = end.asInstanceOf[GraftLakeOffset].seq
+    if (e <= s0 && s0 != Bootstrap) return Array.empty
+    // a checkpointed start whose successor snapshot was expired cannot
+    // replay — fail loudly rather than silently dropping the gap
+    val earliest = t.snapshots.map(_.seq).min
+    require(s0 == Bootstrap || s0 + 1 >= earliest,
+      s"changelog checkpoint at seq $s0 is older than the retained history " +
+        s"(earliest snapshot $earliest); restart from a fresh checkpoint")
+    val userCols = outSchema.fieldNames.filterNot(_ == GraftLakeSource.ChangeTypeCol).toSeq
+    val delta =
+      if (s0 == Bootstrap)
+        // baseline: the converged state AS OF the pinned end, all inserts
+        t.scan(asOf = Some(e)).withColumn(GraftLakeSource.ChangeTypeCol, lit("insert"))
+      else
+        t.changes(s0, e) // validates that the range is replayable
+    val rel = s"$streamStagingRel/b$s0-$e"
+    val out = t.abs(rel)
+    val fs = new Path(out).getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    // idempotent re-plan: Spark may call planInputPartitions more than
+    // once per micro-batch — a completed staging (its _SUCCESS marker) is
+    // REUSED, because a rewrite would rename the part files out from under
+    // splits the earlier call already handed to the scheduler
+    if (!fs.exists(new Path(new Path(out), "_SUCCESS")))
+      delta.select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(out)
+    staged.put((s0, e), rel)
+    val files = fs.listStatus(new Path(out)).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+      .map(st => graft.lake.DataFile(
+        s"$rel/${st.getPath.getName}", e, Map.empty, st.getLen))
+    GraftLakeSource.planFileSplits(t, files)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val types: Map[String, DataType] =
+      outSchema.fields.map(f => f.name -> f.dataType).toMap
+    val hadoopConf: Map[String, String] =
+      t.spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    GraftLakeReaderFactory(outSchema, Nil, Map.empty, types, hadoopConf)
+  }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GraftLakeOffset].seq
+    val fs = new Path(t.location).getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    staged.forEach { (k, rel) =>
+      if (k._2 <= e) {
+        try fs.delete(new Path(t.abs(rel)), true) catch { case _: Exception => () }
+        staged.remove(k)
+      }
+    }
+  }
+
+  override def stop(): Unit = {
+    val fs = new Path(t.location).getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    try fs.delete(new Path(t.abs(streamStagingRel)), true) catch { case _: Exception => () }
+    staged.clear()
   }
 }
 

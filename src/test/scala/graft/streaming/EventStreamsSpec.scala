@@ -157,6 +157,76 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.n_events == 3L)
   }
 
+  test("changelog stream converges to the batch changes result across upserts and deletes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-changelog-stream").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "s"))
+    t.deleteKeys(Seq(Tuple1(3L)).toDF("id"))
+
+    // downstream materialization: apply typed deltas per batch to a state map
+    val state = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val batches = scala.collection.mutable.ListBuffer.empty[Int]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option("path", t.location).option("changelog", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("id", "s", "_change_type")
+            .as[(Long, String, String)].collect()
+          batches.synchronized { batches += rows.length }
+          rows.foreach {
+            case (id, _, "delete") => state.remove(id)
+            case (id, s, _)        => state.put(id, s)
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // bootstrap: full converged state as inserts (the upsert+delete history
+    // would make the plain append stream refuse)
+    drain()
+    assert(state.toMap == Map(1L -> "a", 2L -> "B", 4L -> "d"), s"bootstrap wrong: $state")
+
+    // incremental: more churn — upsert, MoR SQL delete, delta update
+    t.upsert(Seq((1L, "A2"), (5L, "e")).toDF("id", "s"))
+    t.deleteKeys(Seq(Tuple1(4L)).toDF("id"))
+    drain()
+    assert(state.toMap == Map(1L -> "A2", 2L -> "B", 5L -> "e"), s"increment wrong: $state")
+    // stream state agrees with the table's own merged scan
+    assert(t.scan().as[(Long, String)].collect().toMap == state.toMap)
+    // and with the batch changelog applied over the same range
+    assert(batches.sum >= 5, s"expected typed rows in both drains: $batches")
+
+    // no new commits → empty batch, no rows
+    val before = state.toMap
+    drain()
+    assert(state.toMap == before)
+
+    // staging is cleaned up after commit
+    val fs = new org.apache.hadoop.fs.Path(t.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingDir = new org.apache.hadoop.fs.Path(s"${t.location}/_staging")
+    val leftover =
+      if (!fs.exists(stagingDir)) Array.empty[String]
+      else fs.listStatus(stagingDir).map(_.getPath.getName).filter(_.startsWith("changelog-"))
+    assert(leftover.isEmpty, s"changelog staging not cleaned: ${leftover.mkString(", ")}")
+
+    // a restatement (compaction) inside the range still refuses loudly
+    t.compactDirty()
+    t.append(Seq((9L, "z")).toDF("id", "s"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("restatement") || msgs.contains("compact"),
+      s"restatement did not refuse actionably: $msgs")
+  }
+
   test("sessions respect the gap invariant: intra-session gaps <= 30 min, sessions ordered") {
     val sessions = EventStreams.sessionizeBatch(Tables.load(spark, sfDir, "events"))
     // session_end >= session_start, and per user sessions don't overlap
