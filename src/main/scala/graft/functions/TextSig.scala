@@ -50,17 +50,22 @@ object TextSig {
     array_distinct(filter(grams, g => g.isNotNull))
   }
 
-  /** MinHash signature: `numHashes` hash functions simulated as xxhash64
-    * seeded by the hash index; element k = min hash over the shingle set
-    * (the classic broder-minhash estimator of Jaccard). One traversal of
-    * the shingle set; all mins updated per element via `zip_with`. */
+  /** MinHash signature: `numHashes` hash functions simulated by hashing
+    * each shingle's BYTES once (`xxhash64(s)`) and deriving function k as
+    * the constant-time long-mix `xxhash64(k, xxhash64(s))`; element k =
+    * min over the shingle set (the classic broder-minhash estimator of
+    * Jaccard). One traversal of the shingle set; all mins updated per
+    * element via `zip_with`. Bit-identical to the native
+    * [[graft.plans.MinHashBands]] kernel, which runs the same chain as
+    * one JVM loop (and, unlike this composition, really does hash each
+    * shingle's bytes only once — HOF lambda bodies re-evaluate per k). */
   def minhash(shingleSet: Column, numHashes: Int = 32): Column =
     aggregate(
       shingleSet,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, s) => zip_with(
         acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), k => xxhash64(k, s)),
+        transform(sequence(lit(0), lit(numHashes - 1)), k => xxhash64(k, xxhash64(s))),
         (a, h) => least(a, h)))
 
   /** MinHash signature folded straight into LSH band digests (bands ×
@@ -75,7 +80,7 @@ object TextSig {
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, s) => zip_with(
         acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), k => xxhash64(k, s)),
+        transform(sequence(lit(0), lit(numHashes - 1)), k => xxhash64(k, xxhash64(s))),
         (a, h) => least(a, h)),
       sig => bandDigests(sig, bands, rows))
   }

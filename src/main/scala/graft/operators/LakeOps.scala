@@ -390,7 +390,7 @@ object LakeOps {
         |  CASE WHEN o_orderkey % 2 = 1 THEN CAST(CAST(o_orderkey % 7 AS REAL) AS DOUBLE)
         |       ELSE CAST(o_orderkey % 7 AS DOUBLE) + 0.5 END AS ratio
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q74_partition_spec_evolution", lakeSpecEvolved, oracle = Some(
+    NamedQuery("q74_partition_spec_evolution", lakeSpecEvolved, bench = true, oracle = Some(
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
@@ -400,7 +400,7 @@ object LakeOps {
     NamedQuery("q78_drop_column", lakeDroppedColumn, oracle = Some(
       """SELECT o_orderkey, o_totalprice
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q79_table_changes", lakeChanges, oracle = Some(
+    NamedQuery("q79_table_changes", lakeChanges, bench = true, oracle = Some(
       """WITH changes AS (
         |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
         |    CASE WHEN o_orderkey % 4 <> 0 THEN 'update' ELSE 'insert' END AS _change_type

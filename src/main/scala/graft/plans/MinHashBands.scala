@@ -54,23 +54,28 @@ object MinHashBands {
   /** Seed used by Spark's xxhash64 SQL function. */
   private val Seed = 42L
 
-  /** One pass: per shingle, chain hashInt(k, 42) → hashBytes(s) for every
-    * hash function k, keep minima; then fold each band's minima with
-    * hashInt(b, 42) → hashLong* — exactly the value chain of
-    * `xxhash64(k, s)` / `xxhash64(b, slice(sig, ...))`. */
+  /** One pass: per shingle, hash the BYTES ONCE (`HS = hashBytes(s, 42)` =
+    * `xxhash64(s)`), then derive hash function k as the constant-time
+    * long-mix `hashLong(HS, hashInt(k, 42))` — the value chain of
+    * `xxhash64(k, xxhash64(s))`, which [[graft.functions.TextSig.minhash]]
+    * composes from built-ins (bit-equality spec-asserted corpus-wide).
+    * The r5 shape re-hashed the full shingle bytes once PER HASH FUNCTION
+    * (32× the byte traffic); hashing bytes once and mixing a long per k
+    * cuts the signature stage to O(bytes + numHashes) per shingle. Band
+    * minima then fold with hashInt(b, 42) → hashLong*, exactly
+    * `xxhash64(b, slice(sig, ...))`. */
   def compute(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
     val numHashes = bands * rows
+    val seedK = seedsFor(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes
+      val hs = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
       var k = 0
       while (k < numHashes) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, XXH64.hashInt(k, Seed))
+        val h = XXH64.hashLong(hs, seedK(k))
         if (h < mins(k)) mins(k) = h
         k += 1
       }
@@ -87,6 +92,11 @@ object MinHashBands {
     }
     new GenericArrayData(out)
   }
+
+  /** hashInt(k, 42) per hash function, cached — identical for every row. */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, n => Array.tabulate(n)(k => XXH64.hashInt(k, Seed)))
 }
 
 /** Session extension registering the native functions (enable with
