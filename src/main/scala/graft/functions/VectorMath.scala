@@ -22,10 +22,21 @@ object VectorMath {
   def quantize(v: Column, scale: Double = 1e6): Column =
     transform(v, x => floor(x.cast("double") * scale))
 
+  /** Pick the NATIVE codegen'd kernel ([[graft.plans.VectorNative]],
+    * registered via GraftExtensions) when the active session has it —
+    * bit-identical by construction and spec; the pure-functions
+    * composition otherwise. Same pattern as the MinHash signature. */
+  private def nativeBinary(name: String, a: Column, b: Column)(fallback: => Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists(name))
+      .map(_ => call_function(name, a, b))
+      .getOrElse(fallback)
+
   /** Dot product of two numeric arrays (left-to-right sum; exact when the
     * inputs are quantized integers). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    nativeBinary(graft.plans.GraftExtensions.DotName, a, b)(
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
 
   /** Squared L2 norm. */
   def normSq(v: Column): Column = dot(v, v)
@@ -43,7 +54,8 @@ object VectorMath {
 
   /** Squared L2 distance — the product-quantization assignment metric. */
   def l2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    nativeBinary(graft.plans.GraftExtensions.L2SqName, a, b)(
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
   /** Sign-random-projection LSH code (`bits` hyperplanes): bit h is the
     * sign of the dot product with a deterministic ±1 hyperplane derived

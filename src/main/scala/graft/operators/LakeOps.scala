@@ -117,6 +117,27 @@ object LakeOps {
   val changelogReplica: (SparkSession, String) => DataFrame = (s, dir) =>
     LakePipelines.ordersChangelogReplica(s, dir).scan()
 
+  // q83 — GROUP BY the identity-partition source answered from MANIFEST
+  // METADATA: per-group COUNT(*) sums per-file row counts and per-group
+  // MIN/MAX folds per-file bounds, so the whole rollup plans as a driver
+  // LocalTableScan — zero tasks, zero data I/O at any table size (the
+  // Iceberg metadata-count idea extended to grouped aggregates). The
+  // query itself REQUIRES the metadata plan (not just the values): a
+  // regression to a real scan fails the gate, not only the stopwatch.
+  val partitionMetaRollup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.ordersMor(s, dir) // compacted: tombstone-free
+    val df = s.read.format("graftlake").option("path", t.location).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"partition rollup was not metadata-served:\n$plan")
+    df
+  }
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -289,6 +310,13 @@ object LakeOps {
       morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
     NamedQuery("q29_lake_compacted", lakeCompacted, oracle = Some(
       morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
+    NamedQuery("q83_partition_meta_rollup", partitionMetaRollup, oracle = Some(
+      morMergedCte +
+        """
+          |SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          |FROM merged WHERE o_orderkey % 5 <> 0
+          |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q30_silver_serve", silverServe, oracle = Some(
       """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,

@@ -163,16 +163,25 @@ object VectorOps {
     e.select(col("vec_id"), posexplode(subs)).toDF("vec_id", "sub", "subvec")
   }
 
-  /** Nearest-codeword assignment per (vector, subspace): broadcast join
-    * against the m×ksub codebook, argmin squared-L2 via map-side-combining
-    * `min_by` — one row per (vector, subspace) crosses the shuffle. */
-  private def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), "sub")
-      .withColumn("d2", VectorMath.l2Sq(col("subvec"), col("centroid")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(
-        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
-        first(col("subvec")).as("subvec"))
+  /** Nearest-codeword assignment per (vector, subspace): the codebook is
+    * collapsed to ONE row per subspace (an array of (code, centroid)
+    * structs) and broadcast, so each (vector, subspace) row computes its
+    * argmin IN PLACE — `transform` scores every candidate once (squared
+    * L2), `array_min` picks (d2, code), i.e. smallest distance with the
+    * smaller code on ties. No row explosion, no shuffle: the r5 shape
+    * materialized rows × ksub join rows and pushed them all through a
+    * min_by aggregation exchange; this keeps the row count at rows × m
+    * and makes assignment map-only. */
+  private def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("code"), col("centroid")))).as("cands"))
+    val scored = transform(col("cands"), c => struct(
+      VectorMath.l2Sq(col("subvec"), c.getField("centroid")).as("d2"),
+      c.getField("code").as("code")))
+    sv.join(broadcast(cbArr), "sub")
+      .select(col("vec_id"), col("sub"),
+        array_min(scored).getField("code").as("code"), col("subvec"))
+  }
 
   /** PRODUCT-QUANTIZATION codebook (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): an

@@ -106,6 +106,8 @@ object MinHashBands {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashBandsDescriptor)
+    ext.injectFunction(GraftExtensions.dotDescriptor)
+    ext.injectFunction(GraftExtensions.l2sqDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
   }
@@ -113,6 +115,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   val MinHashBandsName = "graft_minhash_bands"
+  val DotName = "graft_dot"
+  val L2SqName = "graft_l2sq"
+
+  private[plans] val dotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(DotName),
+    new ExpressionInfo(classOf[ArrayDot].getName, DotName),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, s"$DotName(a, b)")
+      ArrayDot(args(0), args(1))
+    },
+  )
+
+  private[plans] val l2sqDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(L2SqName),
+    new ExpressionInfo(classOf[ArrayL2Sq].getName, L2SqName),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, s"$L2SqName(a, b)")
+      ArrayL2Sq(args(0), args(1))
+    },
+  )
 
   private[plans] val minhashBandsDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

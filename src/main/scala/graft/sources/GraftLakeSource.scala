@@ -376,7 +376,8 @@ private[graft] class GraftLakeV2Table(
     new GraftLakeV2Table(t, Some(snap.seq), raw = true)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (changelog) new GraftLakeChangelogScanBuilder(t, schema())
+    if (changelog) new GraftLakeChangelogScanBuilder(t, schema(),
+      Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
     else new GraftLakeScanBuilder(t, snap.seq, schema(), skipDeletes = raw,
       gateBytes = tombstoneGateBytes,
       streamMaxSnapshots = Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
@@ -1206,12 +1207,14 @@ private[sources] class GraftLakeMicroBatchStream(
   }
 }
 
-private[sources] class GraftLakeChangelogScanBuilder(t: LakeTable, outSchema: StructType)
+private[sources] class GraftLakeChangelogScanBuilder(
+    t: LakeTable, outSchema: StructType, maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder {
-  override def build(): Scan = new GraftLakeChangelogScan(t, outSchema)
+  override def build(): Scan = new GraftLakeChangelogScan(t, outSchema, maxSnapshotsPerTrigger)
 }
 
-private[sources] class GraftLakeChangelogScan(t: LakeTable, outSchema: StructType)
+private[sources] class GraftLakeChangelogScan(
+    t: LakeTable, outSchema: StructType, maxSnapshotsPerTrigger: Option[Int] = None)
     extends Scan {
   override def readSchema(): StructType = outSchema
   override def description(): String = s"GraftLakeChangelogScan ${t.meta.name}"
@@ -1220,7 +1223,7 @@ private[sources] class GraftLakeChangelogScan(t: LakeTable, outSchema: StructTyp
       "LakeTable.changes(from, to)")
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftLakeChangelogMicroBatchStream(t, outSchema)
+    new GraftLakeChangelogMicroBatchStream(t, outSchema, maxSnapshotsPerTrigger)
 }
 
 /** CHANGELOG (CDC-out) micro-batch stream: each trigger emits the typed
@@ -1246,7 +1249,8 @@ private[sources] class GraftLakeChangelogScan(t: LakeTable, outSchema: StructTyp
   * checkpoint. */
 private[sources] class GraftLakeChangelogMicroBatchStream(
     t: LakeTable,
-    outSchema: StructType)
+    outSchema: StructType,
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1265,10 +1269,19 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit = { pinnedEnd = Some(t.currentSeq) }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Admission control mirrors the append stream: at most
+    * `maxSnapshotsPerTrigger` commits per incremental batch, never past
+    * the AvailableNow pin. The BOOTSTRAP batch is exempt — it reads the
+    * converged state once, not a replay, so capping it would only split
+    * one state read into artificial pieces. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftLakeOffset].seq
     val cap = pinnedEnd.getOrElse(t.currentSeq)
-    GraftLakeOffset(math.max(cap, s))
+    val end = maxSnapshotsPerTrigger match {
+      case Some(n) if s != Bootstrap => math.min(cap, s + n.max(1).toLong)
+      case _ => cap
+    }
+    GraftLakeOffset(math.max(end, s))
   }
   override def reportLatestOffset(): Offset = GraftLakeOffset(t.currentSeq)
   override def initialOffset(): Offset = GraftLakeOffset(Bootstrap)

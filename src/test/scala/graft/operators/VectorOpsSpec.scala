@@ -118,6 +118,54 @@ class VectorOpsSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("native graft_dot / graft_l2sq are bit-identical to the functions._ composition") {
+    import graft.functions.VectorMath
+    import org.apache.spark.sql.Column
+    // the HOF fallbacks, built explicitly (VectorMath picks native when
+    // the session — as in these specs — has GraftExtensions registered)
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.DotName),
+      "spec session must register the extensions")
+
+    // FLOAT arrays (raw embeddings): float multiply then double accumulate
+    val emb = graft.Tables.load(spark, sfDir, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val shifted = emb.select(col("vec_id"),
+      reverse(col("embedding")).as("other"))
+    val both = emb.join(shifted, "vec_id")
+    val fl = both.select(
+      VectorMath.dot(col("embedding"), col("other")).as("nd"),
+      hofDot(col("embedding"), col("other")).as("hd"),
+      VectorMath.l2Sq(col("embedding"), col("other")).as("nl"),
+      hofL2(col("embedding"), col("other")).as("hl"))
+    assert(fl.filter(col("nd") =!= col("hd") || col("nl") =!= col("hl")).count() == 0,
+      "float-path native kernels diverge from the HOF composition")
+
+    // QUANTIZED (bigint) arrays: exact long arithmetic
+    val q = both.select(
+      VectorMath.quantize(col("embedding")).as("qa"),
+      VectorMath.quantize(col("other")).as("qb"))
+    val lq = q.select(
+      VectorMath.dot(col("qa"), col("qb")).as("nd"), hofDot(col("qa"), col("qb")).as("hd"),
+      VectorMath.l2Sq(col("qa"), col("qb")).as("nl"), hofL2(col("qa"), col("qb")).as("hl"))
+    assert(lq.filter(col("nd") =!= col("hd") || col("nl") =!= col("hl")).count() == 0,
+      "quantized-path native kernels diverge from the HOF composition")
+
+    // null element and length mismatch both yield NULL, like zip_with
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val er = edge.select(
+      VectorMath.dot(col("a"), col("b")).as("nd"), hofDot(col("a"), col("b")).as("hd"))
+      .collect()
+    er.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1),
+      s"edge semantics diverge: $r"))
+  }
+
   test("LSH near-dup finds planted duplicate vectors without an all-pairs join") {
     val base = graft.Tables.load(spark, sfDir, "embeddings").limit(50)
     val planted = base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
