@@ -232,9 +232,22 @@ object PruneFilter {
       partition.get(pf.name) match {
         case None => true
         case Some(PartitionValues.NullSentinel) =>
-          // a null partition value can never satisfy a comparison against a
-          // non-null literal: every current filter shape prunes it.
-          false
+          // the sentinel is what Spark's directory rendering writes for a
+          // null partition value — AND for an EMPTY STRING (Hive's default-
+          // partition convention conflates them). A null can never satisfy
+          // a comparison against a non-null literal, so sentinel files
+          // prune for numeric/temporal/bool literals; but when the
+          // literal is a STRING the file may hold rows whose value is ""
+          // (e.g. "" == "" for Eq, "" < "b" for Lt) — keep conservatively,
+          // the scan re-applies the exact predicate either way.
+          f match {
+            case Eq(_, v)  => v.isInstanceOf[String]
+            case In(_, vs) => vs.exists(_.isInstanceOf[String])
+            case Ge(_, v)  => v.isInstanceOf[String]
+            case Gt(_, v)  => v.isInstanceOf[String]
+            case Lt(_, v)  => v.isInstanceOf[String]
+            case Le(_, v)  => v.isInstanceOf[String]
+          }
         case Some(fileValue) =>
           f match {
             case Eq(_, v) => pf.transform.valueOf(v).forall(_ == fileValue)

@@ -252,6 +252,23 @@ object DedupOps {
     //    the sizes already refute. On the sf0.1 corpus this cuts the
     //    candidate set ~30x (4.4M -> ~0.15M) ahead of the shuffle-heavy
     //    verify join.
+    // NATIVE in-bucket expansion when the session has GraftExtensions (one
+    // tight loop per bucket, only survivors allocate — graft_prefix_pairs);
+    // identical-output HOF composition otherwise (equality spec-asserted)
+    val native = shingles.sparkSession.catalog
+      .functionExists(graft.plans.GraftExtensions.PrefixPairsName)
+    def filteredPairs(ids: Column): Column =
+      if (native)
+        call_function(graft.plans.GraftExtensions.PrefixPairsName,
+          ids, lit(tNum), lit(tDen))
+      else filter(bucketPairs(ids) { (x, y) =>
+        val (sx, sy) = (x.getField("sz"), y.getField("sz"))
+        val alpha = ceil((lit(tNum) * (sx + sy)).cast("double") / lit(tNum + tDen)).cast("int")
+        val ubound = lit(1) + least(sx - x.getField("p"), sy - y.getField("p"))
+        when(
+          lit(tNum) * greatest(sx, sy) <= lit(tDen) * least(sx, sy) && ubound >= alpha,
+          struct(x.getField("doc_id").as("doc_i"), y.getField("doc_id").as("doc_j")))
+      }, p => p.isNotNull)
     ordered
       .select(col("doc_id"), sz.as("sz"),
         posexplode(slice(col("toks"), lit(1), prefixLen)))
@@ -259,14 +276,7 @@ object DedupOps {
       .groupBy(col("tok"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"), col("p")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(filter(bucketPairs(col("ids")) { (x, y) =>
-        val (sx, sy) = (x.getField("sz"), y.getField("sz"))
-        val alpha = ceil((lit(tNum) * (sx + sy)).cast("double") / lit(tNum + tDen)).cast("int")
-        val ubound = lit(1) + least(sx - x.getField("p"), sy - y.getField("p"))
-        when(
-          lit(tNum) * greatest(sx, sy) <= lit(tDen) * least(sx, sy) && ubound >= alpha,
-          struct(x.getField("doc_id").as("doc_i"), y.getField("doc_id").as("doc_j")))
-      }, p => p.isNotNull)).as("p"))
+      .select(explode(filteredPairs(col("ids"))).as("p"))
       .select(col("p.doc_i"), col("p.doc_j"))
       .distinct()
   }

@@ -108,6 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashBandsDescriptor)
     ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectFunction(GraftExtensions.l2sqDescriptor)
+    ext.injectFunction(GraftExtensions.prefixPairsDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
   }
@@ -117,6 +118,25 @@ object GraftExtensions {
   val MinHashBandsName = "graft_minhash_bands"
   val DotName = "graft_dot"
   val L2SqName = "graft_l2sq"
+  val PrefixPairsName = "graft_prefix_pairs"
+
+  private[plans] val prefixPairsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(PrefixPairsName),
+    new ExpressionInfo(classOf[PrefixPairs].getName, PrefixPairsName),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, s"$PrefixPairsName(members, tNum, tDen)")
+      val tNum = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"tNum must be an int literal, got $other")
+      }
+      val tDen = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"tDen must be an int literal, got $other")
+      }
+      PrefixPairs(args.head, tNum, tDen)
+    },
+  )
 
   private[plans] val dotDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

@@ -734,6 +734,43 @@ class LakeSpec extends SparkSpec {
       t.evolvePartitionSpec(Seq(PartitionField("b", Transform.Identity, "_graft_x"))))
   }
 
+  test("empty-string partition values: sentinel files keep for string predicates, rows survive") {
+    val dir = Files.createTempDirectory("graft-emptypart-spec").toString
+    import spark.implicits._
+    // "" and null both render as the Hive default-partition sentinel in
+    // the directory name — a string predicate must therefore KEEP sentinel
+    // files (they may hold "" rows); numeric/temporal literals still prune
+    val df = Seq((1L, "a"), (2L, ""), (3L, null.asInstanceOf[String])).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")))
+    t.append(df)
+    val snap = t.currentSnapshot
+    val sentinelFiles = snap.dataFiles.filter(_.partition("p_s") == PartitionValues.NullSentinel)
+    assert(sentinelFiles.nonEmpty, "fixture must produce a sentinel partition")
+    // Eq(s, "") must not prune the sentinel file — and the scan returns the "" row
+    assert(t.planFiles(snap, Seq(PruneFilter.Eq("s", "")))._1.exists(
+      _.partition("p_s") == PartitionValues.NullSentinel),
+      "Eq(s, \"\") falsely pruned the sentinel partition")
+    assert(t.scan(filters = Seq(PruneFilter.Eq("s", ""))).as[(Long, String)]
+      .collect().toSeq == Seq((2L, "")))
+    // range with a string literal keeps it too ("" < "b")
+    assert(t.scan(filters = Seq(PruneFilter.Lt("s", "b"))).as[(Long, String)]
+      .collect().toMap == Map(1L -> "a", 2L -> ""))
+    // a non-empty equality still prunes the sentinel file
+    assert(!t.planFiles(snap, Seq(PruneFilter.Eq("s", "a")))._1.exists(
+      _.partition("p_s") == PartitionValues.NullSentinel),
+      "Eq(s, \"a\") should still prune the sentinel partition")
+    // numeric literals on a numeric identity partition still prune nulls
+    val dfn = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k")
+    val tn = LakeTable.create(spark, s"$dir/tn", "tn", dfn.schema,
+      partitionSpec = Seq(PartitionField("k", Transform.Identity, "p_k")))
+    tn.append(dfn)
+    assert(!tn.planFiles(tn.currentSnapshot, Seq(PruneFilter.Eq("k", 5L)))._1.exists(
+      _.partition("p_k") == PartitionValues.NullSentinel),
+      "numeric Eq must still prune the null partition")
+  }
+
   test("partition-scoped delete files: a pruned MoR scan loads only its partition's sidecars") {
     val dir = Files.createTempDirectory("graft-scopeddel-spec").toString
     import spark.implicits._
