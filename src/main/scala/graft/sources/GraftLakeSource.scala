@@ -89,7 +89,12 @@ class GraftLakeSource extends TableProvider with org.apache.spark.sql.sources.Da
     val asOf = Option(options.get("asOf")).map(_.toLong)
     val changelog = Option(options.get("changelog")).exists(_.toBoolean)
     require(!(changelog && asOf.nonEmpty), "changelog reads cannot pin asOf")
-    (LakeTable.load(SparkSession.active, path), asOf, changelog)
+    val t = LakeTable.load(SparkSession.active, path)
+    if (changelog)
+      require(!t.currentSchema.fieldNames.exists(_.equalsIgnoreCase(GraftLakeSource.ChangeTypeCol)),
+        s"changelog read appends ${GraftLakeSource.ChangeTypeCol} — the table already has " +
+          "a column of that name")
+    (t, asOf, changelog)
   }
 }
 
@@ -628,6 +633,13 @@ private[sources] class GraftLakeScanBuilder(
     // pre-evolution spec cannot be grouped) and carry a row count
     if (!files.forall(f => f.rows >= 0 && groupFields.forall(g => f.partition.contains(g._2))))
       return None
+    // a STRING group column whose files carry the directory sentinel must
+    // decline: the sentinel conflates null with "" (Hive rendering), and
+    // answering would merge two groups the real scan keeps distinct
+    if (files.exists(f => groupFields.exists { case (field, pname, _) =>
+      field.dataType == StringType &&
+        f.partition(pname) == graft.lake.PartitionValues.NullSentinel
+    })) return None
     val grouped: Seq[(Seq[String], Seq[graft.lake.DataFile])] =
       files.groupBy(f => groupFields.map(g => f.partition(g._2))).toSeq
     val aggExprs = agg.aggregateExpressions().toSeq

@@ -609,11 +609,29 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(byV.queryExecution.executedPlan.toString.contains("BatchScan"))
     assert(byV.count() == 7)
 
-    // a null partition value groups as SQL NULL
-    t.append(Seq((8L, null.asInstanceOf[String], 80L)).toDF("id", "cat", "v"))
+    // a STRING group column with sentinel files DECLINES (the directory
+    // sentinel conflates null with "" — a metadata answer would merge two
+    // real groups): falls back to the scan, which keeps them distinct
+    t.append(Seq((8L, null.asInstanceOf[String], 80L), (9L, "", 90L)).toDF("id", "cat", "v"))
     val withNull = readLake(t.location).groupBy("cat").agg(count(lit(1)).as("n"))
-    assert(withNull.queryExecution.executedPlan.toString.contains("LocalTableScan"))
-    assert(withNull.as[(Option[String], Long)].collect().toMap.get(None).contains(1L))
+    assert(withNull.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "string sentinel groups must not be metadata-served")
+    val m = withNull.as[(Option[String], Long)].collect().toMap
+    assert(m.get(None).contains(1L) && m.get(Some("")).contains(1L),
+      s"null and empty-string groups must stay distinct: $m")
+
+    // a NUMERIC group column's null partition is unambiguous — still
+    // metadata-served, grouped as SQL NULL
+    val dfn = Seq((1L, java.lang.Long.valueOf(7L)), (2L, java.lang.Long.valueOf(7L)),
+      (3L, null.asInstanceOf[java.lang.Long])).toDF("id", "k")
+    val tn = graft.lake.LakeTable.create(spark, s"$dir/tn", "tn", dfn.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("k", graft.lake.Transform.Identity, "p_k")))
+    tn.append(dfn)
+    val gn = readLake(tn.location).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(gn.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "numeric-keyed group-by should stay metadata-served")
+    assert(gn.as[(Option[Long], Long)].collect().toMap ==
+      Map(Some(7L) -> 2L, None -> 1L))
   }
 
   test("metadata-served SQL aggregate through the graft catalog") {
