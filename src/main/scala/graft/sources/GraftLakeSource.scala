@@ -995,8 +995,11 @@ private[sources] class GraftLakeScan(
     val snap = t.snapshotPruned(seq, allFilters)
     val (files, _) = t.planFiles(snap, allFilters)
     val bytes = files.map(_.bytes).sum
+    // partition-scoped tombstones: a pruned scan whose planned files no
+    // delete sidecar can reach still reports exact rows (better broadcast
+    // decisions on MoR tables whose churn lives in other partitions)
     val rows: java.util.OptionalLong =
-      if ((skipDeletes || snap.deleteFiles.isEmpty) && files.forall(_.rows >= 0))
+      if ((skipDeletes || t.deleteFilesFor(snap, files).isEmpty) && files.forall(_.rows >= 0))
         java.util.OptionalLong.of(files.map(_.rows).sum)
       else java.util.OptionalLong.empty()
     new Statistics {

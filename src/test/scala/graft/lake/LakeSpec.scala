@@ -734,6 +734,22 @@ class LakeSpec extends SparkSpec {
       t.evolvePartitionSpec(Seq(PartitionField("b", Transform.Identity, "_graft_x"))))
   }
 
+  test("delta commit refuses a stale base: a commit landing between scan and write surfaces") {
+    val dir = Files.createTempDirectory("graft-deltarace-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    val base = t.currentSeq
+    t.append(Seq((2L, "b")).toDF("id", "s")) // the racing commit
+    val err = intercept[IllegalArgumentException](
+      t.commitStagedDelta(Nil, Nil, "update-mor", expectedBase = base))
+    assert(err.getMessage.contains("concurrent commit") &&
+      err.getMessage.contains("retry"), s"unhelpful race error: ${err.getMessage}")
+    // the current base still commits
+    t.commitStagedDelta(Nil, Nil, "update-mor", expectedBase = t.currentSeq)
+  }
+
   test("empty-string partition values: sentinel files keep for string predicates, rows survive") {
     val dir = Files.createTempDirectory("graft-emptypart-spec").toString
     import spark.implicits._
