@@ -57,9 +57,18 @@ object DedupOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("group_size"))
 
-  /** doc_id × distinct bigram shingles — shared by the LSH pipeline. */
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), TextSig.shingles(col("text")).as("sh"))
+  /** doc_id × distinct bigram shingles — shared by the LSH pipeline.
+    * Native codegen'd shingling when the session has GraftExtensions (the
+    * expression is re-evaluated on every DAG arm that references it —
+    * three times in the exact-Jaccard join — so its per-row cost triples);
+    * bit-identical pure-functions fallback otherwise. */
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
+    val sh =
+      if (s.catalog.functionExists(graft.plans.GraftExtensions.ShinglesName))
+        call_function(graft.plans.GraftExtensions.ShinglesName, col("text"))
+      else TextSig.shingles(col("text"))
+    docs(s, dir).select(col("doc_id"), sh.as("sh"))
+  }
 
   /** Ordered pairs (i < j) from a bucket's sorted member array, as an
     * array expression (the members column is a materialized attribute, so

@@ -109,6 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectFunction(GraftExtensions.l2sqDescriptor)
     ext.injectFunction(GraftExtensions.prefixPairsDescriptor)
+    ext.injectFunction(GraftExtensions.shinglesDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
   }
@@ -119,6 +120,17 @@ object GraftExtensions {
   val DotName = "graft_dot"
   val L2SqName = "graft_l2sq"
   val PrefixPairsName = "graft_prefix_pairs"
+  val ShinglesName = "graft_shingles"
+
+  private[plans] val shinglesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(ShinglesName),
+    new ExpressionInfo(classOf[Shingles].getName, ShinglesName),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, s"$ShinglesName(text)")
+      Shingles(args.head)
+    },
+  )
 
   private[plans] val prefixPairsDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

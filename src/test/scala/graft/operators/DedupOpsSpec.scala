@@ -133,6 +133,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("native graft_shingles is bit-identical to the functions._ composition") {
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.ShinglesName))
+    // corpus-wide equality, ELEMENT ORDER INCLUDED (array_distinct keeps
+    // first occurrences) — plus the edge shapes: empty text, single token,
+    // repeated separators (empty tokens), duplicate bigrams
+    val corpus = graft.Tables.load(spark, sfDir, "documents").select(col("text"))
+      .unionAll(Seq("", "one", "a b c a b", "a  b", "x y x y x", " lead", "trail ")
+        .toDF("text"))
+    val both = corpus.select(
+      call_function(graft.plans.GraftExtensions.ShinglesName, col("text")).as("native"),
+      graft.functions.TextSig.shingles(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      both.filter(col("native") =!= col("hof")).limit(3).collect().mkString("; "))
+    assert(both.count() > 0)
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     import graft.functions.TextSig
     val df = Seq("a b c", "a b c", "a b d").toDF("text")
