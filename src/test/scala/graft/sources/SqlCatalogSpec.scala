@@ -231,6 +231,25 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().toSet ==
       Set((1L, "a", 1.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 40.0), (9L, "i", 9.0)))
 
+    // MERGE with NOT MATCHED BY SOURCE: target rows absent from the source
+    // delete as deltas too (the full tri-clause merge)
+    val preNmbs = t.currentSnapshot.dataFiles
+    Seq((1L, "A3", 111.0), (2L, "B3", 222.0), (3L, "C3", 333.0), (9L, "I3", 999.0))
+      .toDF("id", "s", "v").createOrReplaceTempView("tmor_full")
+    spark.sql(
+      """MERGE INTO graft.tmor t USING tmor_full c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET t.s = c.s, t.v = c.v
+        |WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (c.id, c.s, c.v)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val afterNmbs = t.currentSnapshot
+    assert(afterNmbs.operation == "merge-mor", s"got ${afterNmbs.operation}")
+    assert(preNmbs.forall(f => afterNmbs.dataFiles.contains(f)),
+      "tri-clause MERGE must not rewrite any pre-existing data file")
+    assert(spark.sql("SELECT id, s, v FROM graft.tmor").as[(Long, String, Double)]
+      .collect().toSet ==
+      Set((1L, "A3", 111.0), (2L, "B3", 222.0), (3L, "C3", 333.0), (9L, "I3", 999.0)),
+      "NOT MATCHED BY SOURCE must delete the unmatched target row (id=4)")
+
     // unpushable DELETE: delta delete keys, no COW fallback
     val preDel = t.currentSnapshot.dataFiles
     spark.sql("DELETE FROM graft.tmor WHERE id % 2 = 0")
@@ -244,7 +263,7 @@ class SqlCatalogSpec extends SparkSpec {
     // compaction folds the whole MoR lifecycle away; content unchanged
     t.compactDirty()
     assert(spark.sql("SELECT id, v FROM graft.tmor").as[(Long, Double)].collect().toSet ==
-      Set((1L, 1.0), (3L, 30.0), (9L, 9.0)))
+      Set((1L, 111.0), (3L, 333.0), (9L, 999.0)))
   }
 
   test("MoR UPDATE that rewrites the primary key itself stays correct (delete + re-insert)") {
