@@ -53,7 +53,7 @@ object Shingles {
     val toks = text.split(Sep, -1)
     val n = toks.length
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](math.min(n * 2, 64))
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(16, n * 2))
     var i = 0
     while (i < n - 1) {
       seen.add(UTF8String.concat(toks(i), UTF8String.fromBytes(Under), toks(i + 1)))

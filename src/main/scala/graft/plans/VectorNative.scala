@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, MathUtils}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst kernels for the two hot vector folds —
@@ -20,8 +20,14 @@ import org.apache.spark.sql.types._
   * per element pair:
   *  - float ⊗ float is computed IN FLOAT, then widened into the double
   *    accumulator (exactly `Multiply(FloatType)` under `zip_with`);
-  *  - integral ⊗ integral (the quantized-exact path — `quantize` emits
-  *    `array<bigint>`) runs in long arithmetic, exact below 2^53;
+  *  - long ⊗ long / long ⊗ int (the quantized-exact path — `quantize`
+  *    emits `array<bigint>`) runs in long arithmetic, exact below 2^53;
+  *  - int ⊗ int runs in INT arithmetic before widening into the double
+  *    accumulator, exactly `Multiply(IntegerType)` under `zip_with`:
+  *    wrapping on overflow in non-ANSI mode, throwing Spark's
+  *    ARITHMETIC_OVERFLOW under ANSI (the ANSI flag is captured at
+  *    construction, like Spark's own BinaryArithmetic); integral long
+  *    arithmetic honors the same ANSI contract;
   *  - anything involving a double runs in double.
   * Null semantics also mirror the HOF chain: any null element or a length
   * mismatch yields NULL (zip_with pads the shorter side with nulls and
@@ -54,16 +60,19 @@ abstract class ArrayPairFold extends BinaryExpression {
 
   @transient private lazy val ca = elemCode(left.dataType)
   @transient private lazy val cb = elemCode(right.dataType)
+  // construction-time capture, mirroring Spark's BinaryArithmetic
+  private val failOnError: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorNative.fold(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ca, cb, squaredDiff)
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ca, cb, squaredDiff, failOnError)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (av, bv) => {
       val r = ctx.freshName("fold")
       s"""
-         |java.lang.Double $r = graft.plans.VectorNative.fold($av, $bv, $ca, $cb, $squaredDiff);
+         |java.lang.Double $r = graft.plans.VectorNative.fold($av, $bv, $ca, $cb, $squaredDiff, $failOnError);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
@@ -86,9 +95,14 @@ case class ArrayL2Sq(left: Expression, right: Expression) extends ArrayPairFold 
 object VectorNative {
   // element codes: 0 int, 1 long, 2 float, 3 double
 
-  /** Left-to-right fold matching the HOF chain's value and null semantics;
-    * returns null on length mismatch or any null element. */
-  def fold(a: ArrayData, b: ArrayData, ca: Int, cb: Int, l2: Boolean): java.lang.Double = {
+  /** Left-to-right fold matching the HOF chain's value, null, and ANSI
+    * overflow semantics; returns null on length mismatch or any null
+    * element. `ansi` = the expression's construction-time
+    * `spark.sql.ansi.enabled`: integral arithmetic then throws Spark's
+    * ARITHMETIC_OVERFLOW (via MathUtils, same as Multiply/Subtract)
+    * instead of wrapping. */
+  def fold(a: ArrayData, b: ArrayData, ca: Int, cb: Int, l2: Boolean,
+      ansi: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     // arithmetic mode = Spark's tightest common numeric type of the pair
@@ -104,9 +118,18 @@ object VectorNative {
         case 2 =>
           val x = getF(a, i, ca); val y = getF(b, i, cb)
           acc += (if (l2) { val d = x - y; d * d } else x * y).toDouble
-        case _ =>
+        case 1 =>
           val x = getL(a, i, ca); val y = getL(b, i, cb)
-          acc += (if (l2) { val d = x - y; d * d } else x * y).toDouble
+          acc += (if (l2) {
+            val d = if (ansi) MathUtils.subtractExact(x, y) else x - y
+            if (ansi) MathUtils.multiplyExact(d, d) else d * d
+          } else if (ansi) MathUtils.multiplyExact(x, y) else x * y).toDouble
+        case _ => // both int: Int arithmetic like Multiply(IntegerType), then widen
+          val x = a.getInt(i); val y = b.getInt(i)
+          acc += (if (l2) {
+            val d = if (ansi) MathUtils.subtractExact(x, y) else x - y
+            if (ansi) MathUtils.multiplyExact(d, d) else d * d
+          } else if (ansi) MathUtils.multiplyExact(x, y) else x * y).toDouble
       }
       i += 1
     }

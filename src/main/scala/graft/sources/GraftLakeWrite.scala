@@ -354,7 +354,12 @@ private[sources] object GraftLakeWrite {
   }
 
   /** Row-level partition-transform rendering, matching the directory
-    * values the DataFrame-API writer produces. */
+    * values the DataFrame-API writer produces. An EMPTY rendered string
+    * also maps to the null sentinel — Spark's directory rendering
+    * (ExternalCatalogUtils.getPartitionPathString) conflates null and ""
+    * into __HIVE_DEFAULT_PARTITION__, and partition-scoped delete
+    * sidecars are matched against data-file partition values recorded by
+    * EITHER writer, so the two renderings must agree byte-for-byte. */
   def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String = {
     if (row.isNullAt(idx)) return graft.lake.PartitionValues.NullSentinel
     def utcOf(micros: Long): LocalDateTime =
@@ -365,9 +370,11 @@ private[sources] object GraftLakeWrite {
       case DateType => Some(java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).atStartOfDay)
       case _ => None
     }
+    def hive(s: String): String =
+      if (s.isEmpty) graft.lake.PartitionValues.NullSentinel else s
     Transform.parse(trName) match {
       case Transform.Identity => dt match {
-        case StringType => row.getUTF8String(idx).toString
+        case StringType => hive(row.getUTF8String(idx).toString)
         case LongType => row.getLong(idx).toString
         case IntegerType => row.getInt(idx).toString
         case BooleanType => row.getBoolean(idx).toString
@@ -382,8 +389,8 @@ private[sources] object GraftLakeWrite {
         // String.take counts UTF-16 units and would render a different
         // prefix for supplementary characters (false pruning)
         val s = row.getUTF8String(idx).toString
-        if (s.codePointCount(0, s.length) <= w) s
-        else s.substring(0, s.offsetByCodePoints(0, w))
+        hive(if (s.codePointCount(0, s.length) <= w) s
+        else s.substring(0, s.offsetByCodePoints(0, w)))
       case other => throw new UnsupportedOperationException(s"DSv2 write: $other")
     }
   }

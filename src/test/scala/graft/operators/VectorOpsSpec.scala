@@ -154,6 +154,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(lq.filter(col("nd") =!= col("hd") || col("nl") =!= col("hl")).count() == 0,
       "quantized-path native kernels diverge from the HOF composition")
 
+    // INT arrays near Int.MaxValue: int×int must run in INT arithmetic
+    // (like Multiply(IntegerType) under zip_with) — under ANSI both paths
+    // THROW on overflow; under non-ANSI both WRAP before widening
+    // chosen so products AND squared diffs stay below Int.MaxValue
+    val safeInts = Seq((Seq(30000, -30000, 1 << 15), Seq(-16000, 16000, 1 << 15)),
+      (Seq(1, 2, 3), Seq(4, 5, 6))).toDF("a", "b")
+    val si = safeInts.select(
+      VectorMath.dot(col("a"), col("b")).as("nd"), hofDot(col("a"), col("b")).as("hd"),
+      VectorMath.l2Sq(col("a"), col("b")).as("nl"), hofL2(col("a"), col("b")).as("hl"))
+    assert(si.filter(col("nd") =!= col("hd") || col("nl") =!= col("hl")).count() == 0,
+      "int-path native kernels diverge from the HOF composition")
+    val hotInts = Seq((Seq(Int.MaxValue, 7), Seq(2, Int.MinValue))).toDF("a", "b")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true", "spec assumes ANSI default")
+    intercept[ArithmeticException](
+      hotInts.select(VectorMath.dot(col("a"), col("b"))).collect())
+    intercept[ArithmeticException](
+      hotInts.select(hofDot(col("a"), col("b"))).collect())
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val wr = hotInts.select(
+        VectorMath.dot(col("a"), col("b")).as("nd"), hofDot(col("a"), col("b")).as("hd"),
+        VectorMath.l2Sq(col("a"), col("b")).as("nl"), hofL2(col("a"), col("b")).as("hl"))
+      assert(wr.filter(col("nd") =!= col("hd") || col("nl") =!= col("hl")).count() == 0,
+        "non-ANSI int wrap semantics diverge between native and HOF")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+
     // null element and length mismatch both yield NULL, like zip_with
     val edge = Seq(
       (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),

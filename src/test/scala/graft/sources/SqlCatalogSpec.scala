@@ -279,6 +279,42 @@ class SqlCatalogSpec extends SparkSpec {
       "pk-rewriting UPDATE must tombstone the old identity and insert the new one")
   }
 
+  test("empty-string pk partition: MoR delete sidecars match Hive-sentinel data files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-morempty").toString
+    register(wh)
+    import graft.lake.{LakeTable, PartitionField, PartitionValues, PruneFilter, Transform}
+    // data files written via the DataFrame path: Hive directory rendering
+    // conflates null and "" into __HIVE_DEFAULT_PARTITION__
+    val df = Seq(("", 1.0), ("a", 2.0)).toDF("s", "v")
+    val t = LakeTable.create(spark, s"$wh/tes", "tes", df.schema,
+      partitionSpec = Seq(PartitionField("s", Transform.Identity, "p_s")),
+      primaryKey = Seq("s"))
+    t.append(df)
+    assert(t.currentSnapshot.dataFiles.exists(_.partition("p_s") == PartitionValues.NullSentinel),
+      "DataFrame path must record the Hive sentinel for the empty-string row")
+    // SQL MoR UPDATE scopes its delete sidecar via renderPartition — the
+    // rendering must agree with the sentinel or the delete silently skips
+    // (the stale row would stay visible next to the re-inserted one)
+    spark.sql("UPDATE graft.tes SET v = 10.0 WHERE s = ''")
+    val snap = t.currentSnapshot
+    assert(snap.operation == "update-mor", s"got ${snap.operation}")
+    assert(snap.deleteFiles.forall(d =>
+      d.partition.get("p_s").forall(_ == PartitionValues.NullSentinel)),
+      s"delete sidecar rendered '' instead of the sentinel: ${snap.deleteFiles}")
+    assert(spark.sql("SELECT s, v FROM graft.tes").as[(String, Double)].collect().toSet ==
+      Set(("", 10.0), ("a", 2.0)),
+      "stale empty-string row: delete sidecar did not match the sentinel data file")
+    // the re-inserted DSv2 row must itself record the sentinel, and a
+    // pruned scan on s='' must keep (not prune) sentinel files
+    assert(t.scan(filters = Seq(PruneFilter.Eq("s", "")))
+      .as[(String, Double)].collect().toSet == Set(("", 10.0)))
+    // reverse direction: a CDC-style DataFrame upsert (sidecar via the
+    // Hive path) must tombstone the DSv2-re-inserted sentinel data file
+    t.upsert(Seq(("", 99.0)).toDF("s", "v"))
+    assert(t.scan().as[(String, Double)].collect().toSet ==
+      Set(("", 99.0), ("a", 2.0)))
+  }
+
   test("USE graft: unqualified names resolve through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft-usecat").toString
     register(wh)
