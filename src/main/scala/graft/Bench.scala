@@ -6,15 +6,54 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line the driver collects into BENCH_r{N}.json.
   *
   * Each query is run once to warm the JVM/codegen caches, then timed over
-  * the best of `RUNS` measured executions (full materialization via
-  * count on a cached-plan-free DataFrame — plans are rebuilt per run so
-  * Catalyst work is included, Spark result caching is not used).
+  * `Runs` measured executions (full materialization via count on a
+  * cached-plan-free DataFrame — plans are rebuilt per run so Catalyst
+  * work is included, Spark result caching is not used). The reported
+  * per-query number is the MEDIAN of the runs (robust to a transient
+  * machine-load spike contaminating one run; two past rounds recorded
+  * phantom regressions from exactly that).
+  *
+  * A machine-load SENTINEL rides alongside: a fixed-work CPU busy loop
+  * (deterministic arithmetic, no allocation) timed before every measured
+  * run. Its medians are emitted raw plus a sentinel-normalized total
+  * (total · nominal/observed), so a reader comparing two recordings can
+  * adjudicate "slower code" vs "busier machine" without re-running.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY=q68_x,q77_y` restricts to named queries (local
+  * iteration); unset = the full bench set.
   */
 object Bench {
+  /** Fixed busy-loop work, calibrated to ~50 ms on an idle core of this
+    * class of machine (the serial dependency chain runs ~2.2 ns/iter).
+    * The mix (multiply/add/xor on a long) resists JIT elimination because
+    * the result feeds the returned value. The absolute number is a
+    * convention — adjudication compares the SAME sentinel across two
+    * recordings on one machine; the normalized total is a convenience. */
+  private val SentinelIters = 23_000_000L
+  private def sentinelOnce(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var acc = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < SentinelIters) {
+      acc = acc * 6364136223846793005L + 1442695040888963407L
+      acc ^= (acc >>> 33)
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e6, acc)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val only  = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
@@ -27,33 +66,54 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val Runs = 3
+    val Runs = 5
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count() // materialize fully, skip driver collect
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.benchQueries.map { q =>
+    var sentinelGuard = 0L // consume busy-loop results so JIT keeps them
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    sentinelOnce() // warm the sentinel's own JIT before first recording
+
+    val benched = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = benched.map { q =>
       try {
         timeOnce(q.run) // warm-up (codegen, file listing, JIT)
-        val best = (1 to Runs).map(_ => timeOnce(q.run)).min
-        q.name -> best
+        val runs = (1 to Runs).map { _ =>
+          val (sMs, g) = sentinelOnce()
+          sentinelGuard ^= g
+          sentinels += sMs
+          timeOnce(q.run)
+        }
+        (q.name, median(runs), runs)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          q.name -> -1.0
+          (q.name, -1.0, Seq.empty[Double])
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmtArr(xs: Seq[Double]): String = xs.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val runArrs = results.map { case (k, _, rs) => "\"" + k + "\":" + fmtArr(rs) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sentMed = if (sentinels.isEmpty) 0.0 else median(sentinels.toSeq)
+    val NominalMs = 50.0 // the loop's target on an idle core
+    val normalized = if (sentMed > 0) total * (NominalMs / sentMed) else total
+    val sentJson = s"""{"nominal_ms":$NominalMs,"median_ms":$sentMed,""" +
+      s""""runs_ms":${fmtArr(sentinels.toSeq)}}"""
     // stop Spark BEFORE printing so the JSON is the last stdout line —
     // nothing (shutdown logging included) may trail the machine-readable
     // output the collector parses
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (sentinelGuard == 42L) System.err.println("") // keep the guard live
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runArrs,"sentinel":$sentJson,"total_normalized":$normalized,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

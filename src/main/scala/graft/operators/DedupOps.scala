@@ -213,8 +213,9 @@ object DedupOps {
     * MapReduce", SIGMOD 2010; the prefix-filter principle of
     * Chaudhuri/Ganti/Kaushik, ICDE 2006):
     *  - order each document's shingle set by GLOBAL document frequency,
-    *    rarest first (one groupBy for the dictionary, one shuffle join to
-    *    stamp frequencies — both keyed shuffles, no pair enumeration);
+    *    rarest first (one small groupBy builds a bounded top-K frequency
+    *    dictionary, collected to the driver and applied MAP-SIDE — no
+    *    shuffle join, no regroup, no pair enumeration);
     *  - a set x can only reach Jaccard t with a set sharing one of x's
     *    first |x| - ceil(t*|x|) + 1 ordered tokens (if all prefix tokens
     *    miss, the remaining overlap is < ceil(t*|x|) <= the needed
@@ -229,16 +230,45 @@ object DedupOps {
     * The threshold is a RATIONAL (tNum/tDen): ceil(t*|x|) must be computed
     * in exact integer arithmetic — double rounding (0.8*5 = 4.0000...02 →
     * ceil 5) would shorten the prefix and silently drop true pairs. */
+  /** Cap on the driver-collected frequency dictionary (top-K tokens by
+    * df); override with `spark.graft.dedup.prefixDictSize`. The prefix
+    * filter is exact under ANY global total order — frequency ordering
+    * only tunes bucket sizes — so the cap bounds the broadcast O(1) in
+    * corpus size (same pattern as the PQ training sample) with no
+    * correctness cliff: out-of-dictionary tokens order as df = 1, the
+    * rarest class, which is where prefix tokens want to be. */
+  val DefaultPrefixDictSize = 1 << 16
+
   def jaccardPrefixCandidates(shingles: DataFrame,
       tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val s = shingles.sparkSession
     val sh = shingles.filter(size(col("sh")) > 0)
-    val toks = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // rarest-first total order (df, tok): deterministic and frequency-aware
-    val ordered = toks.join(freq, "tok")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
-      .select(col("doc_id"), transform(col("ts"), t => t.getField("tok")).as("toks"))
+    // rarest-first total order (df, tok), stamped MAP-SIDE from a bounded
+    // dictionary: one small aggregation + driver collect replaces the
+    // former explode → sort-merge df join → regroup → per-doc struct sort
+    // (two full shuffles of every token occurrence). Deterministic: the
+    // top-K cut orders by (df desc, tok).
+    val maxDict = s.conf.getOption("spark.graft.dedup.prefixDictSize")
+      .map(_.toInt).getOrElse(DefaultPrefixDictSize)
+    val dict: Map[String, Long] = sh
+      .select(explode(col("sh")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(maxDict)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // NATIVE hashed-dictionary ordering when the session has
+    // GraftExtensions (the HOF form probes the map literal by linear scan
+    // per token); bit-identical composition otherwise (spec-asserted)
+    val dictCol = typedlit(dict)
+    val orderedToks: Column =
+      if (s.catalog.functionExists(graft.plans.GraftExtensions.RankOrderName))
+        call_function(graft.plans.GraftExtensions.RankOrderName, col("sh"), dictCol)
+      else
+        transform(
+          sort_array(transform(col("sh"), t =>
+            struct(coalesce(try_element_at(dictCol, t), lit(1L)).as("df"), t.as("tok")))),
+          st => st.getField("tok"))
+    val ordered = sh.select(col("doc_id"), orderedToks.as("toks"))
     val sz = size(col("toks"))
     // ceil(t*sz) = floor((tNum*sz + tDen-1) / tDen): the numerator is an
     // exact integer and the quotient sits >= 1/tDen away from any wrong
@@ -287,7 +317,13 @@ object DedupOps {
       .filter(size(col("ids")) > 1)
       .select(explode(filteredPairs(col("ids"))).as("p"))
       .select(col("p.doc_i"), col("p.doc_j"))
-      .distinct()
+      // NO distinct here: a pair sharing k prefix tokens appears k times,
+      // but deduplicating 100% of candidates pre-verification costs a
+      // full exchange + hash-agg of the candidate stream (skew-prone: one
+      // giant bucket's output lands in one task's partial agg), while the
+      // duplication rate is small (~17% on the sf0.1 corpus) and the
+      // verifier rejects duplicates as cheaply as originals —
+      // [[jaccardSimilarityJoinOn]] dedups the SURVIVORS instead
   }
 
   // q68 — exact Jaccard similarity join at threshold 0.8: prefix-filter
@@ -300,21 +336,51 @@ object DedupOps {
 
   def jaccardSimilarityJoinOn(shingles: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val cand = jaccardPrefixCandidates(shingles, tNum, tDen)
-    // the intersection is the expensive term: compute its SIZE once per
-    // pair, decide the threshold in exact integer arithmetic
+    // the intersection is the expensive term: its SIZE decides the
+    // threshold in exact integer arithmetic
     // (inter/union >= tNum/tDen  <=>  inter*(tNum+tDen) >= tNum*(szi+szj)),
-    // and only then derive the reported double — the value chain
-    // size/size arithmetic is bit-identical to dividing directly
-    cand
-      .join(shingles.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
-      .join(shingles.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
-      .select(col("doc_i"), col("doc_j"),
-        size(array_intersect(col("sh_i"), col("sh_j"))).as("inter"),
+    // and only then is the reported double derived — the value chain
+    // size/size arithmetic is bit-identical to dividing directly.
+    // NATIVE thresholded count when the session has GraftExtensions
+    // ([[graft.plans.InterCount]]: no intersection array materialized,
+    // early exit below the threshold — Catalyst pushes the >= 0 filter
+    // into the join condition, so the ~Nk rejected candidates die on the
+    // cheap call and only survivors recompute for the jaccard value);
+    // identical-output array_intersect composition otherwise
+    val native = shingles.sparkSession.catalog
+      .functionExists(graft.plans.GraftExtensions.InterCountName)
+    def interCol: Column =
+      if (native)
+        call_function(graft.plans.GraftExtensions.InterCountName,
+          col("sh_i"), col("sh_j"), lit(tNum), lit(tDen))
+      else size(array_intersect(col("sh_i"), col("sh_j")))
+    // SHUFFLE_HASH with the doc side as build: Catalyst's size estimate
+    // for the exploded pair pipeline undercuts the corpus scan, so left
+    // alone it BROADCASTS the candidate stream and streams the corpus —
+    // whose parallelism is the corpus file split count (ONE task runs
+    // every verification at bench scale). Hash-joining on doc_id instead
+    // co-partitions both sides, keeps the verifier at full parallelism,
+    // and is the shape that survives 100 TB (the corpus side is never
+    // broadcastable; the pair stream exchange is O(candidates))
+    val joined = cand
+      .join(shingles.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+        .hint("shuffle_hash"), "doc_i")
+      .join(shingles.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+        .hint("shuffle_hash"), "doc_j")
+      .select(col("doc_i"), col("doc_j"), interCol.as("inter"),
         size(col("sh_i")).as("szi"), size(col("sh_j")).as("szj"))
-      .filter(col("inter") * lit(tNum + tDen) >= lit(tNum) * (col("szi") + col("szj")))
-      .select(col("doc_i"), col("doc_j"),
-        (col("inter").cast("double") / (col("szi") + col("szj") - col("inter")))
-          .as("jaccard"))
+    val passed =
+      if (native) joined.filter(col("inter") >= 0)
+      else joined.filter(
+        col("inter") * lit(tNum + tDen) >= lit(tNum) * (col("szi") + col("szj")))
+    passed.select(col("doc_i"), col("doc_j"),
+      (col("inter").cast("double") / (col("szi") + col("szj") - col("inter")))
+        .as("jaccard"))
+      // candidates arrive with multiplicity (one per shared prefix token);
+      // duplicates carry identical jaccard values, so dedup on survivors
+      // (tiny: the pairs actually above the threshold) replaces a full
+      // candidate-stream distinct
+      .distinct()
   }
 
   /** SimHash near-dup pairs within hamming distance `maxDist` (default 3):

@@ -310,7 +310,7 @@ object LakeOps {
       morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
     NamedQuery("q29_lake_compacted", lakeCompacted, oracle = Some(
       morMergedCte + "\nSELECT * FROM merged WHERE o_orderkey % 5 <> 0 ORDER BY ALL NULLS FIRST")),
-    NamedQuery("q83_partition_meta_rollup", partitionMetaRollup, oracle = Some(
+    NamedQuery("q83_partition_meta_rollup", partitionMetaRollup, bench = true, oracle = Some(
       morMergedCte +
         """
           |SELECT o_orderstatus, COUNT(*) AS n_orders,
@@ -362,7 +362,7 @@ object LakeOps {
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,
         |  o_totalprice AS total_amount
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q82_changelog_replica", changelogReplica, oracle = Some(
+    NamedQuery("q82_changelog_replica", changelogReplica, bench = true, oracle = Some(
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
         |  o_totalprice

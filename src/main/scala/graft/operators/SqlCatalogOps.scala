@@ -272,7 +272,7 @@ object SqlCatalogOps {
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END
         |    AS o_totalprice
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q81_sql_merge_mor", sqlMergeMorServe, oracle = Some(
+    NamedQuery("q81_sql_merge_mor", sqlMergeMorServe, bench = true, oracle = Some(
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END

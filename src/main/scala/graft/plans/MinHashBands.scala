@@ -110,6 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.l2sqDescriptor)
     ext.injectFunction(GraftExtensions.prefixPairsDescriptor)
     ext.injectFunction(GraftExtensions.shinglesDescriptor)
+    ext.injectFunction(GraftExtensions.rankOrderDescriptor)
+    ext.injectFunction(GraftExtensions.interCountDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
   }
@@ -121,6 +123,8 @@ object GraftExtensions {
   val L2SqName = "graft_l2sq"
   val PrefixPairsName = "graft_prefix_pairs"
   val ShinglesName = "graft_shingles"
+  val RankOrderName = "graft_rank_order"
+  val InterCountName = "graft_inter_count"
 
   private[plans] val shinglesDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
@@ -147,6 +151,48 @@ object GraftExtensions {
         case other => sys.error(s"tDen must be an int literal, got $other")
       }
       PrefixPairs(args.head, tNum, tDen)
+    },
+  )
+
+  private[plans] val interCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(InterCountName),
+    new ExpressionInfo(classOf[InterCount].getName, InterCountName),
+    (args: Seq[Expression]) => {
+      require(args.size == 4, s"$InterCountName(a, b, tNum, tDen)")
+      val tNum = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"tNum must be an int literal, got $other")
+      }
+      val tDen = args(3) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"tDen must be an int literal, got $other")
+      }
+      InterCount(args(0), args(1), tNum, tDen)
+    },
+  )
+
+  private[plans] val rankOrderDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(RankOrderName),
+    new ExpressionInfo(classOf[RankOrder].getName, RankOrderName),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, s"$RankOrderName(toks, dictMap)")
+      // the dictionary must be a foldable map literal; it is extracted
+      // here (not kept as a child) so plans print its SIZE, not N entries
+      val dict: Map[String, Long] = args(1) match {
+        case l: Literal if l.value == null => Map.empty
+        case l @ Literal(md: org.apache.spark.sql.catalyst.util.MapData,
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType, _)) =>
+          val ks = md.keyArray(); val vs = md.valueArray()
+          (0 until md.numElements())
+            .map(i => ks.getUTF8String(i).toString -> vs.getLong(i)).toMap
+        case other => sys.error(
+          s"$RankOrderName dict must be a map<string,bigint> literal, got $other")
+      }
+      RankOrder(args.head, dict)
     },
   )
 

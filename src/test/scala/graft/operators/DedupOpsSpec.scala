@@ -149,6 +149,57 @@ class DedupOpsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("native graft_rank_order is bit-identical to the functions._ composition") {
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.RankOrderName))
+    val sh = DedupOps.shingled(spark, sfDir)
+    // a PARTIAL dictionary (every other token, capped-dict shape): in-dict
+    // tokens order by their df, out-of-dict tokens by (1, tok)
+    val dict: Map[String, Long] = sh.select(explode(col("sh")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .collect().zipWithIndex.collect { case (r, i) if i % 2 == 0 =>
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    def hof(dictCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = transform(
+      sort_array(transform(col("sh"), t =>
+        struct(coalesce(try_element_at(dictCol, t), lit(1L)).as("df"), t.as("tok")))),
+      st => st.getField("tok"))
+    val corpus = sh.unionByName(
+      Seq((100001L, Seq.empty[String]), (100002L, Seq("only_one")),
+        (100003L, Seq("zz_1", "aa_2", "mm_3"))).toDF("doc_id", "sh"))
+    val both = corpus.select(
+      call_function(graft.plans.GraftExtensions.RankOrderName,
+        col("sh"), typedlit(dict)).as("native"),
+      hof(typedlit(dict)).as("hofv"))
+    assert(both.filter(col("native") =!= col("hofv")).count() == 0,
+      both.filter(col("native") =!= col("hofv")).limit(3).collect().mkString("; "))
+    // empty dictionary: pure (1, tok) lexicographic order, both forms
+    val emptyDict = typedlit(Map.empty[String, Long])
+    val b2 = corpus.select(
+      call_function(graft.plans.GraftExtensions.RankOrderName,
+        col("sh"), emptyDict).as("native"),
+      hof(emptyDict).as("hofv"))
+    assert(b2.filter(col("native") =!= col("hofv")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("capped prefix dictionary keeps the Jaccard join exact") {
+    // dictionary capped to 16 entries — most tokens order as df=1; the
+    // candidate set grows but the pair set must not change
+    spark.conf.set("spark.graft.dedup.prefixDictSize", "16")
+    try {
+      val docs = Seq(
+        1L -> "a b c d e f", 2L -> "a b c d e g",
+        3L -> "p q r s t u", 4L -> "p q r s t u",
+        5L -> "m n o w x y z m2 n2 o2 w2", 6L -> "m n o w x y z m2 n2 o2 w3",
+      ).toDF("doc_id", "text")
+      val sh = docs.select(col("doc_id"), graft.functions.TextSig.shingles(col("text")).as("sh"))
+      val got = DedupOps.jaccardSimilarityJoinOn(sh, 4, 5)
+        .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+      assert(got == Set((3L, 4L), (5L, 6L)), s"operator found: $got")
+    } finally spark.conf.unset("spark.graft.dedup.prefixDictSize")
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     import graft.functions.TextSig
     val df = Seq("a b c", "a b c", "a b d").toDF("text")
