@@ -165,18 +165,29 @@ final class LakeTable private (
   def currentSnapshot: Snapshot = snapshot(currentSeq)
   def currentSchema: StructType = schema(currentSnapshot.schemaVersion)
 
-  /** Snapshot with data manifests whose partition summaries cannot match
+  /** Snapshot with manifests whose partition summaries cannot match
     * `filters` SKIPPED ENTIRELY — their file entries are never parsed (nor
-    * fetched, on a remote store). Delete manifests always load: tombstones
-    * must be complete for merge-on-read regardless of data pruning. File-
-    * level pruning ([[planFiles]]) still applies on top; decisions are
-    * identical because both use [[PruneFilter.mayMatch]] per tuple. */
+    * fetched, on a remote store). This applies to BOTH kinds (mirroring
+    * Iceberg's manifest-list partition field summaries):
+    *  - data manifests: file-level pruning ([[planFiles]]) still applies
+    *    on top; decisions are identical because both use
+    *    [[PruneFilter.mayMatch]] per tuple.
+    *  - delete manifests: SOUND because a scoped tombstone's tuple is
+    *    rendered from the primary key of the rows it suppresses, so any
+    *    suppressed row renders the same tuple — if that tuple cannot
+    *    satisfy `filters`, neither can the stale row, and every consumer
+    *    of a pruned snapshot re-applies `filters` at ROW level (the
+    *    imperative [[scan]] filters explicitly; the DSv2 scan returns all
+    *    pushed filters as residual). Global sidecars carry the empty
+    *    tuple, which matches everything, so their manifests always load.
+    *    A path that ever fully-handles filters without row re-application
+    *    must plan its deletes from the UNPRUNED snapshot. */
   def snapshotPruned(seq: Long, filters: Seq[PruneFilter]): Snapshot =
     if (filters.isEmpty) snapshot(seq)
     else assemble(snapshotFile(seq), pruneTo = Some(filters))
 
   /** Raw snapshot file content (header + manifest refs). */
-  private[lake] def snapshotFile(seq: Long): SnapshotFile =
+  private[graft] def snapshotFile(seq: Long): SnapshotFile =
     MetaJson.readSnapshotFile(readString(snapPath(seq)))
 
   /** True iff some file in a manifest with this partition summary may
@@ -192,15 +203,17 @@ final class LakeTable private (
       return Snapshot(sf.seq, sf.parent, sf.timestampMs, sf.operation, sf.schemaVersion,
         sf.legacyData, sf.legacyDeletes, specVersion = sf.specVersion)
     val dataRefs = sf.manifests.filter(_.isData)
-    val kept = pruneTo match {
+    val delRefs  = sf.manifests.filterNot(_.isData)
+    val (keptData, keptDel) = pruneTo match {
       case Some(filters) =>
         val spec = specFieldsThrough(sf.specVersion)
-        dataRefs.filter(m => manifestMayMatch(spec, m.partitions, filters))
-      case None          => dataRefs
+        (dataRefs.filter(m => manifestMayMatch(spec, m.partitions, filters)),
+          delRefs.filter(m => manifestMayMatch(spec, m.partitions, filters)))
+      case None => (dataRefs, delRefs)
     }
     Snapshot(sf.seq, sf.parent, sf.timestampMs, sf.operation, sf.schemaVersion,
-      dataFiles = kept.flatMap(m => loadManifest(m)._1),
-      deleteFiles = sf.manifests.filterNot(_.isData).flatMap(m => loadManifest(m)._2),
+      dataFiles = keptData.flatMap(m => loadManifest(m)._1),
+      deleteFiles = keptDel.flatMap(m => loadManifest(m)._2),
       specVersion = sf.specVersion)
   }
 
@@ -1086,7 +1099,9 @@ final class LakeTable private (
         path = rel, kind = kind,
         count = if (kind == "data") data.size else dels.size,
         bytes = if (kind == "data") data.map(_.bytes).sum else dels.map(_.bytes).sum,
-        partitions = if (kind == "data") ManifestRef.summarize(data) else None)
+        partitions =
+          if (kind == "data") ManifestRef.summarize(data)
+          else ManifestRef.summarizeDeletes(dels))
       LakeTable.manifestCache.put(abs(rel), (data, dels))
       Some(ref)
     }

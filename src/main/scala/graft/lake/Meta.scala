@@ -99,8 +99,20 @@ object ManifestRef {
     * so most manifests stay well under it. */
   val MaxPartitionSummary = 128
 
-  def summarize(files: Seq[DataFile]): Option[Seq[Map[String, String]]] = {
-    val distinct = files.iterator.map(_.partition).distinct.take(MaxPartitionSummary + 1).toSeq
+  def summarize(files: Seq[DataFile]): Option[Seq[Map[String, String]]] =
+    summarizeTuples(files.iterator.map(_.partition))
+
+  /** Delete-kind summaries use the same shape over [[DeleteFile]] tuples.
+    * A GLOBAL delete file contributes the empty tuple, which matches every
+    * predicate in `mayMatch` — so a manifest holding any global sidecar is
+    * summarized but never prunable, keeping the "global sidecars always
+    * load" rule without a special case. */
+  def summarizeDeletes(dels: Seq[DeleteFile]): Option[Seq[Map[String, String]]] =
+    summarizeTuples(dels.iterator.map(_.partition))
+
+  private def summarizeTuples(
+      tuples: Iterator[Map[String, String]]): Option[Seq[Map[String, String]]] = {
+    val distinct = tuples.distinct.take(MaxPartitionSummary + 1).toSeq
     if (distinct.size > MaxPartitionSummary) None else Some(distinct)
   }
 }

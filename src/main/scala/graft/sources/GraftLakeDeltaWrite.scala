@@ -92,8 +92,43 @@ private[sources] class GraftLakeDeltaOperation(
 
 private[sources] class GraftLakeDeltaWrite(
     t: LakeTable, snap: Snapshot, winfo: LogicalWriteInfo, opName: String)
-    extends DeltaWrite {
+    extends DeltaWrite with RequiresDistributionAndOrdering {
   override def toBatch(): DeltaBatchWrite = new GraftLakeDeltaBatchWrite(t, snap, winfo, opName)
+
+  /** Same sink contract as the append path (GraftLakeWriteBuilder): ask
+    * Spark to CLUSTER the delta stream on the partition source columns and
+    * sort by (sources, cluster keys) before the writers see it — without
+    * it a wide MoR MERGE opens one data file per task × partition touched
+    * (fanout-writer shape: O(tasks·partitions) small files that only
+    * compaction folds later); clustered, re-inserted rows for one
+    * partition land in one-ish task and the commit stays O(partitions).
+    * DELETE records carry NULL row columns and hash to a single cluster —
+    * harmless: delete-key sidecars are tiny and their fanout is bounded
+    * by touched tuples, not data volume. A pure DELETE command has an
+    * EMPTY row schema → no requirement at all. Advisory (non-strict): a
+    * 3-row point MERGE need not shuffle. */
+  private lazy val specSources: Seq[String] = {
+    val schemaNames = winfo.schema().fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    (t.partitionSpec(snap.specVersion).map(_.source) ++ t.meta.clusterBy)
+      .distinct.filter(c => schemaNames.contains(c.toLowerCase(java.util.Locale.ROOT)))
+  }
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val parts = t.partitionSpec(snap.specVersion).map(_.source)
+      .filter(specSources.contains)
+    if (parts.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      parts.map(Expressions.column).toArray)
+  }
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    specSources.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  }
 }
 
 private[sources] class GraftLakeDeltaBatchWrite(

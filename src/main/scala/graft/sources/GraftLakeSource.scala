@@ -1052,14 +1052,16 @@ private[sources] class GraftLakeScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val snap = t.snapshot(seq)
-    // partition-scoped tombstones: only delete files whose recorded tuple
-    // can reach a PLANNED data file matter to this scan — a pruned read of
-    // one partition loads that partition's sidecars, not the table's whole
-    // delete-key set (Iceberg's partition-scoped delete files)
+    // the PRUNED snapshot serves both sides: delete manifests whose
+    // partition summaries cannot match the scan filters are never parsed
+    // (sound because Spark re-applies every pushed filter as residual —
+    // see LakeTable.snapshotPruned), and partition-scoped tombstone files
+    // are then narrowed further to the ones reaching a PLANNED data file
+    // (Iceberg's partition-scoped delete files)
+    val snap = t.snapshotPruned(seq, allFilters)
     val scopedDels =
       if (skipDeletes || snap.deleteFiles.isEmpty) Nil
-      else t.deleteFilesFor(snap, t.planFiles(t.snapshotPruned(seq, allFilters), allFilters)._1)
+      else t.deleteFilesFor(snap, t.planFiles(snap, allFilters)._1)
     // tombstones: key (rendered pk values) -> latest delete seq. Collected
     // to the driver ONLY while small (delete files are keys-only and fold
     // away at compaction); above the gate, LakeMorRewrite plans the MoR
@@ -1259,6 +1261,16 @@ private[sources] class GraftLakeChangelogScan(
   * the delta rows — O(changed rows), never O(table) — on top of the join
   * `changes` itself plans; committed batches delete their staging
   * eagerly, crashes leave them to [[graft.lake.Maintenance.removeOrphans]].
+  *
+  * APPEND-ONLY ranges skip the staging round-trip entirely: when every
+  * snapshot in the range is append-shaped the delta IS the range's new
+  * data files, so their splits are planned DIRECTLY and the reader
+  * synthesizes a constant `_change_type = insert` (no join, no write —
+  * the batch costs exactly one read of the new files). Appended rows are
+  * labelled insert even if a same-pk row already existed (an
+  * out-of-contract duplicate — restatement goes through upsert/MERGE,
+  * which take the join path and label update). A bootstrap over a fully
+  * append-only retained-from-seq-1 history takes the same shortcut.
   * Restatements (overwrite / compact / rollback) still refuse loudly
   * inside `changes` — consume up to them, re-baseline from a fresh
   * checkpoint. */
@@ -1303,6 +1315,16 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
   override def latestOffset(): Offset = GraftLakeOffset(t.currentSeq)
   override def deserializeOffset(json: String): Offset = GraftLakeOffset(json.trim.toLong)
 
+  /** Whether the most recently planned batch took the direct append fast
+    * path (its files lack `_change_type`; the reader synthesizes it).
+    * Micro-batches plan then execute sequentially, so a single flag is
+    * enough; idempotent re-plans recompute the same value. */
+  @volatile private var lastBatchDirect = false
+
+  private def appendShaped(op: String): Boolean =
+    op == "create" || op.startsWith("append") ||
+      op == "add-column" || op == "promote-type" || op == "evolve-spec"
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftLakeOffset].seq
     val e = end.asInstanceOf[GraftLakeOffset].seq
@@ -1313,6 +1335,21 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
     require(s0 == Bootstrap || s0 + 1 >= earliest,
       s"changelog checkpoint at seq $s0 is older than the retained history " +
         s"(earliest snapshot $earliest); restart from a fresh checkpoint")
+    // APPEND-ONLY fast path: the delta IS the range's new data files —
+    // plan their splits directly, no join, no staging write. Bootstrap
+    // qualifies only over a complete (seq-1-retained) append-only history,
+    // where state == files. Header reads only; no manifest parse beyond
+    // the end snapshot the batch loads anyway.
+    val direct =
+      if (s0 == Bootstrap) earliest == 0L && // seq 0 = CREATE: nothing expired
+        (0L to e).forall(q => appendShaped(t.snapshotFile(q).operation))
+      else ((s0 + 1) to e).forall(q => appendShaped(t.snapshotFile(q).operation))
+    lastBatchDirect = direct
+    if (direct) {
+      val newFiles = t.snapshot(e).dataFiles
+        .filter(f => (s0 == Bootstrap || f.seq > s0) && f.seq <= e)
+      return GraftLakeSource.planFileSplits(t, newFiles)
+    }
     val userCols = outSchema.fieldNames.filterNot(_ == GraftLakeSource.ChangeTypeCol).toSeq
     val delta =
       if (s0 == Bootstrap)
@@ -1344,7 +1381,15 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
     val hadoopConf: Map[String, String] =
       t.spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap
-    GraftLakeReaderFactory(outSchema, Nil, Map.empty, types, hadoopConf)
+    // direct (append fast path) batches read RAW data files, which lack
+    // the _change_type column — the reader synthesizes the constant;
+    // staged batches carry the real column and keep the vectorized reader
+    val defaults: Map[String, Any] =
+      if (lastBatchDirect)
+        Map(GraftLakeSource.ChangeTypeCol -> UTF8String.fromString("insert"))
+      else Map.empty
+    GraftLakeReaderFactory(outSchema, Nil, Map.empty, types, hadoopConf,
+      missingDefaults = defaults)
   }
 
   override def commit(end: Offset): Unit = {
@@ -1393,7 +1438,12 @@ private[sources] case class GraftLakeReaderFactory(
     tombstones: Map[Seq[String], Long],
     types: Map[String, DataType],
     hadoopConf: Map[String, String],
-    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    /** Catalyst values substituted for columns a FILE does not carry
+      * (instead of the null-fill evolution default) — the changelog
+      * stream's append fast path reads raw data files and synthesizes
+      * `_change_type = insert` this way. Forces the row reader. */
+    missingDefaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
 
   private def confOf(): Configuration = {
@@ -1415,7 +1465,8 @@ private[sources] case class GraftLakeReaderFactory(
     * check) and projections of the reader-injected `_graft_file` metadata
     * column fall back to the row-at-a-time Group reader. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    tombstones.isEmpty && !required.fieldNames.contains(GraftLakeSource.FileCol)
+    tombstones.isEmpty && missingDefaults.isEmpty &&
+      !required.fieldNames.contains(GraftLakeSource.FileCol)
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1426,7 +1477,8 @@ private[sources] case class GraftLakeReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftSplit]
     new GraftLakePartitionReader(
-      gp.file, gp.start, gp.length, required, primaryKey, tombstones, types, confOf())
+      gp.file, gp.start, gp.length, required, primaryKey, tombstones, types, confOf(),
+      missingDefaults)
   }
 }
 
@@ -1488,7 +1540,8 @@ private[sources] class GraftLakePartitionReader(
     primaryKey: Seq[String],
     tombstones: Map[Seq[String], Long],
     types: Map[String, DataType],
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration,
+    missingDefaults: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(file), conf),
@@ -1569,7 +1622,10 @@ private[sources] class GraftLakePartitionReader(
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     if (name == GraftLakeSource.FileCol) return UTF8String.fromString(file)
     fieldIndex.get(name) match {
-      case None => null // evolved column the file predates
+      case None =>
+        // evolved column the file predates: null-fill, unless the scan
+        // declared a synthesized default (changelog append fast path)
+        missingDefaults.getOrElse(name, null)
       case Some(i) =>
         if (g.getFieldRepetitionCount(i) == 0) null
         else types(name) match {

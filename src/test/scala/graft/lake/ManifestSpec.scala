@@ -91,6 +91,64 @@ class ManifestSpec extends SparkSpec {
     assert(t.scan().count() == 100)
   }
 
+  test("pruned MoR scans skip non-matching DELETE manifests without parsing them") {
+    val dir = Files.createTempDirectory("graft-man-delprune").toString
+    import org.apache.spark.sql.functions.col
+    // partition source IS the pk: sidecars are partition-scoped, so their
+    // manifests carry summaries
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("k", Transform.Identity, "p_k")),
+      primaryKey = Seq("k"))
+    t.append(df)
+    t.upsert(Seq((1L, "A")).toDF("k", "s"))             // delete manifest p_k=1
+    t.upsert(Seq((3L, "C"), (4L, "D")).toDF("k", "s"))  // delete manifest p_k∈{3,4}
+    val seq = t.currentSeq
+    val refs = refsOf(t, seq)
+    val delRefs = refs.filterNot(_.isData)
+    assert(delRefs.size == 2 && delRefs.forall(_.partitions.isDefined),
+      s"delete manifests lack partition summaries: $delRefs")
+    assert(delRefs.map(_.partitions.get).forall(_.forall(_.nonEmpty)),
+      "scoped sidecars must record non-empty tuples")
+
+    // a scan pruned to k=1 must parse ONLY p_k=1's delete manifest (and
+    // only the matching data manifests)
+    val filters = Seq(PruneFilter.Eq("k", 1L))
+    val spec = t.meta.partitionSpec
+    val expectedKept = refs.count(m => t.manifestMayMatch(spec, m.partitions, filters))
+    val expectedDel = delRefs.count(m => t.manifestMayMatch(spec, m.partitions, filters))
+    assert(expectedDel == 1, s"fixture degenerate: $expectedDel delete manifests match")
+    val full = t.snapshot(seq)
+    LakeTable.manifestCache.clear()
+    val before = LakeTable.manifestCache.misses
+    val pruned = t.snapshotPruned(seq, filters)
+    val loads = LakeTable.manifestCache.misses - before
+    assert(loads == expectedKept,
+      s"pruned MoR read parsed $loads manifests, expected $expectedKept of ${refs.size}")
+    assert(pruned.deleteFiles.size < full.deleteFiles.size,
+      "pruning did not reduce the loaded delete-file set")
+
+    // correctness through the pruned path, both partitions
+    assert(t.scan(filters = Seq(PruneFilter.Eq("k", 1L)))
+      .select(col("s")).as[String].collect().toSeq == Seq("A"))
+    assert(t.scan(filters = Seq(PruneFilter.Eq("k", 3L)))
+      .select(col("s")).as[String].collect().toSeq == Seq("C"))
+    assert(t.scan().count() == 4)
+
+    // a GLOBAL sidecar (partition source not in the pk) poisons pruning
+    // for its manifest only — the summary contains the empty tuple
+    val df2 = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "cat", "v")
+    val t2 = LakeTable.create(spark, s"$dir/t2", "t2", df2.schema,
+      partitionSpec = Seq(PartitionField("cat", Transform.Identity, "p_cat")),
+      primaryKey = Seq("id"))
+    t2.append(df2)
+    t2.upsert(Seq((1L, "z", 11.0)).toDF("id", "cat", "v"))
+    val g = t2.snapshotPruned(t2.currentSeq, Seq(PruneFilter.Eq("cat", "y")))
+    assert(g.deleteFiles.nonEmpty,
+      "global delete manifests must survive pruning (empty tuple matches everything)")
+    assert(t2.scan(filters = Seq(PruneFilter.Eq("cat", "y"))).count() == 1)
+  }
+
   test("expiry deletes manifests only when no retained snapshot references them") {
     val dir = Files.createTempDirectory("graft-man-expire").toString
     val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")

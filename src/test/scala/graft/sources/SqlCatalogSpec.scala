@@ -279,6 +279,36 @@ class SqlCatalogSpec extends SparkSpec {
       "pk-rewriting UPDATE must tombstone the old identity and insert the new one")
   }
 
+  test("MoR MERGE under a wide shuffle commits O(partitions) data files, not O(tasks x partitions)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mordist").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.tdist (id BIGINT, p STRING, v DOUBLE)
+        |PARTITIONED BY (p) TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    val nParts = 8
+    val seed = (1L to 400L).map(i => (i, s"p${i % nParts}", i * 1.0)).toDF("id", "p", "v")
+    seed.createOrReplaceTempView("tdist_seed")
+    spark.sql("INSERT INTO graft.tdist SELECT * FROM tdist_seed")
+    // updates touching EVERY partition, spread across many tasks — the
+    // shape that fans out to tasks x partitions files without the delta
+    // write's clustering requirement
+    seed.withColumn("v", org.apache.spark.sql.functions.col("v") * 10).repartition(16)
+      .createOrReplaceTempView("tdist_changes")
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tdist")
+    val before = t.currentSnapshot.dataFiles.map(_.path).toSet
+    spark.sql(
+      """MERGE INTO graft.tdist t USING tdist_changes c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET t.v = c.v""".stripMargin)
+    val after = t.currentSnapshot
+    assert(after.operation == "merge-mor", s"got ${after.operation}")
+    val newFiles = after.dataFiles.filterNot(f => before(f.path))
+    assert(newFiles.nonEmpty)
+    assert(newFiles.size <= nParts + 2,
+      s"delta write fanned out: ${newFiles.size} new data files for $nParts partitions")
+    assert(spark.sql("SELECT SUM(v) FROM graft.tdist").head().getDouble(0) ==
+      (1L to 400L).map(_ * 10.0).sum)
+  }
+
   test("empty-string pk partition: MoR delete sidecars match Hive-sentinel data files") {
     val wh = java.nio.file.Files.createTempDirectory("graft-morempty").toString
     register(wh)

@@ -157,6 +157,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.n_events == 3L)
   }
 
+  test("changelog stream plans append-only batches DIRECTLY from data files (no staging write)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-changelog-fast").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)
+    val fs = new org.apache.hadoop.fs.Path(t.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingDir = new org.apache.hadoop.fs.Path(s"${t.location}/_staging")
+    // observe staging from INSIDE each batch — post-commit cleanup would
+    // hide a write that did happen
+    @volatile var stagedSeen = false
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, String, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option("path", t.location).option("changelog", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("id", "s", "_change_type").as[(Long, String, String)].collect()
+          rows.synchronized { rows ++= got }
+          if (fs.exists(stagingDir) &&
+            fs.listStatus(stagingDir).exists(_.getPath.getName.startsWith("changelog-")))
+            stagedSeen = true
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // bootstrap over a purely append-only history: direct
+    drain()
+    assert(rows.toSet == Set((1L, "a", "insert"), (2L, "b", "insert")), s"bootstrap: $rows")
+    assert(!stagedSeen, "append-only bootstrap batch staged a delta write")
+    // incremental append: still direct
+    rows.clear()
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    drain()
+    assert(rows.toSet == Set((3L, "c", "insert")), s"append increment: $rows")
+    assert(!stagedSeen, "append-only incremental batch staged a delta write")
+    // an upsert in the range takes the join path (staging) and stays typed
+    rows.clear()
+    t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "s"))
+    drain()
+    assert(rows.toSet == Set((2L, "B2", "update"), (4L, "d", "insert")), s"upsert batch: $rows")
+    assert(stagedSeen, "join-shaped batch should have used the staging path")
+  }
+
   test("changelog stream converges to the batch changes result across upserts and deletes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog-stream").toString
