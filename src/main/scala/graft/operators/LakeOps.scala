@@ -138,6 +138,30 @@ object LakeOps {
     df
   }
 
+  // q84 — per-month rollup grouped by DERIVED year()/month() of the
+  // month-partitioned o_orderdate, answered from partition METADATA: the
+  // rendered tuples ("yyyy-MM") determine both derived values, so the
+  // whole rollup folds from the file listing on the driver
+  // ([[graft.plans.LakeMetaAggregate]] — Spark's V2 pushdown cannot
+  // translate month(), so this goes through the injected optimizer rule
+  // rather than the connector aggregate API q83 uses). The query REQUIRES
+  // the metadata plan: a regression to a real scan fails the gate.
+  val monthlyMetaRollup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.ordersLake(s, dir)
+    val df = s.read.format("graftlake").option("path", t.location).load()
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"monthly transform rollup was not metadata-served:\n$plan")
+    df
+  }
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -317,6 +341,12 @@ object LakeOps {
           |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
           |FROM merged WHERE o_orderkey % 5 <> 0
           |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q84_monthly_meta_rollup", monthlyMetaRollup, bench = true, oracle = Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q30_silver_serve", silverServe, oracle = Some(
       """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,

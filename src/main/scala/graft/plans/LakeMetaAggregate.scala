@@ -1,0 +1,253 @@
+package graft.plans
+
+import graft.lake.{ColBound, PartitionValues, Transform}
+import graft.sources.{GraftLakeScanBuilder, GraftLakeV2Table}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Answers GROUP BY aggregates over lake tables from SNAPSHOT METADATA
+  * when the grouping is derivable from recorded partition tuples — the
+  * per-partition rollup then plans as a driver LocalRelation: zero tasks,
+  * zero data I/O at any table size (the Iceberg metadata-count idea
+  * extended to grouped aggregates over partition TRANSFORMS).
+  *
+  * The DSv2 aggregate-pushdown API already serves `GROUP BY <identity
+  * partition source>` (GraftLakeScanBuilder.answerGroupedFromMetadata),
+  * but Spark cannot translate `month(ts)` / `year(ts)` / `date_format`
+  * into connector expressions, so q2-shaped per-month rollups never reach
+  * that path. This optimizer rule (injected via [[GraftExtensions]], runs
+  * BEFORE V2 pushdown) recognizes the shapes directly in the logical plan:
+  *
+  *   Aggregate(groupings, results, [alias-only Project,] Relation(lake T))
+  *
+  * where every grouping is one of
+  *  - a bare identity-partition-source column,
+  *  - `year(d)` / `month(d)` / `dayofmonth(d)` over a year/month/day-
+  *    partitioned temporal source (rendered tuples are "yyyy[-MM[-dd]]" —
+  *    the value parses straight out of the prefix),
+  *  - `date_format(d, 'yyyy' | 'yyyy-MM' | 'yyyy-MM-dd')` at or above the
+  *    transform's granularity,
+  *  - `substring(s, 1, w)` over a truncate(w)-partitioned string,
+  * and every result is a grouping key, COUNT(*) (recorded row counts), or
+  * MIN/MAX of a column with exact recorded bounds.
+  *
+  * Declines conservatively — merge-on-read tombstones, missing row
+  * counts, files whose spec predates a grouping field, non-UTC embedded
+  * time zones (rendered tuples are UTC), and string groupings whose files
+  * carry the Hive directory sentinel (it conflates null with "") all fall
+  * through to the real scan. Null temporal partition values group as NULL
+  * keys, matching `month(null)`. */
+class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate => answer(agg).getOrElse(agg)
+  }
+
+  private type FileKey = graft.lake.DataFile => Any
+
+  private def answer(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.isEmpty) return None // ungrouped: V2 pushdown path
+    // unwrap an alias-only Project between the aggregate and the relation
+    val (aliases, rel) = agg.child match {
+      case Project(list, r: DataSourceV2Relation)
+          if list.forall(e => e.isInstanceOf[Alias] || e.isInstanceOf[AttributeReference]) =>
+        (list.collect { case a: Alias => a.toAttribute.exprId -> a.child }.toMap, r)
+      case r: DataSourceV2Relation => (Map.empty[ExprId, Expression], r)
+      case _ => return None
+    }
+    val tbl = rel.table match {
+      case v: GraftLakeV2Table if !v.raw && !v.changelog => v
+      case _ => return None
+    }
+    val t = tbl.t
+    val snap = tbl.snap
+    if (snap.deleteFiles.nonEmpty) return None // MoR merge could drop rows
+    val files = snap.dataFiles
+    if (!files.forall(_.rows >= 0)) return None
+    val spec = t.specFieldsThrough(snap.specVersion)
+    val schema = t.schema(snap.schemaVersion)
+
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if aliases.contains(a.exprId) => aliases(a.exprId)
+    }
+    def relAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if rel.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    def utcOk(tz: Option[String]): Boolean = tz.forall(_ == "UTC")
+    // `d` (temporal source) possibly under a session-tz cast to date
+    def temporalSource(e: Expression): Option[AttributeReference] = e match {
+      case c: Cast if c.dataType == DateType =>
+        relAttr(c.child).filter(a => a.dataType match {
+          case TimestampType => utcOk(c.timeZoneId)
+          case TimestampNTZType | DateType => true
+          case _ => false
+        })
+      case _ => relAttr(e).filter(_.dataType == DateType)
+    }
+    // a partition field of `source` whose transform is in `allowed` and
+    // whose tuple value EVERY file records
+    def recordedField(source: String, allowed: Transform => Boolean): Option[String] =
+      spec.find(pf => pf.source.equalsIgnoreCase(source) && allowed(pf.transform) &&
+        files.forall(_.partition.contains(pf.name))).map(_.name)
+    val S = PartitionValues.NullSentinel
+
+    // resolve one grouping expression to (output type, per-file key value);
+    // the DataFrame API (`groupBy(year(c).as("y"))`) aliases the grouping
+    // expression in place rather than through a child Project
+    def resolveGroup(g: Expression): Option[(DataType, FileKey)] = g match {
+      case al: Alias => resolveGroup(al.child)
+      case a: AttributeReference if rel.outputSet.contains(a) => // identity source
+        val field = schema.fields.find(_.name.equalsIgnoreCase(a.name)).getOrElse(return None)
+        val pname = recordedField(a.name, _ == Transform.Identity).getOrElse(return None)
+        val parse = GraftLakeScanBuilder.identityValueParser(field.dataType).getOrElse(return None)
+        if (field.dataType == StringType && files.exists(_.partition(pname) == S))
+          return None // sentinel conflates null with ""
+        Some((field.dataType, f => f.partition(pname) match {
+          case S => null; case s => parse(s)
+        }))
+      case Year(e) =>
+        val a = temporalSource(e).getOrElse(return None)
+        val pname = recordedField(a.name,
+          tr => tr == Transform.Year || tr == Transform.Month || tr == Transform.Day)
+          .getOrElse(return None)
+        Some((IntegerType, f => f.partition(pname) match {
+          case S => null; case s => s.substring(0, 4).toInt
+        }))
+      case Month(e) =>
+        val a = temporalSource(e).getOrElse(return None)
+        val pname = recordedField(a.name,
+          tr => tr == Transform.Month || tr == Transform.Day).getOrElse(return None)
+        Some((IntegerType, f => f.partition(pname) match {
+          case S => null; case s => s.substring(5, 7).toInt
+        }))
+      case DayOfMonth(e) =>
+        val a = temporalSource(e).getOrElse(return None)
+        val pname = recordedField(a.name, _ == Transform.Day).getOrElse(return None)
+        Some((IntegerType, f => f.partition(pname) match {
+          case S => null; case s => s.substring(8, 10).toInt
+        }))
+      case df: DateFormatClass =>
+        val a = (df.left match {
+          case c: Cast => relAttr(c.child) // date source cast up to timestamp
+          case other => relAttr(other)
+        }).filter(x => x.dataType match {
+          case TimestampType => utcOk(df.timeZoneId)
+          case TimestampNTZType | DateType => true
+          case _ => false
+        }).getOrElse(return None)
+        val pattern = df.right match {
+          case Literal(p: UTF8String, StringType) => p.toString
+          case _ => return None
+        }
+        val allowed: Transform => Boolean = pattern match {
+          case "yyyy" => tr => tr == Transform.Year || tr == Transform.Month || tr == Transform.Day
+          case "yyyy-MM" => tr => tr == Transform.Month || tr == Transform.Day
+          case "yyyy-MM-dd" => tr => tr == Transform.Day
+          case _ => return None
+        }
+        val pname = recordedField(a.name, allowed).getOrElse(return None)
+        Some((StringType, f => f.partition(pname) match {
+          case S => null
+          case s => UTF8String.fromString(s.substring(0, pattern.length))
+        }))
+      case Substring(strE, Literal(1, IntegerType), Literal(w: Int, IntegerType)) =>
+        val a = relAttr(strE).filter(_.dataType == StringType).getOrElse(return None)
+        val pname = recordedField(a.name, _ == Transform.Truncate(w)).getOrElse(return None)
+        if (files.exists(_.partition(pname) == S)) return None // null/"" conflation
+        Some((StringType, f => UTF8String.fromString(f.partition(pname))))
+      case _ => None
+    }
+
+    val groupIn = agg.groupingExpressions.map(inline)
+    val resolved = groupIn.map(resolveGroup)
+    if (resolved.exists(_.isEmpty)) return None
+    val keyFns = resolved.map(_.get._2)
+
+    // each result column: a grouping key, COUNT(*), or exact MIN/MAX
+    sealed trait Out
+    case class Key(i: Int) extends Out
+    case object CountStar extends Out
+    case class Bound(field: StructField, isMin: Boolean) extends Out
+    def resolveResult(e: NamedExpression): Option[Out] = {
+      val in = inline(e match { case Alias(c, _) => c; case other => other })
+      // a reference to an in-place grouping alias (DataFrame-API shape)
+      val byAliasId = in match {
+        case a: AttributeReference =>
+          agg.groupingExpressions.zipWithIndex.collectFirst {
+            case (al: Alias, i) if al.exprId == a.exprId => Key(i)
+          }
+        case _ => None
+      }
+      byAliasId
+        .orElse(groupIn.zipWithIndex.find(_._1.semanticEquals(in)).map(p => Key(p._2)))
+        .orElse(in match {
+        case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _) if l.value != null =>
+          Some(CountStar)
+        case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+            if rel.outputSet.contains(a) =>
+          schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(Bound(_, isMin = true))
+        case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+            if rel.outputSet.contains(a) =>
+          schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(Bound(_, isMin = false))
+        case _ => None
+      })
+    }
+    val outs = agg.aggregateExpressions.map(resolveResult)
+    if (outs.exists(_.isEmpty)) return None
+
+    val grouped = files.groupBy(f => keyFns.map(_(f)))
+    val rows = grouped.toSeq.map { case (keys, fs) =>
+      val values = outs.map(_.get).map {
+        case Key(i) => keys(i)
+        case CountStar => fs.map(_.rows).sum: Any
+        case Bound(field, isMin) =>
+          LakeMetaAggregate.boundValue(field, fs, isMin).getOrElse(return None)
+      }
+      InternalRow.fromSeq(values)
+    }
+    Some(LocalRelation(agg.output, rows))
+  }
+}
+
+object LakeMetaAggregate {
+  /** Exact min/max of `field` across `files` from recorded bounds, as a
+    * Catalyst value (None = not answerable — missing bounds, rounded
+    * float bounds, unbounded types). Mirrors the scan builder's boundOf. */
+  private[plans] def boundValue(
+      field: StructField, files: Seq[graft.lake.DataFile], isMin: Boolean): Option[Any] = {
+    if (files.isEmpty) return Some(null)
+    val bounds: Seq[Option[ColBound]] = files.map(_.bounds.get(field.name))
+    if (bounds.exists(_.isEmpty)) return None
+    val bs = bounds.flatten
+    def pick(vals: Seq[BigDecimal]): BigDecimal = if (isMin) vals.min else vals.max
+    field.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        if (bs.exists(_.kind != "n")) None
+        else {
+          val vs = bs.map(b => BigDecimal(if (isMin) b.min else b.max))
+          if (vs.exists(!_.isValidLong)) None else Some(pick(vs).toLong)
+        }
+      case IntegerType | DateType =>
+        if (bs.exists(_.kind != "n")) None
+        else {
+          val vs = bs.map(b => BigDecimal(if (isMin) b.min else b.max))
+          if (vs.exists(!_.isValidInt)) None else Some(pick(vs).toInt)
+        }
+      case StringType =>
+        if (bs.exists(_.kind != "s")) None
+        else {
+          val vs = bs.map(b => UTF8String.fromString(if (isMin) b.min else b.max))
+          Some(vs.reduce((a, b) => if ((a.compareTo(b) <= 0) == isMin) a else b))
+        }
+      case _ => None
+    }
+  }
+}

@@ -114,6 +114,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.interCountDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
+    // metadata-answered GROUP BY over partition transforms (month/day/...)
+    ext.injectOptimizerRule(new LakeMetaAggregate(_))
   }
 }
 

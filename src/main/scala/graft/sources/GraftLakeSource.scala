@@ -767,7 +767,7 @@ private[sources] class GraftLakeScanBuilder(
   }
 }
 
-private[sources] object GraftLakeScanBuilder {
+private[graft] object GraftLakeScanBuilder {
 
   /** Directory-rendered identity partition value → catalyst internal
     * value of the source type; None = type not renderable round-trip

@@ -634,6 +634,58 @@ class GraftLakeSourceSpec extends SparkSpec {
       Map(Some(7L) -> 2L, None -> 1L))
   }
 
+  test("GROUP BY derived year()/month() over a month-partitioned source answers from metadata") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metatrans-spec").toString
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-15"), 1.0),
+      (2L, java.sql.Date.valueOf("2024-02-15"), 2.0),
+      (3L, java.sql.Date.valueOf("2024-02-20"), 3.0),
+      (4L, java.sql.Date.valueOf("2025-01-10"), 4.0),
+      (5L, null.asInstanceOf[java.sql.Date], 5.0)).toDF("id", "d", "v")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("d", graft.lake.Transform.Month, "p_m")),
+      primaryKey = Seq("id"))
+    t.append(df)
+
+    def rollup(rel: org.apache.spark.sql.DataFrame) = rel
+      .groupBy(year(col("d")).as("y"), month(col("d")).as("m"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val viaMeta = rollup(readLake(t.location))
+    val plan = viaMeta.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"derived-transform rollup not metadata-served:\n$plan")
+    val got = viaMeta.as[(Option[Int], Option[Int], Long, Long, Long)].collect().toSet
+    // the null-date row groups as (NULL, NULL), like month(null)
+    assert(got == Set(
+      (Some(2024), Some(1), 1L, 1L, 1L), (Some(2024), Some(2), 2L, 2L, 3L),
+      (Some(2025), Some(1), 1L, 4L, 4L), (None, None, 1L, 5L, 5L)),
+      s"metadata answer wrong: $got")
+    // the real scan path must agree exactly
+    assert(rollup(t.scan()).as[(Option[Int], Option[Int], Long, Long, Long)]
+      .collect().toSet == got)
+    // date_format at the transform's granularity is served too
+    val fmt = readLake(t.location)
+      .groupBy(date_format(col("d"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"))
+    assert(fmt.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(fmt.as[(Option[String], Long)].collect().toMap ==
+      Map(Some("2024-01") -> 1L, Some("2024-02") -> 2L, Some("2025-01") -> 1L, None -> 1L))
+    // FINER than the partition granularity declines to the real scan
+    val byDay = readLake(t.location)
+      .groupBy(dayofmonth(col("d")).as("dd")).agg(count(lit(1)).as("n"))
+    assert(byDay.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "day-of-month over a MONTH partition must not be metadata-served")
+    assert(byDay.count() == 4) // 15, (15, 20 -> two distinct days), 10, null
+
+    // merge-on-read tombstones decline: results stay correct via the scan
+    t.upsert(Seq((2L, java.sql.Date.valueOf("2024-02-15"), 20.0)).toDF("id", "d", "v"))
+    val afterMor = rollup(readLake(t.location))
+    assert(afterMor.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "tombstoned tables must not be metadata-served")
+    assert(afterMor.as[(Option[Int], Option[Int], Long, Long, Long)].collect().toSet == got)
+  }
+
   test("metadata-served SQL aggregate through the graft catalog") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-metaagg-sql").toString
