@@ -185,46 +185,105 @@ object VectorOps {
 
   /** PRODUCT-QUANTIZATION codebook (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): an
-    * independent ksub-codeword k-means per subspace, all m subspaces
-    * trained JOINTLY in one DataFrame job per Lloyd iteration (subspace id
-    * is just one more grouping key). Seeded deterministic init; empty
-    * codewords drop out naturally (assignment only ever references
-    * surviving codes). At corpus scale codebook training runs on a sample
-    * — the per-subspace seeding window is the only per-sub sort here and
-    * bounds at (rows·m)/m rows per partition. Returns (sub, code, centroid). */
-  def pqCodebook(e: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+    * independent ksub-codeword k-means per subspace.
+    *
+    * Training runs ENTIRELY ON THE DRIVER over a BOUNDED deterministic
+    * sample (hash thinning to `trainCap` rows — the same O(1)-in-corpus
+    * pattern as the prefix-join's rank dictionary): Lloyd assignment
+    * costs rows × m × ksub distance evaluations per iteration and
+    * codebook quality saturates long before the full corpus, so at
+    * 100 TB training on everything would dominate the pipeline — while
+    * 2k × 64 floats iterate in microseconds locally. Running the
+    * iterations as cluster jobs only bought ~10 scheduling-bound stages
+    * per build. trainCap≈2k keeps >= 64 training rows per codeword at
+    * ksub=32. ENCODING ([[pqEncode]]) still covers every vector,
+    * distributed. Seeded deterministic init (smallest xxhash64 of
+    * (vec_id, sub)); empty codewords drop out; ties assign the smaller
+    * code. Returns (sub, code, centroid). */
+  def pqCodebook(e: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 12,
       dim: Int = 64, trainCap: Int = 2048): DataFrame = {
-    // TRAIN ON A BOUNDED SAMPLE (deterministic hash thinning): Lloyd
-    // assignment costs rows × m × ksub distance evaluations per iteration,
-    // and codebook quality saturates long before the full corpus — at
-    // 100 TB training on everything would dominate the whole pipeline.
-    // trainCap≈2k keeps >= 64 training rows per codeword at ksub=32.
-    // ENCODING (pqEncode) still covers every vector.
+    val spark = e.sparkSession
     val base = e.select(col("vec_id"), col("embedding"))
     val n = base.count()
     val train =
       if (n <= trainCap) base
       else base.filter(pmod(xxhash64(col("vec_id")), lit(10000)) <
         lit((trainCap.toDouble / n * 10000).ceil.toLong))
-    val sv = subvectors(train, m, dim)
-    var cb = sv
-      .withColumn("h", xxhash64(col("vec_id"), col("sub")))
-      .withColumn("r", row_number().over(Window.partitionBy(col("sub")).orderBy(col("h"))))
-      .filter(col("r") <= ksub)
-      .select(col("sub"), (col("r") - 1).cast("int").as("code"), col("subvec").as("centroid"))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
-      cb = assignCodes(sv, cb)
-        .select(col("sub"), col("code"), posexplode(col("subvec")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("sub"), col("code"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("sub"), col("code"),
-          transform(col("ps"), p => p.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint(true)
+    val sample: Array[(Long, Array[Float])] = {
+      import spark.implicits._
+      train.as[(Long, Array[Float])].collect()
     }
-    cb
+    val dsub = dim / m
+    val rows = (0 until m).flatMap { sub =>
+      val subvecs: Array[(Long, Array[Float])] =
+        sample.map { case (id, v) => (id, v.slice(sub * dsub, (sub + 1) * dsub)) }
+      // deterministic FARTHEST-POINT seeding (the k-means++ maxmin idea
+      // without randomness): start from the smallest-hash vector, then
+      // greedily add the sample point farthest from its nearest chosen
+      // seed — spreads codewords over the subspace far better than
+      // hash-random picks, and the driver pays microseconds for it
+      var cents: Array[Array[Double]] = {
+        val pts = subvecs.map(_._2.map(_.toDouble))
+        if (pts.isEmpty) Array.empty
+        else {
+          val first = subvecs.zipWithIndex.minBy { case ((id, _), _) =>
+            (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L + sub), id)
+          }._2
+          val chosen = scala.collection.mutable.ArrayBuffer(first)
+          val minD = Array.fill(pts.length)(Double.MaxValue)
+          def relax(cIdx: Int): Unit = {
+            var i = 0
+            while (i < pts.length) {
+              var d = 0.0; var j = 0
+              while (j < dsub) { val x = pts(i)(j) - pts(cIdx)(j); d += x * x; j += 1 }
+              if (d < minD(i)) minD(i) = d
+              i += 1
+            }
+          }
+          relax(first)
+          var spread = true
+          while (spread && chosen.length < math.min(ksub, pts.length)) {
+            var best = -1; var bestD = -1.0
+            var i = 0
+            while (i < pts.length) {
+              if (minD(i) > bestD) { bestD = minD(i); best = i }
+              i += 1
+            }
+            // every remaining point coincides with a chosen seed: stop —
+            // fewer distinct codewords than ksub is the honest codebook
+            if (bestD <= 0.0) spread = false
+            else { chosen += best; relax(best) }
+          }
+          chosen.map(pts(_)).toArray
+        }
+      }
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subvecs.foreach { case (_, v) =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict: ties keep smaller code
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.collect {
+          case c if counts(c) > 0 =>
+            Array.tabulate(dsub)(i => sums(c)(i) / counts(c))
+        }.toArray
+      }
+      cents.zipWithIndex.map { case (cent, code) =>
+        (sub, code, cent.map(_.toFloat).toSeq)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("sub", "code", "centroid")
   }
 
   /** Encode each vector as m codebook indices — 8 small ints instead of
@@ -251,7 +310,7 @@ object VectorOps {
     * with q39's math) and cut to top-k. Same output shape as [[exactTopK]];
     * recall vs the exact baseline is spec-asserted. */
   def pqTopK(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 32,
-      rerank: Int = 100, dim: Int = 64): DataFrame = {
+      rerank: Int = 150, dim: Int = 64): DataFrame = {
     val raw = emb(s, dir).select(col("vec_id"), col("embedding"))
     val cb = pqCodebook(raw, m, ksub, dim = dim)
     val encoded = pqEncode(raw, cb, m, dim)
