@@ -162,6 +162,29 @@ object LakeOps {
     df
   }
 
+  // q85 — FILTERED metadata rollup: an aligned month-range WHERE plus a
+  // GROUP BY the identity partition source, still answered wholly from
+  // the file listing — every file is classified wholly-in/wholly-out by
+  // the month tuples (the boundaries are first instants of their months)
+  // and the identity tuples key the groups. The reference's dashboard
+  // count shape at zero tasks; unaligned boundaries fall back to the
+  // pruned scan (spec-asserted).
+  val filteredMetaRollup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.ordersLake(s, dir)
+    val df = s.read.format("graftlake").option("path", t.location).load()
+      .filter(expr("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP '2000-07-01 00:00:00'"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"filtered rollup was not metadata-served:\n$plan")
+    df
+  }
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -347,6 +370,13 @@ object LakeOps {
         |  COUNT(*) AS n_orders,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q85_filtered_meta_rollup", filteredMetaRollup, bench = true, oracle = Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q30_silver_serve", silverServe, oracle = Some(
       """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,

@@ -38,13 +38,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * and every result is a grouping key, COUNT(*) (recorded row counts), or
   * MIN/MAX of a column with exact recorded bounds.
   *
+  * A WHERE clause is admitted when every conjunct classifies every file
+  * as wholly-in or wholly-out (per-file tri-state; any undecidable file
+  * declines the whole rewrite):
+  *  - `=` / `IN` on an identity partition source (the tuple determines
+  *    the value; sentinel files are wholly-out for non-null, non-empty
+  *    literals — an empty-string literal declines, the sentinel conflates
+  *    it with null);
+  *  - `>=` / `<` on a year/month/day-partitioned temporal source whose
+  *    boundary is EXACTLY aligned to the transform period (a month file
+  *    is wholly >= its own first instant; unaligned boundaries decline —
+  *    `>` / `<=` always decline, their boundary instant splits a file).
+  *
   * Declines conservatively — merge-on-read tombstones, missing row
-  * counts, files whose spec predates a grouping field, non-UTC embedded
-  * time zones (rendered tuples are UTC), and string groupings whose files
-  * carry the Hive directory sentinel (it conflates null with "") all fall
-  * through to the real scan. Null temporal partition values group as NULL
-  * keys, matching `month(null)`. */
-class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
+  * counts, files whose spec predates a grouping/filter field, non-UTC
+  * embedded time zones (rendered tuples are UTC), and string groupings
+  * whose files carry the Hive directory sentinel (it conflates null with
+  * "") all fall through to the real scan. Null temporal partition values
+  * group as NULL keys, matching `month(null)`. */
+class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate => answer(agg).getOrElse(agg)
@@ -54,14 +67,29 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def answer(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.isEmpty) return None // ungrouped: V2 pushdown path
-    // unwrap an alias-only Project between the aggregate and the relation
-    val (aliases, rel) = agg.child match {
-      case Project(list, r: DataSourceV2Relation)
-          if list.forall(e => e.isInstanceOf[Alias] || e.isInstanceOf[AttributeReference]) =>
-        (list.collect { case a: Alias => a.toAttribute.exprId -> a.child }.toMap, r)
-      case r: DataSourceV2Relation => (Map.empty[ExprId, Expression], r)
-      case _ => return None
+    // peel alias-only Projects and at most one Filter layer between the
+    // aggregate and the relation, collecting alias bindings + conjuncts
+    var aliases = Map.empty[ExprId, Expression]
+    var conjuncts: Seq[Expression] = Nil
+    var relOpt: Option[DataSourceV2Relation] = None
+    var cur = agg.child
+    var ok = true
+    var depth = 0
+    while (ok && relOpt.isEmpty && depth < 6) {
+      depth += 1
+      cur match {
+        case Project(list, c)
+            if list.forall(e => e.isInstanceOf[Alias] || e.isInstanceOf[AttributeReference]) =>
+          aliases ++= list.collect { case a: Alias => a.toAttribute.exprId -> a.child }
+          cur = c
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+          conjuncts ++= splitConjunctivePredicates(cond)
+          cur = c
+        case r: DataSourceV2Relation => relOpt = Some(r)
+        case _ => ok = false
+      }
     }
+    val rel = relOpt.getOrElse(return None)
     val tbl = rel.table match {
       case v: GraftLakeV2Table if !v.raw && !v.changelog => v
       case _ => return None
@@ -166,6 +194,99 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // ---- WHERE conjuncts: per-file wholly-in/wholly-out classification.
+    // Any conjunct (or file) that cannot be decided exactly declines.
+    def renderIdentity(dt: DataType, v: Any): Option[String] = (dt, v) match {
+      case (_, null) => None
+      case (StringType, s: UTF8String) =>
+        val str = s.toString
+        if (str.isEmpty) None else Some(str) // "" conflates with the sentinel
+      case (LongType, x: Long) => Some(x.toString)
+      case (IntegerType, x: Int) => Some(x.toString)
+      case (BooleanType, x: Boolean) => Some(x.toString)
+      case _ => None // temporal identity renderings are writer-internal
+    }
+    // first instant of the literal's transform period, rendered — only
+    // when the literal IS that first instant (period-aligned)
+    def alignedPeriod(tr: Transform, dt: DataType, v: Any): Option[String] = {
+      import java.time.{Instant, LocalDateTime, ZoneOffset}
+      val ldt: LocalDateTime = (dt, v) match {
+        case (TimestampType | TimestampNTZType, micros: Long) =>
+          LocalDateTime.ofInstant(Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L),
+            ZoneOffset.UTC)
+        case (DateType, days: Int) =>
+          java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay
+        case _ => return None
+      }
+      import java.time.format.DateTimeFormatter.ofPattern
+      tr match {
+        case Transform.Year if ldt.getDayOfYear == 1 && ldt.toLocalTime == java.time.LocalTime.MIDNIGHT =>
+          Some(ldt.format(ofPattern("yyyy")))
+        case Transform.Month if ldt.getDayOfMonth == 1 && ldt.toLocalTime == java.time.LocalTime.MIDNIGHT =>
+          Some(ldt.format(ofPattern("yyyy-MM")))
+        case Transform.Day if ldt.toLocalTime == java.time.LocalTime.MIDNIGHT =>
+          Some(ldt.format(ofPattern("yyyy-MM-dd")))
+        case _ => None
+      }
+    }
+    // per-file keep/drop decision for one conjunct; None = undecidable
+    def resolveFilter(c: Expression): Option[graft.lake.DataFile => Option[Boolean]] = {
+      def identityEq(a: AttributeReference, values: Seq[Any]): Option[graft.lake.DataFile => Option[Boolean]] = {
+        val pname = recordedField(a.name, _ == Transform.Identity).getOrElse(return None)
+        val rendered = values.map(v => renderIdentity(a.dataType, v))
+        if (rendered.exists(_.isEmpty)) return None // null/""/unrenderable literal
+        val set = rendered.flatten.toSet
+        Some(f => f.partition(pname) match {
+          case S => Some(false) // sentinel rows are null (or ""): no non-empty literal matches
+          case v => Some(set.contains(v))
+        })
+      }
+      def temporalRange(a: AttributeReference, lit: Any, ge: Boolean): Option[graft.lake.DataFile => Option[Boolean]] = {
+        if (lit == null) return None
+        val trs: Seq[Transform] = Seq(Transform.Year, Transform.Month, Transform.Day)
+        trs.view.flatMap { tr =>
+          recordedField(a.name, _ == tr).flatMap { pname =>
+            alignedPeriod(tr, a.dataType, lit).map { p0 =>
+              (f: graft.lake.DataFile) => f.partition(pname) match {
+                case S => Some(false) // null fails any comparison
+                // fixed-width renderings: lexicographic == chronological
+                case p => Some(if (ge) p >= p0 else p < p0)
+              }
+            }
+          }
+        }.headOption
+      }
+      c match {
+        case EqualTo(a: AttributeReference, l: Literal) if rel.outputSet.contains(a) =>
+          identityEq(a, Seq(l.value))
+        case EqualTo(l: Literal, a: AttributeReference) if rel.outputSet.contains(a) =>
+          identityEq(a, Seq(l.value))
+        case In(a: AttributeReference, lits) if rel.outputSet.contains(a) &&
+            lits.forall(_.isInstanceOf[Literal]) =>
+          identityEq(a, lits.map(_.asInstanceOf[Literal].value))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) if rel.outputSet.contains(a) =>
+          temporalRange(a, l.value, ge = true)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) if rel.outputSet.contains(a) =>
+          temporalRange(a, l.value, ge = true) // lit <= a  ==  a >= lit
+        case LessThan(a: AttributeReference, l: Literal) if rel.outputSet.contains(a) =>
+          temporalRange(a, l.value, ge = false)
+        case GreaterThan(l: Literal, a: AttributeReference) if rel.outputSet.contains(a) =>
+          temporalRange(a, l.value, ge = false) // lit > a  ==  a < lit
+        case _ => None
+      }
+    }
+    val filterFns = conjuncts.map(c => resolveFilter(inline(c)))
+    if (filterFns.exists(_.isEmpty)) return None
+    val keptFiles = {
+      val decided = files.map { f =>
+        val ds = filterFns.map(_.get(f))
+        if (ds.exists(_.isEmpty)) None else Some(ds.forall(_.get))
+      }
+      if (decided.exists(_.isEmpty)) return None // an undecidable file
+      files.zip(decided).collect { case (f, Some(true)) => f }
+    }
+
     val groupIn = agg.groupingExpressions.map(inline)
     val resolved = groupIn.map(resolveGroup)
     if (resolved.exists(_.isEmpty)) return None
@@ -203,7 +324,7 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
     val outs = agg.aggregateExpressions.map(resolveResult)
     if (outs.exists(_.isEmpty)) return None
 
-    val grouped = files.groupBy(f => keyFns.map(_(f)))
+    val grouped = keptFiles.groupBy(f => keyFns.map(_(f)))
     val rows = grouped.toSeq.map { case (keys, fs) =>
       val values = outs.map(_.get).map {
         case Key(i) => keys(i)

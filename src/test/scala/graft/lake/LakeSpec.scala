@@ -837,6 +837,85 @@ class LakeSpec extends SparkSpec {
       "the old-partition row must be tombstoned even under pruning")
   }
 
+  test("randomized MoR workloads: pruned scans (delete-manifest pruning included) equal a driver mirror") {
+    // property-style soundness net for the r7 delete-manifest pruning:
+    // random append/upsert/delete workloads on a pk-partitioned table,
+    // verified against a driver-side Map mirror under random filters —
+    // through BOTH the imperative scan (prunes manifests of both kinds)
+    // and the DSv2 read (pruned reader path + residual filters)
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    val dir = Files.createTempDirectory("graft-morprop").toString
+    (1 to 4).foreach { trial =>
+      val df0 = Seq.empty[(Long, String, Double)].toDF("k", "s", "v")
+      val t = LakeTable.create(spark, s"$dir/t$trial", s"t$trial", df0.schema,
+        partitionSpec = Seq(PartitionField("k", Transform.Identity, "p_k")),
+        primaryKey = Seq("k"))
+      val mirror = scala.collection.mutable.Map.empty[Long, (Long, String, Double)]
+      def randRows(n: Int): Seq[(Long, String, Double)] =
+        Seq.fill(n)((rng.between(0L, 12L), rng.alphanumeric.take(3).mkString,
+          rng.between(0, 1000) / 10.0))
+      (1 to 5).foreach { _ =>
+        rng.nextInt(3) match {
+          case 0 =>
+            // append of NEW keys only (duplicate-pk appends are out of
+            // contract on a pk table; restatement goes through upsert)
+            val rows = randRows(rng.between(1, 5))
+              .filterNot { case (k, _, _) => mirror.contains(k) }
+              .distinctBy(_._1)
+            if (rows.nonEmpty) {
+              t.append(rows.toDF("k", "s", "v"))
+              rows.foreach(r => mirror(r._1) = r)
+            }
+          case 1 =>
+            val rows = randRows(rng.between(1, 5)).distinctBy(_._1)
+            t.upsert(rows.toDF("k", "s", "v"))
+            rows.foreach(r => mirror(r._1) = r)
+          case 2 if mirror.nonEmpty =>
+            val ks = rng.shuffle(mirror.keys.toSeq).take(rng.between(1, 3))
+            t.deleteKeys(ks.map(Tuple1(_)).toDF("k"))
+            ks.foreach(mirror.remove)
+          case _ => ()
+        }
+        // probe with random filters through both read paths
+        val probe = rng.between(0L, 12L)
+        val filters = rng.nextInt(3) match {
+          case 0 => Seq(PruneFilter.Eq("k", probe))
+          case 1 => Seq(PruneFilter.Ge("k", probe))
+          case _ => Seq(PruneFilter.Lt("k", probe))
+        }
+        val keep: Long => Boolean = filters.head match {
+          case PruneFilter.Eq(_, v) => _ == v.asInstanceOf[Long]
+          case PruneFilter.Ge(_, v) => _ >= v.asInstanceOf[Long]
+          case PruneFilter.Lt(_, v) => _ < v.asInstanceOf[Long]
+          case other => sys.error(s"unexpected filter $other")
+        }
+        val want = mirror.values.filter(r => keep(r._1)).toSet
+        val gotScan = t.scan(filters = filters)
+          .as[(Long, String, Double)].collect().toSet
+        assert(gotScan == want,
+          s"trial $trial imperative scan diverged under $filters: " +
+            s"missing=${want -- gotScan} extra=${gotScan -- want}")
+        val cond = filters.head match {
+          case PruneFilter.Eq(_, v) => col("k") === v.asInstanceOf[Long]
+          case PruneFilter.Ge(_, v) => col("k") >= v.asInstanceOf[Long]
+          case PruneFilter.Lt(_, v) => col("k") < v.asInstanceOf[Long]
+          case other => sys.error(s"unexpected filter $other")
+        }
+        val gotV2 = spark.read.format("graft.sources.GraftLakeSource")
+          .option("path", t.location).load()
+          .filter(cond).as[(Long, String, Double)].collect().toSet
+        assert(gotV2 == want,
+          s"trial $trial DSv2 scan diverged under $filters: " +
+            s"missing=${want -- gotV2} extra=${gotV2 -- want}")
+      }
+      // delete manifests really carry summaries on this workload
+      val delRefs = t.snapshotFile(t.currentSeq).manifests.filterNot(_.isData)
+      assert(delRefs.forall(_.partitions.isDefined),
+        s"trial $trial delete manifests lack summaries: $delRefs")
+    }
+  }
+
   test("writeSplits salts a hot partition value across multiple files, content preserved") {
     val dir = Files.createTempDirectory("graft-splits-spec").toString
     import spark.implicits._

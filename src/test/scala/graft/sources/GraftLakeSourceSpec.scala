@@ -678,6 +678,23 @@ class GraftLakeSourceSpec extends SparkSpec {
       "day-of-month over a MONTH partition must not be metadata-served")
     assert(byDay.count() == 4) // 15, (15, 20 -> two distinct days), 10, null
 
+    // FILTERED rollups: an ALIGNED month boundary classifies every file
+    // wholly-in/out — still metadata-served; an unaligned one declines
+    val aligned = readLake(t.location)
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2024-02-01")))
+      .groupBy(month(col("d")).as("m")).agg(count(lit(1)).as("n"))
+    assert(aligned.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "aligned month-range filter should stay metadata-served")
+    assert(aligned.as[(Option[Int], Long)].collect().toMap ==
+      Map(Some(2) -> 2L, Some(1) -> 1L)) // Feb 2024 rows + Jan 2025 row
+    val unaligned = readLake(t.location)
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2024-02-10")))
+      .groupBy(month(col("d")).as("m")).agg(count(lit(1)).as("n"))
+    assert(unaligned.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "a mid-month boundary splits a file and must decline")
+    assert(unaligned.as[(Option[Int], Long)].collect().toMap ==
+      Map(Some(2) -> 2L, Some(1) -> 1L)) // via the real scan, same rows
+
     // merge-on-read tombstones decline: results stay correct via the scan
     t.upsert(Seq((2L, java.sql.Date.valueOf("2024-02-15"), 20.0)).toDF("id", "d", "v"))
     val afterMor = rollup(readLake(t.location))
