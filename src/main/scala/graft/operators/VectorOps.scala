@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import graft.functions.VectorMath
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,26 +163,6 @@ object VectorOps {
     e.select(col("vec_id"), posexplode(subs)).toDF("vec_id", "sub", "subvec")
   }
 
-  /** Nearest-codeword assignment per (vector, subspace): the codebook is
-    * collapsed to ONE row per subspace (an array of (code, centroid)
-    * structs) and broadcast, so each (vector, subspace) row computes its
-    * argmin IN PLACE — `transform` scores every candidate once (squared
-    * L2), `array_min` picks (d2, code), i.e. smallest distance with the
-    * smaller code on ties. No row explosion, no shuffle: the r5 shape
-    * materialized rows × ksub join rows and pushed them all through a
-    * min_by aggregation exchange; this keeps the row count at rows × m
-    * and makes assignment map-only. */
-  private def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame = {
-    val cbArr = cb.groupBy(col("sub"))
-      .agg(sort_array(collect_list(struct(col("code"), col("centroid")))).as("cands"))
-    val scored = transform(col("cands"), c => struct(
-      VectorMath.l2Sq(col("subvec"), c.getField("centroid")).as("d2"),
-      c.getField("code").as("code")))
-    sv.join(broadcast(cbArr), "sub")
-      .select(col("vec_id"), col("sub"),
-        array_min(scored).getField("code").as("code"), col("subvec"))
-  }
-
   /** PRODUCT-QUANTIZATION codebook (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): an
     * independent ksub-codeword k-means per subspace.
@@ -290,16 +270,48 @@ object VectorOps {
     * 64 floats (a 32× memory cut: THE reason PQ is the 100 TB ANN path;
     * the raw embedding column never needs to be resident for scoring).
     * `anq` carries the reconstruction's squared norm (sum of assigned
-    * codeword norms) for approximate cosine. Returns (vec_id, codes, anq). */
+    * codeword norms) for approximate cosine.
+    *
+    * Encoding is a PURE PROJECTION: the codebook (m × ksub rows) collapses
+    * into per-subspace array LITERALS, each subspace's argmin runs
+    * in-place over its slice (native `graft_l2sq` inner loop), and the
+    * codeword norms fold from a literal lookup — no subvector explode, no
+    * join, no regroup. One map-only pass at any corpus size (the former
+    * shape shuffled rows × m through an assignment join and a
+    * reassembly aggregation). Returns (vec_id, codes, anq). */
   def pqEncode(e: DataFrame, cb: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
-    val cn = cb.select(col("sub"), col("code"), VectorMath.normSq(col("centroid")).as("cn"))
-    assignCodes(subvectors(e.select(col("vec_id"), col("embedding")), m, dim), cb)
-      .join(broadcast(cn), Seq("sub", "code"))
-      .groupBy(col("vec_id"))
-      .agg(
-        transform(sort_array(collect_list(struct(col("sub"), col("code")))),
-          p => p.getField("code")).as("codes"),
-        sum(col("cn")).as("anq"))
+    val dsub = dim / m
+    // the codebook is tiny by construction (m × ksub); collapse it to
+    // driver literals once
+    val local: Map[Int, Seq[(Int, Seq[Float])]] = cb
+      .select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1)
+      .map { case (sub, rs) => sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    def codeOf(sub: Int): Column = {
+      val cands = typedlit(local.getOrElse(sub, Seq.empty))
+      val sv = slice(col("embedding"), sub * dsub + 1, dsub)
+      // score every codeword once, pick (min d2, min code) — same
+      // argmin/tie semantics as array_min over (d2, code) structs
+      array_min(transform(cands, c => struct(
+        VectorMath.l2Sq(sv, c.getField("_2")).as("d2"),
+        c.getField("_1").as("code")))).getField("code")
+    }
+    // squared codeword norms, driver-computed with the kernel's float
+    // multiply + double accumulate
+    val norms: Map[Int, Seq[Double]] = local.map { case (sub, cs) =>
+      sub -> cs.map { case (_, cent) =>
+        cent.foldLeft(0.0)((acc, x) => acc + (x * x).toDouble)
+      }
+    }
+    def anqOf(codes: Column): Column =
+      (0 until m).map(sub =>
+        element_at(typedlit(norms.getOrElse(sub, Seq.empty)), col("codes")(sub) + 1))
+        .reduce(_ + _)
+    e.select(col("vec_id"), col("embedding"))
+      .withColumn("codes", array((0 until m).map(codeOf): _*))
+      .select(col("vec_id"), col("codes"), anqOf(col("codes")).as("anq"))
   }
 
   /** q77 — PQ ANN top-k with ASYMMETRIC DISTANCE COMPUTATION: each probe
