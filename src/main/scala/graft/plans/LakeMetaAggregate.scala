@@ -66,7 +66,6 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
   private type FileKey = graft.lake.DataFile => Any
 
   private def answer(agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.isEmpty) return None // ungrouped: V2 pushdown path
     // peel alias-only Projects and at most one Filter layer between the
     // aggregate and the relation, collecting alias bindings + conjuncts
     var aliases = Map.empty[ExprId, Expression]
@@ -89,6 +88,10 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => ok = false
       }
     }
+    // ungrouped-AND-unfiltered aggregates already fold through the V2
+    // aggregate-pushdown API (answerFromMetadata); this rule adds the
+    // grouped shapes and the filtered ungrouped ones the API declines
+    if (agg.groupingExpressions.isEmpty && conjuncts.isEmpty) return None
     val rel = relOpt.getOrElse(return None)
     val tbl = rel.table match {
       case v: GraftLakeV2Table if !v.raw && !v.changelog => v
@@ -324,8 +327,12 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     val outs = agg.aggregateExpressions.map(resolveResult)
     if (outs.exists(_.isEmpty)) return None
 
-    val grouped = keptFiles.groupBy(f => keyFns.map(_(f)))
-    val rows = grouped.toSeq.map { case (keys, fs) =>
+    // ungrouped (filtered): exactly ONE row, even over zero kept files
+    // (count = 0, bounds = NULL), matching a global Aggregate's semantics
+    val grouped =
+      if (groupIn.isEmpty) Seq(Seq.empty[Any] -> keptFiles)
+      else keptFiles.groupBy(f => keyFns.map(_(f))).toSeq
+    val rows = grouped.map { case (keys, fs) =>
       val values = outs.map(_.get).map {
         case Key(i) => keys(i)
         case CountStar => fs.map(_.rows).sum: Any

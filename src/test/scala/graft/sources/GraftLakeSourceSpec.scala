@@ -695,6 +695,21 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(unaligned.as[(Option[Int], Long)].collect().toMap ==
       Map(Some(2) -> 2L, Some(1) -> 1L)) // via the real scan, same rows
 
+    // ungrouped + filtered: one metadata row (the V2 pushdown API
+    // declines filtered aggregates; the rule serves them)
+    val cnt = readLake(t.location)
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2024-02-01")))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "filtered ungrouped count should be metadata-served")
+    assert(cnt.as[(Long, Long)].collect().toSeq == Seq((3L, 2L)))
+    // ... including over an empty selection (count 0, NULL bound)
+    val empty = readLake(t.location)
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2030-01-01")))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    assert(empty.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(empty.as[(Long, Option[Long])].collect().toSeq == Seq((0L, None)))
+
     // merge-on-read tombstones decline: results stay correct via the scan
     t.upsert(Seq((2L, java.sql.Date.valueOf("2024-02-15"), 20.0)).toDF("id", "d", "v"))
     val afterMor = rollup(readLake(t.location))
