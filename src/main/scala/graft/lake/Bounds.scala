@@ -42,12 +42,23 @@ object ColumnBounds {
     * contributes iff every row group carries usable statistics for it
     * (all-null row groups contribute nothing — null rows can never satisfy
     * a comparison predicate, so they do not widen the value interval). */
-  def fromFooter(rd: ParquetFileReader): Map[String, ColBound] = {
+  def fromFooter(rd: ParquetFileReader): Map[String, ColBound] =
+    statsFromFooter(rd)._1
+
+  /** Bounds PLUS per-column non-null value counts from the same footer
+    * pass (total rows minus the chunks' recorded `num_nulls`). A column
+    * whose null count is unset in any chunk is absent from the count map;
+    * the two maps drop columns independently (an all-NaN double column
+    * has no usable bounds but an exact non-null count). */
+  def statsFromFooter(rd: ParquetFileReader): (Map[String, ColBound], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     val blocks = rd.getFooter.getBlocks.asScala.toSeq
-    if (blocks.isEmpty) return Map.empty
+    if (blocks.isEmpty) return (Map.empty, Map.empty)
     var acc = Map.empty[String, (String, BigDecimal, BigDecimal, Array[Byte], Array[Byte])]
     var dropped = Set.empty[String]
+    val totalRows = blocks.map(_.getRowCount).sum
+    var nulls = Map.empty[String, Long]
+    var nullsDropped = Set.empty[String]
 
     def widenNum(name: String, mn: BigDecimal, mx: BigDecimal): Unit =
       acc.get(name) match {
@@ -68,6 +79,11 @@ object ColumnBounds {
     blocks.foreach { block =>
       block.getColumns.asScala.foreach { col =>
         val name = col.getPath.toDotString
+        if (name != LakeTable.SeqCol) {
+          val stats = col.getStatistics
+          if (stats == null || !stats.isNumNullsSet) nullsDropped += name
+          else nulls += name -> (nulls.getOrElse(name, 0L) + stats.getNumNulls)
+        }
         if (!dropped(name) && name != LakeTable.SeqCol) {
           val stats = col.getStatistics
           if (stats == null || stats.isEmpty) dropped += name
@@ -100,7 +116,7 @@ object ColumnBounds {
         }
       }
     }
-    acc.collect {
+    val bounds = acc.collect {
       case (name, ("n", mn, mx, _, _)) if !dropped(name) =>
         name -> ColBound("n",
           mn.round(FloorMc).underlying.toPlainString,
@@ -109,6 +125,10 @@ object ColumnBounds {
         name -> ColBound("s",
           new String(mn, StandardCharsets.UTF_8), new String(mx, StandardCharsets.UTF_8))
     }
+    val nonNull = nulls.collect {
+      case (name, numNulls) if !nullsDropped(name) => name -> (totalRows - numNulls)
+    }
+    (bounds, nonNull)
   }
 
   // -------------------------------------------------------------- pruning

@@ -994,10 +994,12 @@ final class LakeTable private (
     val metaByPath = LakeTable.fileMetaAll(
       moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = false,
       spark = Some(spark))
+    val sumsByName = ColumnSums.compute(spark, userSchema, moved.map(_._2).toSeq)
     moved.map { case (destRel, dest, partition, len) =>
       val fm = metaByPath(dest)
       DataFile(destRel, seq, partition, len, splits = fm.splits, bounds = fm.bounds,
-        rows = fm.rows)
+        rows = fm.rows, nonNull = fm.nonNull,
+        sums = sumsByName.getOrElse(dest.getName, Map.empty))
     }.toSeq
   }
 
@@ -1297,20 +1299,24 @@ object LakeTable {
     * lower/upper_bounds) and row count (Iceberg's `record_count`) — read
     * planning never reopens footers. */
   private[graft] final case class FileMeta(
-      len: Long, splits: Seq[(Long, Long)], bounds: Map[String, ColBound], rows: Long)
+      len: Long, splits: Seq[(Long, Long)], bounds: Map[String, ColBound], rows: Long,
+      nonNull: Map[String, Long] = Map.empty)
 
-  /** One footer open serving splits, bounds AND the row count. */
+  /** One footer open serving splits, bounds, non-null counts AND the row
+    * count. */
   private[graft] def readFooterMeta(
       p: Path, conf: org.apache.hadoop.conf.Configuration)
-      : (Seq[(Long, Long)], Map[String, ColBound], Long) = {
+      : (Seq[(Long, Long)], Map[String, ColBound], Long, Map[String, Long]) = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       import scala.jdk.CollectionConverters._
       val groups = rd.getRowGroups.asScala.toSeq
+      val (bounds, nonNull) = ColumnBounds.statsFromFooter(rd)
       (groups.map(b => (b.getStartingPos, b.getCompressedSize)),
-        ColumnBounds.fromFooter(rd),
-        groups.map(_.getRowCount).sum)
+        bounds,
+        groups.map(_.getRowCount).sum,
+        nonNull)
     } finally rd.close()
   }
 
@@ -1358,8 +1364,8 @@ object LakeTable {
             p -> pool.submit(new java.util.concurrent.Callable[FileMeta] {
               def call(): FileMeta = {
                 val len = if (withLen) p.getFileSystem(conf).getFileStatus(p).getLen else -1L
-                val (splits, bounds, rows) = readFooterMeta(p, conf)
-                FileMeta(len, splits, bounds, rows)
+                val (splits, bounds, rows, nonNull) = readFooterMeta(p, conf)
+                FileMeta(len, splits, bounds, rows, nonNull)
               }
             })
           }.map { case (p, f) => p -> f.get() }.toMap
@@ -1389,8 +1395,8 @@ object LakeTable {
         it.map { s =>
           val p = new Path(s)
           val len = if (withLen) p.getFileSystem(c).getFileStatus(p).getLen else -1L
-          val (splits, bounds, rows) = readFooterMeta(p, c)
-          s -> FileMeta(len, splits, bounds, rows)
+          val (splits, bounds, rows, nonNull) = readFooterMeta(p, c)
+          s -> FileMeta(len, splits, bounds, rows, nonNull)
         }
       }
       .collect().iterator.map { case (s, fm) => new Path(s) -> fm }.toMap

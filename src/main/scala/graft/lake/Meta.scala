@@ -33,7 +33,20 @@ final case class DataFile(
     /** Row count (Iceberg's `record_count`), captured from the footer at
       * commit. Feeds scan statistics (broadcast planning) and metadata-only
       * COUNT(*) serving; -1 on metadata written before this field existed. */
-    rows: Long = -1L)
+    rows: Long = -1L,
+    /** Per-column NON-NULL value counts (Iceberg's `value_counts` minus
+      * `null_value_counts`), captured from footer statistics at commit —
+      * zero extra I/O. Serves metadata-only COUNT(col); a column absent
+      * from the map has unknown counts (stats dropped, or metadata written
+      * before this field existed) and declines. */
+    nonNull: Map[String, Long] = Map.empty,
+    /** Per-column EXACT value sums as plain decimal strings, computed by
+      * one column-pruned read-back job at commit time ([[ColumnSums]]) for
+      * integral and decimal columns only (double sums are order-dependent
+      * and never recorded). A column with `nonNull > 0` but no sum entry
+      * declines; `nonNull == 0` needs no entry (an all-null column sums to
+      * NULL). Serves metadata-only SUM/AVG. */
+    sums: Map[String, String] = Map.empty)
 
 /** A merge-on-read delete-key file: parquet of primary-key columns plus a
   * constant `_dseq` column = the commit sequence of the delete.
@@ -276,6 +289,14 @@ object MetaJson {
             val e = bo.putArray(c); e.add(b.kind); e.add(b.min); e.add(b.max)
           }
         }
+        if (df.nonNull.nonEmpty) {
+          val nn = f.putObject("nn")
+          df.nonNull.foreach { case (c, n) => nn.put(c, n) }
+        }
+        if (df.sums.nonEmpty) {
+          val su = f.putObject("sums")
+          df.sums.foreach { case (c, s) => su.put(c, s) }
+        }
       }
     } else {
       val ds = root.putArray("deleteFiles")
@@ -323,6 +344,12 @@ object MetaJson {
         }.toMap
       }.getOrElse(Map.empty),
       rows = Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
+      nonNull = Option(f.get("nn")).map { n =>
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty),
+      sums = Option(f.get("sums")).map { s =>
+        s.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty),
     )
 
   def writeSchema(schema: StructType): String = schema.json

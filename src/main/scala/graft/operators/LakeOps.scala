@@ -185,6 +185,32 @@ object LakeOps {
     df
   }
 
+  // q86 — ADDITIVE metadata rollup: per-month SUM/AVG/COUNT(col) of an
+  // integral revenue measure served from the per-file sums + non-null
+  // counts the commit recorded in the manifests (graft.lake.ColumnSums) —
+  // the reference's gold-tier revenue rollup (scripts/iceberg-setup.sql:
+  // 80-101) computed with zero scan tasks at any table size. Doubles are
+  // never served (order-dependent); the integral/decimal domain makes the
+  // fold exact by construction, and AVG is served only in the provably
+  // exact double regime (|value|·count ≤ 2^53). The query REQUIRES the
+  // metadata plan: a regression to a real scan fails the gate.
+  val metadataSumRollup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.ordersCents(s, dir)
+    val df = s.read.format("graftlake").option("path", t.location).load()
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_cents")).as("revenue_cents"),
+        avg(col("o_cents")).as("avg_cents"),
+        count(col("o_custkey")).as("n_cust"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"additive rollup was not metadata-served:\n$plan")
+    df
+  }
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -369,6 +395,14 @@ object LakeOps {
         |  CAST(month(o_orderdate) AS INT) AS order_month,
         |  COUNT(*) AS n_orders,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q86_metadata_sum_rollup", metadataSumRollup, bench = true, oracle = Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_cents,
+        |  COUNT(o_custkey) AS n_cust
         |FROM orders GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q85_filtered_meta_rollup", filteredMetaRollup, bench = true, oracle = Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,

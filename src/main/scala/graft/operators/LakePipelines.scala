@@ -73,6 +73,30 @@ object LakePipelines {
       t
     }
 
+  /** Integer-cents restatement of orders (the exact-money idiom): an
+    * integral `o_cents` measure whose per-file EXACT sums the commit
+    * records in the manifests ([[graft.lake.ColumnSums]]), so grouped
+    * SUM/AVG revenue rollups are answerable from metadata alone (q86).
+    * Two appends → multiple files per (month, status) group. */
+  def ordersCents(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_cents") { cat =>
+      val o = Tables.load(spark, sfDir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("o_cents"),
+        col("o_orderdate"))
+      val t = cat.createTable(
+        "orders_cents",
+        o.schema,
+        partitionSpec = Seq(
+          PartitionField("o_orderdate", Transform.Month, "p_month"),
+          PartitionField("o_orderstatus", Transform.Identity, "p_status")),
+        clusterBy = Seq("o_orderkey"),
+        primaryKey = Seq("o_orderkey"))
+      t.append(o.filter(col("o_orderdate") < lit(TtPivot)))
+      t.append(o.filter(col("o_orderdate") >= lit(TtPivot)))
+      t
+    }
+
   /** Merge-on-read lifecycle table (q16's merge semantics as real table
     * mutations): base = orders with key % 4 != 0; upsert batch = all even
     * keys restated (status U, price doubled); then delete keys % 5 == 0;

@@ -35,8 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `date_format(d, 'yyyy' | 'yyyy-MM' | 'yyyy-MM-dd')` at or above the
   *    transform's granularity,
   *  - `substring(s, 1, w)` over a truncate(w)-partitioned string,
-  * and every result is a grouping key, COUNT(*) (recorded row counts), or
-  * MIN/MAX of a column with exact recorded bounds.
+  * and every result is a grouping key, COUNT(*) (recorded row counts),
+  * MIN/MAX of a column with exact recorded bounds, COUNT(col) (recorded
+  * non-null counts), or SUM/AVG of an integral/decimal column with exact
+  * recorded per-file sums ([[graft.lake.ColumnSums]] — AVG only in the
+  * provably exact double regime).
   *
   * A WHERE clause is admitted when every conjunct classifies every file
   * as wholly-in or wholly-out (per-file tri-state; any undecidable file
@@ -295,11 +298,17 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     if (resolved.exists(_.isEmpty)) return None
     val keyFns = resolved.map(_.get._2)
 
-    // each result column: a grouping key, COUNT(*), or exact MIN/MAX
+    // each result column: a grouping key, COUNT(*), exact MIN/MAX, or an
+    // additive aggregate over recorded per-file sums/non-null counts
     sealed trait Out
     case class Key(i: Int) extends Out
     case object CountStar extends Out
     case class Bound(field: StructField, isMin: Boolean) extends Out
+    case class SumCol(field: StructField) extends Out
+    case class CountCol(field: StructField) extends Out
+    case class AvgCol(field: StructField) extends Out
+    def fieldOf(a: AttributeReference): Option[StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(a.name))
     def resolveResult(e: NamedExpression): Option[Out] = {
       val in = inline(e match { case Alias(c, _) => c; case other => other })
       // a reference to an in-place grouping alias (DataFrame-API shape)
@@ -315,12 +324,25 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
         .orElse(in match {
         case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _) if l.value != null =>
           Some(CountStar)
+        case AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _)
+            if rel.outputSet.contains(a) =>
+          fieldOf(a).map(CountCol)
         case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
             if rel.outputSet.contains(a) =>
-          schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(Bound(_, isMin = true))
+          fieldOf(a).map(Bound(_, isMin = true))
         case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
             if rel.outputSet.contains(a) =>
-          schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(Bound(_, isMin = false))
+          fieldOf(a).map(Bound(_, isMin = false))
+        case AggregateExpression(s: aggregate.Sum, _, false, None, _) =>
+          s.child match {
+            case a: AttributeReference if rel.outputSet.contains(a) => fieldOf(a).map(SumCol)
+            case _ => None
+          }
+        case AggregateExpression(av: aggregate.Average, _, false, None, _) =>
+          av.child match {
+            case a: AttributeReference if rel.outputSet.contains(a) => fieldOf(a).map(AvgCol)
+            case _ => None
+          }
         case _ => None
       })
     }
@@ -332,12 +354,26 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     val grouped =
       if (groupIn.isEmpty) Seq(Seq.empty[Any] -> keptFiles)
       else keptFiles.groupBy(f => keyFns.map(_(f))).toSeq
+    // served value types must equal the Aggregate's own result types (a
+    // precision/type mismatch would corrupt the LocalRelation) — decline
+    // on any divergence
+    val outTypes = agg.aggregateExpressions.map(_.dataType)
     val rows = grouped.map { case (keys, fs) =>
-      val values = outs.map(_.get).map {
-        case Key(i) => keys(i)
-        case CountStar => fs.map(_.rows).sum: Any
-        case Bound(field, isMin) =>
+      val values = outs.map(_.get).zip(outTypes).map {
+        case (Key(i), _) => keys(i)
+        case (CountStar, _) => fs.map(_.rows).sum: Any
+        case (Bound(field, isMin), _) =>
           LakeMetaAggregate.boundValue(field, fs, isMin).getOrElse(return None)
+        case (SumCol(field), rt) =>
+          val (dt, v) = graft.lake.ColumnSums.serveSum(field, fs).getOrElse(return None)
+          if (dt != rt) return None
+          v
+        case (CountCol(field), _) =>
+          graft.lake.ColumnSums.serveCount(field, fs).getOrElse(return None): Any
+        case (AvgCol(field), rt) =>
+          val (dt, v) = graft.lake.ColumnSums.serveAvg(field, fs).getOrElse(return None)
+          if (dt != rt) return None
+          v
       }
       InternalRow.fromSeq(values)
     }

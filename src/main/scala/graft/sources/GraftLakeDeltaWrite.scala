@@ -225,10 +225,13 @@ private[sources] class GraftLakeDeltaBatchWrite(
       fs.delete(new Path(root, stagingRel), true)
       val metaByPath = LakeTable.fileMetaAll(placedData.map(_._3).toSeq, conf,
         spark = Some(t.spark))
+      val sumsByName = graft.lake.ColumnSums.compute(
+        t.spark, t.schema(snap.schemaVersion), placedData.map(_._3).toSeq)
       val dataEntries = placedData.map { case (f, destRel, dest) =>
         val fm = metaByPath(dest)
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
-          rows = fm.rows)
+          rows = fm.rows, nonNull = fm.nonNull,
+          sums = sumsByName.getOrElse(dest.getName, Map.empty))
       }
       val delEntries = placedDels.map { case (f, destRel, dest) =>
         DeleteFile(destRel, f.seq, fs.getFileStatus(dest).getLen, f.partition)

@@ -595,6 +595,9 @@ private[sources] class GraftLakeScanBuilder(
           else None
         case mn: aggregate.Min => boundOf(mn.column(), files, isMin = true)
         case mx: aggregate.Max => boundOf(mx.column(), files, isMin = false)
+        case s: aggregate.Sum if !s.isDistinct => sumOf(s.column(), files)
+        case c: aggregate.Count if !c.isDistinct => countOf(c.column(), files)
+        case av: aggregate.Avg if !av.isDistinct => avgOf(av.column(), files)
         case _ => None
       }
       if (answered.exists(_.isEmpty)) None
@@ -660,18 +663,39 @@ private[sources] class GraftLakeScanBuilder(
             case Some((_, v)) => v
             case None => return None
           }
+        case s: aggregate.Sum if !s.isDistinct =>
+          sumOf(s.column(), groupFiles) match {
+            case Some((_, v)) => v; case None => return None
+          }
+        case c: aggregate.Count if !c.isDistinct =>
+          countOf(c.column(), groupFiles) match {
+            case Some((_, v)) => v; case None => return None
+          }
+        case av: aggregate.Avg if !av.isDistinct =>
+          avgOf(av.column(), groupFiles) match {
+            case Some((_, v)) => v; case None => return None
+          }
         case _ => return None
       }
       (keyValues ++ aggValues).toArray
     }
     // aggregate column FIELDS: derive labels/types once (on the full set —
-    // per-group boundOf above already proved answerability)
+    // per-group serving above already proved answerability)
     val aggFields: Seq[StructField] = aggExprs.map {
       case _: aggregate.CountStar => StructField("count_star", LongType, nullable = false)
       case mn: aggregate.Min => boundOf(mn.column(), files, isMin = true) match {
         case Some((f, _)) => f; case None => return None
       }
       case mx: aggregate.Max => boundOf(mx.column(), files, isMin = false) match {
+        case Some((f, _)) => f; case None => return None
+      }
+      case s: aggregate.Sum => sumOf(s.column(), files) match {
+        case Some((f, _)) => f; case None => return None
+      }
+      case c: aggregate.Count => countOf(c.column(), files) match {
+        case Some((f, _)) => f; case None => return None
+      }
+      case av: aggregate.Avg => avgOf(av.column(), files) match {
         case Some((f, _)) => f; case None => return None
       }
       case _ => return None
@@ -726,6 +750,43 @@ private[sources] class GraftLakeScanBuilder(
       case _ => None // float/double bounds are rounded; decimals unbounded
     }
   }
+
+  private def namedField(
+      colExpr: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+    colExpr match {
+      case ref: org.apache.spark.sql.connector.expressions.NamedReference
+          if ref.fieldNames().length == 1 =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(ref.fieldNames()(0)))
+      case _ => None
+    }
+
+  /** SUM/COUNT(col)/AVG from recorded per-file sums + non-null counts
+    * ([[graft.lake.ColumnSums]]) — exact by construction or declined. */
+  private def sumOf(
+      colExpr: org.apache.spark.sql.connector.expressions.Expression,
+      files: Seq[graft.lake.DataFile]): Option[(StructField, Any)] =
+    namedField(colExpr).flatMap { field =>
+      graft.lake.ColumnSums.serveSum(field, files).map { case (dt, v) =>
+        (StructField(s"sum_${field.name}", dt), v)
+      }
+    }
+
+  private def countOf(
+      colExpr: org.apache.spark.sql.connector.expressions.Expression,
+      files: Seq[graft.lake.DataFile]): Option[(StructField, Any)] =
+    namedField(colExpr).flatMap { field =>
+      graft.lake.ColumnSums.serveCount(field, files).map(n =>
+        (StructField(s"count_${field.name}", LongType, nullable = false), n: Any))
+    }
+
+  private def avgOf(
+      colExpr: org.apache.spark.sql.connector.expressions.Expression,
+      files: Seq[graft.lake.DataFile]): Option[(StructField, Any)] =
+    namedField(colExpr).flatMap { field =>
+      graft.lake.ColumnSums.serveAvg(field, files).map { case (dt, v) =>
+        (StructField(s"avg_${field.name}", dt), v)
+      }
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // row-level-operation scans must read every row (see

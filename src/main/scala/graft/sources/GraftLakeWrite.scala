@@ -184,10 +184,14 @@ private[sources] class GraftLakeBatchWrite(
       // inside the commit window
       val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf,
         spark = Some(t.spark))
+      val snap = plannedSnap.map(_()).getOrElse(t.currentSnapshot)
+      val sumsByName = graft.lake.ColumnSums.compute(
+        t.spark, t.schema(snap.schemaVersion), placed.map(_._3).toSeq)
       val entries = placed.map { case (f, destRel, dest) =>
         val fm = metaByPath(dest)
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
-          rows = fm.rows)
+          rows = fm.rows, nonNull = fm.nonNull,
+          sums = sumsByName.getOrElse(dest.getName, Map.empty))
       }
       (replaceAll, replacedFiles) match {
         case (true, Some(planned)) =>

@@ -718,6 +718,106 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(afterMor.as[(Option[Int], Option[Int], Long, Long, Long)].collect().toSet == got)
   }
 
+  test("SUM/AVG/COUNT(col) are answered from recorded per-file sums (zero scan tasks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metasum-spec").toString
+    // nullable measure: group B's only non-null v is in file 1; group C's
+    // v is ALL null (sum must serve NULL for it)
+    val df = Seq(
+      (1L, "A", java.lang.Long.valueOf(10L), 1.5),
+      (2L, "A", java.lang.Long.valueOf(20L), 2.5),
+      (3L, "B", java.lang.Long.valueOf(30L), 3.5),
+      (4L, "B", null.asInstanceOf[java.lang.Long], 4.5),
+      (5L, "C", null.asInstanceOf[java.lang.Long], 5.5)).toDF("id", "cat", "v", "d")
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("cat", graft.lake.Transform.Identity, "p_cat")))
+    t.append(df)
+    t.append(Seq((6L, "A", java.lang.Long.valueOf(60L), 6.5),
+      (7L, "C", null.asInstanceOf[java.lang.Long], 7.5)).toDF("id", "cat", "v", "d"))
+
+    def rollup(rel: org.apache.spark.sql.DataFrame) = rel
+      .groupBy("cat")
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("nv"), avg(col("v")).as("av"))
+    val viaMeta = rollup(readLake(t.location))
+    val plan = viaMeta.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"additive rollup not metadata-served:\n$plan")
+    val got = viaMeta.as[(String, Option[Long], Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("A", Some(90L), 3L, Some(30.0)),
+      ("B", Some(30L), 1L, Some(30.0)),
+      ("C", None, 0L, None)), s"metadata answer wrong: $got")
+    // the real scan path must agree exactly
+    assert(rollup(t.scan()).as[(String, Option[Long], Long, Option[Double])]
+      .collect().toSet == got)
+
+    // DOUBLE sums are order-dependent: never metadata-served
+    val dsum = readLake(t.location).groupBy("cat").agg(sum(col("d")).as("sd"))
+    assert(dsum.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "double SUM must not be metadata-served")
+
+    // ungrouped + unfiltered goes through the V2 aggregate-pushdown API
+    val global = readLake(t.location)
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("nv"), avg(col("v")).as("av"))
+    val gplan = global.queryExecution.executedPlan.toString
+    assert(gplan.contains("LocalTableScan") && gplan.contains("sum_v"),
+      s"ungrouped sum not pushed to metadata:\n$gplan")
+    assert(global.as[(Option[Long], Long, Option[Double])].collect().toSeq ==
+      Seq((Some(120L), 4L, Some(30.0))))
+
+    // filtered + summed through the optimizer rule (identity equality)
+    val filtered = readLake(t.location)
+      .filter(col("cat") === "A")
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("nv"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "filtered ungrouped sum should be metadata-served")
+    assert(filtered.as[(Option[Long], Long)].collect().toSeq == Seq((Some(90L), 3L)))
+
+    // a Long total past 2^63 would overflow the scan's accumulator:
+    // serving declines (plan gate only — the wrapped scan value is
+    // whatever Spark computes)
+    val big = Seq((1L, 5000000000000000000L), (2L, 5000000000000000000L))
+      .toDF("id", "huge")
+    val tb = graft.lake.LakeTable.create(spark, s"$dir/tb", "tb", big.schema)
+    tb.append(big.limit(1))
+    tb.append(big.filter(col("id") === 2L))
+    val bsum = readLake(tb.location).agg(sum(col("huge")))
+    assert(bsum.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "overflowing SUM must decline to the scan")
+    // ... and AVG outside the exact-double regime (|v|·n > 2^53) declines
+    // while the in-range SUM still serves
+    val bavg = readLake(tb.location).agg(avg(col("huge")))
+    assert(bavg.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "AVG outside the exact double regime must decline")
+
+    // DECIMAL sums serve exactly, with Spark's sum result type (p+10, s)
+    val dec = Seq((1L, "1.25"), (2L, "2.50"), (3L, "4.00")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(10,2)").as("m"))
+    val td = graft.lake.LakeTable.create(spark, s"$dir/td", "td", dec.schema)
+    td.append(dec.filter(col("id") < 3L))
+    td.append(dec.filter(col("id") === 3L))
+    val dq = readLake(td.location).agg(sum(col("m")).as("sm"))
+    assert(dq.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "decimal SUM should be metadata-served")
+    assert(dq.schema("sm").dataType == org.apache.spark.sql.types.DecimalType(20, 2))
+    assert(dq.head.getDecimal(0) == new java.math.BigDecimal("7.75"))
+
+    // with sum recording disabled, SUM declines but COUNT(col) still
+    // serves — non-null counts come from footer stats, not the sums job
+    spark.conf.set("spark.graft.lake.recordSums", "false")
+    try {
+      val tn = graft.lake.LakeTable.create(spark, s"$dir/tn", "tn", big.schema)
+      tn.append(big)
+      val nsum = readLake(tn.location).agg(sum(col("huge")))
+      assert(nsum.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "SUM without recorded sums must decline")
+      val ncnt = readLake(tn.location).agg(count(col("huge")).as("n"))
+      assert(ncnt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "COUNT(col) should serve from footer non-null counts")
+      assert(ncnt.head.getLong(0) == 2L)
+    } finally spark.conf.unset("spark.graft.lake.recordSums")
+  }
+
   test("metadata-served SQL aggregate through the graft catalog") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-metaagg-sql").toString
