@@ -250,7 +250,19 @@ object DedupOps {
     // top-K cut orders by (df desc, tok).
     val maxDict = s.conf.getOption("spark.graft.dedup.prefixDictSize")
       .map(_.toInt).getOrElse(DefaultPrefixDictSize)
-    val dict: Map[String, Long] = sh
+    // frequencies from a DETERMINISTIC 1/mod document sample: the filter
+    // is exact under ANY total order, so sampled df only tunes bucket
+    // sizes — and a hash-sampled eighth of the corpus ranks common tokens
+    // the same way the full corpus does, at O(sample) aggregation cost
+    // (the same bounded-training pattern as the PQ codebook). Tiny
+    // corpora (sample could even be empty) stay correct: unseen tokens
+    // order as df = 1, ties break on the token itself.
+    val sampleMod = s.conf.getOption("spark.graft.dedup.prefixDictSampleMod")
+      .map(_.toInt).getOrElse(8).max(1)
+    val dictSrc =
+      if (sampleMod > 1) sh.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      else sh
+    val dict: Map[String, Long] = dictSrc
       .select(explode(col("sh")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok"))
