@@ -154,15 +154,6 @@ object VectorOps {
 
   // -------------------------------------------------- product quantization
 
-  /** (vec_id, sub, subvec): each vector split into `m` contiguous
-    * subspaces (the 64-dim fixture with m=8 gives 8-dim subvectors). */
-  private[operators] def subvectors(e: DataFrame, m: Int, dim: Int): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val dsub = dim / m
-    val subs = array((0 until m).map(i => slice(col("embedding"), i * dsub + 1, dsub)): _*)
-    e.select(col("vec_id"), posexplode(subs)).toDF("vec_id", "sub", "subvec")
-  }
-
   /** PRODUCT-QUANTIZATION codebook (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): an
     * independent ksub-codeword k-means per subspace.
@@ -184,11 +175,11 @@ object VectorOps {
       dim: Int = 64, trainCap: Int = 2048): DataFrame = {
     val spark = e.sparkSession
     val base = e.select(col("vec_id"), col("embedding"))
-    val n = base.count()
-    val train =
-      if (n <= trainCap) base
-      else base.filter(pmod(xxhash64(col("vec_id")), lit(10000)) <
-        lit((trainCap.toDouble / n * 10000).ceil.toLong))
+    // deterministic bounded sample in ONE pass: the trainCap smallest
+    // rows by (xxhash64(vec_id), vec_id) — TakeOrdered keeps trainCap
+    // candidates per partition and merges, no count() pre-pass over the
+    // corpus and exactly trainCap rows at any corpus size
+    val train = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainCap)
     val sample: Array[(Long, Array[Float])] = {
       import spark.implicits._
       train.as[(Long, Array[Float])].collect()
@@ -327,25 +318,46 @@ object VectorOps {
     val cb = pqCodebook(raw, m, ksub, dim = dim)
     val encoded = pqEncode(raw, cb, m, dim)
     val probesRaw = raw.filter(col("vec_id").isin(ProbeIds: _*))
-    // per-probe ADC table: slot (sub·ksub + code) -> dot(probe_sub, codeword)
-    val tbl = subvectors(probesRaw, m, dim)
-      .join(broadcast(cb), "sub")
-      .select(col("vec_id").as("probe_id"),
-        (col("sub") * ksub + col("code")).as("slot"),
-        VectorMath.dot(col("subvec"), col("centroid")).as("pd"))
-      .groupBy(col("probe_id"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("pd")))).as("tbl"))
-    val probes = probesRaw
-      .select(col("vec_id").as("probe_id"), VectorMath.normSq(col("embedding")).as("pnq"))
-      .join(tbl, "probe_id")
-    // candidate scoring: m lookups per (candidate, probe), no raw vectors
+    // per-probe ADC tables computed ON THE DRIVER (the FAISS shape: the
+    // codebook is already driver-resident from training, probes are the
+    // bounded query-side input — m·ksub dots per probe are microseconds,
+    // where the former DataFrame build paid a shuffle-bearing job before
+    // the corpus work even started). Each table is a DENSE array indexed
+    // by slot (sub·ksub + code, 1-based): element_at on an array is O(1)
+    // where a map column is a linear scan of all m·ksub entries, and the
+    // scoring loop below runs once per (candidate, probe). Dropped
+    // (empty) codewords stay 0.0 — no candidate's codes reference them.
+    // Float multiply + double accumulate matches the graft_dot kernel.
+    val dsub = dim / m
+    val cbLocal: Array[(Int, Int, Seq[Float])] =
+      cb.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val probeVecs: Array[(Long, Seq[Float])] = {
+      import s.implicits._
+      probesRaw.as[(Long, Seq[Float])].collect()
+    }
+    val probes = {
+      import s.implicits._
+      probeVecs.toSeq.map { case (pid, v) =>
+        val arr = new Array[Double](m * ksub)
+        cbLocal.foreach { case (sub, code, cent) =>
+          var d = 0.0
+          var i = 0
+          while (i < cent.length) { d += (v(sub * dsub + i) * cent(i)).toDouble; i += 1 }
+          arr(sub * ksub + code) = d
+        }
+        var nq = 0.0
+        v.foreach(x => nq += (x * x).toDouble)
+        (pid, nq, arr.toSeq)
+      }.toDF("probe_id", "pnq", "tbl")
+    }
+    // candidate scoring: m STATICALLY-UNROLLED O(1) array lookups per
+    // (candidate, probe) — no per-row array allocation, stays inside
+    // whole-stage codegen
     val cands = encoded.join(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, i) => element_at(col("tbl"), (i * ksub + c).cast("int"))),
-          lit(0.0), (acc, x) => acc + x))
+        (0 until m).map(i =>
+          element_at(col("tbl"), col("codes")(i) + lit(i * ksub + 1))).reduce(_ + _))
       .withColumn("approx", col("adc") / sqrt(col("anq") * col("pnq")))
     val wa = Window.partitionBy(col("probe_id")).orderBy(col("approx").desc, col("vec_id"))
     val shortlist = cands
