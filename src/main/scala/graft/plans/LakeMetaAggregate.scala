@@ -51,7 +51,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `>=` / `<` on a year/month/day-partitioned temporal source whose
   *    boundary is EXACTLY aligned to the transform period (a month file
   *    is wholly >= its own first instant; unaligned boundaries decline —
-  *    `>` / `<=` always decline, their boundary instant splits a file).
+  *    `>` / `<=` always decline, their boundary instant splits a file);
+  *  - `IS [NOT] NULL` on a source with any null-preserving recorded
+  *    transform (identity/year/month/day/truncate — null rows land in
+  *    the sentinel tuple; bucket does not witness null-ness, and a
+  *    string sentinel file declines: it conflates null with "").
   *
   * Declines conservatively — merge-on-read tombstones, missing row
   * counts, files whose spec predates a grouping/filter field, non-UTC
@@ -263,7 +267,30 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }.headOption
       }
+      // null-ness per file from ANY null-preserving recorded transform of
+      // the source (identity/year/month/day/truncate map null -> the
+      // sentinel; bucket does NOT — Spark's hash(null) is the seed, so a
+      // bucket tuple never witnesses null-ness). A STRING source's
+      // sentinel conflates null with "" (an IS NOT NULL keeps the ""
+      // rows), so a string sentinel file is undecidable and declines.
+      def nullness(a: AttributeReference, wantNull: Boolean): Option[graft.lake.DataFile => Option[Boolean]] = {
+        val nullPreserving: Transform => Boolean = {
+          case Transform.Identity | Transform.Year | Transform.Month | Transform.Day => true
+          case Transform.Truncate(_) => true
+          case _ => false
+        }
+        val pname = recordedField(a.name, nullPreserving).getOrElse(return None)
+        val stringy = a.dataType == StringType
+        Some(f => f.partition(pname) match {
+          case S => if (stringy) None else Some(wantNull)
+          case _ => Some(!wantNull)
+        })
+      }
       c match {
+        case IsNotNull(a: AttributeReference) if rel.outputSet.contains(a) =>
+          nullness(a, wantNull = false)
+        case IsNull(a: AttributeReference) if rel.outputSet.contains(a) =>
+          nullness(a, wantNull = true)
         case EqualTo(a: AttributeReference, l: Literal) if rel.outputSet.contains(a) =>
           identityEq(a, Seq(l.value))
         case EqualTo(l: Literal, a: AttributeReference) if rel.outputSet.contains(a) =>

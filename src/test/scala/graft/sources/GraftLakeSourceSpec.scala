@@ -802,6 +802,30 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(dq.schema("sm").dataType == org.apache.spark.sql.types.DecimalType(20, 2))
     assert(dq.head.getDecimal(0) == new java.math.BigDecimal("7.75"))
 
+    // IS NOT NULL / IS NULL conjuncts classify per file from the tuples
+    // (any null-preserving transform witnesses null-ness)
+    val dfn = Seq((1L, java.lang.Long.valueOf(7L), 10L), (2L, java.lang.Long.valueOf(8L), 20L),
+      (3L, null.asInstanceOf[java.lang.Long], 40L)).toDF("id", "k", "w")
+    val tk = graft.lake.LakeTable.create(spark, s"$dir/tk", "tk", dfn.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("k", graft.lake.Transform.Identity, "p_k")))
+    tk.append(dfn)
+    val knn = readLake(tk.location).filter(col("k").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(knn.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "IS NOT NULL over an identity partition should be metadata-served")
+    assert(knn.as[(Long, Option[Long])].collect().toSeq == Seq((2L, Some(30L))))
+    val kn = readLake(tk.location).filter(col("k").isNull)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(kn.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(kn.as[(Long, Option[Long])].collect().toSeq == Seq((1L, Some(40L))))
+    // a STRING source with a sentinel file declines (null/"" conflation)
+    t.append(Seq((8L, null.asInstanceOf[String], java.lang.Long.valueOf(80L), 8.5))
+      .toDF("id", "cat", "v", "d"))
+    val snn = readLake(t.location).filter(col("cat").isNotNull).agg(count(lit(1)).as("n"))
+    assert(snn.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "string sentinel files must decline IS NOT NULL serving")
+    assert(snn.head.getLong(0) == 7L)
+
     // with sum recording disabled, SUM declines but COUNT(col) still
     // serves — non-null counts come from footer stats, not the sums job
     spark.conf.set("spark.graft.lake.recordSums", "false")
