@@ -204,7 +204,10 @@ object LakeOps {
         count(lit(1)).as("n_orders"),
         sum(col("o_cents")).as("revenue_cents"),
         avg(col("o_cents")).as("avg_cents"),
-        count(col("o_custkey")).as("n_cust"))
+        count(col("o_custkey")).as("n_cust"),
+        // distinct count of the identity-partition source: the tuples
+        // ENUMERATE the distinct statuses per month — also zero tasks
+        countDistinct(col("o_orderstatus")).as("n_status"))
     val plan = df.queryExecution.executedPlan.toString
     require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
       s"additive rollup was not metadata-served:\n$plan")
@@ -402,7 +405,8 @@ object LakeOps {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_cents,
-        |  COUNT(o_custkey) AS n_cust
+        |  COUNT(o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderstatus) AS n_status
         |FROM orders GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q85_filtered_meta_rollup", filteredMetaRollup, bench = true, oracle = Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,

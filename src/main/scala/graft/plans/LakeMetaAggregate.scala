@@ -97,8 +97,14 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     }
     // ungrouped-AND-unfiltered aggregates already fold through the V2
     // aggregate-pushdown API (answerFromMetadata); this rule adds the
-    // grouped shapes and the filtered ungrouped ones the API declines
-    if (agg.groupingExpressions.isEmpty && conjuncts.isEmpty) return None
+    // grouped shapes, the filtered ungrouped ones the API declines, and
+    // any query carrying a DISTINCT count (never pushed to connectors)
+    val hasDistinctCount = agg.aggregateExpressions.exists(_.exists {
+      case AggregateExpression(_: Count, _, true, _, _) => true
+      case _ => false
+    })
+    if (agg.groupingExpressions.isEmpty && conjuncts.isEmpty && !hasDistinctCount)
+      return None
     val rel = relOpt.getOrElse(return None)
     val tbl = rel.table match {
       case v: GraftLakeV2Table if !v.raw && !v.changelog => v
@@ -334,6 +340,13 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     case class SumCol(field: StructField) extends Out
     case class CountCol(field: StructField) extends Out
     case class AvgCol(field: StructField) extends Out
+    /** COUNT(DISTINCT <identity source>): the partition tuples ENUMERATE
+      * the distinct values — every row of a file carries exactly the
+      * file's recorded value, so the distinct set of a group is the
+      * distinct set of its files' tuples (nulls excluded, like SQL).
+      * String sources decline when a kept file carries the sentinel (it
+      * conflates null — excluded — with "" — counted). */
+    case class DistinctKey(field: StructField, pname: String) extends Out
     def fieldOf(a: AttributeReference): Option[StructField] =
       schema.fields.find(_.name.equalsIgnoreCase(a.name))
     def resolveResult(e: NamedExpression): Option[Out] = {
@@ -354,6 +367,13 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
         case AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _)
             if rel.outputSet.contains(a) =>
           fieldOf(a).map(CountCol)
+        case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _)
+            if rel.outputSet.contains(a) =>
+          for {
+            field <- fieldOf(a)
+            pname <- recordedField(a.name, _ == Transform.Identity)
+            if !(field.dataType == StringType && keptFiles.exists(_.partition(pname) == S))
+          } yield DistinctKey(field, pname)
         case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
             if rel.outputSet.contains(a) =>
           fieldOf(a).map(Bound(_, isMin = true))
@@ -401,6 +421,8 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
           val (dt, v) = graft.lake.ColumnSums.serveAvg(field, fs).getOrElse(return None)
           if (dt != rt) return None
           v
+        case (DistinctKey(_, pname), _) =>
+          fs.iterator.map(_.partition(pname)).filter(_ != S).toSet.size.toLong: Any
       }
       InternalRow.fromSeq(values)
     }

@@ -802,6 +802,20 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(dq.schema("sm").dataType == org.apache.spark.sql.types.DecimalType(20, 2))
     assert(dq.head.getDecimal(0) == new java.math.BigDecimal("7.75"))
 
+    // COUNT(DISTINCT <identity source>): the tuples enumerate the
+    // distinct values — grouped, filtered, and global shapes all serve
+    val dk = readLake(t.location).agg(countDistinct(col("cat")).as("nc"))
+    assert(dk.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "global COUNT(DISTINCT identity source) should be metadata-served")
+    assert(dk.head.getLong(0) == 3L)
+    val dkf = readLake(t.location).filter(col("cat") =!= "C")
+      .agg(countDistinct(col("cat")).as("nc"), count(lit(1)).as("n"))
+    assert(dkf.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "a != conjunct is not classifiable and must decline")
+    // distinct count over a NON-partition column keeps the real scan
+    val dnp = readLake(t.location).agg(countDistinct(col("v")).as("nv"))
+    assert(dnp.queryExecution.executedPlan.toString.contains("BatchScan"))
+
     // IS NOT NULL / IS NULL conjuncts classify per file from the tuples
     // (any null-preserving transform witnesses null-ness)
     val dfn = Seq((1L, java.lang.Long.valueOf(7L), 10L), (2L, java.lang.Long.valueOf(8L), 20L),
@@ -818,6 +832,10 @@ class GraftLakeSourceSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
     assert(kn.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     assert(kn.as[(Long, Option[Long])].collect().toSeq == Seq((1L, Some(40L))))
+    // null identity values are excluded from the distinct count, like SQL
+    val dkn = readLake(tk.location).agg(countDistinct(col("k")).as("nk"))
+    assert(dkn.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(dkn.head.getLong(0) == 2L) // 7, 8; the null partition is excluded
     // a STRING source with a sentinel file declines (null/"" conflation)
     t.append(Seq((8L, null.asInstanceOf[String], java.lang.Long.valueOf(80L), 8.5))
       .toDF("id", "cat", "v", "d"))
@@ -825,6 +843,21 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(snn.queryExecution.executedPlan.toString.contains("BatchScan"),
       "string sentinel files must decline IS NOT NULL serving")
     assert(snn.head.getLong(0) == 7L)
+    // ... and declines the string distinct count too ("" vs null)
+    val dks = readLake(t.location).agg(countDistinct(col("cat")).as("nc"))
+    assert(dks.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "string sentinel files must decline COUNT(DISTINCT) serving")
+    assert(dks.head.getLong(0) == 3L) // A, B, C — null excluded, no "" row
+
+    // the DSv2 write path records the same stats: a df.write.format
+    // append serves SUM from metadata too
+    val v2df = Seq((1L, 100L), (2L, 250L)).toDF("id", "cents")
+    val tv = graft.lake.LakeTable.create(spark, s"$dir/tv", "tv", v2df.schema)
+    v2df.write.format("graftlake").option("path", tv.location).mode("append").save()
+    val vq = readLake(tv.location).agg(sum(col("cents")).as("sc"), count(col("cents")).as("n"))
+    assert(vq.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "DSv2-written files should carry recorded sums")
+    assert(vq.as[(Option[Long], Long)].collect().toSeq == Seq((Some(350L), 2L)))
 
     // with sum recording disabled, SUM declines but COUNT(col) still
     // serves — non-null counts come from footer stats, not the sums job
