@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   * never differ from the scan it replaces. */
 object ColumnSums {
 
-  /** Columns whose sums are exact and order-independent. */
+  /** Columns whose sums are exact and order-independent. Decimals cap at
+    * precision 28 so a per-file sum in decimal(38,s) cannot overflow even
+    * at 2^31 rows (10^28 × 2^31 < 10^38) — an overflow would return null
+    * in default mode but THROW inside the commit under ANSI. */
   def summable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
-    case _: DecimalType => true
+    case d: DecimalType => d.precision <= 28
     case _ => false
   }
 
