@@ -168,6 +168,24 @@ class ManifestSpec extends SparkSpec {
     assert(t.scan().count() == 10)
   }
 
+  test("manifest JSON round-trips per-file non-null counts and sums") {
+    // the process-wide manifest cache serves just-committed manifests
+    // without re-parsing, so the e2e specs never prove the JSON path —
+    // this does, for every DataFile field including the r7 stats
+    val df = DataFile(
+      path = "data/p=1/f.parquet", seq = 3L, partition = Map("p" -> "1"),
+      bytes = 1234L, splits = Seq((4L, 100L), (104L, 96L)),
+      bounds = Map("id" -> ColBound("n", "1", "10"), "s" -> ColBound("s", "a", "z")),
+      rows = 10L,
+      nonNull = Map("id" -> 10L, "v" -> 7L, "s" -> 0L),
+      sums = Map("id" -> "55", "v" -> "12.50"))
+    val bare = DataFile("data/g.parquet", 4L, Map.empty, 5L)
+    val json = MetaJson.writeManifest("data", Seq(df, bare), Nil)
+    val (kind, data, dels) = MetaJson.readManifest(json)
+    assert(kind == "data" && dels.isEmpty)
+    assert(data == Seq(df, bare))
+  }
+
   test("pre-manifest (inline) snapshot files still open") {
     val dir = Files.createTempDirectory("graft-man-legacy").toString
     val df = Seq((1L, "x")).toDF("id", "s")
