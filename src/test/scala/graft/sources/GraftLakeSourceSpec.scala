@@ -849,6 +849,15 @@ class GraftLakeSourceSpec extends SparkSpec {
       "string sentinel files must decline COUNT(DISTINCT) serving")
     assert(dks.head.getLong(0) == 3L) // A, B, C — null excluded, no "" row
 
+    // TIME-TRAVEL rollups serve from the PINNED snapshot's manifests:
+    // the same aggregate asOf the first append folds the historical
+    // listing, not the current one
+    val tt = readLake(t.location, asOf = Some(1L))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(tt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "asOf aggregate should be metadata-served from the pinned snapshot")
+    assert(tt.as[(Long, Option[Long])].collect().toSeq == Seq((5L, Some(60L))))
+
     // the DSv2 write path records the same stats: a df.write.format
     // append serves SUM from metadata too
     val v2df = Seq((1L, 100L), (2L, 250L)).toDF("id", "cents")
