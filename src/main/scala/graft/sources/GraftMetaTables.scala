@@ -56,11 +56,32 @@ private[sources] object GraftLakeMetaTable {
     case "files" => StructType(Seq(
       StructField("path", StringType), StructField("seq", LongType),
       StructField("partition", StringType), StructField("bytes", LongType),
-      StructField("rows", LongType), StructField("row_groups", IntegerType)))
+      StructField("rows", LongType), StructField("row_groups", IntegerType),
+      // Iceberg's `readable_metrics` idiom: the per-column stats the
+      // commit recorded (bounds, non-null count, exact sum), as one
+      // deterministic JSON document per file — column names sorted,
+      // absent stats omitted
+      StructField("metrics", StringType)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType), StructField("files", IntegerType),
       StructField("rows", LongType), StructField("bytes", LongType)))
     case other => throw new IllegalArgumentException(s"unknown metadata table: $$$other")
+  }
+
+  /** Per-file column metrics as one deterministic JSON document:
+    * `{"col":{"lo":…,"hi":…,"nn":…,"sum":…}}`, column names sorted,
+    * absent stats omitted (empty document for pre-stats metadata). */
+  private def renderMetrics(f: graft.lake.DataFile): UTF8String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val cols = (f.bounds.keySet ++ f.nonNull.keySet ++ f.sums.keySet).toSeq.sorted
+    cols.foreach { c =>
+      val o = root.putObject(c)
+      f.bounds.get(c).foreach { b => o.put("lo", b.min); o.put("hi", b.max) }
+      f.nonNull.get(c).foreach(n => o.put("nn", n))
+      f.sums.get(c).foreach(s => o.put("sum", s))
+    }
+    UTF8String.fromString(root.toString)
   }
 
   /** Canonical partition rendering: fields sorted by name, `k=v` joined
@@ -82,7 +103,7 @@ private[sources] object GraftLakeMetaTable {
       t.currentSnapshot.dataFiles.map { f =>
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(f.path), f.seq, renderPartition(f.partition),
-          f.bytes, f.rows, f.splits.size)): InternalRow
+          f.bytes, f.rows, f.splits.size, renderMetrics(f))): InternalRow
       }.toArray
     case "partitions" =>
       t.currentSnapshot.dataFiles.groupBy(_.partition).toSeq

@@ -489,6 +489,14 @@ class SqlCatalogSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().sortBy(_._1)
     assert(parts.map(p => (p._1, p._3)).toSeq == Seq(("p_s=A", 2L), ("p_s=B", 2L)))
 
+    // readable_metrics idiom: per-column bounds / non-null counts / exact
+    // sums the commit recorded, as deterministic JSON per file
+    val metrics = spark.sql("SELECT partition, metrics FROM graft.`mt$files`")
+      .as[(String, String)].collect().toMap
+    val aMetrics = metrics("p_s=A")
+    assert(aMetrics.contains(""""id":{"lo":"1","hi":"2","nn":2,"sum":"3"}"""),
+      s"unexpected metrics document: $aMetrics")
+
     // a zero-task plan: the scan is driver-local
     val plan = spark.sql("SELECT * FROM graft.`mt$snapshots`")
       .queryExecution.executedPlan.toString
