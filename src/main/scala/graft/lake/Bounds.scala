@@ -76,6 +76,19 @@ object ColumnBounds {
         case _ => dropped += name
       }
 
+    // INT32/INT64 decimal columns store UNSCALED integers in footer stats
+    // (150.00 as decimal(10,2) → 15000); the pushed literal arrives SCALED,
+    // so record bounds re-scaled by the column's decimal annotation or the
+    // comparison in `cmp` silently prunes matching files.
+    def decimalScaled(
+        col: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+        unscaled: Long): BigDecimal =
+      col.getPrimitiveType.getLogicalTypeAnnotation match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          BigDecimal(java.math.BigDecimal.valueOf(unscaled, d.getScale))
+        case _ => BigDecimal(unscaled)
+      }
+
     blocks.foreach { block =>
       block.getColumns.asScala.foreach { col =>
         val name = col.getPath.toDotString
@@ -89,8 +102,10 @@ object ColumnBounds {
           if (stats == null || stats.isEmpty) dropped += name
           else if (!stats.hasNonNullValue) () // all-null chunk: no widening
           else stats match {
-            case s: IntStatistics    => widenNum(name, BigDecimal(s.getMin), BigDecimal(s.getMax))
-            case s: LongStatistics   => widenNum(name, BigDecimal(s.getMin), BigDecimal(s.getMax))
+            case s: IntStatistics =>
+              widenNum(name, decimalScaled(col, s.getMin.toLong), decimalScaled(col, s.getMax.toLong))
+            case s: LongStatistics =>
+              widenNum(name, decimalScaled(col, s.getMin), decimalScaled(col, s.getMax))
             case s: FloatStatistics =>
               if (s.getMin.isNaN || s.getMax.isNaN) dropped += name
               // exact binary expansion — shortest-repr toString would shave
