@@ -214,6 +214,57 @@ object LakeOps {
     df
   }
 
+  // q87 — the reference's HEADLINE money filter (`WHERE total_amount >
+  // 1000`, compare-query-performance.sql:97) over a DECIMAL(12,2) lake
+  // column through the DSv2 pushdown scan (cut at 300000.00 — same shape
+  // and type, selective on TPC-H's 1k..500k money range). The money column
+  // is the cluster key with range-disjoint files, so the decimal
+  // comparison prunes whole files from manifest metadata — the builder
+  // REQUIRES files to have been pruned (a regression to scan-everything,
+  // or to round 7's unscaled-bounds wrong answer, fails the gate either
+  // way).
+  val decimalFilterPushdown: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.ordersDecimal(s, dir)
+    val cut = new java.math.BigDecimal("300000.00")
+    val (kept, total) = t.planFiles(t.currentSnapshot,
+      Seq(PruneFilter.Gt("total_amount", cut)))
+    require(kept.size < total,
+      s"decimal bounds pruned nothing: ${kept.size}/$total files kept")
+    s.read.format("graftlake").option("path", t.location).load()
+      .filter(col("total_amount") > lit(cut))
+  }
+
+  // q88 — GOLD serve with exact decimal money: the month×status revenue
+  // rollup materialized from the decimal table and read back — money stays
+  // DECIMAL end to end (raw cents → decimal(12,2) → decimal(22,2) sums),
+  // never passing through a double (SURVEY §1.3)
+  val decimalGoldServe: (SparkSession, String) => DataFrame = (s, dir) =>
+    LakePipelines.goldDecimalMetrics(s, dir).scan()
+
+  // q89 — cross-layer consistency ON DECIMALS (q54's golden test for the
+  // money type): the same status-level revenue total computed from raw
+  // parquet, the decimal lake table, and the materialized gold rollup must
+  // agree to the exact cent
+  val decimalCrossLayer: (SparkSession, String) => DataFrame = (s, dir) => {
+    val amount = (round(col("o_totalprice") * 100).cast("long").cast("decimal(14,0)") *
+      lit(new java.math.BigDecimal("0.01"))).cast("decimal(12,2)")
+    val raw = graft.Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("order_count"), sum(amount).as("revenue"))
+      .select(lit("1_raw").as("layer"), col("status"), col("order_count"), col("revenue"))
+    val silver = LakePipelines.ordersDecimal(s, dir).scan()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("order_count"), sum(col("total_amount")).as("revenue"))
+      .select(lit("2_silver").as("layer"), col("status"), col("order_count"), col("revenue"))
+    val gold = LakePipelines.goldDecimalMetrics(s, dir).scan()
+      .groupBy(col("status"))
+      .agg(
+        sum(col("order_count")).as("order_count"),
+        sum(col("gross_revenue")).cast("decimal(22,2)").as("revenue"))
+      .select(lit("3_gold").as("layer"), col("status"), col("order_count"), col("revenue"))
+    raw.unionByName(silver).unionByName(gold)
+  }
+
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
   // source and plain SQL: spark.read.format("graftlake") → temp view →
   // spark.sql, with the o_orderdate range pushed into the source
@@ -415,6 +466,34 @@ object LakeOps {
         |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q87_decimal_filter_pushdown", decimalFilterPushdown, bench = true, oracle = Some(
+      """WITH dec AS (
+        |  SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
+        |    o_orderdate AS order_date,
+        |    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)) AS total_amount
+        |  FROM orders
+        |)
+        |SELECT * FROM dec WHERE total_amount > 300000.00
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q88_decimal_gold_serve", decimalGoldServe, bench = true, oracle = Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  o_orderstatus AS status, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)))
+        |    AS DECIMAL(22,2)) AS gross_revenue
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q89_decimal_cross_layer", decimalCrossLayer, oracle = Some(
+      """WITH agg AS (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)))
+        |      AS DECIMAL(22,2)) AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT '1_raw' AS layer, * FROM agg
+        |  UNION ALL SELECT '2_silver', * FROM agg
+        |  UNION ALL SELECT '3_gold', * FROM agg
+        |) ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q30_silver_serve", silverServe, oracle = Some(
       """SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS status,
         |  CAST(o_orderdate AS DATE) AS order_month, o_orderdate AS order_date,

@@ -44,8 +44,9 @@ object LakePipelines {
 
   /** Bump whenever any fixture BUILD logic in this file (or the lake write
     * path) changes semantics: the completion markers under the warehouse
-    * would otherwise let a later run silently reuse a stale build. */
-  val LayoutVersion = 4
+    * would otherwise let a later run silently reuse a stale build.
+    * v5: decimal footer bounds are recorded scaled (Bounds.scala). */
+  val LayoutVersion = 5
 
   def warehouse(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -94,6 +95,67 @@ object LakePipelines {
         primaryKey = Seq("o_orderkey"))
       t.append(o.filter(col("o_orderdate") < lit(TtPivot)))
       t.append(o.filter(col("o_orderdate") >= lit(TtPivot)))
+      t
+    }
+
+  /** Exact DECIMAL money literal 0.01 — multiplying integer cents by this
+    * is exact decimal arithmetic in BOTH engines (never a double divide). */
+  private def cents01 = lit(new java.math.BigDecimal("0.01"))
+
+  /** DECIMAL-money restatement of orders — the reference's exact money
+    * type (`total_amount DECIMAL(12,2)`, mysql-init/01-setup.sql:28,43-44;
+    * SURVEY §1.3 "keep exact decimal, do NOT use Double"). Amounts derive
+    * from exact integer cents so both engines compute identical decimals.
+    * The table is clustered ON THE MONEY COLUMN with range-disjoint files,
+    * so the reference's headline money comparison (`WHERE total_amount >
+    * ...`, compare-query-performance.sql:97) prunes whole FILES from
+    * manifest bounds — the path round 7's unscaled-stats bug silently
+    * broke. TPC-H money spans ~1k..500k, so the selective cut sits at
+    * 300000.00 (same shape, same type, a cut that actually divides the
+    * fixture's distribution). */
+  def ordersDecimal(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "orders_decimal") { cat =>
+      val o = Tables.load(spark, sfDir, "orders").select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("order_date"),
+        (round(col("o_totalprice") * 100).cast("long").cast("decimal(14,0)") * cents01)
+          .cast("decimal(12,2)").as("total_amount"))
+      val t = cat.createTable(
+        "orders_decimal",
+        o.schema,
+        clusterBy = Seq("total_amount"),
+        primaryKey = Seq("order_id"))
+      // each append arrives range-partitioned ON THE MONEY COLUMN, so the
+      // staged files carry disjoint total_amount bands and a pushed money
+      // comparison can prune whole files from manifest bounds (the layout
+      // a money-clustered fact table has at scale)
+      t.append(o.filter(col("order_date") < lit(TtPivot))
+        .repartitionByRange(8, col("total_amount")))
+      t.append(o.filter(col("order_date") >= lit(TtPivot))
+        .repartitionByRange(8, col("total_amount")))
+      t
+    }
+
+  /** Materialized GOLD rollup of [[ordersDecimal]] with exact decimal
+    * revenue sums — the reference's gold tier keeps money exact end to end
+    * (total_amount never passes through a double on this path). */
+  def goldDecimalMetrics(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "gold_dec_metrics") { cat =>
+      val gold = ordersDecimal(spark, sfDir).scan()
+        .groupBy(
+          year(col("order_date")).as("order_year"),
+          month(col("order_date")).as("order_month"),
+          col("status"))
+        .agg(
+          count(lit(1)).as("order_count"),
+          sum(col("total_amount")).as("gross_revenue")) // decimal(22,2), exact
+      val t = cat.createTable(
+        "gold_dec_metrics",
+        gold.schema,
+        clusterBy = Seq("order_year", "order_month", "status"))
+      t.append(gold)
       t
     }
 
