@@ -12,12 +12,18 @@ import org.apache.spark.sql.types._
   * the reference's gold-tier rollups, scripts/iceberg-setup.sql:80-101,
   * are exactly this shape).
   *
-  * Parquet footers carry min/max/null-count but no sums, so sums cost one
-  * COLUMN-PRUNED read-back job over the freshly committed files — only
-  * integral/decimal columns are read (a few % of the file bytes), the
-  * aggregation is map-side partial per file, and the job is skipped when
-  * the table has no summable column or `spark.graft.lake.recordSums` is
-  * false. Only EXACT domains are recorded: integral sums accumulate in
+  * Sums are normally folded IN THE WRITE TASKS as rows pass
+  * ([[RowParquet.FileSums]] — zero extra I/O, carried through the commit);
+  * [[compute]] below is the FALLBACK for commits staged through Spark's
+  * DataFrame writer (nested/binary schemas, bucket[n] partitioning, which
+  * the row writer cannot reproduce): parquet footers carry
+  * min/max/null-count but no sums, so the fallback costs one COLUMN-PRUNED
+  * read-back job over the freshly committed files — only integral/decimal
+  * columns are read (a few % of the file bytes), the aggregation is
+  * map-side partial per file, and the job is skipped when the table has no
+  * summable column or `spark.graft.lake.recordSums` is false (the knob for
+  * write-latency-sensitive tables on the fallback path).
+  * Only EXACT domains are recorded: integral sums accumulate in
   * decimal(38,0) (cannot overflow: < 2^63 × 2^31 rows < 10^38) and
   * decimal(p,s) sums in decimal(38,s); double/float sums are
   * order-dependent and never recorded, so a metadata-served result can

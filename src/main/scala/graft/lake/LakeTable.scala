@@ -959,45 +959,99 @@ final class LakeTable private (
     }
 
     val staging = new Path(root, s"_staging/${UUID.randomUUID()}")
-    val writer = arranged.write.mode("overwrite")
-    try (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging.toString)
-    finally unpersistAfterWrite.foreach(_.unpersist(false))
+    // Task-side write (the default): each task streams its arranged rows
+    // straight into staged parquet via RowParquet, folding per-file sums
+    // AS THE ROWS PASS — the commit needs no read-back job for sums (the
+    // Iceberg writer discipline: metrics are a by-product of the write).
+    // Falls back to Spark's DataFrame writer + the column-pruned
+    // ColumnSums read-back for schemas/transforms the row writer cannot
+    // reproduce (nested/binary columns, bucket[n] partitioning).
+    val taskWritable = RowParquet.supports(userSchema) &&
+      spec.forall(pf => RowParquet.renderSupported(
+        pf.transform, userSchema(userSchema.fieldIndex(pf.source)).dataType))
 
     val moved = ArrayBuffer.empty[(String, Path, Map[String, String], Long)]
-    val it = fs.listFiles(staging, true)
-    var i = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (name.endsWith(".parquet")) {
-        val rel = relativize(staging, st.getPath)
-        val dirs = rel.split('/').dropRight(1)
-        val partition = dirs.map { d =>
-          val Array(k, v) = d.split("=", 2)
-          // Hive-style %XX unescaping — the codec Spark's own writer used
-          // to produce the directory name. (java.net.URLDecoder is NOT
-          // that codec: it maps a literal '+' in a partition value to a
-          // space, recording a wrong value in the snapshot and letting
-          // PruneFilter.mayMatch falsely prune the file.)
-          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
-        }.toMap
-        val destRel = (Seq("data") ++ dirs :+ s"s$seq-$i-$name").mkString("/")
+    var taskSums = Map.empty[String, Map[String, String]]
+    if (taskWritable) {
+      val specIdx = spec.map(pf =>
+        (userSchema.fieldIndex(pf.source), pf.transform.name, pf.name)).toSeq
+      // partition columns were only needed to ARRANGE the rows; the task
+      // writer renders them per row from the sources, same as DSv2
+      val projected = arranged.select(userSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val confEntries = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val m = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
+        m.result()
+      }
+      val stagingStr = staging.toString
+      val schemaB = userSchema
+      val rs = ColumnSums.recordSums(spark)
+      val descs =
+        try projected.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+          // attempt id in the name: a lost speculative attempt's files are
+          // never referenced by a descriptor and vanish with staging
+          val uid = s"p$pid-a${org.apache.spark.TaskContext.get().taskAttemptId()}"
+          RowParquet.writeTask(stagingStr, confEntries, schemaB, seq, specIdx, uid, rows, rs)
+        }.collect()
+        finally unpersistAfterWrite.foreach(_.unpersist(false))
+      descs.zipWithIndex.foreach { case (d, i) =>
+        val src = new Path(staging, d.rel)
+        val partDirs = spec.map { pf =>
+          val v = d.partition(pf.name)
+          s"${pf.name}=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
+        }
+        val destRel = (Seq("data") ++ partDirs :+ s"s$seq-$i-${src.getName}").mkString("/")
         val dest = new Path(root, destRel)
         fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest))
-          throw new IllegalStateException(s"commit failed moving $rel")
-        moved += ((destRel, dest, partition, st.getLen))
-        i += 1
+        if (!fs.rename(src, dest))
+          throw new IllegalStateException(s"commit failed moving ${d.rel}")
+        moved += ((destRel, dest, d.partition, -1L))
+        taskSums += dest.getName -> d.sums
       }
+      fs.delete(staging, true)
+    } else {
+      val writer = arranged.write.mode("overwrite")
+      try (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging.toString)
+      finally unpersistAfterWrite.foreach(_.unpersist(false))
+      val it = fs.listFiles(staging, true)
+      var i = 0
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet")) {
+          val rel = relativize(staging, st.getPath)
+          val dirs = rel.split('/').dropRight(1)
+          val partition = dirs.map { d =>
+            val Array(k, v) = d.split("=", 2)
+            // Hive-style %XX unescaping — the codec Spark's own writer used
+            // to produce the directory name. (java.net.URLDecoder is NOT
+            // that codec: it maps a literal '+' in a partition value to a
+            // space, recording a wrong value in the snapshot and letting
+            // PruneFilter.mayMatch falsely prune the file.)
+            k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+          }.toMap
+          val destRel = (Seq("data") ++ dirs :+ s"s$seq-$i-$name").mkString("/")
+          val dest = new Path(root, destRel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw new IllegalStateException(s"commit failed moving $rel")
+          moved += ((destRel, dest, partition, st.getLen))
+          i += 1
+        }
+      }
+      fs.delete(staging, true)
     }
-    fs.delete(staging, true)
     val metaByPath = LakeTable.fileMetaAll(
-      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = false,
+      moved.map(_._2).toSeq, spark.sparkContext.hadoopConfiguration, withLen = taskWritable,
       spark = Some(spark))
-    val sumsByName = ColumnSums.compute(spark, userSchema, moved.map(_._2).toSeq)
+    val sumsByName =
+      if (taskWritable) taskSums
+      else ColumnSums.compute(spark, userSchema, moved.map(_._2).toSeq)
     moved.map { case (destRel, dest, partition, len) =>
       val fm = metaByPath(dest)
-      DataFile(destRel, seq, partition, len, splits = fm.splits, bounds = fm.bounds,
+      DataFile(destRel, seq, partition, if (len >= 0) len else fm.len,
+        splits = fm.splits, bounds = fm.bounds,
         rows = fm.rows, nonNull = fm.nonNull,
         sums = sumsByName.getOrElse(dest.getName, Map.empty))
     }.toSeq

@@ -186,7 +186,8 @@ private[sources] class GraftLakeDeltaBatchWrite(
       writeSeq = snap.seq + 1,
       dataSpec = dataSpec,
       deleteSpec = deleteSpec,
-      hadoopConf = hadoopConf)
+      hadoopConf = hadoopConf,
+      recordSums = graft.lake.ColumnSums.recordSums(t.spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -223,15 +224,14 @@ private[sources] class GraftLakeDeltaBatchWrite(
         (f, destRel, dest)
       }
       fs.delete(new Path(root, stagingRel), true)
+      // sums arrived IN the commit messages — folded by the write tasks
+      // as rows passed, zero read-back I/O
       val metaByPath = LakeTable.fileMetaAll(placedData.map(_._3).toSeq, conf,
         spark = Some(t.spark))
-      val sumsByName = graft.lake.ColumnSums.compute(
-        t.spark, t.schema(snap.schemaVersion), placedData.map(_._3).toSeq)
       val dataEntries = placedData.map { case (f, destRel, dest) =>
         val fm = metaByPath(dest)
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
-          rows = fm.rows, nonNull = fm.nonNull,
-          sums = sumsByName.getOrElse(dest.getName, Map.empty))
+          rows = fm.rows, nonNull = fm.nonNull, sums = f.sums)
       }
       val delEntries = placedDels.map { case (f, destRel, dest) =>
         DeleteFile(destRel, f.seq, fs.getFileStatus(dest).getLen, f.partition)
@@ -266,7 +266,8 @@ private[sources] case class GraftLakeDeltaWriterFactory(
     writeSeq: Long,
     dataSpec: Seq[(Int, String, String)],
     deleteSpec: Option[Seq[(Int, String, String)]],
-    hadoopConf: Map[String, String]) extends DeltaWriterFactory {
+    hadoopConf: Map[String, String],
+    recordSums: Boolean = true) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftLakeDeltaWriterImpl(this, partitionId, taskId)
@@ -289,7 +290,7 @@ private[sources] class GraftLakeDeltaWriterImpl(
   // projections of rowSchema — no marker-column offset)
   private lazy val dataWriter = new GraftLakeDataWriter(
     GraftLakeWriterFactory(f.location, s"${f.stagingRel}/ins", f.rowSchema, f.writeSeq,
-      f.dataSpec, f.hadoopConf),
+      f.dataSpec, f.hadoopConf, f.recordSums),
     partitionId, taskId)
   private var wroteData = false
 
@@ -315,11 +316,7 @@ private[sources] class GraftLakeDeltaWriterImpl(
       val rel = s"${f.stagingRel}/del/p$partitionId-t$taskId-${delWriters.size}.parquet"
       val path = new Path(new Path(f.location), rel)
       delStaged += StagedDeleteFile(rel, f.writeSeq, partition)
-      ExampleParquetWriter.builder(
-          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
-        .withType(delParquetSchema)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      graft.lake.RowParquet.openWriter(path, conf, delParquetSchema)
     })
     w.write(GraftLakeWrite.toGroup(
       delGroupFactory, f.rowIdSchema, id, f.writeSeq, 0, LakeTable.DseqCol))

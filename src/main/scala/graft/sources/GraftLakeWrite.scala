@@ -149,7 +149,8 @@ private[sources] class GraftLakeBatchWrite(
       schema = schema,
       writeSeq = snap.seq + 1,
       partitionSpec = spec,
-      hadoopConf = hadoopConf)
+      hadoopConf = hadoopConf,
+      recordSums = graft.lake.ColumnSums.recordSums(t.spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -181,17 +182,14 @@ private[sources] class GraftLakeBatchWrite(
       }
       fs.delete(new Path(root, stagingRel), true)
       // one parallel pass for both stat + footer: no serial per-file RPCs
-      // inside the commit window
+      // inside the commit window. Sums arrived IN the commit messages —
+      // folded by the write tasks as rows passed, zero read-back I/O.
       val metaByPath = LakeTable.fileMetaAll(placed.map(_._3).toSeq, conf,
         spark = Some(t.spark))
-      val snap = plannedSnap.map(_()).getOrElse(t.currentSnapshot)
-      val sumsByName = graft.lake.ColumnSums.compute(
-        t.spark, t.schema(snap.schemaVersion), placed.map(_._3).toSeq)
       val entries = placed.map { case (f, destRel, dest) =>
         val fm = metaByPath(dest)
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
-          rows = fm.rows, nonNull = fm.nonNull,
-          sums = sumsByName.getOrElse(dest.getName, Map.empty))
+          rows = fm.rows, nonNull = fm.nonNull, sums = f.sums)
       }
       (replaceAll, replacedFiles) match {
         case (true, Some(planned)) =>
@@ -231,7 +229,11 @@ private[sources] class GraftLakeBatchWrite(
 }
 
 private[sources] case class StagedFile(
-    stagedRel: String, seq: Long, partition: Map[String, String])
+    stagedRel: String, seq: Long, partition: Map[String, String],
+    /** per-file exact column sums, folded in the write task as rows
+      * passed ([[graft.lake.RowParquet.FileSums]]) — the commit records
+      * them without any read-back job */
+    sums: Map[String, String] = Map.empty)
 
 private[sources] case class GraftLakeCommitMessage(files: Seq[StagedFile])
     extends WriterCommitMessage
@@ -242,14 +244,16 @@ private[sources] case class GraftLakeWriterFactory(
     schema: StructType,
     writeSeq: Long,
     partitionSpec: Seq[(Int, String, String)], // (source field idx, transform name, partition name)
-    hadoopConf: Map[String, String]) extends DataWriterFactory {
+    hadoopConf: Map[String, String],
+    recordSums: Boolean = true) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftLakeDataWriter(this, partitionId, taskId)
 }
 
 /** One writer per task: keeps one open parquet writer per partition value
-  * encountered, emits all staged files in its commit message. */
+  * encountered, folds per-file column sums as rows pass, emits all staged
+  * files (with their sums) in its commit message. */
 private[sources] class GraftLakeDataWriter(
     f: GraftLakeWriterFactory, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
@@ -261,8 +265,8 @@ private[sources] class GraftLakeDataWriter(
   }
   private val parquetSchema: MessageType = GraftLakeWrite.toParquetSchema(f.schema)
   private val groupFactory = new SimpleGroupFactory(parquetSchema)
-  private val writers = mutable.Map.empty[Map[String, String], (ParquetWriter[Group], String)]
-  private val staged = mutable.ListBuffer.empty[StagedFile]
+  private val writers = mutable.LinkedHashMap.empty[Map[String, String],
+    (ParquetWriter[Group], String, graft.lake.RowParquet.FileSums)]
 
   /** Leading fields to skip: Spark's GROUP-BASED row-level rewrites
     * (UPDATE/MERGE → ReplaceData) PREPEND a `__row_operation` marker
@@ -280,23 +284,22 @@ private[sources] class GraftLakeDataWriter(
       name -> GraftLakeWrite.renderPartition(
         trName, row, srcIdx + fieldOffset, f.schema.fields(srcIdx).dataType)
     }.toMap
-    val (w, _) = writers.getOrElseUpdate(partition, {
+    val (w, _, sums) = writers.getOrElseUpdate(partition, {
       val rel = s"${f.stagingRel}/p$partitionId-t$taskId-${writers.size}.parquet"
       val path = new Path(new Path(f.location), rel)
-      val writer = ExampleParquetWriter.builder(
-          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
-        .withType(parquetSchema)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-      staged += StagedFile(rel, f.writeSeq, partition)
-      (writer, rel)
+      val writer = graft.lake.RowParquet.openWriter(path, conf, parquetSchema)
+      (writer, rel, new graft.lake.RowParquet.FileSums(f.schema, fieldOffset))
     })
     w.write(GraftLakeWrite.toGroup(groupFactory, f.schema, row, f.writeSeq, fieldOffset))
+    if (f.recordSums) sums.add(row)
   }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._1.close())
-    GraftLakeCommitMessage(staged.toList)
+    GraftLakeCommitMessage(writers.map { case (partition, (_, rel, sums)) =>
+      StagedFile(rel, f.writeSeq, partition,
+        if (f.recordSums) sums.result else Map.empty)
+    }.toList)
   }
 
   override def abort(): Unit = writers.values.foreach(w => try w._1.close() catch { case _: Exception => })
@@ -305,97 +308,16 @@ private[sources] class GraftLakeDataWriter(
 
 private[sources] object GraftLakeWrite {
 
-  /** StructType (+ the commit-seq column) → parquet MessageType matching
-    * what Spark's own parquet writer produces for these flat types, so the
-    * imperative `spark.read.schema(storage)` scan reads DSv2-written files
-    * interchangeably. */
-  def toParquetSchema(schema: StructType, seqCol: String = LakeTable.SeqCol): MessageType = {
-    val b = Types.buildMessage()
-    (schema.fields :+ StructField(seqCol, LongType, nullable = false)).foreach { field =>
-      val t: PrimitiveType = field.dataType match {
-        case LongType => Types.optional(PrimitiveTypeName.INT64).named(field.name)
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(field.name)
-        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(field.name)
-        case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(field.name)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(field.name)
-        case StringType => Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(field.name)
-        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
-          .named(field.name)
-        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
-          .named(field.name)
-        case DateType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(field.name)
-        case other => throw new UnsupportedOperationException(
-          s"DSv2 write supports flat scalar columns; got $other for ${field.name}")
-      }
-      b.addField(t)
-    }
-    b.named("graft_lake_row")
-  }
+  /** Shared task-side parquet machinery lives in [[graft.lake.RowParquet]]
+    * (the imperative staging path uses the same code); these aliases keep
+    * the DSv2 writers' call sites stable. */
+  def toParquetSchema(schema: StructType, seqCol: String = LakeTable.SeqCol): MessageType =
+    graft.lake.RowParquet.toParquetSchema(schema, seqCol)
 
   def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow, seq: Long,
-      offset: Int = 0, seqCol: String = LakeTable.SeqCol): Group = {
-    val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (field, idx) =>
-      val i = idx + offset
-      if (!row.isNullAt(i)) field.dataType match {
-        case LongType => g.add(field.name, row.getLong(i))
-        case IntegerType => g.add(field.name, row.getInt(i))
-        case DoubleType => g.add(field.name, row.getDouble(i))
-        case FloatType => g.add(field.name, row.getFloat(i))
-        case BooleanType => g.add(field.name, row.getBoolean(i))
-        case StringType => g.add(field.name, Binary.fromString(row.getUTF8String(i).toString))
-        case TimestampType | TimestampNTZType => g.add(field.name, row.getLong(i))
-        case DateType => g.add(field.name, row.getInt(i))
-        case other => throw new UnsupportedOperationException(s"$other")
-      }
-    }
-    g.add(seqCol, seq)
-    g
-  }
+      offset: Int = 0, seqCol: String = LakeTable.SeqCol): Group =
+    graft.lake.RowParquet.toGroup(factory, schema, row, seq, offset, seqCol)
 
-  /** Row-level partition-transform rendering, matching the directory
-    * values the DataFrame-API writer produces. An EMPTY rendered string
-    * also maps to the null sentinel — Spark's directory rendering
-    * (ExternalCatalogUtils.getPartitionPathString) conflates null and ""
-    * into __HIVE_DEFAULT_PARTITION__, and partition-scoped delete
-    * sidecars are matched against data-file partition values recorded by
-    * EITHER writer, so the two renderings must agree byte-for-byte. */
-  def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String = {
-    if (row.isNullAt(idx)) return graft.lake.PartitionValues.NullSentinel
-    def utcOf(micros: Long): LocalDateTime =
-      LocalDateTime.ofInstant(Instant.ofEpochSecond(
-        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L), ZoneOffset.UTC)
-    val temporal: Option[LocalDateTime] = dt match {
-      case TimestampType | TimestampNTZType => Some(utcOf(row.getLong(idx)))
-      case DateType => Some(java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).atStartOfDay)
-      case _ => None
-    }
-    def hive(s: String): String =
-      if (s.isEmpty) graft.lake.PartitionValues.NullSentinel else s
-    Transform.parse(trName) match {
-      case Transform.Identity => dt match {
-        case StringType => hive(row.getUTF8String(idx).toString)
-        case LongType => row.getLong(idx).toString
-        case IntegerType => row.getInt(idx).toString
-        case BooleanType => row.getBoolean(idx).toString
-        case other => throw new UnsupportedOperationException(
-          s"DSv2 write: identity partition on $other")
-      }
-      case Transform.Year => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy"))
-      case Transform.Month => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
-      case Transform.Day => temporal.get.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"))
-      case Transform.Truncate(w) =>
-        // code points, like Spark's substring and Transform.valueOf —
-        // String.take counts UTF-16 units and would render a different
-        // prefix for supplementary characters (false pruning)
-        val s = row.getUTF8String(idx).toString
-        hive(if (s.codePointCount(0, s.length) <= w) s
-        else s.substring(0, s.offsetByCodePoints(0, w)))
-      case other => throw new UnsupportedOperationException(s"DSv2 write: $other")
-    }
-  }
+  def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String =
+    graft.lake.RowParquet.renderPartition(trName, row, idx, dt)
 }

@@ -934,4 +934,94 @@ class LakeSpec extends SparkSpec {
         df.as[(Long, String, Double)].collect().toSet)
     } finally spark.conf.unset("spark.graft.lake.writeSplits")
   }
+
+  /** Spark jobs launched by `body` (attributed via a job group; the status
+    * store updates asynchronously, so poll until the count is stable). */
+  private def jobsLaunched(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    var last = -1
+    var stable = 0
+    while (stable < 5) {
+      val n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      Thread.sleep(40)
+    }
+    last
+  }
+
+  test("per-file sums fold in the write tasks: recording costs zero extra jobs") {
+    val dir = Files.createTempDirectory("graft-taskums-spec").toString
+    import spark.implicits._
+    val df = (1L to 400L).map(i =>
+      (i, s"u$i", java.math.BigDecimal.valueOf(i * 100 + 25, 2))) // i.25 as decimal
+      .toDF("id", "name", "m")
+      .select($"id", $"name", $"m".cast("decimal(10,2)").as("m"))
+    def mkTable(name: String) = LakeTable.create(spark, s"$dir/$name", name, df.schema,
+      partitionSpec = Seq(PartitionField("name", Transform.Truncate(2), "p_n")),
+      clusterBy = Seq("id"))
+
+    val tOn = mkTable("on")
+    val jobsOn = jobsLaunched("sums-on") { tOn.append(df) }
+    spark.conf.set("spark.graft.lake.recordSums", "false")
+    val jobsOff =
+      try jobsLaunched("sums-off") { mkTable("off").append(df) }
+      finally spark.conf.unset("spark.graft.lake.recordSums")
+    assert(jobsOn == jobsOff,
+      s"recording sums must not launch extra jobs: $jobsOn with vs $jobsOff without")
+
+    // ...and the recorded sums are complete and exact
+    val files = tOn.currentSnapshot.dataFiles
+    assert(files.nonEmpty && files.forall(f => f.sums.contains("id") && f.sums.contains("m")))
+    assert(files.map(f => BigDecimal(f.sums("id"))).sum == BigDecimal((1L to 400L).sum))
+    assert(files.map(f => BigDecimal(f.sums("m"))).sum ==
+      (1L to 400L).map(i => BigDecimal(java.math.BigDecimal.valueOf(i * 100 + 25, 2))).sum)
+    // strings are never summable; no phantom entries
+    assert(files.forall(f => !f.sums.contains("name")))
+  }
+
+  test("bucket-partitioned writes fall back to the read-back sums job, same stats shape") {
+    // bucket[n] cannot be rendered engine-side, so the staging write goes
+    // through Spark's DataFrame writer and sums come from the column-pruned
+    // ColumnSums fallback — the recorded strings must serve identically
+    val dir = Files.createTempDirectory("graft-bucketsums-spec").toString
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i * 3)).toDF("id", "v")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("id", Transform.Bucket(4), "p_b")),
+      clusterBy = Seq("id"))
+    t.append(df)
+    val files = t.currentSnapshot.dataFiles
+    assert(files.size >= 2, "bucket spec should split files")
+    assert(files.forall(f => f.sums.contains("id") && f.sums.contains("v")))
+    assert(files.map(f => BigDecimal(f.sums("v"))).sum == BigDecimal(3L * (1L to 100L).sum))
+    assert(ColumnSums.totals("v", files).contains((BigDecimal(3L * (1L to 100L).sum), 100L)))
+  }
+
+  test("DSv2 write roundtrips decimals (INT32/INT64/FIXED_LEN encodings) with task-side sums") {
+    val dir = Files.createTempDirectory("graft-dsv2dec-spec").toString
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, i.toString, i.toString, i.toString))
+      .toDF("id", "a", "b", "c")
+      .select($"id",
+        ($"a".cast("decimal(8,2)") + 0.25).cast("decimal(8,2)").as("small"),   // INT32-backed
+        ($"b".cast("decimal(14,4)") + 0.0001).cast("decimal(14,4)").as("mid"), // INT64-backed
+        ($"c".cast("decimal(28,6)") * 1000000000).cast("decimal(28,6)").as("wide")) // FLBA-backed
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, clusterBy = Seq("id"))
+    df.write.format("graftlake").option("path", t.location).mode("append").save()
+    val back = LakeTable.load(spark, t.location)
+    val got = back.scan().orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.toSeq == want.toSeq, "DSv2-written decimals must read back exactly")
+    // sums arrived via the commit messages for every decimal encoding
+    val files = back.currentSnapshot.dataFiles
+    assert(files.forall(f => f.sums.contains("small") && f.sums.contains("mid") &&
+      f.sums.contains("wide")))
+    val wantSmall = (1L to 50L).map(i => BigDecimal(i) + BigDecimal("0.25")).sum
+    assert(files.map(f => BigDecimal(f.sums("small"))).sum == wantSmall)
+    // INT32/INT64-backed decimal bounds record SCALED; FLBA bounds drop
+    // (conservative — binary stats carry no usable decimal interval here)
+    val all = files.flatMap(_.bounds.get("small"))
+    assert(all.nonEmpty && all.exists(b => BigDecimal(b.min) == BigDecimal("1.25")))
+  }
 }
