@@ -96,24 +96,40 @@ object Bench {
       }
     }
 
-    def fmtArr(xs: Seq[Double]): String = xs.map(v => f"$v%.4f").mkString("[", ",", "]")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val runArrs = results.map { case (k, _, rs) => "\"" + k + "\":" + fmtArr(rs) }
+    def fmt(v: Double): String = f"$v%.4f"
+    def fmtArr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sentMed = if (sentinels.isEmpty) 0.0 else median(sentinels.toSeq)
     val NominalMs = 50.0 // the loop's target on an idle core
     val normalized = if (sentMed > 0) total * (NominalMs / sentMed) else total
-    val sentJson = s"""{"nominal_ms":$NominalMs,"median_ms":$sentMed,""" +
-      s""""runs_ms":${fmtArr(sentinels.toSeq)}}"""
+
+    // The collector keeps only a bounded TAIL of stdout: round 7's single
+    // fat line (per-run arrays + 170 sentinel samples) overflowed it and
+    // the head of the JSON — metric, most medians — was cut, so nothing
+    // parsed. The machine-readable PRIMARY line is now compact (medians +
+    // sentinel median + normalized total only) and printed LAST; the full
+    // run arrays and sentinel series go to a sidecar file for forensics.
+    val detail =
+      s"""{"runs":${results.map { case (k, _, rs) => "\"" + k + "\":" + fmtArr(rs) }
+        .mkString("{", ",", "}")},""" +
+      s""""sentinel_runs_ms":${fmtArr(sentinels.toSeq)}}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      s"${sys.props("java.io.tmpdir")}/graft-bench-detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case e: Exception => System.err.println(s"[bench] detail write failed: $e") }
+
     // stop Spark BEFORE printing so the JSON is the last stdout line —
     // nothing (shutdown logging included) may trail the machine-readable
     // output the collector parses
     spark.stop()
     if (sentinelGuard == 42L) System.err.println("") // keep the guard live
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runArrs,"sentinel":$sentJson,"total_normalized":$normalized,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""sentinel_nominal_ms":$NominalMs,"sentinel_median_ms":${fmt(sentMed)},""" +
+      s""""total_normalized":${fmt(normalized)},"detail":"$detailPath","sf":"$sfDir"}""")
     System.out.flush()
   }
 }
