@@ -940,6 +940,18 @@ final class LakeTable private (
         .repartitionByRange(n, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop(ZOrderCol) // projection only: in-partition order survives
+    } else if (meta.clusterStrategy == "range" && meta.clusterBy.nonEmpty) {
+      // RANGE clustering (Iceberg's write.distribution-mode=range): the
+      // write is range-partitioned on (partition cols, cluster keys), so
+      // each task owns a contiguous lexicographic band and every staged
+      // file's commit-time bounds are a DISJOINT range of the cluster
+      // keys — a pushed comparison on the lead cluster key then prunes
+      // whole files from the manifest. Unlike the hash arrangement below,
+      // a hot partition value also fans out across tasks by key range
+      // (parallel writes without the salt that would destroy the bounds).
+      val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val keys = (partCols ++ meta.clusterBy).map(col)
+      derived.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
     } else {
       val splits = spark.conf.getOption("spark.graft.lake.writeSplits")
         .map(_.toInt).getOrElse(1).max(1)
@@ -1318,11 +1330,13 @@ object LakeTable {
       primaryKey: Seq[String] = Nil,
       clusterStrategy: String = "linear",
   ): LakeTable = {
-    require(Set("linear", "zorder")(clusterStrategy),
-      s"unknown cluster strategy $clusterStrategy (linear | zorder)")
+    require(Set("linear", "zorder", "range")(clusterStrategy),
+      s"unknown cluster strategy $clusterStrategy (linear | zorder | range)")
     (schema.fieldNames ++ partitionSpec.map(_.name)).foreach(n =>
       require(!isReservedName(n.toLowerCase(java.util.Locale.ROOT)),
         s"$name: $n is reserved — the _graft namespace belongs to derived storage columns"))
+    if (clusterStrategy == "range")
+      require(clusterBy.nonEmpty, "range clustering needs cluster_by columns")
     if (clusterStrategy == "zorder") {
       require(clusterBy.nonEmpty, "z-order clustering needs cluster_by columns")
       clusterBy.foreach(c => require(

@@ -234,6 +234,29 @@ object LakeOps {
       .filter(col("total_amount") > lit(cut))
   }
 
+  // q90 — DECIMAL money rollup served wholly from MANIFEST METADATA:
+  // per-status money extremes and exact revenue fold from per-file decimal
+  // bounds (recorded SCALED by the parquet decimal annotation — round 7's
+  // unscaled-stats bug made them unusable) and recorded exact decimal
+  // sums, so the reference's money-summary shape plans as a driver
+  // LocalTableScan — zero tasks, zero data I/O at any table size. The
+  // query REQUIRES the metadata plan: a regression to a real scan fails
+  // the gate, not only the stopwatch.
+  val decimalMetaRollup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.ordersDecimal(s, dir)
+    val df = s.read.format("graftlake").option("path", t.location).load()
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("total_amount")).as("min_amount"),
+        max(col("total_amount")).as("max_amount"),
+        sum(col("total_amount")).as("revenue"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"decimal money rollup was not metadata-served:\n$plan")
+    df
+  }
+
   // q88 — GOLD serve with exact decimal money: the month×status revenue
   // rollup materialized from the decimal table and read back — money stays
   // DECIMAL end to end (raw cents → decimal(12,2) → decimal(22,2) sums),
@@ -475,6 +498,16 @@ object LakeOps {
         |)
         |SELECT * FROM dec WHERE total_amount > 300000.00
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q90_decimal_meta_rollup", decimalMetaRollup, bench = true, oracle = Some(
+      """WITH dec AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)) AS total_amount
+        |  FROM orders
+        |)
+        |SELECT status, COUNT(*) AS n_orders,
+        |  MIN(total_amount) AS min_amount, MAX(total_amount) AS max_amount,
+        |  CAST(SUM(total_amount) AS DECIMAL(22,2)) AS revenue
+        |FROM dec GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q88_decimal_gold_serve", decimalGoldServe, bench = true, oracle = Some(
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |  CAST(month(o_orderdate) AS INT) AS order_month,

@@ -45,8 +45,9 @@ object LakePipelines {
   /** Bump whenever any fixture BUILD logic in this file (or the lake write
     * path) changes semantics: the completion markers under the warehouse
     * would otherwise let a later run silently reuse a stale build.
-    * v5: decimal footer bounds are recorded scaled (Bounds.scala). */
-  val LayoutVersion = 5
+    * v6: orders_decimal gains an identity status partition (q90 groups by
+    * it from metadata); v5: decimal footer bounds recorded scaled. */
+  val LayoutVersion = 6
 
   def warehouse(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -125,16 +126,19 @@ object LakePipelines {
       val t = cat.createTable(
         "orders_decimal",
         o.schema,
+        // identity partition on status: per-status money rollups (q90)
+        // fold from the file listing alone — grouped MIN/MAX/SUM of the
+        // decimal column serve from recorded scaled bounds + sums
+        partitionSpec = Seq(PartitionField("status", Transform.Identity, "p_status")),
         clusterBy = Seq("total_amount"),
-        primaryKey = Seq("order_id"))
-      // each append arrives range-partitioned ON THE MONEY COLUMN, so the
-      // staged files carry disjoint total_amount bands and a pushed money
-      // comparison can prune whole files from manifest bounds (the layout
-      // a money-clustered fact table has at scale)
-      t.append(o.filter(col("order_date") < lit(TtPivot))
-        .repartitionByRange(8, col("total_amount")))
-      t.append(o.filter(col("order_date") >= lit(TtPivot))
-        .repartitionByRange(8, col("total_amount")))
+        primaryKey = Seq("order_id"),
+        // range clustering: the write itself arranges each append into
+        // disjoint total_amount bands per status, so a pushed money
+        // comparison prunes whole files from manifest bounds (the layout
+        // a money-clustered fact table has at scale)
+        clusterStrategy = "range")
+      t.append(o.filter(col("order_date") < lit(TtPivot)))
+      t.append(o.filter(col("order_date") >= lit(TtPivot)))
       t
     }
 

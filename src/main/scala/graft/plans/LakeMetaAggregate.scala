@@ -460,6 +460,22 @@ object LakeMetaAggregate {
           val vs = bs.map(b => UTF8String.fromString(if (isMin) b.min else b.max))
           Some(vs.reduce((a, b) => if ((a.compareTo(b) <= 0) == isMin) a else b))
         }
+      // decimals below the 30-significant-digit bound rounding are recorded
+      // EXACT (scaled by the parquet decimal annotation); precision > 30
+      // could have been floor/ceil-rounded, decline. In practice only
+      // INT32/INT64-backed decimals (precision <= 18) carry bounds at all —
+      // FIXED_LEN_BYTE_ARRAY stats are dropped at record time.
+      case dt: DecimalType if dt.precision <= 30 =>
+        if (bs.exists(_.kind != "n")) None
+        else {
+          val vs = bs.map(b => BigDecimal(if (isMin) b.min else b.max))
+          val v = pick(vs)
+          if (v.scale > dt.scale) None
+          else {
+            val d = Decimal(v)
+            if (d.changePrecision(dt.precision, dt.scale)) Some(d) else None
+          }
+        }
       case _ => None
     }
   }

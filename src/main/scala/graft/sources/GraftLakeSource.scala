@@ -567,8 +567,9 @@ private[sources] class GraftLakeScanBuilder(
     * field some planned file predates) declines — Spark scans normally.
     *
     * MIN/MAX only for types whose recorded bounds are EXACT: int/long/
-    * date/timestamp (≤19 digits, below the 30-significant-digit rounding)
-    * and strings (bounds longer than MaxStringLen drop the column rather
+    * date/timestamp (≤19 digits, below the 30-significant-digit rounding),
+    * INT32/INT64-backed decimals (precision ≤ 18, recorded scaled), and
+    * strings (bounds longer than MaxStringLen drop the column rather
     * than truncate). Float/double bounds are floor/ceil-rounded and are
     * NOT served. A column missing bounds in any file (all-null file, stats
     * dropped) declines — conservative, Spark scans normally. */
@@ -747,7 +748,25 @@ private[sources] class GraftLakeScanBuilder(
             if ((a.compareTo(b) <= 0) == isMin) a else b)
           Some((StructField(label, StringType), best: Any))
         }
-      case _ => None // float/double bounds are rounded; decimals unbounded
+      // decimals within the 30-significant-digit bound rounding are recorded
+      // EXACT (scaled by the parquet decimal annotation; Bounds.scala) —
+      // only INT32/INT64-backed decimals (precision <= 18) carry bounds,
+      // FIXED_LEN_BYTE_ARRAY stats are dropped at record time.
+      case dt: DecimalType if dt.precision <= 30 =>
+        val bs = bounds.flatten
+        if (bs.exists(_.kind != "n")) None
+        else {
+          val vs = bs.map(b => BigDecimal(if (isMin) b.min else b.max))
+          val v = pick(vs)
+          if (v.scale > dt.scale) None
+          else {
+            val d = org.apache.spark.sql.types.Decimal(v)
+            if (d.changePrecision(dt.precision, dt.scale))
+              Some((StructField(label, dt), d: Any))
+            else None
+          }
+        }
+      case _ => None // float/double bounds are rounded (never exact-served)
     }
   }
 

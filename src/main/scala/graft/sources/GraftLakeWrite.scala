@@ -90,6 +90,14 @@ private[sources] class GraftLakeWriteBuilder(
 
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
       import org.apache.spark.sql.connector.expressions.Expressions
+      // range-clustered tables ask for an ORDERED distribution (Iceberg's
+      // write.distribution-mode=range): Spark range-partitions on
+      // (partition sources, cluster keys), so each task writes files
+      // whose cluster-key bounds are disjoint bands — manifest pruning
+      // on the lead cluster key stays effective through DSv2 writes too
+      if (t.meta.clusterStrategy == "range" && specSources.nonEmpty)
+        return org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          requiredOrdering())
       val parts = t.partitionSpec(planSnap.specVersion).map(_.source)
         .filter(specSources.contains)
       if (parts.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()

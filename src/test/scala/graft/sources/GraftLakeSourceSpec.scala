@@ -802,6 +802,42 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(dq.schema("sm").dataType == org.apache.spark.sql.types.DecimalType(20, 2))
     assert(dq.head.getDecimal(0) == new java.math.BigDecimal("7.75"))
 
+    // decimal MIN/MAX serve from the SCALED recorded bounds (the round-7
+    // unscaled-stats bug would have answered 125/400 here)
+    val dmm = readLake(td.location).agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    assert(dmm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "decimal MIN/MAX should be metadata-served")
+    assert(dmm.schema("mn").dataType == org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(dmm.head.getDecimal(0) == new java.math.BigDecimal("1.25") &&
+      dmm.head.getDecimal(1) == new java.math.BigDecimal("4.00"))
+    // ... and GROUPED by an identity partition source (the optimizer-rule
+    // path folds the same bounds per group)
+    val decp = Seq((1L, "A", "1.25"), (2L, "A", "2.50"), (3L, "B", "4.00")).toDF("id", "g", "s")
+      .select(col("id"), col("g"), col("s").cast("decimal(10,2)").as("m"))
+    val tdp = graft.lake.LakeTable.create(spark, s"$dir/tdp", "tdp", decp.schema,
+      partitionSpec = Seq(graft.lake.PartitionField("g", graft.lake.Transform.Identity, "p_g")))
+    tdp.append(decp)
+    val gmm = readLake(tdp.location).groupBy("g")
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"), sum(col("m")).as("sm"))
+    assert(gmm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "grouped decimal MIN/MAX should be metadata-served")
+    val gvals = gmm.collect().map(r => (r.getString(0),
+      r.getDecimal(1).toPlainString, r.getDecimal(2).toPlainString,
+      r.getDecimal(3).toPlainString)).toSet
+    assert(gvals == Set(("A", "1.25", "2.50", "3.75"), ("B", "4.00", "4.00", "4.00")),
+      s"grouped decimal metadata answer wrong: $gvals")
+    // precision > 18 decimals are FIXED_LEN_BYTE_ARRAY-encoded: their
+    // footer stats are dropped at record time, so MIN/MAX declines to the
+    // scan (conservative; results stay exact)
+    val wide = Seq((1L, "1.25"), (2L, "2.50")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(20,2)").as("m"))
+    val tw = graft.lake.LakeTable.create(spark, s"$dir/tw", "tw", wide.schema)
+    tw.append(wide)
+    val wmm = readLake(tw.location).agg(min(col("m")).as("mn"))
+    assert(wmm.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "FLBA-encoded decimal MIN must decline to the scan")
+    assert(wmm.head.getDecimal(0) == new java.math.BigDecimal("1.25"))
+
     // COUNT(DISTINCT <identity source>): the tuples enumerate the
     // distinct values — grouped, filtered, and global shapes all serve
     val dk = readLake(t.location).agg(countDistinct(col("cat")).as("nc"))
