@@ -67,8 +67,14 @@ final class LakeTable private (
 
   lazy val meta: TableMeta = MetaJson.readTableMeta(readString(new Path(metaDir, "table.json")))
 
+  /** Schema files are immutable, so versions cache per table instance
+    * (the scan builder walks the whole version history to prove a pushed
+    * column's physical parquet type never changed). */
   def schema(version: Int): StructType =
-    MetaJson.readSchema(readString(new Path(metaDir, f"schema-v$version%03d.json")))
+    schemaCache.computeIfAbsent(version, v =>
+      MetaJson.readSchema(readString(new Path(metaDir, f"schema-v$v%03d.json"))))
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, StructType]()
 
   /** Partition spec by version: 0 = the CREATE-time spec in table.json,
     * N>=1 = meta/spec-vNNN.json written by [[evolvePartitionSpec]]. Spec

@@ -165,25 +165,56 @@ private[sources] object ParquetPushdown {
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.io.api.Binary
 
-  def build(schema: StructType, filters: Seq[Filter]): Option[FilterPredicate] =
-    filters.flatMap(translate(schema, _)).reduceOption(FilterApi.and)
+  /** `pushable` gates columns whose PHYSICAL parquet type is not invariant
+    * across the table's schema-version history: parquet's
+    * SchemaCompatibilityValidator throws (failing the whole read, not just
+    * the optimization) when a predicate's declared type meets a file
+    * written before a type promotion — e.g. a long predicate over an INT32
+    * file from before an int → bigint promotion. The scan builder proves
+    * invariance from the schema history ([[physicalKey]]); a promoted
+    * column simply isn't row-group-filtered (file-level bounds pruning
+    * still applies — it compares in the value domain, not the physical). */
+  def build(schema: StructType, filters: Seq[Filter],
+      pushable: String => Boolean = _ => true): Option[FilterPredicate] =
+    filters.flatMap(translate(schema, pushable, _)).reduceOption(FilterApi.and)
+
+  /** The physical parquet column type a lake writer produces for a Spark
+    * type — the identity that must hold across all schema versions for a
+    * predicate built from the CURRENT schema to be valid on EVERY file.
+    * Decimals carry their scale (same physical width at a different scale
+    * stores different unscaled integers) and split at the INT32/INT64/
+    * FIXED_LEN_BYTE_ARRAY precision boundaries the parquet spec fixes. */
+  def physicalKey(dt: DataType): String = dt match {
+    case IntegerType | DateType => "i32"
+    case LongType | TimestampType | TimestampNTZType => "i64"
+    case FloatType => "f32"
+    case DoubleType => "f64"
+    case StringType => "bin"
+    case BooleanType => "bool"
+    case d: DecimalType if d.precision <= 9 => s"i32:d${d.scale}"
+    case d: DecimalType if d.precision <= 18 => s"i64:d${d.scale}"
+    case d: DecimalType => s"flba:p${d.precision}:d${d.scale}" // width follows precision
+    case other => s"other:${other.catalogString}"
+  }
 
   private val MaxInValues = 20
 
-  private def translate(schema: StructType, f: Filter): Option[FilterPredicate] = f match {
-    case EqualTo(c, v) => pred(schema, c, v, "eq")
-    case GreaterThan(c, v) => pred(schema, c, v, "gt")
-    case GreaterThanOrEqual(c, v) => pred(schema, c, v, "gtEq")
-    case LessThan(c, v) => pred(schema, c, v, "lt")
-    case LessThanOrEqual(c, v) => pred(schema, c, v, "ltEq")
+  private def translate(schema: StructType, pushable: String => Boolean,
+      f: Filter): Option[FilterPredicate] = f match {
+    case EqualTo(c, v) => pred(schema, pushable, c, v, "eq")
+    case GreaterThan(c, v) => pred(schema, pushable, c, v, "gt")
+    case GreaterThanOrEqual(c, v) => pred(schema, pushable, c, v, "gtEq")
+    case LessThan(c, v) => pred(schema, pushable, c, v, "lt")
+    case LessThanOrEqual(c, v) => pred(schema, pushable, c, v, "ltEq")
     case In(c, vs) if vs.nonEmpty && vs.length <= MaxInValues && !vs.contains(null) =>
-      val eqs = vs.toSeq.map(v => pred(schema, c, v, "eq"))
+      val eqs = vs.toSeq.map(v => pred(schema, pushable, c, v, "eq"))
       if (eqs.forall(_.isDefined)) eqs.flatten.reduceOption(FilterApi.or) else None
     case _ => None
   }
 
-  private def pred(schema: StructType, name: String, v: Any, op: String): Option[FilterPredicate] = {
-    if (v == null || !schema.fieldNames.contains(name)) return None
+  private def pred(schema: StructType, pushable: String => Boolean,
+      name: String, v: Any, op: String): Option[FilterPredicate] = {
+    if (v == null || !schema.fieldNames.contains(name) || !pushable(name)) return None
     schema(name).dataType match {
       case LongType | TimestampType | TimestampNTZType =>
         asLong(v).map(l => longPred(name, l, op))
@@ -209,7 +240,37 @@ private[sources] object ParquetPushdown {
           Some(FilterApi.eq(FilterApi.booleanColumn(name), java.lang.Boolean.valueOf(b)))
         case _ => None
       }
+      // INT32/INT64-backed decimals (precision <= 18, the parquet spec's
+      // boundaries — matching Spark's writer): compare in the UNSCALED
+      // integer domain the footer statistics live in. Pushed only when the
+      // literal is exactly representable at the column's scale (Catalyst
+      // casts comparison literals to the column type, so this is the
+      // normal case); anything else declines — Spark re-applies the
+      // predicate post-scan either way. FLBA-backed decimals (> 18) have
+      // unsigned-lexicographic Binary stats; not worth the subtlety here.
+      case dt: DecimalType if dt.precision <= 18 =>
+        asUnscaled(v, dt.scale).flatMap { u =>
+          if (dt.precision <= 9) {
+            if (u >= Int.MinValue && u <= Int.MaxValue) Some(intPred(name, u.toInt, op))
+            else None
+          } else Some(longPred(name, u, op))
+        }
       case _ => None
+    }
+  }
+
+  /** Literal → unscaled long at `scale`, None when not exactly
+    * representable (rescale would round) or beyond long range. */
+  private def asUnscaled(v: Any, scale: Int): Option[Long] = {
+    val bd = v match {
+      case d: java.math.BigDecimal => Some(d)
+      case d: BigDecimal => Some(d.underlying)
+      case d: Decimal => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    bd.flatMap { d =>
+      try Some(d.setScale(scale).unscaledValue.longValueExact)
+      catch { case _: ArithmeticException => None }
     }
   }
 
@@ -1181,8 +1242,21 @@ private[sources] class GraftLakeScan(
     val hadoopConf: Map[String, String] =
       t.spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap
+    // a column is row-group-filterable only if its physical parquet type
+    // is the same in EVERY schema version up to this snapshot's — a file
+    // written before a type promotion would otherwise fail the whole read
+    // (parquet validates the predicate's declared type against each file's
+    // footer schema). Versions that don't carry the column don't
+    // constrain it: the predicate evaluates those files' chunks as
+    // all-null and correctly drops them.
+    val history = (1 to snap.schemaVersion).map(t.schema) // versions start at 1
+    def physicallyStable(name: String): Boolean = {
+      val keys = history.flatMap(s =>
+        s.fields.find(_.name == name).map(f => ParquetPushdown.physicalKey(f.dataType)))
+      keys.distinct.size <= 1
+    }
     GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types, hadoopConf,
-      ParquetPushdown.build(tableSchema, dataFilters))
+      ParquetPushdown.build(tableSchema, dataFilters, physicallyStable))
   }
 }
 

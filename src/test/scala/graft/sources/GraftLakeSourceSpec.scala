@@ -209,6 +209,94 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("decimal predicates row-group-skip in the unscaled domain; boundaries exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decrg-spec").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 65536)
+    hc.setInt("parquet.page.size", 8192)
+    try {
+      val n = 200000L
+      // ascending money in one file: many row groups, disjoint ranges
+      val df = spark.range(n).repartition(1).sortWithinPartitions("id")
+        .select(col("id"),
+          (col("id").cast("decimal(14,0)") * lit(new java.math.BigDecimal("0.01")))
+            .cast("decimal(12,2)").as("m"))
+      val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema)
+      t.append(df)
+      val file = t.currentSnapshot.dataFiles.maxBy(_.splits.size)
+      assert(file.splits.size > 2, s"fixture produced ${file.splits.size} row groups")
+
+      import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val required = StructType(Seq(
+        StructField("id", LongType), StructField("m", DecimalType(12, 2))))
+      val types = required.fields.map(f => f.name -> f.dataType).toMap
+      val hcMap = hc.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      val lastSplit = file.splits.last // holds only the largest amounts
+
+      def readerFor(filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) =
+        GraftLakeReaderFactory(required, Nil, Map.empty, types, hcMap, filter)
+          .createColumnarReader(
+            GraftLakeInputPartition(t.abs(file.path), lastSplit._1, lastSplit._2))
+
+      // m = 1.50 lives in the FIRST row group: the unscaled-int64 predicate
+      // (150) must refute the last row group's stats without decoding it.
+      // Round 7's unscaled-vs-scaled confusion was exactly this boundary —
+      // a predicate carrying the SCALED 1.50 would never refute anything.
+      val pred = ParquetPushdown.build(required,
+        Seq(org.apache.spark.sql.sources.EqualTo("m", new java.math.BigDecimal("1.50"))))
+      assert(pred.isDefined, "decimal predicate did not translate")
+      val skipped = readerFor(pred)
+      assert(!skipped.next(), "stats-refuted row group was decoded")
+      skipped.close()
+
+      // a literal not representable at the column scale declines (never
+      // rounds: rounding would change comparison semantics)
+      assert(ParquetPushdown.build(required, Seq(
+        org.apache.spark.sql.sources.EqualTo("m", new java.math.BigDecimal("1.505")))).isEmpty)
+
+      // end to end across < / = / >= at a value that sits on a row-group
+      // boundary's neighborhood
+      val v2 = readLake(t.location)
+      val cut = new java.math.BigDecimal("150.00")
+      assert(v2.filter(col("m") === lit(cut)).count() == 1)
+      assert(v2.filter(col("m") < lit(cut)).count() == 15000)
+      assert(v2.filter(col("m") >= lit(cut)).count() == n - 15000)
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size")
+    }
+  }
+
+  test("pushed filter on a type-promoted column: no crash, exact rows, others still push") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-promote-filter").toString
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, 10)).toDF("id", "qty").schema)
+    t.append(Seq((1L, 10), (2L, 20)).toDF("id", "qty"))
+    t.promoteColumn("qty", "bigint")
+    t.append(Seq((3L, 30L), (4L, 40L)).toDF("id", "qty"))
+
+    // the long predicate would fail parquet's schema validation on the
+    // INT32-era file — the schema-history check must decline it...
+    val hist = (1 to t.currentSnapshot.schemaVersion).map(t.schema)
+    def stable(c: String) = hist.flatMap(_.fields.find(_.name == c))
+      .map(f => ParquetPushdown.physicalKey(f.dataType)).distinct.size <= 1
+    assert(!stable("qty") && stable("id"))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    assert(ParquetPushdown.build(sch,
+      Seq(org.apache.spark.sql.sources.GreaterThan("qty", 15L)), stable).isEmpty)
+    // ...while an unpromoted column in the same scan still translates
+    assert(ParquetPushdown.build(sch,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 2L)), stable).isDefined)
+
+    // end to end: filtered scan spans both eras without throwing
+    val got = readLake(t.location).filter(col("qty") > 15L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L, 4L), s"got $got")
+  }
+
   test("streaming read: appends stream incrementally through a checkpoint, non-append fails") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-streamread-spec").toString
