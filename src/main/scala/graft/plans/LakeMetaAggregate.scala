@@ -113,8 +113,11 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     val t = tbl.t
     val snap = tbl.snap
     if (snap.deleteFiles.nonEmpty) return None // MoR merge could drop rows
-    val files = snap.dataFiles
-    if (!files.forall(_.rows >= 0)) return None
+    if (!snap.dataFiles.forall(_.rows >= 0)) return None
+    // zero-row committed files (legal, e.g. an overwrite that emptied a
+    // partition) contribute NOTHING a real scan would produce — keeping
+    // them would surface phantom group tuples / distinct values
+    val files = snap.dataFiles.filter(_.rows > 0)
     val spec = t.specFieldsThrough(snap.specVersion)
     val schema = t.schema(snap.schemaVersion)
 
@@ -125,7 +128,12 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
       case a: AttributeReference if rel.outputSet.contains(a) => Some(a)
       case _ => None
     }
-    def utcOk(tz: Option[String]): Boolean = tz.forall(_ == "UTC")
+    // require the zone to be PRESENT and UTC: analysis fills timeZoneId on
+    // timezone-aware expressions, so an absent id means an unresolved or
+    // hand-copied expression whose effective zone this rule cannot know —
+    // decline rather than assume (serving UTC-rendered tuples under a
+    // non-UTC session would silently corrupt group keys)
+    def utcOk(tz: Option[String]): Boolean = tz.contains("UTC")
     // `d` (temporal source) possibly under a session-tz cast to date
     def temporalSource(e: Expression): Option[AttributeReference] = e match {
       case c: Cast if c.dataType == DateType =>

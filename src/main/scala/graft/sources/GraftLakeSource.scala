@@ -648,13 +648,16 @@ private[sources] class GraftLakeScanBuilder(
     if (!acceptFilters || dataFilters.nonEmpty || pruneFilters.nonEmpty) return None
     val snap = t.snapshot(seq)
     if (!skipDeletes && snap.deleteFiles.nonEmpty) return None
-    val files = snap.dataFiles
+    // zero-row committed files contribute nothing a scan would produce:
+    // dropping them up front keeps them from declining bounds serving
+    // (no row groups → no footer stats → no recorded bounds) and from
+    // surfacing phantom grouped tuples
+    if (!snap.dataFiles.forall(_.rows >= 0)) return None
+    val files = snap.dataFiles.filter(_.rows > 0)
     if (agg.groupByExpressions().isEmpty) {
       val answered = agg.aggregateExpressions().toSeq.map {
         case _: aggregate.CountStar =>
-          if (files.forall(_.rows >= 0))
-            Some((StructField("count_star", LongType, nullable = false), files.map(_.rows).sum: Any))
-          else None
+          Some((StructField("count_star", LongType, nullable = false), files.map(_.rows).sum: Any))
         case mn: aggregate.Min => boundOf(mn.column(), files, isMin = true)
         case mx: aggregate.Max => boundOf(mx.column(), files, isMin = false)
         case s: aggregate.Sum if !s.isDistinct => sumOf(s.column(), files)
@@ -1469,12 +1472,6 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
   override def latestOffset(): Offset = GraftLakeOffset(t.currentSeq)
   override def deserializeOffset(json: String): Offset = GraftLakeOffset(json.trim.toLong)
 
-  /** Whether the most recently planned batch took the direct append fast
-    * path (its files lack `_change_type`; the reader synthesizes it).
-    * Micro-batches plan then execute sequentially, so a single flag is
-    * enough; idempotent re-plans recompute the same value. */
-  @volatile private var lastBatchDirect = false
-
   private def appendShaped(op: String): Boolean =
     op == "create" || op.startsWith("append") ||
       op == "add-column" || op == "promote-type" || op == "evolve-spec"
@@ -1498,11 +1495,15 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
       if (s0 == Bootstrap) earliest == 0L && // seq 0 = CREATE: nothing expired
         (0L to e).forall(q => appendShaped(t.snapshotFile(q).operation))
       else ((s0 + 1) to e).forall(q => appendShaped(t.snapshotFile(q).operation))
-    lastBatchDirect = direct
     if (direct) {
       val newFiles = t.snapshot(e).dataFiles
         .filter(f => (s0 == Bootstrap || f.seq > s0) && f.seq <= e)
-      return GraftLakeSource.planFileSplits(t, newFiles)
+      // direct-ness rides on each split — see GraftLakeDirectChangeSplit
+      return GraftLakeSource.planFileSplits(t, newFiles).map {
+        case p: GraftLakeInputPartition =>
+          GraftLakeDirectChangeSplit(p.file, p.start, p.length): InputPartition
+        case other => other
+      }
     }
     val userCols = outSchema.fieldNames.filterNot(_ == GraftLakeSource.ChangeTypeCol).toSeq
     val delta =
@@ -1535,15 +1536,13 @@ private[sources] class GraftLakeChangelogMicroBatchStream(
     val hadoopConf: Map[String, String] =
       t.spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap
-    // direct (append fast path) batches read RAW data files, which lack
-    // the _change_type column — the reader synthesizes the constant;
-    // staged batches carry the real column and keep the vectorized reader
-    val defaults: Map[String, Any] =
-      if (lastBatchDirect)
-        Map(GraftLakeSource.ChangeTypeCol -> UTF8String.fromString("insert"))
-      else Map.empty
+    // direct (append fast path) splits read RAW data files, which lack
+    // the _change_type column — the reader synthesizes the constant for
+    // exactly those splits (the split type carries the decision); staged
+    // splits carry the real column and keep the vectorized reader
     GraftLakeReaderFactory(outSchema, Nil, Map.empty, types, hadoopConf,
-      missingDefaults = defaults)
+      missingDefaults =
+        Map(GraftLakeSource.ChangeTypeCol -> UTF8String.fromString("insert")))
   }
 
   override def commit(end: Offset): Unit = {
@@ -1574,6 +1573,15 @@ private[sources] sealed trait GraftSplit extends InputPartition {
 private[sources] case class GraftLakeInputPartition(file: String, start: Long, length: Long)
     extends GraftSplit
 
+/** A changelog batch split over a RAW data file (append fast path): the
+  * file lacks `_change_type`, so the reader synthesizes the factory's
+  * missing-column defaults for exactly this split. Making direct-ness a
+  * property of the SPLIT (not shared stream state) keeps re-plans, plan
+  * reuse, and any plan/execute interleaving correct by construction —
+  * each split carries its own decision to the executor. */
+private[sources] case class GraftLakeDirectChangeSplit(file: String, start: Long, length: Long)
+    extends GraftSplit
+
 /** A split that also carries its partition KEY (catalyst values of the
   * identity-partition source columns) — the storage-partitioned-join
   * contract: when every split of a scan exposes `partitionKey`, Spark can
@@ -1596,9 +1604,14 @@ private[sources] case class GraftLakeReaderFactory(
     /** Catalyst values substituted for columns a FILE does not carry
       * (instead of the null-fill evolution default) — the changelog
       * stream's append fast path reads raw data files and synthesizes
-      * `_change_type = insert` this way. Forces the row reader. */
+      * `_change_type = insert` this way. Applied ONLY to
+      * [[GraftLakeDirectChangeSplit]] partitions (which it forces onto
+      * the row reader); other splits in the same scan stay vectorized. */
     missingDefaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
+
+  private def defaultsFor(p: InputPartition): Map[String, Any] =
+    if (p.isInstanceOf[GraftLakeDirectChangeSplit]) missingDefaults else Map.empty
 
   private def confOf(): Configuration = {
     val conf = new Configuration(false)
@@ -1619,7 +1632,7 @@ private[sources] case class GraftLakeReaderFactory(
     * check) and projections of the reader-injected `_graft_file` metadata
     * column fall back to the row-at-a-time Group reader. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    tombstones.isEmpty && missingDefaults.isEmpty &&
+    tombstones.isEmpty && defaultsFor(p).isEmpty &&
       !required.fieldNames.contains(GraftLakeSource.FileCol)
 
   override def createColumnarReader(p: InputPartition)
@@ -1632,7 +1645,7 @@ private[sources] case class GraftLakeReaderFactory(
     val gp = p.asInstanceOf[GraftSplit]
     new GraftLakePartitionReader(
       gp.file, gp.start, gp.length, required, primaryKey, tombstones, types, confOf(),
-      missingDefaults)
+      defaultsFor(p))
   }
 }
 

@@ -1024,4 +1024,49 @@ class LakeSpec extends SparkSpec {
     val all = files.flatMap(_.bounds.get("small"))
     assert(all.nonEmpty && all.exists(b => BigDecimal(b.min) == BigDecimal("1.25")))
   }
+
+  test("zero-row committed files add no phantom groups or distinct values to metadata serving") {
+    val dir = Files.createTempDirectory("graft-zerorow-spec").toString
+    import spark.implicits._
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 40L)).toDF("id", "g", "w")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("g", Transform.Identity, "p_g")))
+    t.append(df)
+
+    // hand-commit a zero-row data file under a THIRD partition value (the
+    // metadata format allows it: an external writer, or an overwrite that
+    // emptied a partition) — a real scan of it produces nothing, so the
+    // metadata path must not surface its tuple either
+    val zeroRel = "data/zero-row.parquet"
+    df.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$dir/zstage")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/zstage"))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/t/$zeroRel"))
+    val cur = t.currentSnapshot
+    t.commitSnapshot(Snapshot(cur.seq + 1, Some(cur.seq), 1L, "append", cur.schemaVersion,
+      cur.dataFiles :+ DataFile(zeroRel, cur.seq + 1, Map("p_g" -> "C"),
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/t/$zeroRel")).getLen, rows = 0L),
+      Nil, cur.specVersion))
+
+    val back = LakeTable.load(spark, t.location)
+    val read = spark.read.format("graftlake").option("path", back.location).load()
+    val grouped = read.groupBy("g").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "grouped count should still be metadata-served")
+    val groups = grouped.as[(String, Long)].collect().toMap
+    assert(groups == Map("A" -> 2L, "B" -> 1L), s"phantom group leaked: $groups")
+    val nd = read.agg(countDistinct(col("g")).as("ng"))
+    assert(nd.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(nd.head.getLong(0) == 2L, "zero-row file contributed a phantom distinct value")
+    // ungrouped MIN/MAX still serves: the zero-row file records no bounds
+    // (no row groups → no footer stats) and must not decline the fold
+    val mm = read.agg(min(col("w")).as("mn"), max(col("w")).as("mx"))
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "zero-row file must not decline ungrouped bounds serving")
+    assert(mm.as[(Long, Long)].head() == ((10L, 40L)))
+    // the real scan agrees
+    assert(read.count() == 3L && back.scan().count() == 3L)
+  }
 }
