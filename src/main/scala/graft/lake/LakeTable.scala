@@ -722,16 +722,30 @@ final class LakeTable private (
       .drop(RnCol)
   }
 
-  private def commitWrite(df: DataFrame, op: String, keepExisting: Boolean): Snapshot = synchronized {
-    val cur  = currentSnapshot
-    val seq  = cur.seq + 1
-    val newFiles = stageDataFiles(df, schemaVersion = cur.schemaVersion, seq = seq,
-      specVersion = cur.specVersion)
-    if (keepExisting) commitAppendWithRetry(newFiles, op)
-    else commitSnapshot(Snapshot(
-      seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
-      schemaVersion = cur.schemaVersion,
-      dataFiles = newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
+  /** Stage OUTSIDE the lock, publish under it. Staging runs Spark jobs
+    * (the write itself, plus the ColumnSums read-back on schemas the task
+    * writer can't reproduce) — minutes at scale; holding the table lock
+    * across them would serialize every concurrent writer behind I/O
+    * instead of behind the metadata swap. The staged files are immutable
+    * once written, so the only lock-held work is the snapshot JSON swap.
+    * Seq skew is benign in both branches: appends blind-rebase (staged
+    * rows embed a seq <= the final commit seq — only ever OLDER relative
+    * to tombstones), and replace drops all prior tombstones anyway. */
+  private def commitWrite(df: DataFrame, op: String, keepExisting: Boolean): Snapshot = {
+    val observed = currentSnapshot
+    val newFiles = stageDataFiles(df, schemaVersion = observed.schemaVersion,
+      seq = observed.seq + 1, specVersion = observed.specVersion)
+    synchronized {
+      if (keepExisting) commitAppendWithRetry(newFiles, op)
+      else {
+        val cur = currentSnapshot // re-read under the lock: rebase a replace too
+        commitSnapshot(Snapshot(
+          seq = cur.seq + 1, parent = Some(cur.seq),
+          timestampMs = System.currentTimeMillis(), operation = op,
+          schemaVersion = cur.schemaVersion,
+          dataFiles = newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
+      }
+    }
   }
 
   /** Append ALREADY-STAGED data files (moved into `data/` by an external

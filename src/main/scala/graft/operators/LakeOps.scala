@@ -232,6 +232,10 @@ object LakeOps {
       s"decimal bounds pruned nothing: ${kept.size}/$total files kept")
     s.read.format("graftlake").option("path", t.location).load()
       .filter(col("total_amount") > lit(cut))
+      // storage, pushdown and pruning all run on DECIMAL(12,2); only the
+      // verify-sink projection widens to DOUBLE (exact here: cent multiples
+      // ≤ 2^53) so the result hashes identically through every reader
+      .withColumn("total_amount", col("total_amount").cast("double"))
   }
 
   // q90 — DECIMAL money rollup served wholly from MANIFEST METADATA:
@@ -254,7 +258,11 @@ object LakeOps {
     val plan = df.queryExecution.executedPlan.toString
     require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
       s"decimal money rollup was not metadata-served:\n$plan")
-    df
+    // gate holds on the decimal plan; the verify sink widens to DOUBLE
+    // (exact: cent multiples ≤ 2^53) for reader-independent hashing
+    df.withColumn("min_amount", col("min_amount").cast("double"))
+      .withColumn("max_amount", col("max_amount").cast("double"))
+      .withColumn("revenue", col("revenue").cast("double"))
   }
 
   // q88 — GOLD serve with exact decimal money: the month×status revenue
@@ -262,7 +270,10 @@ object LakeOps {
   // DECIMAL end to end (raw cents → decimal(12,2) → decimal(22,2) sums),
   // never passing through a double (SURVEY §1.3)
   val decimalGoldServe: (SparkSession, String) => DataFrame = (s, dir) =>
+    // the gold table itself stays DECIMAL(22,2) end to end; the query
+    // boundary widens to DOUBLE (exact cent multiples) for the verify sink
     LakePipelines.goldDecimalMetrics(s, dir).scan()
+      .withColumn("gross_revenue", col("gross_revenue").cast("double"))
 
   // q89 — cross-layer consistency ON DECIMALS (q54's golden test for the
   // money type): the same status-level revenue total computed from raw
@@ -286,6 +297,9 @@ object LakeOps {
         sum(col("gross_revenue")).cast("decimal(22,2)").as("revenue"))
       .select(lit("3_gold").as("layer"), col("status"), col("order_count"), col("revenue"))
     raw.unionByName(silver).unionByName(gold)
+      // all three layers computed and compared in DECIMAL; widen only the
+      // final projection for the verify sink (exact cent multiples)
+      .withColumn("revenue", col("revenue").cast("double"))
   }
 
   // q58 — the pruned-range aggregate (q24's semantics) through the DSv2
@@ -496,7 +510,9 @@ object LakeOps {
         |    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)) AS total_amount
         |  FROM orders
         |)
-        |SELECT * FROM dec WHERE total_amount > 300000.00
+        |SELECT order_id, user_id, status, order_date,
+        |  CAST(total_amount AS DOUBLE) AS total_amount
+        |FROM dec WHERE total_amount > 300000.00
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q90_decimal_meta_rollup", decimalMetaRollup, bench = true, oracle = Some(
       """WITH dec AS (
@@ -505,21 +521,22 @@ object LakeOps {
         |  FROM orders
         |)
         |SELECT status, COUNT(*) AS n_orders,
-        |  MIN(total_amount) AS min_amount, MAX(total_amount) AS max_amount,
-        |  CAST(SUM(total_amount) AS DECIMAL(22,2)) AS revenue
+        |  CAST(MIN(total_amount) AS DOUBLE) AS min_amount,
+        |  CAST(MAX(total_amount) AS DOUBLE) AS max_amount,
+        |  CAST(CAST(SUM(total_amount) AS DECIMAL(22,2)) AS DOUBLE) AS revenue
         |FROM dec GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q88_decimal_gold_serve", decimalGoldServe, bench = true, oracle = Some(
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |  CAST(month(o_orderdate) AS INT) AS order_month,
         |  o_orderstatus AS status, COUNT(*) AS order_count,
-        |  CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)))
-        |    AS DECIMAL(22,2)) AS gross_revenue
+        |  CAST(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)))
+        |    AS DECIMAL(22,2)) AS DOUBLE) AS gross_revenue
         |FROM orders GROUP BY 1, 2, 3 ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q89_decimal_cross_layer", decimalCrossLayer, oracle = Some(
       """WITH agg AS (
         |  SELECT o_orderstatus AS status, COUNT(*) AS order_count,
-        |    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)))
-        |      AS DECIMAL(22,2)) AS revenue
+        |    CAST(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)))
+        |      AS DECIMAL(22,2)) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY 1
         |)
         |SELECT * FROM (

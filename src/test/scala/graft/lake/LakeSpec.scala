@@ -462,6 +462,71 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().select("id").as[Long].collect().toSet == Set(0L, 100L, 200L))
   }
 
+  test("staging (incl. the ColumnSums fallback job) runs outside the commit lock") {
+    val dir = Files.createTempDirectory("graft-stage-lock-spec").toString
+    import spark.implicits._
+    val df = (1L to 100L).map(k => (k, s"v$k")).toDF("id", "s")
+    // bucket[n] partitioning routes staging through the DataFrame writer +
+    // the ColumnSums read-back (RowParquet.renderSupported rejects bucket's
+    // Spark-internal murmur3) — the exact fallback path under test
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("id", Transform.Bucket(4), "p_b")))
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val appender = new Thread(() => { t.append(df); () }, "stage-lock-appender")
+      var jobsDuring = 0
+      // warm the instance's lazy vals (meta, fs — lazy-val init synchronizes
+      // on `this`) so the appender doesn't trip over initialization monitors
+      // that have nothing to do with the commit lock under test
+      assert(t.scan().count() == 0L)
+      val jobsBaseline = jobCount.get()
+      // hold the TABLE LOCK across the whole staging phase: every Spark job
+      // the append needs (the partitioned write, the footer metadata read,
+      // the ColumnSums fallback) must run and COMPLETE while we hold it —
+      // the appender may only park on the lock for the final snapshot swap
+      t.synchronized {
+        appender.start()
+        val deadline = System.currentTimeMillis() + 120000
+        // top frame must be commitWrite itself: the monitorenter for the
+        // commit block lives in that method, while transient internal
+        // monitors during staging park with deeper top frames
+        def parkedOnCommitLock: Boolean =
+          appender.getState == Thread.State.BLOCKED &&
+            appender.getStackTrace.headOption.exists(f =>
+              f.getClassName.contains("LakeTable") && f.getMethodName.contains("commitWrite"))
+        while (!parkedOnCommitLock && appender.isAlive &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+        assert(parkedOnCommitLock,
+          s"appender never parked on the commit lock (state=${appender.getState})\n" +
+            appender.getStackTrace.take(12).mkString("\n"))
+        assert(t.currentSeq == 0L, "commit must not publish while the lock is held")
+        Thread.sleep(500) // let the async listener bus drain job-start events
+        jobsDuring = jobCount.get()
+        assert(jobsDuring > jobsBaseline,
+          "staging ran no Spark jobs while the lock was held externally")
+      }
+      appender.join(120000)
+      assert(!appender.isAlive, "append did not complete after the lock was released")
+      Thread.sleep(500)
+      // NO Spark job between lock acquisition and snapshot publish: the
+      // lock-held tail is a pure metadata swap
+      assert(jobCount.get() == jobsDuring,
+        s"Spark job ran inside the commit critical section ($jobsDuring -> ${jobCount.get()})")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(t.currentSeq == 1L)
+    assert(t.scan().count() == 100L)
+    // per-file exact sums still recorded via the fallback read-back
+    assert(t.currentSnapshot.dataFiles.forall(_.sums.contains("id")))
+  }
+
   test("partition spec evolution: new files under the new spec, pruning serves both populations") {
     val dir = Files.createTempDirectory("graft-evolve-spec").toString
     import spark.implicits._
