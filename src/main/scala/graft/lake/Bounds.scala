@@ -18,8 +18,13 @@ import java.nio.charset.StandardCharsets
   *
   * `kind` partitions the value domain: "n" = numeric (integers, exact
   * decimal expansions of floats, DATE epoch days, TIMESTAMP epoch micros),
-  * "s" = UTF-8 string. A bound only ever compares against a literal of its
-  * own domain; any mismatch or unparseable shape keeps the file
+  * "d" = DECIMAL recorded SCALED by the column's parquet decimal
+  * annotation (the post-fix format — the kind doubles as the
+  * bounds-format version marker for decimal columns: bounds written
+  * before the scaled-stats fix live under "n" in possibly-UNSCALED form
+  * and are never compared against a decimal literal nor exact-served),
+  * "s" = UTF-8 string. A bound only ever compares against a literal of
+  * its own domain; any mismatch or unparseable shape keeps the file
   * (pruning is conservative by construction — the raw predicate is always
   * re-applied at scan). */
 final case class ColBound(kind: String, min: String, max: String)
@@ -60,10 +65,11 @@ object ColumnBounds {
     var nulls = Map.empty[String, Long]
     var nullsDropped = Set.empty[String]
 
-    def widenNum(name: String, mn: BigDecimal, mx: BigDecimal): Unit =
+    def widenNum(name: String, mn: BigDecimal, mx: BigDecimal, kind: String = "n"): Unit =
       acc.get(name) match {
-        case None => acc += name -> (("n", mn, mx, null, null))
-        case Some(("n", amn, amx, _, _)) => acc += name -> (("n", amn.min(mn), amx.max(mx), null, null))
+        case None => acc += name -> ((kind, mn, mx, null, null))
+        case Some((`kind`, amn, amx, _, _)) =>
+          acc += name -> ((kind, amn.min(mn), amx.max(mx), null, null))
         case _ => dropped += name
       }
     def widenStr(name: String, mn: Array[Byte], mx: Array[Byte]): Unit =
@@ -76,17 +82,28 @@ object ColumnBounds {
         case _ => dropped += name
       }
 
-    // INT32/INT64 decimal columns store UNSCALED integers in footer stats
-    // (150.00 as decimal(10,2) → 15000); the pushed literal arrives SCALED,
-    // so record bounds re-scaled by the column's decimal annotation or the
-    // comparison in `cmp` silently prunes matching files.
-    def decimalScaled(
-        col: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-        unscaled: Long): BigDecimal =
+    // Decimal columns store UNSCALED integers in footer stats (150.00 as
+    // decimal(10,2) → 15000, INT32/INT64 for precision ≤ 18 and
+    // two's-complement big-endian bytes for FIXED_LEN_BYTE_ARRAY/BINARY
+    // beyond); the pushed literal arrives SCALED, so record bounds
+    // re-scaled by the column's decimal annotation — under kind "d", which
+    // also marks them as post-fix scaled format — or the comparison in
+    // `cmp` silently prunes matching files.
+    def decimalAnnotation(
+        col: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+        : Option[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =
       col.getPrimitiveType.getLogicalTypeAnnotation match {
-        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
-          BigDecimal(java.math.BigDecimal.valueOf(unscaled, d.getScale))
-        case _ => BigDecimal(unscaled)
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d)
+        case _ => None
+      }
+    def widenIntegral(
+        col: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+        name: String, mn: Long, mx: Long): Unit =
+      decimalAnnotation(col) match {
+        case Some(d) => widenNum(name,
+          BigDecimal(java.math.BigDecimal.valueOf(mn, d.getScale)),
+          BigDecimal(java.math.BigDecimal.valueOf(mx, d.getScale)), kind = "d")
+        case None => widenNum(name, BigDecimal(mn), BigDecimal(mx))
       }
 
     blocks.foreach { block =>
@@ -103,9 +120,9 @@ object ColumnBounds {
           else if (!stats.hasNonNullValue) () // all-null chunk: no widening
           else stats match {
             case s: IntStatistics =>
-              widenNum(name, decimalScaled(col, s.getMin.toLong), decimalScaled(col, s.getMax.toLong))
+              widenIntegral(col, name, s.getMin.toLong, s.getMax.toLong)
             case s: LongStatistics =>
-              widenNum(name, decimalScaled(col, s.getMin), decimalScaled(col, s.getMax))
+              widenIntegral(col, name, s.getMin, s.getMax)
             case s: FloatStatistics =>
               if (s.getMin.isNaN || s.getMax.isNaN) dropped += name
               // exact binary expansion — shortest-repr toString would shave
@@ -126,14 +143,28 @@ object ColumnBounds {
               val mx = s.genericGetMax.getBytes
               if (mn.length > MaxStringLen || mx.length > MaxStringLen) dropped += name
               else widenStr(name, mn, mx)
+            // FIXED_LEN_BYTE_ARRAY / BINARY decimals (precision > 18):
+            // min/max bytes are two's-complement big-endian unscaled
+            // integers and parquet-mr orders them with its signed-integer
+            // binary comparator, so they are true numeric extremes.
+            case s: BinaryStatistics if decimalAnnotation(col).isDefined =>
+              val d = decimalAnnotation(col).get
+              def dec(b: Array[Byte]): Option[BigDecimal] =
+                if (b.isEmpty) None
+                else Some(BigDecimal(
+                  new java.math.BigDecimal(new java.math.BigInteger(b), d.getScale)))
+              (dec(s.genericGetMin.getBytes), dec(s.genericGetMax.getBytes)) match {
+                case (Some(mn), Some(mx)) => widenNum(name, mn, mx, kind = "d")
+                case _ => dropped += name
+              }
             case _ => dropped += name
           }
         }
       }
     }
     val bounds = acc.collect {
-      case (name, ("n", mn, mx, _, _)) if !dropped(name) =>
-        name -> ColBound("n",
+      case (name, (k @ ("n" | "d"), mn, mx, _, _)) if !dropped(name) =>
+        name -> ColBound(k,
           mn.round(FloorMc).underlying.toPlainString,
           mx.round(CeilMc).underlying.toPlainString)
       case (name, ("s", _, _, mn, mx)) if !dropped(name) =>
@@ -149,10 +180,18 @@ object ColumnBounds {
   // -------------------------------------------------------------- pruning
 
   /** sign(bound - literal) in the bound's domain, None when incomparable
-    * (→ caller keeps the file). */
-  private def cmp(b: ColBound, bound: String, literal: Any): Option[Int] =
+    * (→ caller keeps the file). A DECIMAL literal only ever compares
+    * against kind-"d" bounds: bounds a pre-scaled-stats-fix writer
+    * recorded for decimal columns live under "n" in the UNSCALED integer
+    * domain, where a scaled comparison would prune matching files. */
+  private def cmp(b: ColBound, bound: String, literal: Any): Option[Int] = {
+    val decimalLit = literal.isInstanceOf[java.math.BigDecimal] ||
+      literal.isInstanceOf[BigDecimal]
     (b.kind, canon(literal)) match {
-      case ("n", Some(Left(lit))) =>
+      case ("n", Some(Left(lit))) if !decimalLit =>
+        try Some(BigDecimal(bound).compare(lit).sign)
+        catch { case _: NumberFormatException => None }
+      case ("d", Some(Left(lit))) =>
         try Some(BigDecimal(bound).compare(lit).sign)
         catch { case _: NumberFormatException => None }
       case ("s", Some(Right(lit))) =>
@@ -160,6 +199,7 @@ object ColumnBounds {
           bound.getBytes(StandardCharsets.UTF_8), lit).sign)
       case _ => None
     }
+  }
 
   /** Literal → its comparison domain. Temporal types canonicalize to the
     * same integers parquet stores (DATE → epoch days, TIMESTAMP → epoch

@@ -469,12 +469,13 @@ object LakeMetaAggregate {
           Some(vs.reduce((a, b) => if ((a.compareTo(b) <= 0) == isMin) a else b))
         }
       // decimals below the 30-significant-digit bound rounding are recorded
-      // EXACT (scaled by the parquet decimal annotation); precision > 30
-      // could have been floor/ceil-rounded, decline. In practice only
-      // INT32/INT64-backed decimals (precision <= 18) carry bounds at all —
-      // FIXED_LEN_BYTE_ARRAY stats are dropped at record time.
+      // EXACT (scaled by the parquet decimal annotation, under kind "d" —
+      // INT32/INT64-backed for precision <= 18, two's-complement
+      // FIXED_LEN_BYTE_ARRAY beyond); precision > 30 could have been
+      // floor/ceil-rounded, decline. Kind "n" on a decimal column means
+      // PRE-scaled-fix bounds in the unscaled domain: never serve those.
       case dt: DecimalType if dt.precision <= 30 =>
-        if (bs.exists(_.kind != "n")) None
+        if (bs.exists(_.kind != "d")) None
         else {
           val vs = bs.map(b => BigDecimal(if (isMin) b.min else b.max))
           val v = pick(vs)

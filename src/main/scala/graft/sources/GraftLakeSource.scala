@@ -813,12 +813,13 @@ private[sources] class GraftLakeScanBuilder(
           Some((StructField(label, StringType), best: Any))
         }
       // decimals within the 30-significant-digit bound rounding are recorded
-      // EXACT (scaled by the parquet decimal annotation; Bounds.scala) —
-      // only INT32/INT64-backed decimals (precision <= 18) carry bounds,
-      // FIXED_LEN_BYTE_ARRAY stats are dropped at record time.
+      // EXACT (scaled by the parquet decimal annotation under kind "d";
+      // Bounds.scala — INT32/INT64-backed for precision <= 18,
+      // two's-complement FIXED_LEN_BYTE_ARRAY beyond). Kind "n" on a
+      // decimal column is the PRE-scaled-fix unscaled format: never serve.
       case dt: DecimalType if dt.precision <= 30 =>
         val bs = bounds.flatten
-        if (bs.exists(_.kind != "n")) None
+        if (bs.exists(_.kind != "d")) None
         else {
           val vs = bs.map(b => BigDecimal(if (isMin) b.min else b.max))
           val v = pick(vs)
