@@ -36,16 +36,31 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set at
-      // SparkSession build time by every main/test fixture — never mutated
-      // here, a per-call conf.set would race concurrent reads) the nanos
-      // come back as LongType and are converted to a µs timestamp
-      // (the data is µs-granular, so the truncation is exact).
+      // events.ts has shipped in two parquet encodings across fixture
+      // generations; both normalize to a µs-precision UTC TimestampType so
+      // every event-time consumer (watermarks, unix_micros, window())
+      // sees one type:
+      //   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+      //     spark.sql.legacy.parquet.nanosAsLong (set at SparkSession build
+      //     time by every main/test fixture — never mutated here, a
+      //     per-call conf.set would race concurrent reads) the nanos come
+      //     back as LongType and are converted to a µs timestamp (the data
+      //     is µs-granular, so the truncation is exact);
+      //   - timestamp[us] with no UTC adjustment → TimestampNTZType: the
+      //     fixture's wall-clock is UTC by construction (the reference pins
+      //     UTC engine-wide — clickhouse-config/config.xml:48), and every
+      //     entry point (Verify/Bench/PlanDump/SparkSpec) sets
+      //     spark.sql.session.timeZone=UTC, so the cast to TimestampType
+      //     reinterprets the wall-clock as the identical UTC instant.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -27,19 +27,25 @@ object EventStreams {
   /** Session gap: a new session starts after 30 minutes of inactivity. */
   val SessionGapSeconds = 1800L
 
-  /** The events fixture read as a STREAM: file source over the parquet
-    * (nanos timestamps arrive as longs under the session's
-    * `nanosAsLong` conf and are converted to µs timestamps, mirroring
-    * [[graft.Tables.load]]). */
+  /** The events fixture read as a STREAM: file source over the parquet,
+    * normalizing `ts` to UTC TimestampType exactly as [[graft.Tables.load]]
+    * does for the batch form (nanos-as-long fixtures via timestamp_micros;
+    * TIMESTAMP_NTZ fixtures via a cast — the wall-clock is UTC by
+    * construction and every entry point pins session.timeZone=UTC; a
+    * watermark rejects NTZ, so the normalization is load-bearing here). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Watermarked tumbling-window aggregation (1 hour) — the streaming

@@ -915,16 +915,28 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(gvals == Set(("A", "1.25", "2.50", "3.75"), ("B", "4.00", "4.00", "4.00")),
       s"grouped decimal metadata answer wrong: $gvals")
     // precision > 18 decimals are FIXED_LEN_BYTE_ARRAY-encoded: their
-    // footer stats are dropped at record time, so MIN/MAX declines to the
-    // scan (conservative; results stay exact)
+    // footer stats are recorded as two's-complement unscaled ints under
+    // kind "d", so MIN/MAX serves from metadata like the narrow decimals
     val wide = Seq((1L, "1.25"), (2L, "2.50")).toDF("id", "s")
       .select(col("id"), col("s").cast("decimal(20,2)").as("m"))
     val tw = graft.lake.LakeTable.create(spark, s"$dir/tw", "tw", wide.schema)
     tw.append(wide)
-    val wmm = readLake(tw.location).agg(min(col("m")).as("mn"))
-    assert(wmm.queryExecution.executedPlan.toString.contains("BatchScan"),
-      "FLBA-encoded decimal MIN must decline to the scan")
-    assert(wmm.head.getDecimal(0) == new java.math.BigDecimal("1.25"))
+    val wmm = readLake(tw.location).agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    assert(wmm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "FLBA-encoded decimal MIN/MAX should be metadata-served")
+    assert(wmm.schema("mn").dataType == org.apache.spark.sql.types.DecimalType(20, 2))
+    assert(wmm.head.getDecimal(0) == new java.math.BigDecimal("1.25") &&
+      wmm.head.getDecimal(1) == new java.math.BigDecimal("2.50"))
+    // ... but precision > 30 could pre-date scaled recording in mixed
+    // manifests and stays unservable: MIN declines to a value-correct scan
+    val huge = Seq((1L, "1.25"), (2L, "2.50")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(32,2)").as("m"))
+    val th = graft.lake.LakeTable.create(spark, s"$dir/th", "th", huge.schema)
+    th.append(huge)
+    val hmm = readLake(th.location).agg(min(col("m")).as("mn"))
+    assert(hmm.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "precision>30 decimal MIN must decline to the scan")
+    assert(hmm.head.getDecimal(0) == new java.math.BigDecimal("1.25"))
 
     // COUNT(DISTINCT <identity source>): the tuples enumerate the
     // distinct values — grouped, filtered, and global shapes all serve
