@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // Operators return unordered plans (a verification-only global sort
       // inside an operator would be a full range-partition shuffle at scale
@@ -32,9 +33,20 @@ object Verify {
           df.columns.map(c => org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
         canonical.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // A thrown query writes no output and would otherwise just VANISH from
+    // the driver's per-query scoreboard (round 9 lost q50/q51 exactly this
+    // way) — make the round summary impossible to miss, on stdout AND
+    // stderr, before the oracle dump.
+    val total = SparkEntry.queries.size
+    val summary =
+      if (failed.isEmpty) s"[verify] all $total queries dumped"
+      else s"[verify] ${total - failed.size}/$total dumped; FAILED: ${failed.sorted.mkString(", ")}"
+    println(summary)
+    System.err.println(summary)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

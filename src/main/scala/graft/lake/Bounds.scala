@@ -183,7 +183,17 @@ object ColumnBounds {
     * (→ caller keeps the file). A DECIMAL literal only ever compares
     * against kind-"d" bounds: bounds a pre-scaled-stats-fix writer
     * recorded for decimal columns live under "n" in the UNSCALED integer
-    * domain, where a scaled comparison would prune matching files. */
+    * domain, where a scaled comparison would prune matching files.
+    *
+    * QUARANTINE: those legacy kind-"n" decimal bounds are permanently
+    * declined — value-correct (every file is kept and scanned) but with
+    * decimal pruning and metadata MIN/MAX serving lost for the affected
+    * snapshots. There is no in-place migration (manifests are immutable);
+    * the rewrite path is [[LakeTable.compactDirty]], whose rewritten files
+    * get fresh footer stats recorded under the current kind-"d" format —
+    * after a compaction touching the affected partitions, pruning returns.
+    * `$files.metrics` exposes the per-bound kind (`"k"`) so a metadata
+    * consumer can tell scaled from quarantined-unscaled at a glance. */
   private def cmp(b: ColBound, bound: String, literal: Any): Option[Int] = {
     val decimalLit = literal.isInstanceOf[java.math.BigDecimal] ||
       literal.isInstanceOf[BigDecimal]

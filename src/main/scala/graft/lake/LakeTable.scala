@@ -1355,8 +1355,11 @@ object LakeTable {
     (schema.fieldNames ++ partitionSpec.map(_.name)).foreach(n =>
       require(!isReservedName(n.toLowerCase(java.util.Locale.ROOT)),
         s"$name: $n is reserved — the _graft namespace belongs to derived storage columns"))
-    if (clusterStrategy == "range")
+    if (clusterStrategy == "range") {
       require(clusterBy.nonEmpty, "range clustering needs cluster_by columns")
+      clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+        s"range cluster key $c must be a table column"))
+    }
     if (clusterStrategy == "zorder") {
       require(clusterBy.nonEmpty, "z-order clustering needs cluster_by columns")
       clusterBy.foreach(c => require(

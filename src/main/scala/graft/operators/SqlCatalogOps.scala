@@ -22,8 +22,14 @@ object SqlCatalogOps {
     * (idempotent; the warehouse conf is read per-operation, see
     * [[graft.sources.GraftCatalog]]). */
   private def registerCatalog(s: SparkSession, dir: String): Unit = {
-    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.graft.catalog.warehouse", LakePipelines.warehouse(dir))
+    val cls = classOf[graft.sources.GraftCatalog].getName
+    val wh = LakePipelines.warehouse(dir)
+    // no-op when already registered: a serve-path query calls this per
+    // invocation and a redundant conf.set is pure overhead
+    if (!s.conf.getOption("spark.sql.catalog.graft").contains(cls))
+      s.conf.set("spark.sql.catalog.graft", cls)
+    if (!s.conf.getOption("spark.graft.catalog.warehouse").contains(wh))
+      s.conf.set("spark.graft.catalog.warehouse", wh)
   }
 
   /** Silver tier built with spark.sql ONLY (CREATE + INSERT INTO SELECT) —

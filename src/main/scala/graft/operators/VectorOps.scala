@@ -464,7 +464,39 @@ object VectorOps {
       |  WHERE vec_id IN (0, 123, 321)
       |)""".stripMargin
 
+  /** q91 — SRP-LSH embedding near-dup pairs, oracle-checked END TO END.
+    * The fixture holds no organic pairs near the dup band (max cosine
+    * ≈0.60 at sf0.1), so the query PLANTS exact duplicates — every
+    * `vec_id % 5 == 0` vector re-enters under `vec_id + PlantOffset` —
+    * and runs the sub-quadratic banded pipeline ([[lshNeardupPairs]]: no
+    * join in the plan, codes → band buckets → in-bucket pairs → exact
+    * cosine verify) at minSim 0.9. Identical vectors produce identical
+    * sign-random-projection codes, so every planted pair collides in
+    * every band BY CONSTRUCTION — recall 1 deterministically, not
+    * probabilistically — while organic pairs sit ≥0.29 below the
+    * threshold. The surviving pair set is therefore exactly the planted
+    * set, plain-SQL-expressible, and the whole LSH path hash-checks
+    * against DuckDB (the q71/q77 family's first fully oracle-checked
+    * member; recall on NON-identical planted neighbors stays
+    * spec-asserted, VectorOpsSpec). */
+  val PlantOffset = 1000000L
+  val lshNeardup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
+    lshNeardupPairs(s, dir, minSim = 0.9, df = Some(base.unionByName(planted)))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q91_lsh_neardup_pairs", lshNeardup, bench = true, oracle = Some(
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6)) qv
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |), n AS (SELECT vec_id, qv, list_dot_product(qv, qv) nq FROM e)
+        |SELECT vec_id AS vec_i, vec_id + 1000000 AS vec_j,
+        |  list_dot_product(qv, qv) / sqrt(nq * nq) AS sim
+        |FROM n
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q39_exact_topk_cosine", exactTopK, bench = true, oracle = Some(
       quantCte +
         """

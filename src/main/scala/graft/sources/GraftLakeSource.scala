@@ -1255,8 +1255,12 @@ private[sources] class GraftLakeScan(
     // all-null and correctly drops them.
     val history = (1 to snap.schemaVersion).map(t.schema) // versions start at 1
     def physicallyStable(name: String): Boolean = {
+      // resolve case-INsensitively, like every other name lookup in this
+      // source — a pushed filter may carry the analyzer's casing while the
+      // schema history holds the writer's
       val keys = history.flatMap(s =>
-        s.fields.find(_.name == name).map(f => ParquetPushdown.physicalKey(f.dataType)))
+        s.fields.find(_.name.equalsIgnoreCase(name))
+          .map(f => ParquetPushdown.physicalKey(f.dataType)))
       keys.distinct.size <= 1
     }
     GraftLakeReaderFactory(required, t.meta.primaryKey, tombstones, types, hadoopConf,

@@ -69,15 +69,21 @@ private[sources] object GraftLakeMetaTable {
   }
 
   /** Per-file column metrics as one deterministic JSON document:
-    * `{"col":{"lo":…,"hi":…,"nn":…,"sum":…}}`, column names sorted,
-    * absent stats omitted (empty document for pre-stats metadata). */
+    * `{"col":{"k":…,"lo":…,"hi":…,"nn":…,"sum":…}}`, column names sorted,
+    * absent stats omitted (empty document for pre-stats metadata). `k` is
+    * the bound kind the commit recorded — load-bearing for decimal
+    * columns, where kind-"d" lo/hi are SCALED decimals but legacy kind-"n"
+    * bounds (written before the scaled-stats fix) are raw UNSCALED
+    * integers: without the kind a consumer could read 15000 as 15000.00
+    * when it means 150.00. */
   private def renderMetrics(f: graft.lake.DataFile): UTF8String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     val cols = (f.bounds.keySet ++ f.nonNull.keySet ++ f.sums.keySet).toSeq.sorted
     cols.foreach { c =>
       val o = root.putObject(c)
-      f.bounds.get(c).foreach { b => o.put("lo", b.min); o.put("hi", b.max) }
+      f.bounds.get(c).foreach { b =>
+        o.put("k", b.kind); o.put("lo", b.min); o.put("hi", b.max) }
       f.nonNull.get(c).foreach(n => o.put("nn", n))
       f.sums.get(c).foreach(s => o.put("sum", s))
     }

@@ -70,6 +70,40 @@ class RelationalOpsSpec extends SparkSpec {
     assert(e.count() > 0)
   }
 
+  test("Tables.load normalizes ts for BOTH event-fixture encodings, not just the shipped one") {
+    // The driver has regenerated events.parquet across rounds with two
+    // different physical ts encodings (TIMESTAMP(NANOS) → long under
+    // nanosAsLong; timestamp[us] no-UTC-adjust → TIMESTAMP_NTZ). Round 9
+    // shipped against one and broke when the other arrived — this pins the
+    // contract on SYNTHETIC fixtures of each shape, independent of
+    // whatever /root/testdata currently holds.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-enc").toString
+    val instant = "2024-03-01T12:34:56.789012Z"
+    // NTZ shape: write a TIMESTAMP_NTZ ts column (parquet timestamp[us],
+    // isAdjustedToUTC=false). The UTC wall-clock must read back as the
+    // same UTC instant.
+    spark.sql(s"SELECT 1L AS user_id, TIMESTAMP_NTZ'2024-03-01 12:34:56.789012' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ntz = Tables.load(spark, dir, "events")
+    assert(ntz.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ntz.select(unix_micros(col("ts"))).head.getLong(0) ==
+      java.time.Instant.parse(instant).toEpochMilli * 1000 + 12)
+    // nanos shape: the legacy fixture reads as LongType nanos under the
+    // session's nanosAsLong; Tables.load converts via timestamp_micros.
+    // Writing TIMESTAMP(NANOS) parquet isn't possible from Spark 4, so
+    // feed the post-read shape (a long ts column read through the same
+    // loader path) — the branch under test is the LongType one.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-events-enc2").toString
+    spark.sql(s"SELECT 1L AS user_id, " +
+      s"${java.time.Instant.parse(instant).toEpochMilli * 1000000 + 12000}L AS ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val nanos = Tables.load(spark, dir2, "events")
+    assert(nanos.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(nanos.select(unix_micros(col("ts"))).head.getLong(0) ==
+      java.time.Instant.parse(instant).toEpochMilli * 1000 + 12)
+  }
+
   test("q49 seeded sample is deterministic per seed and seed-sensitive (O4)") {
     import org.apache.spark.sql.functions._
     val once = RelationalOps.seededSample(spark, sfDir).collect().map(_.getLong(0)).toSeq

@@ -113,6 +113,58 @@ class BoundsSpec extends SparkSpec {
     assert(t.planFiles(snap, Seq(Lt("m", dec("150.00"))))._1.size == 1)
   }
 
+  test("kind-'d' bound logic: scaled decimal pruning; legacy 'n' bounds never prune decimals") {
+    import PruneFilter._
+    def dec(s: String) = new java.math.BigDecimal(s)
+    // kind "d": lo/hi are SCALED decimals, compared in the decimal domain
+    val d = Map("m" -> ColBound("d", "100.00", "200.00"))
+    assert(ColumnBounds.mayMatch(d, Eq("m", dec("150.00"))))
+    assert(ColumnBounds.mayMatch(d, Eq("m", dec("100.00"))))
+    assert(!ColumnBounds.mayMatch(d, Eq("m", dec("99.99"))))
+    assert(!ColumnBounds.mayMatch(d, Gt("m", dec("200.00"))))
+    assert(ColumnBounds.mayMatch(d, Ge("m", dec("200.00"))))
+    assert(!ColumnBounds.mayMatch(d, Lt("m", dec("100.00"))))
+    assert(ColumnBounds.mayMatch(d, Le("m", dec("100.00"))))
+    assert(ColumnBounds.mayMatch(d, In("m", Seq(dec("1.00"), dec("150.00")))))
+    assert(!ColumnBounds.mayMatch(d, In("m", Seq(dec("1.00"), dec("2.00")))))
+    // non-decimal literals still compare against "d" bounds numerically
+    assert(ColumnBounds.mayMatch(d, Eq("m", 150L)))
+    assert(!ColumnBounds.mayMatch(d, Eq("m", 99L)))
+    // QUARANTINE: a decimal literal vs a legacy kind-"n" bound NEVER
+    // prunes — those bounds are unscaled integers (150.00 stored as
+    // 15000) and a scaled comparison would drop matching files
+    val n = Map("m" -> ColBound("n", "10000", "20000"))
+    assert(ColumnBounds.mayMatch(n, Eq("m", dec("150.00"))))
+    assert(ColumnBounds.mayMatch(n, Lt("m", dec("100.00")))) // would prune if trusted
+    assert(ColumnBounds.mayMatch(n, Gt("m", dec("200.00"))))
+  }
+
+  test("precision>18 decimals (FLBA-encoded) round-trip scaled kind-'d' footer bounds") {
+    val dir = Files.createTempDirectory("graft-bounds-flba").toString
+    val df = Seq((1L, "100.00"), (2L, "150.00"), (3L, "200.00"))
+      .toDF("id", "ms")
+      .select($"id", $"ms".cast("decimal(20,2)").as("m"))
+      .coalesce(1)
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    val snap = t.currentSnapshot
+    assert(snap.dataFiles.size == 1)
+    val b = snap.dataFiles.head.bounds.get("m")
+    assert(b.nonEmpty, "no FLBA decimal bounds recorded")
+    assert(b.get.kind == "d", s"kind ${b.get.kind}")
+    assert(BigDecimal(b.get.min) == BigDecimal("100.00"), s"min ${b.get.min}")
+    assert(BigDecimal(b.get.max) == BigDecimal("200.00"), s"max ${b.get.max}")
+    // bounds survive the manifest round trip and drive pruning
+    LakeTable.manifestCache.clear()
+    def dec(s: String) = new java.math.BigDecimal(s)
+    import PruneFilter._
+    val snap2 = t.currentSnapshot
+    assert(snap2.dataFiles.head.bounds("m").kind == "d")
+    assert(t.planFiles(snap2, Seq(Gt("m", dec("200.00"))))._1.isEmpty)
+    assert(t.planFiles(snap2, Seq(Lt("m", dec("150.00"))))._1.size == 1)
+    assert(t.scan(filters = Seq(Lt("m", dec("150.00")))).count() == 1)
+  }
+
   test("upsert tombstones still apply when the data files are bounds-pruned") {
     val dir = Files.createTempDirectory("graft-bounds-mor").toString
     val df = (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")

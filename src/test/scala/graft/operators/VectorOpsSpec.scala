@@ -118,6 +118,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("q91: registered LSH near-dup query returns exactly the planted pair set") {
+    val got = VectorOps.lshNeardup(spark, sfDir)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    val expected = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 5 === 0).select("vec_id").as[Long].collect()
+      .map(id => (id, id + VectorOps.PlantOffset)).toSet
+    assert(expected.nonEmpty, "no planted ids; test is vacuous")
+    assert(got == expected, s"missed=${expected -- got} extra=${got -- expected}")
+    // sims are the exact-verify cosines of identical vectors: the planted
+    // threshold margin is wide (organic max ≈0.48 at this sf, cut at 0.9)
+    val sims = VectorOps.lshNeardup(spark, sfDir).select("sim").as[Double].collect()
+    assert(sims.forall(_ >= 0.9) && sims.forall(_ <= 1.0))
+  }
+
   test("native graft_dot / graft_l2sq are bit-identical to the functions._ composition") {
     import graft.functions.VectorMath
     import org.apache.spark.sql.Column

@@ -937,6 +937,22 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(hmm.queryExecution.executedPlan.toString.contains("BatchScan"),
       "precision>30 decimal MIN must decline to the scan")
     assert(hmm.head.getDecimal(0) == new java.math.BigDecimal("1.25"))
+    // decimal SUM caps at precision 28 (ColumnSums.summable: beyond that a
+    // per-file decimal(38,s) accumulation could overflow — null in default
+    // mode, a THROW inside the commit under ANSI). DECIMAL(30,2): SUM
+    // declines to a value-correct scan while MIN/MAX (cap 30) still serves
+    val p30 = Seq((1L, "1.25"), (2L, "2.50")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(30,2)").as("m"))
+    val t30 = graft.lake.LakeTable.create(spark, s"$dir/t30", "t30", p30.schema)
+    t30.append(p30)
+    val s30 = readLake(t30.location).agg(sum(col("m")).as("sm"))
+    assert(s30.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "precision>28 decimal SUM must decline to the scan")
+    assert(s30.head.getDecimal(0) == new java.math.BigDecimal("3.75"))
+    val m30 = readLake(t30.location).agg(min(col("m")).as("mn"))
+    assert(m30.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "precision-30 decimal MIN should still be metadata-served")
+    assert(m30.head.getDecimal(0) == new java.math.BigDecimal("1.25"))
 
     // COUNT(DISTINCT <identity source>): the tuples enumerate the
     // distinct values — grouped, filtered, and global shapes all serve

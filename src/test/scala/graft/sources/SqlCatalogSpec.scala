@@ -494,7 +494,7 @@ class SqlCatalogSpec extends SparkSpec {
     val metrics = spark.sql("SELECT partition, metrics FROM graft.`mt$files`")
       .as[(String, String)].collect().toMap
     val aMetrics = metrics("p_s=A")
-    assert(aMetrics.contains(""""id":{"lo":"1","hi":"2","nn":2,"sum":"3"}"""),
+    assert(aMetrics.contains(""""id":{"k":"n","lo":"1","hi":"2","nn":2,"sum":"3"}"""),
       s"unexpected metrics document: $aMetrics")
 
     // a zero-task plan: the scan is driver-local
