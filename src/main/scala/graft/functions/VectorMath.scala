@@ -81,8 +81,21 @@ object VectorMath {
     * multi-band coding path. Hyperplane k's sum uses xxhash64(k, j) signs,
     * bit-identical to chaining [[srpCode]] with offset = band·bits (each
     * vector element updates every sum as it streams past, instead of n
-    * full re-traversals — the single-pass aggregate lesson). */
+    * full re-traversals — the single-pass aggregate lesson). Picks the
+    * NATIVE kernel ([[graft.plans.SrpSums]], one compiled loop instead of
+    * dim × n interpreted lambda evaluations) when the session has
+    * GraftExtensions; the HOF composition below otherwise — bit-identical
+    * by construction and spec. */
   def srpSums(v: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists(graft.plans.GraftExtensions.SrpSumsName))
+      .map(_ => call_function(graft.plans.GraftExtensions.SrpSumsName, v, lit(n)))
+      .getOrElse(srpSumsHof(v, n))
+
+  /** The pure-functions form of [[srpSums]] — the no-extension fallback
+    * and the bit-parity baseline the native kernel is spec-checked
+    * against. */
+  def srpSumsHof(v: Column, n: Int): Column =
     aggregate(
       zip_with(v, sequence(lit(0), size(v) - 1),
         (x, j) => struct(x.cast("double").as("x"), j.as("j"))),
@@ -95,12 +108,30 @@ object VectorMath {
     * sign bits of sums[b·bits .. b·bits+bits)). `sums` must be a stored
     * attribute, not an inline [[srpSums]] expression — the per-band lambda
     * references it `bands` times and an inline expression would recompute
-    * the whole projection each time. */
+    * the whole projection each time.
+    *
+    * CAUTION (the round-10 q91 lesson): exploding THIS array triggers
+    * Catalyst's `InferFiltersFromGenerate` + predicate pushdown, which
+    * substitutes the sums attribute's DEFINITION into the pushed
+    * `size(codes) > 0` filter — re-evaluating the whole O(bands·bits·dim)
+    * projection once per BIT inside an interpreted HOF fold (a measured
+    * ~35× blowup at sf0.1). For explode pipelines, explode a constant
+    * band range (its inferred filter constant-folds away) and compute one
+    * band's code per row with [[srpBandCode]] instead. */
   def srpBandCodes(sums: Column, bands: Int, bits: Int): Column = {
     require(bits >= 1 && bits <= 30, s"srp bits must be in [1, 30], got $bits (Int code)")
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (code, h) =>
-        code + when(element_at(sums, b * lit(bits) + h + 1) >= 0,
-          pow(lit(2.0), h).cast("int")).otherwise(lit(0))))
+    transform(sequence(lit(0), lit(bands - 1)), b => bandFold(sums, b, bits))
   }
+
+  /** One band's integer code from a materialized sums attribute — the
+    * per-exploded-row sibling of [[srpBandCodes]] (bit-identical fold). */
+  def srpBandCode(sums: Column, band: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, s"srp bits must be in [1, 30], got $bits (Int code)")
+    bandFold(sums, band, bits)
+  }
+
+  private def bandFold(sums: Column, b: Column, bits: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (code, h) =>
+      code + when(element_at(sums, b * lit(bits) + h + 1) >= 0,
+        pow(lit(2.0), h).cast("int")).otherwise(lit(0)))
 }

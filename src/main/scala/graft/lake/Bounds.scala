@@ -180,10 +180,11 @@ object ColumnBounds {
   // -------------------------------------------------------------- pruning
 
   /** sign(bound - literal) in the bound's domain, None when incomparable
-    * (→ caller keeps the file). A DECIMAL literal only ever compares
-    * against kind-"d" bounds: bounds a pre-scaled-stats-fix writer
-    * recorded for decimal columns live under "n" in the UNSCALED integer
-    * domain, where a scaled comparison would prune matching files.
+    * (→ caller keeps the file). A DECIMAL literal compares against
+    * kind-"n" bounds only when the caller proves the COLUMN is not
+    * decimal: bounds a pre-scaled-stats-fix writer recorded for decimal
+    * columns live under "n" in the UNSCALED integer domain, where a
+    * scaled comparison would prune matching files.
     *
     * QUARANTINE: those legacy kind-"n" decimal bounds are permanently
     * declined — value-correct (every file is kept and scanned) but with
@@ -194,9 +195,15 @@ object ColumnBounds {
     * after a compaction touching the affected partitions, pruning returns.
     * `$files.metrics` exposes the per-bound kind (`"k"`) so a metadata
     * consumer can tell scaled from quarantined-unscaled at a glance. */
-  private def cmp(b: ColBound, bound: String, literal: Any): Option[Int] = {
-    val decimalLit = literal.isInstanceOf[java.math.BigDecimal] ||
-      literal.isInstanceOf[BigDecimal]
+  private def cmp(b: ColBound, bound: String, literal: Any,
+      colKnownNonDecimal: Boolean): Option[Int] = {
+    // The kind-"n" decline applies to decimal literals only because a
+    // DECIMAL COLUMN's legacy bounds are unscaled; when the caller proves
+    // the column's schema type is NOT decimal (int/long/double bounds in
+    // the plain value domain), a decimal-typed literal compares
+    // numerically like any other number.
+    val decimalLit = (literal.isInstanceOf[java.math.BigDecimal] ||
+      literal.isInstanceOf[BigDecimal]) && !colKnownNonDecimal
     (b.kind, canon(literal)) match {
       case ("n", Some(Left(lit))) if !decimalLit =>
         try Some(BigDecimal(bound).compare(lit).sign)
@@ -237,14 +244,21 @@ object ColumnBounds {
   /** Conservative file-survival test against recorded column bounds:
     * false ONLY when no value in [min, max] can satisfy the filter.
     * Bounds cover non-null values; null rows never satisfy a comparison
-    * predicate, so their presence cannot invalidate a prune. */
-  def mayMatch(bounds: Map[String, ColBound], f: PruneFilter): Boolean =
+    * predicate, so their presence cannot invalidate a prune.
+    * `nonDecimalCols` (lower-cased names) are columns the caller proves
+    * are NOT DecimalType in the schema — for those, a decimal literal
+    * still prunes against kind-"n" bounds (the quarantine only protects
+    * decimal columns' legacy unscaled bounds); default empty keeps the
+    * fully conservative behavior. */
+  def mayMatch(bounds: Map[String, ColBound], f: PruneFilter,
+      nonDecimalCols: Set[String] = Set.empty): Boolean =
     bounds.get(f.column) match {
       case None => true // no bounds recorded: cannot prune
       case Some(b) =>
         import PruneFilter._
-        def geMin(v: Any) = cmp(b, b.min, v) // sign(min - v)
-        def geMax(v: Any) = cmp(b, b.max, v) // sign(max - v)
+        val nonDec = nonDecimalCols(f.column.toLowerCase(java.util.Locale.ROOT))
+        def geMin(v: Any) = cmp(b, b.min, v, nonDec) // sign(min - v)
+        def geMax(v: Any) = cmp(b, b.max, v, nonDec) // sign(max - v)
         f match {
           case Eq(_, v) => geMin(v).forall(_ <= 0) && geMax(v).forall(_ >= 0)
           case In(_, vs) =>

@@ -698,13 +698,24 @@ final class LakeTable private (
   def planFiles(snap: Snapshot, filters: Seq[PruneFilter]): (Seq[DataFile], Int) = {
     val total = snap.dataFiles.size
     val spec = specFieldsThrough(snap.specVersion)
+    val nonDec = nonDecimalColumns(snap.schemaVersion)
     val kept = snap.dataFiles.filter { f =>
       filters.forall(fl =>
         PruneFilter.mayMatch(spec, f.partition, fl) &&
-          ColumnBounds.mayMatch(f.bounds, fl))
+          ColumnBounds.mayMatch(f.bounds, fl, nonDec))
     }
     (kept, total)
   }
+
+  /** Lower-cased names of schema columns that are NOT DecimalType — lets
+    * bounds pruning compare decimal-typed literals against kind-"n"
+    * bounds for genuinely non-decimal columns (the legacy-unscaled
+    * quarantine only concerns decimal columns). */
+  private[graft] def nonDecimalColumns(schemaVersion: Int): Set[String] =
+    schema(schemaVersion).fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        f.name.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
 
   // ------------------------------------------------------------ internals
 

@@ -400,15 +400,24 @@ object VectorOps {
     val base = df.getOrElse(emb(s, dir))
     // ONE traversal computes all bands*bits projection sums; the sums land
     // as a materialized column so the per-band code fold references them
-    // for free (an inline expression would re-project once per band)
+    // for free (an inline expression would re-project once per band).
+    // The (band, code) fan-out explodes a CONSTANT band range rather than
+    // a per-row codes array: exploding the array makes Catalyst infer a
+    // `size(codes) > 0` filter and push it below the sums projection,
+    // substituting the sums DEFINITION into the per-bit fold — the whole
+    // O(bands·bits·dim) signature re-evaluated once per bit in an
+    // interpreted HOF (measured 67 s vs <2 s at sf0.1). The constant
+    // range's inferred filter constant-folds away, and each exploded row
+    // folds its one band's code from the materialized sums attribute.
     val e = base.select(
       col("vec_id"),
       VectorMath.quantize(col("embedding")).as("qv"),
       VectorMath.srpSums(col("embedding"), bands * bits).as("sums"))
       .withColumn("nq", VectorMath.normSq(col("qv")))
-      .withColumn("codes", VectorMath.srpBandCodes(col("sums"), bands, bits))
-    e.select(col("vec_id"), col("qv"), col("nq"), posexplode(col("codes")))
-      .select(col("vec_id"), col("qv"), col("nq"), col("pos").as("band"), col("col").as("code"))
+    e.select(col("vec_id"), col("qv"), col("nq"), col("sums"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("vec_id"), col("qv"), col("nq"), col("band"),
+        VectorMath.srpBandCode(col("sums"), col("band"), bits).as("code"))
       .groupBy(col("band"), col("code"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("qv"), col("nq")))).as("ms"))
       .filter(size(col("ms")) > 1)

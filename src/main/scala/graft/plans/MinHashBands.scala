@@ -112,6 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shinglesDescriptor)
     ext.injectFunction(GraftExtensions.rankOrderDescriptor)
     ext.injectFunction(GraftExtensions.interCountDescriptor)
+    ext.injectFunction(GraftExtensions.srpSumsDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
     // metadata-answered GROUP BY over partition transforms (month/day/...)
@@ -127,6 +128,21 @@ object GraftExtensions {
   val ShinglesName = "graft_shingles"
   val RankOrderName = "graft_rank_order"
   val InterCountName = "graft_inter_count"
+  val SrpSumsName = "graft_srp_sums"
+
+  private[plans] val srpSumsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(SrpSumsName),
+    new ExpressionInfo(classOf[SrpSums].getName, SrpSumsName),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, s"$SrpSumsName(v, n)")
+      val n = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"n must be an int literal, got $other")
+      }
+      SrpSums(args.head, n)
+    },
+  )
 
   private[plans] val shinglesDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

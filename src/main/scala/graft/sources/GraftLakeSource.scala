@@ -1364,12 +1364,13 @@ private[sources] class GraftLakeMicroBatchStream(
         s"streaming bootstrap snapshot $s carries merge-on-read deletes; " +
           "compact the table before streaming it")
     val spec = t.specFieldsThrough(snap.specVersion)
+    val nonDec = t.nonDecimalColumns(snap.schemaVersion)
     val newFiles = snap.dataFiles
       // bootstrap batch = the WHOLE earliest snapshot, then strict increments
       .filter(f => (if (s0 == Bootstrap) f.seq <= s else false) || (f.seq > s && f.seq <= e))
       .filter(f => filters.forall(fl =>
         PruneFilter.mayMatch(spec, f.partition, fl) &&
-          graft.lake.ColumnBounds.mayMatch(f.bounds, fl)))
+          graft.lake.ColumnBounds.mayMatch(f.bounds, fl, nonDec)))
     GraftLakeSource.planFileSplits(t, newFiles)
   }
 

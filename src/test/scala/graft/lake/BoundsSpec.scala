@@ -137,6 +137,13 @@ class BoundsSpec extends SparkSpec {
     assert(ColumnBounds.mayMatch(n, Eq("m", dec("150.00"))))
     assert(ColumnBounds.mayMatch(n, Lt("m", dec("100.00")))) // would prune if trusted
     assert(ColumnBounds.mayMatch(n, Gt("m", dec("200.00"))))
+    // ... but when the caller proves the column is NOT decimal (long
+    // bounds in the plain value domain), a decimal-typed literal prunes
+    // numerically — the quarantine only protects decimal columns
+    val longCol = Set("m")
+    assert(!ColumnBounds.mayMatch(n, Eq("m", dec("9999")), longCol))
+    assert(ColumnBounds.mayMatch(n, Eq("m", dec("15000")), longCol))
+    assert(!ColumnBounds.mayMatch(n, Gt("m", dec("20000")), longCol))
   }
 
   test("precision>18 decimals (FLBA-encoded) round-trip scaled kind-'d' footer bounds") {

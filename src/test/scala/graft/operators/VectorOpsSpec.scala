@@ -132,6 +132,47 @@ class VectorOpsSpec extends SparkSpec {
     assert(sims.forall(_ >= 0.9) && sims.forall(_ <= 1.0))
   }
 
+  test("native graft_srp_sums is bit-identical to the HOF composition (incl. edge semantics)") {
+    import graft.functions.VectorMath
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.SrpSumsName),
+      "spec session must register the extensions")
+    val n = 64
+    val both = graft.Tables.load(spark, sfDir, "embeddings").limit(200)
+      .select(
+        VectorMath.srpSums(col("embedding"), n).as("nat"),
+        VectorMath.srpSumsHof(col("embedding"), n).as("hof"))
+    assert(both.queryExecution.executedPlan.toString.contains("graft_srp_sums"),
+      "native kernel not picked by the plan")
+    both.collect().foreach(r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), "corpus sums diverge"))
+    // edge semantics (probe-verified HOF behavior): a null ELEMENT yields
+    // n ZEROS (the poisoned lanes launder to 0.0 in ArrayAggregate's
+    // final cast to the zero-array's containsNull=false type), an empty
+    // array folds to n zeros, a null array is null — in BOTH forms, and
+    // both declare array<double> containsNull=false
+    val edge = Seq(
+      (1L, Some(Seq(Option(1.0f), None, Option(2.0f)))),
+      (2L, Some(Seq.empty[Option[Float]])),
+      (3L, Option.empty[Seq[Option[Float]]])).toDF("id", "v")
+    val edgeDf = edge.select(col("id"),
+      VectorMath.srpSums(col("v"), 8).as("nat"),
+      VectorMath.srpSumsHof(col("v"), 8).as("hof"))
+    assert(edgeDf.schema("nat").dataType == edgeDf.schema("hof").dataType,
+      s"schema diverges: ${edgeDf.schema}")
+    val er = edgeDf.orderBy(col("id")).collect()
+    assert(er(0).getSeq[Double](1) == Seq.fill(8)(0.0) &&
+      er(0).getSeq[Double](1) == er(0).getSeq[Double](2), s"null-element row: ${er(0)}")
+    assert(er(1).getSeq[Double](1) == Seq.fill(8)(0.0) &&
+      er(1).getSeq[Double](1) == er(1).getSeq[Double](2), s"empty row: ${er(1)}")
+    assert(er(2).isNullAt(1) && er(2).isNullAt(2), s"null-array row: ${er(2)}")
+    // n > 64 and dim > 4096 take the uncached inline-hash path: same values
+    val big = Seq((1L, (0 until 4200).map(i => (i % 7 - 3) * 0.25f))).toDF("id", "v")
+    val br = big.select(
+      VectorMath.srpSums(col("v"), 70).as("nat"),
+      VectorMath.srpSumsHof(col("v"), 70).as("hof")).head
+    assert(br.getSeq[Double](0) == br.getSeq[Double](1), "inline-path sums diverge")
+  }
+
   test("native graft_dot / graft_l2sq are bit-identical to the functions._ composition") {
     import graft.functions.VectorMath
     import org.apache.spark.sql.Column
