@@ -165,12 +165,22 @@ object DedupOps {
     // them would share the identical all-sentinel signature and pile into
     // one giant bucket (quadratic pair expansion for pairs that can never
     // verify, jaccard undefined on empty sets)
+    // The (band, digest) fan-out explodes a CONSTANT band range, with each
+    // exploded row picking its digest from the materialized signature
+    // attribute — exploding the signature array itself makes Catalyst
+    // infer a `size(sig) > 0` filter and push it below the projection,
+    // substituting the full MinHash expression into the filter and
+    // computing every signature twice per row (the q91 SRP lesson; the
+    // constant range's inferred filter constant-folds away).
     val withBands = shingledDf
       .filter(size(col("sh")) > 0)
       .select(
         col("doc_id"),
-        posexplode(minhashBandsCol(s, col("sh"), bands, rows)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("digest"))
+        minhashBandsCol(s, col("sh"), bands, rows).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        element_at(col("sig"), col("band") + 1).as("digest"))
     withBands
       .groupBy(col("band"), col("digest"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
