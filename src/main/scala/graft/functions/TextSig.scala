@@ -95,11 +95,24 @@ object TextSig {
 
   /** 64-bit SimHash over the token multiset: per bit, majority vote of
     * each token's xxhash64 bit. Near-duplicates land within a small
-    * hamming distance. Single pass: tokens are pre-hashed once, the
-    * aggregate accumulates 64 bit-counters plus the token count, and the
-    * finish lambda packs the majority bits into two 32-bit halves (a full
+    * hamming distance. Picks the NATIVE kernel ([[graft.plans.SimHash64]],
+    * one compiled loop instead of tokens × 65 interpreted lambda lanes)
+    * when the session has GraftExtensions; the HOF composition below
+    * otherwise — bit-identical by construction and spec. */
+  def simhash(tok: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists(graft.plans.GraftExtensions.SimHashName))
+      .map(_ => org.apache.spark.sql.functions.call_function(
+        graft.plans.GraftExtensions.SimHashName, tok))
+      .getOrElse(simhashHof(tok))
+
+  /** The pure-functions form of [[simhash]] — the no-extension fallback
+    * and the bit-parity baseline the native kernel is spec-checked
+    * against. Single pass: tokens are pre-hashed once, the aggregate
+    * accumulates 64 bit-counters plus the token count, and the finish
+    * lambda packs the majority bits into two 32-bit halves (a full
     * 64-bit acc*2+b chain would overflow ANSI arithmetic). */
-  def simhash(tok: Column): Column = {
+  def simhashHof(tok: Column): Column = {
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     aggregate(
       transform(tok, w => xxhash64(w)),

@@ -113,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rankOrderDescriptor)
     ext.injectFunction(GraftExtensions.interCountDescriptor)
     ext.injectFunction(GraftExtensions.srpSumsDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
     // metadata-answered GROUP BY over partition transforms (month/day/...)
@@ -129,6 +130,17 @@ object GraftExtensions {
   val RankOrderName = "graft_rank_order"
   val InterCountName = "graft_inter_count"
   val SrpSumsName = "graft_srp_sums"
+  val SimHashName = "graft_simhash"
+
+  private[plans] val simhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(SimHashName),
+    new ExpressionInfo(classOf[SimHash64].getName, SimHashName),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, s"$SimHashName(tokens)")
+      SimHash64(args.head)
+    },
+  )
 
   private[plans] val srpSumsDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

@@ -76,6 +76,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("native graft_simhash is bit-identical to the HOF composition (incl. edge semantics)") {
+    import graft.functions.TextSig
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.SimHashName),
+      "spec session must register the extensions")
+    val both = graft.Tables.load(spark, sfDir, "documents")
+      .select(
+        TextSig.simhash(TextSig.tokens(col("text"))).as("nat"),
+        TextSig.simhashHof(TextSig.tokens(col("text"))).as("hof"))
+    assert(both.queryExecution.executedPlan.toString.contains("graft_simhash"),
+      "native kernel not picked by the plan")
+    assert(both.filter(col("nat") =!= col("hof")).count() == 0,
+      "corpus simhashes diverge")
+    // edge semantics: empty token array is all-ones (majority of zero
+    // tokens holds for every lane), a null TOKEN hashes as the seed
+    // (xxhash64 skips null children), a null array is null — both forms
+    val edge = Seq(
+      (1L, Some(Seq(Option("a"), None, Option("b")))),
+      (2L, Some(Seq.empty[Option[String]])),
+      (3L, Option.empty[Seq[Option[String]]])).toDF("id", "toks")
+    val er = edge.select(col("id"),
+      TextSig.simhash(col("toks")).as("nat"),
+      TextSig.simhashHof(col("toks")).as("hof"))
+      .orderBy(col("id")).collect()
+    assert(er(0).getLong(1) == er(0).getLong(2), s"null-token row: ${er(0)}")
+    assert(er(1).getLong(1) == -1L && er(1).getLong(2) == -1L, s"empty row: ${er(1)}")
+    assert(er(2).isNullAt(1) && er(2).isNullAt(2), s"null-array row: ${er(2)}")
+  }
+
   test("prefix-filter Jaccard join is EXACT: equals brute force at 0.8, no all-pairs join") {
     val sh = DedupOps.shingled(spark, sfDir)
     val a = sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
