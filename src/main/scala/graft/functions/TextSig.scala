@@ -100,11 +100,8 @@ object TextSig {
     * when the session has GraftExtensions; the HOF composition below
     * otherwise — bit-identical by construction and spec. */
   def simhash(tok: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .filter(_.catalog.functionExists(graft.plans.GraftExtensions.SimHashName))
-      .map(_ => org.apache.spark.sql.functions.call_function(
-        graft.plans.GraftExtensions.SimHashName, tok))
-      .getOrElse(simhashHof(tok))
+    graft.plans.GraftExtensions.nativeCall(
+      graft.plans.GraftExtensions.SimHashName, tok)(simhashHof(tok))
 
   /** The pure-functions form of [[simhash]] — the no-extension fallback
     * and the bit-parity baseline the native kernel is spec-checked

@@ -22,20 +22,13 @@ object VectorMath {
   def quantize(v: Column, scale: Double = 1e6): Column =
     transform(v, x => floor(x.cast("double") * scale))
 
-  /** Pick the NATIVE codegen'd kernel ([[graft.plans.VectorNative]],
-    * registered via GraftExtensions) when the active session has it —
-    * bit-identical by construction and spec; the pure-functions
-    * composition otherwise. Same pattern as the MinHash signature. */
-  private def nativeBinary(name: String, a: Column, b: Column)(fallback: => Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .filter(_.catalog.functionExists(name))
-      .map(_ => call_function(name, a, b))
-      .getOrElse(fallback)
-
   /** Dot product of two numeric arrays (left-to-right sum; exact when the
-    * inputs are quantized integers). */
+    * inputs are quantized integers). Native [[graft.plans.VectorNative]]
+    * kernel when the session has GraftExtensions
+    * ([[graft.plans.GraftExtensions.nativeCall]], the shared dispatch
+    * gate); the pure-functions composition otherwise. */
   def dot(a: Column, b: Column): Column =
-    nativeBinary(graft.plans.GraftExtensions.DotName, a, b)(
+    graft.plans.GraftExtensions.nativeCall(graft.plans.GraftExtensions.DotName, a, b)(
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
 
   /** Squared L2 norm. */
@@ -54,7 +47,7 @@ object VectorMath {
 
   /** Squared L2 distance — the product-quantization assignment metric. */
   def l2Sq(a: Column, b: Column): Column =
-    nativeBinary(graft.plans.GraftExtensions.L2SqName, a, b)(
+    graft.plans.GraftExtensions.nativeCall(graft.plans.GraftExtensions.L2SqName, a, b)(
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
   /** Sign-random-projection LSH code (`bits` hyperplanes): bit h is the
@@ -87,10 +80,8 @@ object VectorMath {
     * GraftExtensions; the HOF composition below otherwise — bit-identical
     * by construction and spec. */
   def srpSums(v: Column, n: Int): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .filter(_.catalog.functionExists(graft.plans.GraftExtensions.SrpSumsName))
-      .map(_ => call_function(graft.plans.GraftExtensions.SrpSumsName, v, lit(n)))
-      .getOrElse(srpSumsHof(v, n))
+    graft.plans.GraftExtensions.nativeCall(
+      graft.plans.GraftExtensions.SrpSumsName, v, lit(n))(srpSumsHof(v, n))
 
   /** The pure-functions form of [[srpSums]] — the no-extension fallback
     * and the bit-parity baseline the native kernel is spec-checked

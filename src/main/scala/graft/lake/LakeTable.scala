@@ -707,15 +707,24 @@ final class LakeTable private (
     (kept, total)
   }
 
-  /** Lower-cased names of schema columns that are NOT DecimalType — lets
-    * bounds pruning compare decimal-typed literals against kind-"n"
-    * bounds for genuinely non-decimal columns (the legacy-unscaled
-    * quarantine only concerns decimal columns). */
-  private[graft] def nonDecimalColumns(schemaVersion: Int): Set[String] =
-    schema(schemaVersion).fields.collect {
-      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-        f.name.toLowerCase(java.util.Locale.ROOT)
+  /** Lower-cased names of columns that were NEVER DecimalType in ANY
+    * schema version up to `schemaVersion` — lets bounds pruning compare
+    * decimal-typed literals against kind-"n" bounds for provably
+    * non-decimal columns (the legacy-unscaled quarantine only concerns
+    * decimal columns). The whole HISTORY must be clean, not just the
+    * latest schema: manifest entries (and their recorded bounds) survive
+    * a drop/re-add-as-long cycle, so a file written while the name was
+    * decimal may still carry unscaled kind-"n" bounds under a
+    * latest-schema-non-decimal name — pruning against those would
+    * silently drop matching files. */
+  private[graft] def nonDecimalColumns(schemaVersion: Int): Set[String] = {
+    val history = (1 to schemaVersion).map(schema)
+    val lower = (f: StructField) => f.name.toLowerCase(java.util.Locale.ROOT)
+    val everDecimal = history.flatMap(_.fields).collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => lower(f)
     }.toSet
+    history.flatMap(_.fields).map(lower).toSet -- everDecimal
+  }
 
   // ------------------------------------------------------------ internals
 

@@ -147,9 +147,9 @@ object DedupOps {
     * (equality spec-asserted corpus-wide). */
   private def minhashBandsCol(s: SparkSession, sh: org.apache.spark.sql.Column,
       bands: Int, rows: Int): org.apache.spark.sql.Column =
-    if (s.catalog.functionExists(graft.plans.GraftExtensions.MinHashBandsName))
-      call_function(graft.plans.GraftExtensions.MinHashBandsName, sh, lit(bands), lit(rows))
-    else TextSig.minhashBands(sh, bands, rows)
+    graft.plans.GraftExtensions.nativeCall(
+      graft.plans.GraftExtensions.MinHashBandsName, sh, lit(bands), lit(rows))(
+      TextSig.minhashBands(sh, bands, rows))
 
   def lshCandidates(s: SparkSession, dir: String,
       bands: Int = 8, rows: Int = 4): DataFrame =
@@ -316,20 +316,17 @@ object DedupOps {
     // NATIVE in-bucket expansion when the session has GraftExtensions (one
     // tight loop per bucket, only survivors allocate — graft_prefix_pairs);
     // identical-output HOF composition otherwise (equality spec-asserted)
-    val native = shingles.sparkSession.catalog
-      .functionExists(graft.plans.GraftExtensions.PrefixPairsName)
     def filteredPairs(ids: Column): Column =
-      if (native)
-        call_function(graft.plans.GraftExtensions.PrefixPairsName,
-          ids, lit(tNum), lit(tDen))
-      else filter(bucketPairs(ids) { (x, y) =>
-        val (sx, sy) = (x.getField("sz"), y.getField("sz"))
-        val alpha = ceil((lit(tNum) * (sx + sy)).cast("double") / lit(tNum + tDen)).cast("int")
-        val ubound = lit(1) + least(sx - x.getField("p"), sy - y.getField("p"))
-        when(
-          lit(tNum) * greatest(sx, sy) <= lit(tDen) * least(sx, sy) && ubound >= alpha,
-          struct(x.getField("doc_id").as("doc_i"), y.getField("doc_id").as("doc_j")))
-      }, p => p.isNotNull)
+      graft.plans.GraftExtensions.nativeCall(
+        graft.plans.GraftExtensions.PrefixPairsName, ids, lit(tNum), lit(tDen))(
+        filter(bucketPairs(ids) { (x, y) =>
+          val (sx, sy) = (x.getField("sz"), y.getField("sz"))
+          val alpha = ceil((lit(tNum) * (sx + sy)).cast("double") / lit(tNum + tDen)).cast("int")
+          val ubound = lit(1) + least(sx - x.getField("p"), sy - y.getField("p"))
+          when(
+            lit(tNum) * greatest(sx, sy) <= lit(tDen) * least(sx, sy) && ubound >= alpha,
+            struct(x.getField("doc_id").as("doc_i"), y.getField("doc_id").as("doc_j")))
+        }, p => p.isNotNull))
     ordered
       .select(col("doc_id"), sz.as("sz"),
         posexplode(slice(col("toks"), lit(1), prefixLen)))

@@ -487,10 +487,19 @@ object VectorOps {
     * set, plain-SQL-expressible, and the whole LSH path hash-checks
     * against DuckDB (the q71/q77 family's first fully oracle-checked
     * member; recall on NON-identical planted neighbors stays
-    * spec-asserted, VectorOpsSpec). */
-  val PlantOffset = 1000000L
+    * spec-asserted, VectorOpsSpec).
+    *
+    * Robust against fixture regeneration: degenerate vectors (null
+    * embedding, null element, all-zero after quantization — whose cosine
+    * is null/NaN and would diverge cross-engine, Spark ordering NaN >=
+    * 0.9 as true) are filtered out of BOTH the pipeline input and the
+    * oracle with the same predicate, and the plant offset sits far above
+    * any plausible organic vec_id so planted ids can never collide. */
+  val PlantOffset = 1000000000000L
   val lshNeardup: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull &&
+        VectorMath.normSq(VectorMath.quantize(col("embedding"))) > 0)
     val planted = base.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
     lshNeardupPairs(s, dir, minSim = 0.9, df = Some(base.unionByName(planted)))
@@ -498,14 +507,14 @@ object VectorOps {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q91_lsh_neardup_pairs", lshNeardup, bench = true, oracle = Some(
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6)) qv
-        |  FROM embeddings WHERE vec_id % 5 = 0
-        |), n AS (SELECT vec_id, qv, list_dot_product(qv, qv) nq FROM e)
-        |SELECT vec_id AS vec_i, vec_id + 1000000 AS vec_j,
-        |  list_dot_product(qv, qv) / sqrt(nq * nq) AS sim
-        |FROM n
-        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6)) qv
+         |  FROM embeddings WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
+         |), n AS (SELECT vec_id, qv, list_dot_product(qv, qv) nq FROM e)
+         |SELECT vec_id AS vec_i, vec_id + $PlantOffset AS vec_j,
+         |  list_dot_product(qv, qv) / sqrt(nq * nq) AS sim
+         |FROM n WHERE nq > 0
+         |ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q39_exact_topk_cosine", exactTopK, bench = true, oracle = Some(
       quantCte +
         """

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
@@ -131,6 +131,17 @@ object GraftExtensions {
   val InterCountName = "graft_inter_count"
   val SrpSumsName = "graft_srp_sums"
   val SimHashName = "graft_simhash"
+
+  /** Pick the registered native kernel when the ACTIVE session has the
+    * extensions; the pure-functions fallback otherwise (bit-identical by
+    * construction and spec). One gate for every kernel dispatch — note
+    * `getActiveSession` is thread-local: a Column built on a thread
+    * without an active session takes the (correct, slower) fallback. */
+  def nativeCall(name: String, args: Column*)(fallback: => Column): Column =
+    SparkSession.getActiveSession
+      .filter(_.catalog.functionExists(name))
+      .map(_ => org.apache.spark.sql.functions.call_function(name, args: _*))
+      .getOrElse(fallback)
 
   private[plans] val simhashDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

@@ -172,6 +172,32 @@ class BoundsSpec extends SparkSpec {
     assert(t.scan(filters = Seq(Lt("m", dec("150.00")))).count() == 1)
   }
 
+  test("nonDecimalColumns walks the WHOLE schema history, not just the latest version") {
+    // a file written while a name was decimal may carry legacy unscaled
+    // kind-"n" bounds in immutable manifests; the set must exclude any
+    // name that was EVER decimal up to the snapshot's version. Today the
+    // only route to a decimal→non-decimal transition — drop + re-add —
+    // is refused by addColumn (resurrection guard, asserted below), so
+    // the walk is defense-in-depth for any future evolution path.
+    val dir = Files.createTempDirectory("graft-bounds-hist").toString
+    val df = Seq((1L, "1.25")).toDF("id", "s")
+      .select($"id", $"s".cast("decimal(10,2)").as("m"))
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    t.dropColumn("m") // schema v2 no longer carries m at all...
+    val nonDec = t.nonDecimalColumns(t.currentSnapshot.schemaVersion)
+    assert(nonDec("id"), s"never-decimal column missing from $nonDec")
+    // ...but v1 had it as decimal, so the walk keeps it quarantined
+    assert(!nonDec("m"), s"historically-decimal column wrongly cleared: $nonDec")
+    // the engine refuses to resurrect the name with a new type
+    intercept[IllegalArgumentException](t.addColumn("m", "bigint"))
+    // and the quarantine holds through mayMatch: a decimal literal vs a
+    // legacy unscaled bound keeps the file under this set
+    val legacy = Map("m" -> ColBound("n", "125", "125"))
+    assert(ColumnBounds.mayMatch(legacy, PruneFilter.Lt("m", new java.math.BigDecimal("1.00")),
+      nonDec))
+  }
+
   test("upsert tombstones still apply when the data files are bounds-pruned") {
     val dir = Files.createTempDirectory("graft-bounds-mor").toString
     val df = (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
