@@ -102,6 +102,14 @@ class DedupOpsSpec extends SparkSpec {
     assert(er(0).getLong(1) == er(0).getLong(2), s"null-token row: ${er(0)}")
     assert(er(1).getLong(1) == -1L && er(1).getLong(2) == -1L, s"empty row: ${er(1)}")
     assert(er(2).isNullAt(1) && er(2).isNullAt(2), s"null-array row: ${er(2)}")
+    // byte-level parity on adversarial tokens: empty string (zero bytes
+    // under the seed) and multi-byte UTF-8 — the kernel hashes raw bytes,
+    // so non-ASCII must agree byte for byte
+    val adv = Seq((1L, Seq("", "héllo", "日本語", "a b"))).toDF("id", "toks")
+    val ar = adv.select(
+      TextSig.simhash(col("toks")).as("nat"),
+      TextSig.simhashHof(col("toks")).as("hof")).head
+    assert(ar.getLong(0) == ar.getLong(1), s"adversarial tokens diverge: $ar")
   }
 
   test("prefix-filter Jaccard join is EXACT: equals brute force at 0.8, no all-pairs join") {

@@ -171,6 +171,18 @@ class VectorOpsSpec extends SparkSpec {
       VectorMath.srpSums(col("v"), 70).as("nat"),
       VectorMath.srpSumsHof(col("v"), 70).as("hof")).head
     assert(br.getSeq[Double](0) == br.getSeq[Double](1), "inline-path sums diverge")
+    // adversarial IEEE values agree too — compare canonical bit patterns
+    // (Seq == over primitive doubles uses NaN != NaN semantics)
+    val adv = Seq(
+      (1L, Seq(Float.NaN, 1.0f)),
+      (2L, Seq(Float.PositiveInfinity, Float.NegativeInfinity, -0.0f)),
+      (3L, Seq(Float.MinValue, Float.MaxValue, Float.MinPositiveValue))).toDF("id", "v")
+    def bits(s: Seq[Double]) = s.map(java.lang.Double.doubleToLongBits)
+    adv.select(
+      VectorMath.srpSums(col("v"), 8).as("nat"),
+      VectorMath.srpSumsHof(col("v"), 8).as("hof")).collect().foreach(r =>
+      assert(bits(r.getSeq[Double](0)) == bits(r.getSeq[Double](1)),
+        s"adversarial sums diverge: $r"))
   }
 
   test("native graft_dot / graft_l2sq are bit-identical to the functions._ composition") {
