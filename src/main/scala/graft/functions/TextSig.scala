@@ -94,25 +94,51 @@ object TextSig {
       b => xxhash64(b, slice(signature, b * rows + 1, lit(rows))))
 
   /** 64-bit SimHash over the token multiset: per bit, majority vote of
-    * each token's xxhash64 bit. Near-duplicates land within a small
-    * hamming distance. Picks the NATIVE kernel ([[graft.plans.SimHash64]],
-    * one compiled loop instead of tokens × 65 interpreted lambda lanes)
-    * when the session has GraftExtensions; the HOF composition below
-    * otherwise — bit-identical by construction and spec. */
-  def simhash(tok: Column): Column =
+    * each token's hash bit. Near-duplicates land within a small hamming
+    * distance. The per-token hash basis is the LOW 64 BITS OF MD5 (first
+    * 8 digest bytes, big-endian) — chosen deliberately over xxhash64
+    * because md5 is bit-identical across engines (Spark's `md5` and
+    * DuckDB's `md5` agree on raw bytes), which makes the WHOLE near-dup
+    * pipeline reproducible by the DuckDB oracle: q72's expected pair set
+    * is brute-force recomputed from scratch, organic pairs included — a
+    * full hash-check, not a planted-recall contract. (xxhash64 has no
+    * DuckDB counterpart; the basis costs one 64-byte MD5 block per short
+    * token and is invisible next to the pipeline's shuffles.)
+    * Picks the NATIVE kernel ([[graft.plans.SimHash64]], one compiled
+    * loop instead of tokens × 65 interpreted lambda lanes) when the
+    * session has GraftExtensions; the HOF composition below otherwise —
+    * bit-identical by construction and spec. */
+  def simhash(tok: Column): Column = {
+    // cast to array<string> so BOTH forms see the same input type (the
+    // kernel requires array<string>; the HOF's md5 would otherwise take
+    // engine-dependent implicit casts) — a no-op on the normal token path
+    val t = tok.cast("array<string>")
     graft.plans.GraftExtensions.nativeCall(
-      graft.plans.GraftExtensions.SimHashName, tok)(simhashHof(tok))
+      graft.plans.GraftExtensions.SimHashName, t)(simhashHof(t))
+  }
+
+  /** Low 64 bits of md5 (first 16 hex chars, big-endian) as a signed
+    * long, parsed in two 32-bit halves (a single 16-digit conv would
+    * overflow the signed cast for values >= 2^63). */
+  def md5Low64(w: Column): Column = {
+    val hx = md5(w)
+    shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
+  }
 
   /** The pure-functions form of [[simhash]] — the no-extension fallback
     * and the bit-parity baseline the native kernel is spec-checked
     * against. Single pass: tokens are pre-hashed once, the aggregate
     * accumulates 64 bit-counters plus the token count, and the finish
     * lambda packs the majority bits into two 32-bit halves (a full
-    * 64-bit acc*2+b chain would overflow ANSI arithmetic). */
+    * 64-bit acc*2+b chain would overflow ANSI arithmetic). A NULL token
+    * hashes to null → every bit lane gets the `otherwise(0)` branch, so
+    * it contributes nothing to the votes but still counts toward n (the
+    * kernel mirrors this). */
   def simhashHof(tok: Column): Column = {
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     aggregate(
-      transform(tok, w => xxhash64(w)),
+      transform(tok, w => md5Low64(w)),
       array_repeat(lit(0L), 65),
       (acc, h) => zip_with(
         acc,

@@ -405,7 +405,19 @@ object DedupOps {
   /** SimHash near-dup pairs within hamming distance `maxDist` (default 3):
     * 4 × 16-bit band buckets are a COMPLETE candidate generator for
     * distance <= 3 (pigeonhole: 3 flipped bits touch at most 3 of the 4
-    * bands), then `bit_count(xor)` verifies exactly. Spec-tested. */
+    * bands), then `bit_count(xor)` verifies exactly.
+    *
+    * Fully DuckDB-hash-checked (q72): the simhash's md5-low64 token-hash
+    * basis ([[TextSig.simhash]]) is reproducible in DuckDB, so the oracle
+    * brute-forces the EXACT pair set — per token `('0x' ||
+    * substr(md5(t),1,16))::UBIGINT`, 64 majority-vote lanes, all-pairs
+    * `bit_count(xor)` — organic pairs included (this corpus holds
+    * hundreds: true near-dups at hamming 1–3 AND short-doc majority-vote
+    * collisions at hamming 0 with set-jaccard down to 0.5, which is why a
+    * planted-only oracle contract was not sound here). Banding
+    * completeness for <= 3 is additionally spec-PROVEN against brute
+    * force (DedupOpsSpec), covering the sub-quadratic path's equivalence
+    * to the oracle's all-pairs shape. */
   def simhashNeardupPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val sims = docs(s, dir).select(
       col("doc_id"), TextSig.simhash(TextSig.tokens(col("text"))).as("sim"))
@@ -491,9 +503,32 @@ object DedupOps {
           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
-    // rows-only by nature: the simhash bit mixing (xxhash64-based) is not
-    // reproducible in DuckDB SQL; completeness for hamming distance <= 3
-    // is spec-PROVEN against brute force instead (DedupOpsSpec)
-    NamedQuery("q72_simhash_neardup_pairs", (s, dir) => simhashNeardupPairs(s, dir)),
+    // Full brute-force oracle (r11, formerly rows-only): the md5-low64
+    // hash basis is engine-portable, so DuckDB recomputes every simhash
+    // and all-pairs hamming from scratch. The packing order of the 64
+    // majority lanes differs from Spark's (identity vs fold-reversed) —
+    // irrelevant for hamming, which only counts differing lanes under any
+    // fixed bijection. Spark's banded sub-quadratic candidate generation
+    // equals this all-pairs shape by the pigeonhole completeness argument
+    // (spec-proven for <= 3).
+    NamedQuery("q72_simhash_neardup_pairs", (s, dir) => simhashNeardupPairs(s, dir),
+      bench = true, oracle = Some(
+        """WITH th AS (
+          |  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 16))::UBIGINT AS h
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+          |), lanes AS (
+          |  SELECT doc_id, b.b AS b,
+          |    CASE WHEN 2 * SUM(((h >> b.b) & 1)::BIGINT) >= COUNT(*)
+          |         THEN 1::UBIGINT << b.b ELSE 0::UBIGINT END AS bit
+          |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+          |  GROUP BY doc_id, b.b
+          |), sh AS (
+          |  SELECT doc_id, SUM(bit)::UBIGINT AS sim FROM lanes GROUP BY doc_id
+          |)
+          |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+          |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -17,10 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * evaluations per document dominate the operator's runtime. This
   * expression is BIT-IDENTICAL to the HOF chain (spec-asserted corpus-wide
   * in DedupOpsSpec):
-  *  - per token, `h = xxhash64(w)` — seed 42 over the UTF-8 bytes via the
-  *    same public XXH64 kernel; a NULL token leaves the hash at its seed
-  *    (Spark's HashExpression skips null children), so it contributes the
-  *    bit pattern of 42L, exactly like the HOF's `xxhash64(w)`;
+  *  - per token, `h = md5_low64(w)` — the first 8 MD5 digest bytes,
+  *    big-endian, exactly `conv(substring(md5(w),1,8),16,10)<<32 |
+  *    conv(substring(md5(w),9,8),16,10)`. The MD5 basis (not xxhash64) is
+  *    deliberate: DuckDB computes the identical md5, so q72's oracle
+  *    recomputes the whole pair set from scratch — the basis is what
+  *    makes the operator fully hash-checkable cross-engine;
+  *  - a NULL token hashes to null in the HOF (`md5(null)`), whose bit
+  *    lanes all take the `otherwise(0)` branch — it votes for nothing but
+  *    still counts toward n; the kernel mirrors that exactly;
   *  - bit k of the result is the majority vote `2·count(k) >= n` packed
   *    with the HOF's fold order: counter 0 lands in bit 63 (MSB of the
   *    high word) down to counter 63 in bit 0 — an EMPTY token array is
@@ -53,24 +58,41 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  /** Seed used by Spark's xxhash64 SQL function. */
-  private val Seed = 42L
+  /** Per-thread MD5 instance (MessageDigest is not thread-safe; one
+    * instance per executor thread, reset per token — no allocation in the
+    * steady state). */
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 MD5 digest bytes, big-endian — the value chain of parsing
+    * the first 16 hex chars of `md5(s)`, shared with the HOF fallback and
+    * the DuckDB oracle (`('0x' || substr(md5(t),1,16))::UBIGINT`). */
+  def hash64(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    ((dig(0) & 0xFFL) << 56) | ((dig(1) & 0xFFL) << 48) |
+      ((dig(2) & 0xFFL) << 40) | ((dig(3) & 0xFFL) << 32) |
+      ((dig(4) & 0xFFL) << 24) | ((dig(5) & 0xFFL) << 16) |
+      ((dig(6) & 0xFFL) << 8) | (dig(7) & 0xFFL)
+  }
 
   def compute(toks: ArrayData): Long = {
     val n = toks.numElements()
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h =
-        if (toks.isNullAt(i)) Seed // xxhash64 skips null children
-        else {
-          val s = toks.getUTF8String(i)
-          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      // a null token votes for nothing (the HOF's null-propagated lanes
+      // all take otherwise(0)) but counts toward n
+      if (!toks.isNullAt(i)) {
+        val h = hash64(toks.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
         }
-      var b = 0
-      while (b < 64) {
-        counts(b) += ((h >>> b) & 1L).toInt
-        b += 1
       }
       i += 1
     }

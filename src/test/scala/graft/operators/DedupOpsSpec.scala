@@ -89,8 +89,9 @@ class DedupOpsSpec extends SparkSpec {
     assert(both.filter(col("nat") =!= col("hof")).count() == 0,
       "corpus simhashes diverge")
     // edge semantics: empty token array is all-ones (majority of zero
-    // tokens holds for every lane), a null TOKEN hashes as the seed
-    // (xxhash64 skips null children), a null array is null — both forms
+    // tokens holds for every lane), a null TOKEN votes for nothing but
+    // counts toward n (md5(null) is null -> every HOF bit lane takes the
+    // otherwise(0) branch), a null array is null — both forms
     val edge = Seq(
       (1L, Some(Seq(Option("a"), None, Option("b")))),
       (2L, Some(Seq.empty[Option[String]])),
