@@ -313,8 +313,13 @@ object VectorOps {
     * with q39's math) and cut to top-k. Same output shape as [[exactTopK]];
     * recall vs the exact baseline is spec-asserted. */
   def pqTopK(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 32,
+      rerank: Int = 150, dim: Int = 64): DataFrame =
+    pqTopKOn(s, emb(s, dir).select(col("vec_id"), col("embedding")), m, ksub, rerank, dim)
+
+  /** [[pqTopK]] over any (vec_id, embedding) corpus — split out so the
+    * planted-duplicate oracle query (q93) and specs can supply corpora. */
+  def pqTopKOn(s: SparkSession, raw: DataFrame, m: Int = 8, ksub: Int = 32,
       rerank: Int = 150, dim: Int = 64): DataFrame = {
-    val raw = emb(s, dir).select(col("vec_id"), col("embedding"))
     val cb = pqCodebook(raw, m, ksub, dim = dim)
     val encoded = pqEncode(raw, cb, m, dim)
     val probesRaw = raw.filter(col("vec_id").isin(ProbeIds: _*))
@@ -363,9 +368,12 @@ object VectorOps {
     val shortlist = cands
       .withColumn("r", row_number().over(wa)).filter(col("r") <= rerank)
       .select(col("probe_id"), col("vec_id"))
-    // exact re-rank of the shortlist only (the standard PQ refine step)
-    val eq = prepared(s, dir).select(col("vec_id"), col("qv"), col("nq"))
-    val pq = prepared(s, dir)
+    // exact re-rank of the shortlist only (the standard PQ refine step) —
+    // quantized from the SAME corpus df, so planted rows rescore too
+    val prep = raw.select(col("vec_id"), VectorMath.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", VectorMath.normSq(col("qv")))
+    val eq = prep.select(col("vec_id"), col("qv"), col("nq"))
+    val pq = prep
       .filter(col("vec_id").isin(ProbeIds: _*))
       .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nq").as("pnq"))
     val rescored = shortlist
@@ -474,8 +482,10 @@ object VectorOps {
       |)""".stripMargin
 
   /** q91 — SRP-LSH embedding near-dup pairs, oracle-checked END TO END.
-    * The fixture holds no organic pairs near the dup band (max cosine
-    * ≈0.60 at sf0.1), so the query PLANTS exact duplicates — every
+    * The fixture holds no organic pairs near the dup band (measured
+    * organic max cosine, r11: 0.479 at sf0.001, 0.513 at sf0.01, 0.601 at
+    * sf0.1 — the margin below the 0.9 cut grows as sf shrinks), so the
+    * query PLANTS exact duplicates — every
     * `vec_id % 5 == 0` vector re-enters under `vec_id + PlantOffset` —
     * and runs the sub-quadratic banded pipeline ([[lshNeardupPairs]]: no
     * join in the plan, codes → band buckets → in-bucket pairs → exact
@@ -504,6 +514,48 @@ object VectorOps {
       .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
     lshNeardupPairs(s, dir, minSim = 0.9, df = Some(base.unionByName(planted)))
   }
+
+  /** Corpus with an exact duplicate of each PROBE vector planted under
+    * `probe_id + PlantOffset` — the q92/q93 oracle input. Degenerate
+    * vectors (null / quantized-zero, whose cosine is null or NaN — and
+    * Spark sorts NaN ABOVE every real sim, so one would steal rank 1) are
+    * filtered with the same predicate the oracle applies. */
+  private def probePlantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull &&
+        VectorMath.normSq(VectorMath.quantize(col("embedding"))) > 0)
+    val dups = base.filter(col("vec_id").isin(ProbeIds: _*))
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
+    base.unionByName(dups)
+  }
+
+  /** q92 — the IVF ANN top-k's PARTIAL ORACLE via planted probe
+    * duplicates: each probe's exact duplicate is (a) assigned to the
+    * probe's own coarse list by construction (identical vector → identical
+    * centroid ranking, ties break identically), which is always the
+    * probe's rank-1 visited list, and (b) exactly rescored to the maximal
+    * sim — so it MUST hold rank 1, deterministically. The rank-1 slice is
+    * therefore plain-SQL-expressible (probe_id, 1, probe_id + offset,
+    * nq/sqrt(nq·nq)) and hash-checks against DuckDB, while ranks 2..k stay
+    * engine-internal (k-means-dependent) and remain covered by the recall
+    * specs on q71 (VectorOpsSpec). Organic vectors top out ≈0.48–0.60
+    * cosine — no organic row can outrank a planted duplicate, and the
+    * fixture holds no exact probe duplicates that could tie it. */
+  val ivfRank1: (SparkSession, String) => DataFrame = (s, dir) => {
+    val planted = probePlantedCorpus(s, dir)
+    ivfTopKWith(planted, kmeansCentroids(planted, 10), nprobe = 5)
+      .filter(col("rank") === 1)
+  }
+
+  /** q93 — the PQ ANN top-k's PARTIAL ORACLE, same planted contract as
+    * q92: the probe's duplicate carries the probe's own PQ codes, so its
+    * ADC score is the table maximum (far above the ≤0.6-cosine organic
+    * corpus, well inside the rerank=150 shortlist), and the exact refine
+    * rescores it to the maximal sim → rank 1 deterministically.
+    * (Margin for both: measured organic max cosine 0.479/0.513/0.601 at
+    * sf0.001/0.01/0.1 — see the q91 scaladoc — vs the duplicate's ~1.0.) */
+  val pqRank1: (SparkSession, String) => DataFrame = (s, dir) =>
+    pqTopKOn(s, probePlantedCorpus(s, dir)).filter(col("rank") === 1)
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q91_lsh_neardup_pairs", lshNeardup, bench = true, oracle = Some(
@@ -543,10 +595,29 @@ object VectorOps {
     // rows-only by nature: the k-means coarse quantizer's centroid means
     // are engine-internal float reductions (no cross-engine oracle can
     // reproduce them); result SHAPE is checked here, recall vs the exact
-    // baseline is spec-asserted (VectorOpsSpec)
+    // baseline is spec-asserted (VectorOpsSpec). q92 below is the family's
+    // planted partial oracle (the rank-1 slice IS hash-checked).
     NamedQuery("q71_ivf_ann_topk", (s, dir) => ivfTopK(s, dir, nprobe = 5)),
     // rows-only by nature, like q71: the PQ codebook is engine-internal
-    // k-means; recall@k vs the exact q39 baseline is spec-asserted
+    // k-means; recall@k vs the exact q39 baseline is spec-asserted, and
+    // q93 hash-checks the planted rank-1 slice
     NamedQuery("q77_pq_ann_topk", (s, dir) => pqTopK(s, dir), bench = true),
+    NamedQuery("q92_ivf_rank1_planted", ivfRank1, oracle = Some(rank1OracleSql)),
+    NamedQuery("q93_pq_rank1_planted", pqRank1, oracle = Some(rank1OracleSql)),
   )
+
+  /** Shared q92/q93 oracle: the planted duplicate must hold rank 1 with
+    * the exact-rescore sim of identical quantized vectors — nq/sqrt(nq·nq)
+    * on the SAME IEEE operands both engines compute (the q91 precedent).
+    * The degeneracy filter matches [[probePlantedCorpus]]. */
+  private def rank1OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6)) qv
+       |  FROM embeddings WHERE vec_id IN (0, 123, 321) AND embedding IS NOT NULL
+       |), n AS (SELECT vec_id, qv, list_dot_product(qv, qv) nq FROM e)
+       |SELECT vec_id AS probe_id, CAST(1 AS INT) AS rank,
+       |  vec_id + $PlantOffset AS vec_id,
+       |  nq / sqrt(nq * nq) AS sim
+       |FROM n WHERE nq > 0
+       |ORDER BY ALL NULLS FIRST""".stripMargin
 }

@@ -127,9 +127,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "no planted ids; test is vacuous")
     assert(got == expected, s"missed=${expected -- got} extra=${got -- expected}")
     // sims are the exact-verify cosines of identical vectors: the planted
-    // threshold margin is wide (organic max ≈0.48 at this sf, cut at 0.9)
+    // threshold margin is wide (measured organic max cosine, r11: 0.479
+    // at sf0.001 — this spec's sf — 0.513 at sf0.01, 0.601 at sf0.1; cut
+    // at 0.9, matching the q91 scaladoc)
     val sims = VectorOps.lshNeardup(spark, sfDir).select("sim").as[Double].collect()
     assert(sims.forall(_ >= 0.9) && sims.forall(_ <= 1.0))
+  }
+
+  test("q92/q93: planted probe duplicates hold rank 1 through the full ANN pipelines") {
+    for ((name, fn) <- Seq("q92" -> VectorOps.ivfRank1, "q93" -> VectorOps.pqRank1)) {
+      val rows = fn(spark, sfDir)
+        .select("probe_id", "rank", "vec_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == VectorOps.ProbeIds.sorted, s"$name probes: ${rows.toSeq}")
+      rows.foreach { case (p, r, v, sim) =>
+        assert(r == 1, s"$name probe $p rank $r")
+        assert(v == p + VectorOps.PlantOffset, s"$name probe $p rank-1 is $v, not the duplicate")
+        // exact rescore of identical quantized vectors: nq/sqrt(nq*nq),
+        // within an ulp of 1 (nq^2 rounds above 2^53)
+        assert(math.abs(sim - 1.0) < 1e-12, s"$name probe $p sim $sim")
+      }
+    }
   }
 
   test("native graft_srp_sums is bit-identical to the HOF composition (incl. edge semantics)") {
