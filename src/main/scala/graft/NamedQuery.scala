@@ -34,6 +34,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The TIMESTAMP_NTZ→TIMESTAMP cast below reinterprets the fixture's
+    * UTC wall-clock THROUGH THE SESSION TIME ZONE: a session pinned to
+    * UTC (as every entry point here is) reads the identical instant, but
+    * a caller without that conf would get silently shifted event times.
+    * Fail loudly instead (ADVICE r10). Shared with the streaming reader
+    * ([[graft.streaming.EventStreams.eventsStream]]). */
+  def requireUtcSession(spark: SparkSession, site: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    val utc = tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "+00:00"
+    require(utc,
+      s"$site casts the events fixture's TIMESTAMP_NTZ (UTC wall-clock by " +
+        s"construction) to TIMESTAMP via the session time zone, but " +
+        s"spark.sql.session.timeZone=$tz — event instants would shift " +
+        "silently. Set spark.sql.session.timeZone=UTC on this session.")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two parquet encodings across fixture
@@ -57,6 +73,7 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
+          requireUtcSession(spark, "Tables.load(events)")
           raw.withColumn("ts",
             org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw

@@ -26,7 +26,12 @@ object VectorMath {
     * inputs are quantized integers). Native [[graft.plans.VectorNative]]
     * kernel when the session has GraftExtensions
     * ([[graft.plans.GraftExtensions.nativeCall]], the shared dispatch
-    * gate); the pure-functions composition otherwise. */
+    * gate); the pure-functions composition otherwise. Element domain is
+    * array<int|bigint|float|double> — deliberately NOT cast-normalized
+    * (unlike [[srpSums]]/[[graft.functions.TextSig.simhash]]) because the
+    * element-typed arithmetic is part of the contract: int×int runs in
+    * INT arithmetic with ANSI overflow behavior in BOTH forms
+    * (spec-asserted), which a widening cast would silently erase. */
   def dot(a: Column, b: Column): Column =
     graft.plans.GraftExtensions.nativeCall(graft.plans.GraftExtensions.DotName, a, b)(
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
@@ -79,9 +84,16 @@ object VectorMath {
     * dim × n interpreted lambda evaluations) when the session has
     * GraftExtensions; the HOF composition below otherwise — bit-identical
     * by construction and spec. */
-  def srpSums(v: Column, n: Int): Column =
+  def srpSums(v: Column, n: Int): Column = {
+    // cast to array<double> so BOTH forms accept the same input domain
+    // (the kernel type-checks array<int|bigint|float|double>; the HOF
+    // casts every element to double anyway — so any numeric input, e.g.
+    // decimal-element embeddings, analyzes identically with and without
+    // GraftExtensions). float→double is exact; values are unchanged.
+    val d = v.cast("array<double>")
     graft.plans.GraftExtensions.nativeCall(
-      graft.plans.GraftExtensions.SrpSumsName, v, lit(n))(srpSumsHof(v, n))
+      graft.plans.GraftExtensions.SrpSumsName, d, lit(n))(srpSumsHof(d, n))
+  }
 
   /** The pure-functions form of [[srpSums]] — the no-extension fallback
     * and the bit-parity baseline the native kernel is spec-checked

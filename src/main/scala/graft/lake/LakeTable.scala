@@ -717,14 +717,21 @@ final class LakeTable private (
     * decimal may still carry unscaled kind-"n" bounds under a
     * latest-schema-non-decimal name — pruning against those would
     * silently drop matching files. */
-  private[graft] def nonDecimalColumns(schemaVersion: Int): Set[String] = {
-    val history = (1 to schemaVersion).map(schema)
-    val lower = (f: StructField) => f.name.toLowerCase(java.util.Locale.ROOT)
-    val everDecimal = history.flatMap(_.fields).collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => lower(f)
-    }.toSet
-    history.flatMap(_.fields).map(lower).toSet -- everDecimal
-  }
+  private[graft] def nonDecimalColumns(schemaVersion: Int): Set[String] =
+    // memoized per version (ADVICE r10): schemas are immutable once
+    // written, and this is re-derived on EVERY planFiles call and every
+    // streaming micro-batch planning cycle — a many-schema-version table
+    // would otherwise re-walk its whole schema history per scan
+    nonDecimalCache.computeIfAbsent(schemaVersion, v => {
+      val history = (1 to v).map(schema)
+      val lower = (f: StructField) => f.name.toLowerCase(java.util.Locale.ROOT)
+      val everDecimal = history.flatMap(_.fields).collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => lower(f)
+      }.toSet
+      history.flatMap(_.fields).map(lower).toSet -- everDecimal
+    })
+  private val nonDecimalCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Set[String]]()
 
   // ------------------------------------------------------------ internals
 

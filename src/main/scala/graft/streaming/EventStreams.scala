@@ -43,6 +43,7 @@ object EventStreams {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        graft.Tables.requireUtcSession(s, "EventStreams.eventsStream")
         stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream
     }

@@ -112,6 +112,15 @@ class RelationalOpsSpec extends SparkSpec {
     assert(nanos.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(nanos.select(unix_micros(col("ts"))).head.getLong(0) ==
       java.time.Instant.parse(instant).toEpochMilli * 1000 + 12)
+    // the NTZ cast reinterprets wall-clock via the session time zone: a
+    // mis-configured session must fail LOUDLY, not shift instants
+    // (ADVICE r10) — the nanos branch is tz-independent and stays usable
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.load(spark, dir, "events"))
+      assert(e.getMessage.contains("session.timeZone"), e.getMessage)
+      assert(Tables.load(spark, dir2, "events").count() == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("q49 seeded sample is deterministic per seed and seed-sensitive (O4)") {

@@ -111,6 +111,15 @@ class DedupOpsSpec extends SparkSpec {
       TextSig.simhash(col("toks")).as("nat"),
       TextSig.simhashHof(col("toks")).as("hof")).head
     assert(ar.getLong(0) == ar.getLong(1), s"adversarial tokens diverge: $ar")
+    // type-domain parity (ADVICE r10): a non-string token array analyzes
+    // identically with and without the kernel — the wrapper casts to
+    // array<string>, so graft_simhash's array<string> requirement can
+    // never make analysis environment-dependent
+    val ints = Seq((1L, Seq(1, 22, 333))).toDF("id", "toks")
+    val ir = ints.select(
+      TextSig.simhash(col("toks")).as("nat"),
+      TextSig.simhashHof(col("toks").cast("array<string>")).as("hof")).head
+    assert(ir.getLong(0) == ir.getLong(1), s"int-token casts diverge: $ir")
   }
 
   test("prefix-filter Jaccard join is EXACT: equals brute force at 0.8, no all-pairs join") {

@@ -189,6 +189,16 @@ class VectorOpsSpec extends SparkSpec {
       VectorMath.srpSums(col("v"), 70).as("nat"),
       VectorMath.srpSumsHof(col("v"), 70).as("hof")).head
     assert(br.getSeq[Double](0) == br.getSeq[Double](1), "inline-path sums diverge")
+    // type-domain parity (ADVICE r10): a DECIMAL-element array analyzes
+    // and evaluates identically whether or not the kernel is registered —
+    // the wrapper normalizes to array<double>, so the kernel's accepted
+    // set can never make analysis environment-dependent
+    val dec = Seq((1L, Seq(BigDecimal("1.25"), BigDecimal("-0.5"), BigDecimal("3.0"))))
+      .toDF("id", "v")
+    val dr = dec.select(
+      VectorMath.srpSums(col("v"), 8).as("nat"),
+      VectorMath.srpSumsHof(col("v").cast("array<double>"), 8).as("hof")).head
+    assert(dr.getSeq[Double](0) == dr.getSeq[Double](1), s"decimal-path sums diverge: $dr")
     // adversarial IEEE values agree too — compare canonical bit patterns
     // (Seq == over primitive doubles uses NaN != NaN semantics)
     val adv = Seq(
