@@ -671,6 +671,47 @@ final class LakeTable private (
       dataFiles = keepFiles ++ newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
   }
 
+  /** MANIFEST-ONLY stats re-record (the spirit of Iceberg's
+    * `rewrite_manifests`): re-reads every current data file's FOOTER and
+    * re-runs the [[ColumnSums]] read-back, then commits a snapshot whose
+    * file entries carry stats in the CURRENT recording format — same data
+    * files, same rows, zero data writes.
+    *
+    * THE migration recipe for quarantined legacy decimal bounds (see the
+    * quarantine note on [[ColumnBounds]]): manifests written by a
+    * pre-scaled-stats-fix writer hold decimal bounds under kind "n" in
+    * the unscaled-integer domain, which pruning and metadata MIN/MAX
+    * serving permanently decline (value-correct, pruning-dead). Manifests
+    * are immutable, so the fix is a new snapshot: after this call the
+    * affected columns' bounds are kind-"d" scaled decimals and pruning /
+    * metadata serving return. Cost is footer opens (parallel, distributed
+    * past [[statsDistributeMinFiles]]) plus one column-pruned scan for
+    * sums — at 100 TB that is metadata-scale work, where
+    * `rewrite_data_files` would be a full-table rewrite with write
+    * amplification ~1.
+    *
+    * Like compaction, this is a content RESTATEMENT snapshot ("no new
+    * rows" is not expressible to the changelog): streaming reads and
+    * `changes()` ranges refuse to cross it — consume up to it, then
+    * re-baseline (same contract as `rewrite_data_files`). */
+  def rewriteManifests(): Snapshot = synchronized {
+    val cur = currentSnapshot
+    if (cur.dataFiles.isEmpty) return cur
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = cur.dataFiles.map(f => new Path(abs(f.path)))
+    val metas = LakeTable.fileMetaAll(paths, conf, withLen = false, spark = Some(spark))
+    val sums = ColumnSums.compute(spark, schema(cur.schemaVersion), paths)
+    val updated = cur.dataFiles.map { f =>
+      val m = metas(new Path(abs(f.path)))
+      f.copy(splits = m.splits, bounds = m.bounds, rows = m.rows, nonNull = m.nonNull,
+        sums = sums.getOrElse(new Path(f.path).getName, Map.empty))
+    }
+    commitSnapshot(Snapshot(
+      seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
+      operation = "rewrite-manifests", schemaVersion = cur.schemaVersion,
+      dataFiles = updated, deleteFiles = cur.deleteFiles, specVersion = cur.specVersion))
+  }
+
   /** Data files containing at least one row version a live tombstone
     * deletes — one distributed semi-join over (pk, seq, input_file_name)
     * per compaction, reading only the pk + seq columns. */

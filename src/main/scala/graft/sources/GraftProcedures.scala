@@ -31,13 +31,14 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq(
     "rollback_to_snapshot", "expire_snapshots", "rewrite_data_files",
-    "remove_orphan_files", "evolve_partition_spec")
+    "rewrite_manifests", "remove_orphan_files", "evolve_partition_spec")
 
   def load(name: String, cat: () => LakeCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "rollback_to_snapshot"  => Some(rollback(cat))
       case "expire_snapshots"      => Some(expire(cat))
       case "rewrite_data_files"    => Some(rewrite(cat))
+      case "rewrite_manifests"     => Some(rewriteManifests(cat))
       case "remove_orphan_files"   => Some(removeOrphans(cat))
       case "evolve_partition_spec" => Some(evolveSpec(cat))
       case _ => None
@@ -122,6 +123,22 @@ private[sources] object GraftProcedures {
           ("snapshot_seq", LongType, snap.seq),
           ("data_files", IntegerType, snap.dataFiles.size),
           ("delete_files", IntegerType, snap.deleteFiles.size))
+        result(name(), schema, values)
+      }
+    }
+
+  /** Manifest-only stats re-record ([[LakeTable.rewriteManifests]]) — the
+    * migration procedure for quarantined legacy kind-"n" decimal bounds:
+    * re-reads footers + per-file sums and commits a metadata-only
+    * snapshot in the current recording format; no data is rewritten. */
+  private def rewriteManifests(cat: () => LakeCatalog): UnboundProcedure =
+    new GraftProcedure("rewrite_manifests", Seq(in("table", StringType)), cat) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val t = table(input)
+        val snap = t.rewriteManifests()
+        val (schema, values) = row(
+          ("snapshot_seq", LongType, snap.seq),
+          ("data_files", IntegerType, snap.dataFiles.size))
         result(name(), schema, values)
       }
     }

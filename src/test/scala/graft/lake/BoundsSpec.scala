@@ -172,6 +172,65 @@ class BoundsSpec extends SparkSpec {
     assert(t.scan(filters = Seq(Lt("m", dec("150.00")))).count() == 1)
   }
 
+  test("rewrite_manifests migrates quarantined legacy decimal bounds back to pruning") {
+    // Simulate a table whose manifests were written by the
+    // pre-scaled-stats-fix era: decimal bounds recorded under kind "n" in
+    // the UNSCALED integer domain (and no per-file sums). Those manifests
+    // are immutable and correctly pruning-dead (quarantine); the
+    // manifest-only rewrite must re-record footer stats in the current
+    // format and restore pruning + metadata serving WITHOUT rewriting
+    // any data file.
+    val dir = Files.createTempDirectory("graft-bounds-migrate").toString
+    val df = Seq((1L, "100.00"), (2L, "150.00"), (3L, "200.00"))
+      .toDF("id", "ms")
+      .select($"id", $"ms".cast("decimal(10,2)").as("m"))
+      .coalesce(1)
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema)
+    t.append(df)
+    val cur = t.currentSnapshot
+    // doctor: unscaled kind-"n" decimal bounds, the legacy on-disk shape
+    val legacyFiles = cur.dataFiles.map(f => f.copy(
+      bounds = f.bounds.map {
+        case ("m", b) => "m" -> ColBound("n",
+          BigDecimal(b.min).underlying.unscaledValue.toString,
+          BigDecimal(b.max).underlying.unscaledValue.toString)
+        case kv => kv
+      },
+      sums = Map.empty))
+    t.commitSnapshot(Snapshot(cur.seq + 1, Some(cur.seq), System.currentTimeMillis(),
+      "append", cur.schemaVersion, legacyFiles, cur.deleteFiles, cur.specVersion))
+    LakeTable.manifestCache.clear()
+    def dec(s: String) = new java.math.BigDecimal(s)
+    import PruneFilter._
+    // quarantine active: value-correct (file kept, scan right) but the
+    // pruning and the metadata MIN/MAX path are dead
+    val legacy = t.currentSnapshot
+    assert(legacy.dataFiles.head.bounds("m").kind == "n")
+    assert(t.planFiles(legacy, Seq(Gt("m", dec("200.00"))))._1.size == 1,
+      "quarantined bounds must keep the file (conservative), not prune on unscaled values")
+    assert(t.scan(filters = Seq(Gt("m", dec("200.00")))).count() == 0)
+    // THE migration recipe: one manifest-only rewrite, zero data writes
+    val dataPathsBefore = legacy.dataFiles.map(_.path).toSet
+    val migrated = t.rewriteManifests()
+    assert(migrated.operation == "rewrite-manifests")
+    assert(migrated.dataFiles.map(_.path).toSet == dataPathsBefore,
+      "rewrite_manifests must not move or rewrite data files")
+    val mb = migrated.dataFiles.head.bounds("m")
+    assert(mb.kind == "d", s"bounds still ${mb.kind} after rewrite_manifests")
+    assert(BigDecimal(mb.min) == BigDecimal("100.00") && BigDecimal(mb.max) == BigDecimal("200.00"))
+    LakeTable.manifestCache.clear()
+    assert(t.planFiles(t.currentSnapshot, Seq(Gt("m", dec("200.00"))))._1.isEmpty,
+      "decimal pruning did not return after rewrite_manifests")
+    assert(t.planFiles(t.currentSnapshot, Seq(Lt("m", dec("150.00"))))._1.size == 1)
+    // metadata sums re-recorded too (ColumnSums read-back ran)
+    assert(migrated.dataFiles.head.sums.get("m").exists(s => BigDecimal(s) == BigDecimal("450.00")),
+      s"sums not re-recorded: ${migrated.dataFiles.head.sums}")
+    // idempotent on a healthy table: stats unchanged by a second pass
+    val again = t.rewriteManifests()
+    assert(again.dataFiles.head.bounds == migrated.dataFiles.head.bounds)
+    assert(again.dataFiles.head.sums == migrated.dataFiles.head.sums)
+  }
+
   test("nonDecimalColumns walks the WHOLE schema history, not just the latest version") {
     // a file written while a name was decimal may carry legacy unscaled
     // kind-"n" bounds in immutable manifests; the set must exclude any
