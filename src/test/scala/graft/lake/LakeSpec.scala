@@ -462,6 +462,109 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().select("id").as[Long].collect().toSet == Set(0L, 100L, 200L))
   }
 
+  test("N-writer commit stress: mixed appends/upserts/deletes/maintenance linearize, no lost rows or files") {
+    // The scale-confidence property a 100 TB deployment cares about most:
+    // MANY independent writers (separate table handles — the per-instance
+    // lock must not be what serializes them) racing mixed operation
+    // sequences must produce (1) a LINEAR snapshot history (single chain,
+    // contiguous seqs, parent = seq-1 — the exclusive-create protocol
+    // admits no forks), (2) exactly the serial-equivalent final content
+    // (writers own disjoint key ranges, so the expected end state is
+    // deterministic), (3) no dangling metadata (every file referenced by
+    // the final snapshot exists on disk), and (4) every commit that
+    // REPORTED success owning exactly one distinct snapshot. Losers of
+    // non-rebaseable commits surface ConcurrentModificationException /
+    // IOException with the retry recipe — the test retries like a real
+    // writer would.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stress-spec").toString
+    val schema0 = Seq((0L, "init")).toDF("id", "s").schema
+    LakeTable.create(spark, s"$dir/t", "t", schema0, primaryKey = Seq("id"))
+
+    val nWriters = 4
+    def retrying(label: String)(f: => Snapshot): Snapshot = {
+      var last: Throwable = null
+      for (_ <- 1 to 12) {
+        try return f
+        catch {
+          case e: java.util.ConcurrentModificationException => last = e; Thread.sleep(5)
+          case e: java.io.IOException => last = e; Thread.sleep(5)
+        }
+      }
+      throw new AssertionError(s"$label exhausted retries", last)
+    }
+
+    val barrier = new java.util.concurrent.CyclicBarrier(nWriters)
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nWriters).map { i =>
+      new Thread(() => {
+        try {
+          val w = LakeTable.load(spark, s"$dir/t")
+          val base = i * 100000L
+          def record(s: Snapshot): Unit = committed.add(s.seq)
+          barrier.await()
+          // round 1: append 50 own keys
+          record(retrying(s"w$i append1")(w.append(
+            (0L to 49L).map(k => (base + k, s"a-$i-0")).toDF("id", "s"))))
+          // round 2: upsert own keys 0..9 (non-rebaseable: retry on loss)
+          record(retrying(s"w$i upsert")(w.upsert(
+            (0L to 9L).map(k => (base + k, s"u-$i-1")).toDF("id", "s"))))
+          // round 3: writer-specific maintenance interleaves with writes.
+          // Both return the CURRENT snapshot unchanged when there is
+          // nothing to do — only record seqs these calls actually minted
+          if (i == 0) {
+            val s = retrying("w0 compact")(w.compactDirty())
+            if (s.operation == "compact") record(s)
+          }
+          if (i == 1) {
+            val s = retrying("w1 rewriteManifests")(w.rewriteManifests())
+            if (s.operation == "rewrite-manifests") record(s)
+          }
+          // round 4: delete own keys 40..49
+          record(retrying(s"w$i delete")(w.deleteKeys(
+            (40L to 49L).map(k => base + k).toDF("id"))))
+          // round 5: second disjoint append
+          record(retrying(s"w$i append2")(w.append(
+            (1000L to 1049L).map(k => (base + k, s"a-$i-3")).toDF("id", "s"))))
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"stress-writer-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+
+    val t = LakeTable.load(spark, s"$dir/t")
+    // (1) linearizable history: one contiguous chain, every parent = seq-1
+    val snaps = t.snapshots.sortBy(_.seq)
+    assert(snaps.map(_.seq) == (0L until snaps.size.toLong),
+      s"non-contiguous snapshot seqs: ${snaps.map(_.seq)}")
+    snaps.drop(1).foreach(s => assert(s.parent.contains(s.seq - 1),
+      s"forked history at ${s.seq}: parent ${s.parent}"))
+    // (4) every successful commit owns exactly one distinct snapshot, and
+    // together they are exactly the post-create chain
+    val seqs = committed.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(seqs.distinct.size == seqs.size, s"two commits claimed one snapshot: $seqs")
+    assert(seqs.toSet == snaps.map(_.seq).toSet - 0L,
+      s"snapshot chain and reported commits disagree: $seqs vs ${snaps.map(_.seq)}")
+    // (2) serial-equivalent final content per writer-owned key range
+    val got = t.scan().as[(Long, String)].collect().toMap
+    val expected = (0 until nWriters).flatMap { i =>
+      val base = i * 100000L
+      (0L to 9L).map(k => (base + k) -> s"u-$i-1") ++
+        (10L to 39L).map(k => (base + k) -> s"a-$i-0") ++
+        (1000L to 1049L).map(k => (base + k) -> s"a-$i-3")
+    }.toMap
+    assert(got == expected,
+      s"content diverged: missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+        s"wrong=${expected.collect { case (k, v) if got.get(k).exists(_ != v) => k -> (v, got(k)) }.take(5)}")
+    // (3) no dangling metadata: every referenced file exists on disk
+    val cur = t.currentSnapshot
+    (cur.dataFiles.map(_.path) ++ cur.deleteFiles.map(_.path)).foreach(p =>
+      assert(t.fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(t.location), p)),
+        s"final snapshot references a missing file: $p"))
+  }
+
   test("staging (incl. the ColumnSums fallback job) runs outside the commit lock") {
     val dir = Files.createTempDirectory("graft-stage-lock-spec").toString
     import spark.implicits._
