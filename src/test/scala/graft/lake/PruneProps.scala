@@ -159,6 +159,95 @@ class PruneProps extends AnyFunSuite {
     }
   }
 
+  test("recorded column bounds never false-negative: longs, doubles, decimals, strings") {
+    // The SECOND pruning layer (per-file footer bounds, ColumnBounds.cmp)
+    // under the same invariant as the transforms above: a file holding a
+    // value that satisfies the filter must survive, across the exact
+    // recording pipeline's shapes — 30-significant-digit FLOOR/CEILING
+    // bound rounding (monster decimals included), cross-domain literals,
+    // UTF-8 byte-ordered strings, and the kind-"n"-vs-decimal-literal
+    // quarantine.
+    val FloorMc = new java.math.MathContext(30, java.math.RoundingMode.FLOOR)
+    val CeilMc  = new java.math.MathContext(30, java.math.RoundingMode.CEILING)
+    def numBound(kind: String, vals: Seq[BigDecimal]): Map[String, ColBound] =
+      Map("c" -> ColBound(kind,
+        vals.min.round(FloorMc).underlying.toPlainString,
+        vals.max.round(CeilMc).underlying.toPlainString))
+    import PruneFilter._
+    def checkKept(b: Map[String, ColBound], vals: Seq[BigDecimal], lit: Any,
+        litBd: BigDecimal, nonDec: Set[String]): Unit = {
+      def kept(f: PruneFilter, sat: BigDecimal => Boolean): Unit =
+        if (vals.exists(sat))
+          assert(ColumnBounds.mayMatch(b, f, nonDec),
+            s"false negative: $f pruned bounds $b holding ${vals.filter(sat).take(3)}")
+      kept(Eq("c", lit), _.compare(litBd) == 0)
+      kept(In("c", Seq(lit)), _.compare(litBd) == 0)
+      kept(Gt("c", lit), _ > litBd)
+      kept(Ge("c", lit), _ >= litBd)
+      kept(Lt("c", lit), _ < litBd)
+      kept(Le("c", lit), _ <= litBd)
+    }
+    (1 to 500).foreach { _ =>
+      // LONG values, kind "n" — literals as Long AND as decimal-with-proof
+      val longs = Seq.fill(rng.between(1, 6))(rng.nextLong())
+      val lvals = longs.map(BigDecimal(_))
+      val llit = if (rng.nextBoolean()) longs(rng.nextInt(longs.size)) else rng.nextLong()
+      checkKept(numBound("n", lvals), lvals, llit, BigDecimal(llit), Set.empty)
+      checkKept(numBound("n", lvals), lvals,
+        new java.math.BigDecimal(llit), BigDecimal(llit), Set("c")) // proven non-decimal
+      // DOUBLE values (huge / tiny / negative / subnormal), kind "n"
+      val doubles = Seq.fill(rng.between(1, 6))(rng.nextInt(6) match {
+        case 0 => rng.nextDouble() * Double.MaxValue * (if (rng.nextBoolean()) 1 else -1)
+        case 1 => java.lang.Double.MIN_VALUE * rng.between(1L, 1000L)
+        case _ => (rng.nextDouble() - 0.5) * 1e6
+      })
+      val dvals = doubles.map(d => BigDecimal(new java.math.BigDecimal(d)))
+      val dlit = if (rng.nextBoolean()) doubles(rng.nextInt(doubles.size))
+        else (rng.nextDouble() - 0.5) * 1e6
+      checkKept(numBound("n", dvals), dvals, dlit, BigDecimal(new java.math.BigDecimal(dlit)), Set.empty)
+      // DECIMAL values incl. > 30 significant digits (exercises the bound
+      // rounding), kind "d" — decimal literals prune on scaled values
+      val decs = Seq.fill(rng.between(1, 6))(
+        // 20–140 bits: spans well past 30 significant digits, so the
+        // FLOOR/CEILING bound rounding really engages
+        BigDecimal(BigInt(rng.between(20, 140), rng), rng.between(0, 5)))
+        .map(d => if (rng.nextBoolean()) -d else d)
+      val dlit2 = (if (rng.nextBoolean()) decs(rng.nextInt(decs.size))
+        else BigDecimal(rng.nextLong()) / 100).underlying
+      checkKept(numBound("d", decs), decs, dlit2, BigDecimal(dlit2), Set.empty)
+      // STRING values, kind "s" — UTF-8 BYTE order (multi-byte included)
+      val pool = Seq("", "a", "zz", "é", "日本", "x", "Ab", "bÿ", "0", "~~")
+      val strs = Seq.fill(rng.between(1, 6))(
+        pool(rng.nextInt(pool.size)) + pool(rng.nextInt(pool.size)))
+      def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      implicit val byteOrd: Ordering[String] =
+        (a, b) => java.util.Arrays.compareUnsigned(bytes(a), bytes(b))
+      val sb = Map("c" -> ColBound("s", strs.min, strs.max))
+      val slit = if (rng.nextBoolean()) strs(rng.nextInt(strs.size))
+        else pool(rng.nextInt(pool.size))
+      def skept(f: PruneFilter, sat: String => Boolean): Unit =
+        if (strs.exists(sat))
+          assert(ColumnBounds.mayMatch(sb, f),
+            s"false negative: $f pruned string bounds $sb holding ${strs.filter(sat)}")
+      skept(Eq("c", slit), byteOrd.equiv(_, slit))
+      skept(Gt("c", slit), byteOrd.gt(_, slit))
+      skept(Ge("c", slit), byteOrd.gteq(_, slit))
+      skept(Lt("c", slit), byteOrd.lt(_, slit))
+      skept(Le("c", slit), byteOrd.lteq(_, slit))
+      // QUARANTINE: kind-"n" bounds + decimal literal + column NOT proven
+      // non-decimal => NEVER prune, for every filter shape, any values
+      val qb = numBound("n", lvals)
+      val qlit = new java.math.BigDecimal(rng.nextLong()).movePointLeft(2)
+      Seq[PruneFilter](Eq("c", qlit), In("c", Seq(qlit)), Gt("c", qlit),
+        Ge("c", qlit), Lt("c", qlit), Le("c", qlit)).foreach(f =>
+        assert(ColumnBounds.mayMatch(qb, f),
+          s"quarantine violated: $f pruned kind-n bounds $qb on a decimal literal"))
+      // NaN literal: incomparable => conservatively kept, every shape
+      Seq[PruneFilter](Eq("c", Double.NaN), Gt("c", Double.NaN), Le("c", Double.NaN))
+        .foreach(f => assert(ColumnBounds.mayMatch(numBound("n", dvals), f)))
+    }
+  }
+
   test("filters on non-partition columns never prune") {
     (1 to 500).foreach { _ =>
       val ts = randTs()
