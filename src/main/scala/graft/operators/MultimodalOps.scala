@@ -9,17 +9,26 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample stages a training-data
   * pipeline runs over them.
   *
-  * The environment ships no media codecs, so the DECODE step is a
-  * DETERMINISTIC FAKE (clearly marked below): it parses a synthetic
-  * header we stamp on each payload. Everything around it — the binary
-  * schema, the typed Dataset + mapPartitions batch pipeline (the Scala
-  * equivalent of mapInPandas: rows stream through in executor-side
-  * batches with no driver involvement), the exploded frame table — is
-  * real and tested, and is exactly what a real codec would slot into.
+  * Codec status, honestly split (r11):
+  *  - IMAGE decode is REAL: the JDK ships a PNG codec (`javax.imageio`,
+  *    no external library), so [[pngAssets]] synthesizes genuine PNG
+  *    payloads (deterministic pixels) in the executors and
+  *    [[imageDecodeStats]] (q94) decodes them back through `ImageIO` —
+  *    the decoded dimensions and pixel statistics hash-check against a
+  *    closed-form DuckDB recomputation, proving a real encode→decode
+  *    round-trip, not a byte-peek.
+  *  - AUDIO/VIDEO codecs do not exist in this environment, so THEIR
+  *    decode stays a DETERMINISTIC FAKE (clearly marked below).
+  * Everything around the decode — the binary schema, the typed Dataset +
+  * mapPartitions batch pipeline (the Scala equivalent of mapInPandas:
+  * rows stream through in executor-side batches with no driver
+  * involvement), the exploded frame table — is real and tested.
   *
   * Scale: all stages are map-only over the asset table (no shuffle);
   * frame sampling is a generator (explode) whose output is partitioned
-  * like its input. Payload bytes never leave the executor.
+  * like its input. Payload bytes never leave the executor (PNG encode
+  * AND decode run inside mapPartitions; the driver only sees the
+  * aggregated stats).
   */
 object MultimodalOps {
 
@@ -68,14 +77,100 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
-  /** === STUBBED DECODE ===
-    * A real implementation would hand `payload` to an image/audio codec.
-    * This deterministic fake "decodes" by reading the payload bytes
-    * directly; it exists so the pipeline shape (per-batch processing,
-    * fixed-width feature output) is real and testable in this codec-less
-    * environment. */
+  /** === STUBBED DECODE (audio/video only) ===
+    * A real implementation would hand `payload` to an audio/video codec
+    * (none exists in this environment). This deterministic fake "decodes"
+    * by reading the payload bytes directly; it exists so the pipeline
+    * shape (per-batch processing, fixed-width feature output) is real and
+    * testable. The IMAGE path does NOT use this — see
+    * [[imageDecodeStats]], which runs the JDK's real PNG codec. */
   private def fakeDecode(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xFF): Int)
+
+  // ------------------------------------------------------- real PNG path
+
+  /** Deterministic grayscale pixel value of image `assetId` at (x, y) —
+    * the closed form the DuckDB oracle recomputes. */
+  private def pixelValue(assetId: Long, x: Int, y: Int): Int =
+    ((assetId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Synthesize a GENUINE PNG (JDK `ImageIO` encoder — real zlib/PNG
+    * bytes, magic `\x89PNG` header and all) holding the deterministic
+    * pixel pattern. Runs in executors; lossless by PNG's nature, so the
+    * decode side recovers the exact pixels. */
+  private[operators] def syntheticPng(assetId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixelValue(assetId, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-PNG asset table: one image per document, dimensions derived
+    * deterministically from the id (small: <= 23×17 px — the codec
+    * round-trip is the point, not pixel volume). Payloads are encoded
+    * INSIDE mapPartitions — the driver never holds image bytes. */
+  def pngAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 6).toInt
+        MediaAsset(id, "image", syntheticPng(id, w, h), w, h, 0)
+      })
+  }
+
+  /** Decode a PNG payload with the JDK's REAL codec; None on bytes the
+    * codec rejects (a corrupt payload must quarantine, not kill the
+    * pipeline — spec-asserted). */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** q94 — REAL image decode, oracle-checked: ImageIO-decode every PNG
+    * payload and emit per-asset dimension + exact pixel statistics
+    * (integer domains only — no float laundering). The decoded width /
+    * height / pixels come from the CODEC, not the metadata columns, so
+    * the DuckDB closed-form recomputation hash-matching proves the
+    * encode→decode round-trip is lossless end to end. Map-only: encode,
+    * decode and the per-image reduction all happen inside one
+    * mapPartitions pass; corrupt payloads drop (quarantine semantics). */
+  def imageDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngAssets(s, dir)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { a =>
+        decodeImage(a.payload).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xFF // grayscale: B channel = R = G
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (a.asset_id, w, h, sum, mn, mx)
+        }
+      }))
+      .toDF("asset_id", "width", "height", "sum_px", "min_px", "max_px")
+  }
 
   /** Feature extraction: typed mapPartitions in executor-side batches of
     * [[BatchSize]] (the Scala shape of mapInPandas) producing a fixed
@@ -147,5 +242,26 @@ object MultimodalOps {
         |  CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes,
         |  CAST(SUM(octet_length(encode(text)) * 10) AS BIGINT) AS total_duration_ms
         |FROM documents GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // The oracle recomputes the CLOSED FORM of the deterministic pixel
+    // pattern ((id*31 + 7x + 13y) mod 256 over the id-derived dimensions)
+    // — Spark's numbers come from really encoding and really decoding a
+    // PNG (JDK ImageIO), so a hash match proves the codec round-trip.
+    NamedQuery("q94_image_decode_stats", imageDecodeStats, oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 16 + 8 AS INT) AS w,
+        |         CAST(doc_id % 12 + 6 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, ((doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(24)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(18)) AS y) y
+        |  WHERE x.x < w AND y.y < h
+        |)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        |  CAST(SUM(v) AS BIGINT) AS sum_px,
+        |  CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -37,6 +37,29 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q94 image path: payloads are genuine PNGs, the JDK codec round-trips them") {
+    val assets = MultimodalOps.pngAssets(spark, sfDir).collect()
+    assert(assets.nonEmpty)
+    assets.take(20).foreach { a =>
+      // real PNG container: magic bytes, and the REAL codec decodes it
+      assert((a.payload(0) & 0xFF) == 0x89 && a.payload(1) == 'P' &&
+        a.payload(2) == 'N' && a.payload(3) == 'G', s"asset ${a.asset_id} not a PNG")
+      val img = MultimodalOps.decodeImage(a.payload)
+      assert(img.isDefined, s"codec rejected asset ${a.asset_id}")
+      assert(img.get.getWidth == a.width && img.get.getHeight == a.height,
+        s"asset ${a.asset_id}: decoded ${img.get.getWidth}x${img.get.getHeight}, " +
+          s"metadata ${a.width}x${a.height}")
+    }
+    // decoded stats come from the codec and are deterministic
+    val stats = MultimodalOps.imageDecodeStats(spark, sfDir)
+    assert(stats.count() == assets.length.toLong)
+    val again = MultimodalOps.imageDecodeStats(spark, sfDir).collect().toSeq
+    assert(stats.collect().toSeq.sortBy(_.getLong(0)) == again.sortBy(_.getLong(0)))
+    // corrupt payloads quarantine (drop), they don't kill the pipeline
+    assert(MultimodalOps.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(MultimodalOps.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
   test("frame sampling: only videos, deterministic frame counts from duration") {
     val assets = MultimodalOps.mediaAssets(spark, sfDir)
     val frames = MultimodalOps.sampleFrames(assets, everyMs = 500)
