@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *    the decoded dimensions and pixel statistics hash-check against a
   *    closed-form DuckDB recomputation, proving a real encode→decode
   *    round-trip, not a byte-peek.
-  *  - AUDIO/VIDEO codecs do not exist in this environment, so THEIR
-  *    decode stays a DETERMINISTIC FAKE (clearly marked below).
+  *  - AUDIO decode is REAL too: the JDK ships a WAV/PCM codec
+  *    (`javax.sound.sampled.AudioSystem`) — [[audioDecodeStats]] (q95)
+  *    round-trips genuine RIFF containers the same way.
+  *  - VIDEO codecs do not exist in this environment, so video decode
+  *    stays a DETERMINISTIC FAKE (clearly marked below).
   * Everything around the decode — the binary schema, the typed Dataset +
   * mapPartitions batch pipeline (the Scala equivalent of mapInPandas:
   * rows stream through in executor-side batches with no driver
@@ -77,13 +80,14 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
-  /** === STUBBED DECODE (audio/video only) ===
-    * A real implementation would hand `payload` to an audio/video codec
-    * (none exists in this environment). This deterministic fake "decodes"
-    * by reading the payload bytes directly; it exists so the pipeline
-    * shape (per-batch processing, fixed-width feature output) is real and
-    * testable. The IMAGE path does NOT use this — see
-    * [[imageDecodeStats]], which runs the JDK's real PNG codec. */
+  /** === STUBBED DECODE (video only) ===
+    * A real implementation would hand `payload` to a video codec (none
+    * exists in this environment). This deterministic fake "decodes" by
+    * reading the payload bytes directly; it exists so the pipeline shape
+    * (per-batch processing, fixed-width feature output) is real and
+    * testable. The IMAGE and AUDIO paths do NOT use this — see
+    * [[imageDecodeStats]] / [[audioDecodeStats]], which run the JDK's
+    * real PNG and WAV codecs. */
   private def fakeDecode(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xFF): Int)
 
@@ -221,6 +225,85 @@ object MultimodalOps {
     }
   }
 
+  // ------------------------------------------------------ real WAV path
+
+  /** Deterministic 16-bit PCM sample of audio asset `assetId` at frame
+    * `i` — the closed form the DuckDB oracle recomputes. */
+  private def sampleValue(assetId: Long, i: Int): Int =
+    (((assetId * 37 + i * 11) % 65536) - 32768).toInt
+
+  /** PCM frame count per asset (deterministic; 400–1199 frames). */
+  private def frameCount(assetId: Long): Int = (assetId % 800 + 400).toInt
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    16000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+
+  /** Synthesize a GENUINE WAV (JDK `AudioSystem` encoder — real RIFF
+    * container over 16-bit little-endian PCM) holding the deterministic
+    * sample pattern. Lossless: PCM bytes round-trip exactly. */
+  private[operators] def syntheticWav(assetId: Long): Array[Byte] = {
+    val n = frameCount(assetId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleValue(assetId, i)
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), WavFormat, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload with the JDK's REAL codec: container parse +
+    * format check + PCM extraction. None on bytes the codec rejects
+    * (quarantine, not a pipeline kill). */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Some((ais.getFormat, ais.readAllBytes()))
+      finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** q95 — REAL audio decode, oracle-checked (the WAV sibling of q94):
+    * AudioSystem-decode every payload and emit per-asset frame counts +
+    * exact integer sample statistics from the DECODED PCM — the sample
+    * rate and sample values come from the codec, so the closed-form
+    * DuckDB hash match proves the RIFF/PCM round-trip. Map-only. */
+  def audioDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id))))
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, wav) =>
+        decodeWav(wav).map { case (fmt, pcm) =>
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"asset $id decoded to unexpected format $fmt")
+          val n = pcm.length / 2
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (id, n, (fmt.getSampleRate / 1000f).round, sum, mn, mx)
+        }
+      }))
+      .toDF("asset_id", "n_samples", "khz", "sum_pcm", "min_pcm", "max_pcm")
+  }
+
   // q44 — media catalog rollup over the BINARY payload column: per media
   // type, asset count + exact byte accounting (octet_length on binary in
   // Spark ≡ octet_length(encode(text)) in DuckDB — multibyte text makes
@@ -262,6 +345,23 @@ object MultimodalOps {
         |  CAST(SUM(v) AS BIGINT) AS sum_px,
         |  CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
         |FROM px GROUP BY doc_id, w, h
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Closed form of the PCM pattern ((id*37 + 11i) mod 65536 - 32768
+    // over id-derived frame counts); Spark's numbers come from really
+    // encoding and really decoding a RIFF/WAV container (JDK
+    // AudioSystem), khz from the decoded format's sample rate.
+    NamedQuery("q95_audio_decode_stats", audioDecodeStats, oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 800 + 400 AS INT) AS n FROM documents
+        |), sm AS (
+        |  SELECT doc_id, n, ((doc_id * 37 + i.i * 11) % 65536 - 32768) AS v
+        |  FROM d CROSS JOIN (SELECT unnest(range(1200)) AS i) i
+        |  WHERE i.i < n
+        |)
+        |SELECT doc_id AS asset_id, n AS n_samples, CAST(16 AS INT) AS khz,
+        |  CAST(SUM(v) AS BIGINT) AS sum_pcm,
+        |  CAST(MIN(v) AS INT) AS min_pcm, CAST(MAX(v) AS INT) AS max_pcm
+        |FROM sm GROUP BY doc_id, n
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -60,6 +60,27 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.decodeImage(Array.empty[Byte]).isEmpty)
   }
 
+  test("q95 audio path: payloads are genuine RIFF/WAVs, the JDK codec round-trips them") {
+    val wav = MultimodalOps.syntheticWav(7L)
+    // real RIFF container: magic bytes + WAVE form type
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "not a RIFF/WAVE container")
+    val dec = MultimodalOps.decodeWav(wav)
+    assert(dec.isDefined, "codec rejected its own container")
+    val (fmt, pcm) = dec.get
+    assert(fmt.getSampleRate == 16000f && fmt.getSampleSizeInBits == 16 &&
+      fmt.getChannels == 1 && !fmt.isBigEndian, s"format $fmt")
+    assert(pcm.length == (7L % 800 + 400).toInt * 2, s"pcm bytes ${pcm.length}")
+    // decoded stats are deterministic and one-per-asset
+    val stats = MultimodalOps.audioDecodeStats(spark, sfDir)
+    assert(stats.count() == graft.Tables.load(spark, sfDir, "documents").count())
+    val again = MultimodalOps.audioDecodeStats(spark, sfDir).collect().toSeq
+    assert(stats.collect().toSeq.sortBy(_.getLong(0)) == again.sortBy(_.getLong(0)))
+    // corrupt payloads quarantine (drop), they don't kill the pipeline
+    assert(MultimodalOps.decodeWav(Array[Byte](82, 73, 70, 70)).isEmpty)
+    assert(MultimodalOps.decodeWav(Array.empty[Byte]).isEmpty)
+  }
+
   test("frame sampling: only videos, deterministic frame counts from duration") {
     val assets = MultimodalOps.mediaAssets(spark, sfDir)
     val frames = MultimodalOps.sampleFrames(assets, everyMs = 500)
