@@ -225,6 +225,69 @@ object MultimodalOps {
     }
   }
 
+  /** REAL nearest-neighbor downsample on a decoded image (out(x,y) =
+    * in(factor·x, factor·y)) — deterministic by construction, so the
+    * resized pixels keep a closed form the oracle can recompute. */
+  private[operators] def resizeImage(
+      img: java.awt.image.BufferedImage, factor: Int): java.awt.image.BufferedImage = {
+    val w = math.max(img.getWidth / factor, 1)
+    val h = math.max(img.getHeight / factor, 1)
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** q96 — REAL image resize, oracle-checked: every PNG payload is
+    * decoded, nearest-neighbor downsampled ×2, RE-ENCODED as a fresh PNG
+    * and decoded AGAIN before the stats are read — two full codec
+    * round-trips bracket the real pixel transform, so the closed-form
+    * hash match proves the whole decode→resize→encode→decode chain is
+    * lossless. Map-only, executor-side, like q94. */
+  def imageResizeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngAssets(s, dir)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { a =>
+        decodeImage(a.payload)
+          .map(resizeImage(_, 2))
+          .flatMap { resized =>
+            // re-encode the RESIZED image and decode the fresh PNG —
+            // the stats must come from bytes that really round-tripped
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(resized, "png", out)
+            decodeImage(out.toByteArray)
+          }
+          .map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y) & 0xFF
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            (a.asset_id, w, h, sum, mn, mx)
+          }
+      }))
+      .toDF("asset_id", "width", "height", "sum_px", "min_px", "max_px")
+  }
+
   // ------------------------------------------------------ real WAV path
 
   /** Deterministic 16-bit PCM sample of audio asset `assetId` at frame
@@ -362,6 +425,28 @@ object MultimodalOps {
         |  CAST(SUM(v) AS BIGINT) AS sum_pcm,
         |  CAST(MIN(v) AS INT) AS min_pcm, CAST(MAX(v) AS INT) AS max_pcm
         |FROM sm GROUP BY doc_id, n
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Nearest-neighbor ×2: out(x,y) = in(2x, 2y), so the resized pixel
+    // pattern keeps the closed form with doubled coordinates; dimensions
+    // halve with integer division (w >= 8, h >= 6, so the max(…, 1)
+    // guard never engages and the SQL can use plain //).
+    NamedQuery("q96_image_resize_stats", imageResizeStats, oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, CAST((doc_id % 16 + 8) // 2 AS INT) AS w2,
+        |         CAST((doc_id % 12 + 6) // 2 AS INT) AS h2
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w2, h2,
+        |         ((doc_id * 31 + 2 * x.x * 7 + 2 * y.y * 13) % 256) AS v
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(12)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(9)) AS y) y
+        |  WHERE x.x < w2 AND y.y < h2
+        |)
+        |SELECT doc_id AS asset_id, w2 AS width, h2 AS height,
+        |  CAST(SUM(v) AS BIGINT) AS sum_px,
+        |  CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
+        |FROM px GROUP BY doc_id, w2, h2
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

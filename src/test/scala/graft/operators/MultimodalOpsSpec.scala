@@ -58,6 +58,15 @@ class MultimodalOpsSpec extends SparkSpec {
     // corrupt payloads quarantine (drop), they don't kill the pipeline
     assert(MultimodalOps.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(MultimodalOps.decodeImage(Array.empty[Byte]).isEmpty)
+    // q96: real nearest-neighbor resize halves decoded dims and picks
+    // exactly the (2x, 2y) source pixels
+    val a0 = assets.head
+    val img0 = MultimodalOps.decodeImage(a0.payload).get
+    val half = MultimodalOps.resizeImage(img0, 2)
+    assert(half.getWidth == a0.width / 2 && half.getHeight == a0.height / 2)
+    assert((half.getRGB(1, 1) & 0xFF) == (img0.getRGB(2, 2) & 0xFF))
+    val rs = MultimodalOps.imageResizeStats(spark, sfDir)
+    assert(rs.count() == assets.length.toLong)
   }
 
   test("q95 audio path: payloads are genuine RIFF/WAVs, the JDK codec round-trips them") {
