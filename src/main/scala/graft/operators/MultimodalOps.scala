@@ -392,7 +392,7 @@ object MultimodalOps {
     // pattern ((id*31 + 7x + 13y) mod 256 over the id-derived dimensions)
     // — Spark's numbers come from really encoding and really decoding a
     // PNG (JDK ImageIO), so a hash match proves the codec round-trip.
-    NamedQuery("q94_image_decode_stats", imageDecodeStats, oracle = Some(
+    NamedQuery("q94_image_decode_stats", imageDecodeStats, bench = true, oracle = Some(
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 16 + 8 AS INT) AS w,
         |         CAST(doc_id % 12 + 6 AS INT) AS h
@@ -413,7 +413,7 @@ object MultimodalOps {
     // over id-derived frame counts); Spark's numbers come from really
     // encoding and really decoding a RIFF/WAV container (JDK
     // AudioSystem), khz from the decoded format's sample rate.
-    NamedQuery("q95_audio_decode_stats", audioDecodeStats, oracle = Some(
+    NamedQuery("q95_audio_decode_stats", audioDecodeStats, bench = true, oracle = Some(
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 800 + 400 AS INT) AS n FROM documents
         |), sm AS (
@@ -430,7 +430,7 @@ object MultimodalOps {
     // pattern keeps the closed form with doubled coordinates; dimensions
     // halve with integer division (w >= 8, h >= 6, so the max(…, 1)
     // guard never engages and the SQL can use plain //).
-    NamedQuery("q96_image_resize_stats", imageResizeStats, oracle = Some(
+    NamedQuery("q96_image_resize_stats", imageResizeStats, bench = true, oracle = Some(
       """WITH d AS (
         |  SELECT doc_id, CAST((doc_id % 16 + 8) // 2 AS INT) AS w2,
         |         CAST((doc_id % 12 + 6) // 2 AS INT) AS h2
