@@ -93,6 +93,12 @@ object MultimodalOps {
 
   // ------------------------------------------------------- real PNG path
 
+  // ImageIO's default stream cache is DISK-backed: every read/write would
+  // create and delete a temp file — 2 files per asset per pass, pure
+  // executor-local filesystem churn. These are small in-memory payloads;
+  // cache in memory. (Process-wide, idempotent.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic grayscale pixel value of image `assetId` at (x, y) —
     * the closed form the DuckDB oracle recomputes. */
   private def pixelValue(assetId: Long, x: Int, y: Int): Int =

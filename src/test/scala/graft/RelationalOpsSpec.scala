@@ -29,6 +29,19 @@ class RelationalOpsSpec extends SparkSpec {
       s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 91")
   }
 
+  test("the no-oracle set is exactly the documented irreducible ledger") {
+    // README's ledger and the registry must agree BY CONSTRUCTION: the
+    // only queries without a DuckDB oracle are the five whose oracle is
+    // irreducible (seeded rand, wall clock, HLL internals, ANN ranks
+    // 2..k — whose rank-1 slice q92/q93 DO hash-check). A new no-oracle
+    // query must be added here deliberately, with its reason.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val ledger = Set("q49_seeded_sample", "q53_now_functions",
+      "q56_approx_distinct", "q71_ivf_ann_topk", "q77_pq_ann_topk")
+    assert(noOracle == ledger,
+      s"ledger drift: undocumented=${noOracle -- ledger} stale=${ledger -- noOracle}")
+  }
+
   test("q1 canonical aggregate: counts reconcile with table size") {
     val df = RelationalOps.ordersByStatus(spark, sfDir)
     val total = df.collect().map(_.getAs[Long]("order_count")).sum
