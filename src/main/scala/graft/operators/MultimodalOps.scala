@@ -350,8 +350,8 @@ object MultimodalOps {
   def audioDecodeStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticWav(id))))
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, wav) =>
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
+        val wav = syntheticWav(id)
         decodeWav(wav).map { case (fmt, pcm) =>
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
             s"asset $id decoded to unexpected format $fmt")

@@ -31,8 +31,9 @@ object EventStreams {
     * normalizing `ts` to UTC TimestampType exactly as [[graft.Tables.load]]
     * does for the batch form (nanos-as-long fixtures via timestamp_micros;
     * TIMESTAMP_NTZ fixtures via a cast — the wall-clock is UTC by
-    * construction and every entry point pins session.timeZone=UTC; a
-    * watermark rejects NTZ, so the normalization is load-bearing here). */
+    * construction, and a session whose time zone is NOT UTC fails loudly
+    * at the cast site, [[graft.Tables.requireUtcSession]]; a watermark
+    * rejects NTZ, so the normalization is load-bearing here). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream

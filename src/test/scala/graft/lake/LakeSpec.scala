@@ -482,6 +482,11 @@ class LakeSpec extends SparkSpec {
     LakeTable.create(spark, s"$dir/t", "t", schema0, primaryKey = Seq("id"))
 
     val nWriters = 4
+    // the SQL catalog route resolves graft.t to <warehouse>/t
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.graft.catalog.warehouse", dir)
+    val sqlInserts = new java.util.concurrent.atomic.AtomicInteger
     def retrying(label: String)(f: => Snapshot): Snapshot = {
       var last: Throwable = null
       for (_ <- 1 to 12) {
@@ -527,6 +532,17 @@ class LakeSpec extends SparkSpec {
           // round 5: second disjoint append
           record(retrying(s"w$i append2")(w.append(
             (1000L to 1049L).map(k => (base + k, s"a-$i-3")).toDF("id", "s"))))
+          // round 6 (writers 2/3): MIXED-PROTOCOL race — the same table
+          // written through the SQL catalog route (DSv2 batch write →
+          // commitStagedAppend), racing the Scala-API writers above. The
+          // DSv2 append commit carries its own rebase-retry; each
+          // successful INSERT mints exactly one snapshot (counted, not
+          // seq-recorded — the racing winner's seq isn't observable).
+          if (i >= 2) {
+            spark.sql(
+              s"INSERT INTO graft.t VALUES (${base + 2000}, 'sql-$i-0'), (${base + 2001}, 'sql-$i-1')")
+            sqlInserts.incrementAndGet()
+          }
         } catch { case e: Throwable => failures.add(e) }
       }, s"stress-writer-$i")
     }
@@ -540,19 +556,24 @@ class LakeSpec extends SparkSpec {
       s"non-contiguous snapshot seqs: ${snaps.map(_.seq)}")
     snaps.drop(1).foreach(s => assert(s.parent.contains(s.seq - 1),
       s"forked history at ${s.seq}: parent ${s.parent}"))
-    // (4) every successful commit owns exactly one distinct snapshot, and
-    // together they are exactly the post-create chain
+    // (4) every successful commit owns exactly one distinct snapshot;
+    // Scala-API commits are seq-recorded, SQL INSERTs are counted — the
+    // chain must account for exactly all of them plus the create
     val seqs = committed.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
     assert(seqs.distinct.size == seqs.size, s"two commits claimed one snapshot: $seqs")
-    assert(seqs.toSet == snaps.map(_.seq).toSet - 0L,
-      s"snapshot chain and reported commits disagree: $seqs vs ${snaps.map(_.seq)}")
+    assert(seqs.toSet.subsetOf(snaps.map(_.seq).toSet),
+      s"reported commit seq missing from the chain: $seqs vs ${snaps.map(_.seq)}")
+    assert(snaps.size == 1 + seqs.size + sqlInserts.get,
+      s"chain length ${snaps.size} != 1 create + ${seqs.size} Scala + ${sqlInserts.get} SQL commits")
     // (2) serial-equivalent final content per writer-owned key range
     val got = t.scan().as[(Long, String)].collect().toMap
     val expected = (0 until nWriters).flatMap { i =>
       val base = i * 100000L
       (0L to 9L).map(k => (base + k) -> s"u-$i-1") ++
         (10L to 39L).map(k => (base + k) -> s"a-$i-0") ++
-        (1000L to 1049L).map(k => (base + k) -> s"a-$i-3")
+        (1000L to 1049L).map(k => (base + k) -> s"a-$i-3") ++
+        (if (i >= 2) Seq((base + 2000L) -> s"sql-$i-0", (base + 2001L) -> s"sql-$i-1")
+         else Seq.empty)
     }.toMap
     assert(got == expected,
       s"content diverged: missing=${(expected.keySet -- got.keySet).take(5)} " +
