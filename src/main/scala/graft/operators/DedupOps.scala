@@ -443,6 +443,40 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** q98 — BENCHMARK DECONTAMINATION, the training-data step that near-dup
+    * search does not cover: a training document is contaminated when a
+    * large fraction of ITS OWN shingles appears in some held-out benchmark
+    * document — an ASYMMETRIC containment test (|sh(doc) ∩ sh(bench)| /
+    * |sh(doc)|), catching benchmark text embedded in a longer training
+    * document that symmetric Jaccard would wash out. The benchmark here is
+    * the deterministic `doc_id % 50 == 0` slice (standing in for a real
+    * eval-set table, which is what a deployment would pass).
+    *
+    * Scale design: benchmark sets are SMALL BY NATURE (eval suites, not
+    * corpora), so the benchmark's posting list (bench_id, shingle) is
+    * legitimately broadcastable at any training-corpus size — candidates
+    * explode their shingles map-side, hash-join the broadcast postings,
+    * and one groupBy((doc, bench)) counts intersections: no shuffle of
+    * the corpus, no pair enumeration beyond actually-overlapping pairs.
+    * Shingle arrays are distinct per doc, so the join-row count per
+    * (doc, bench) IS the exact intersection size — containment is exact,
+    * and the DuckDB oracle brute-forces the identical value. */
+  val DecontaminationThreshold = 0.5
+  def decontamination(s: SparkSession, dir: String,
+      threshold: Double = DecontaminationThreshold): DataFrame = {
+    val sh = shingled(s, dir)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("tok"))
+    sh.filter(col("doc_id") % 50 =!= 0 && size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("tok"))
+      .join(broadcast(bench), "tok")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"), first(col("n")).as("n"))
+      .withColumn("containment", col("inter").cast("double") / col("n"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+
   /** The bigram-shingle CTE shared by the pair oracles. */
   private val shingleCte =
     """WITH t AS (
@@ -529,6 +563,19 @@ object DedupOps {
           |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+          |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // asymmetric containment vs the benchmark slice, brute-forced exactly
+    // by the oracle (the all-pairs CROSS JOIN is fine at oracle scale;
+    // the Spark side is the broadcast-postings inverted-index join)
+    NamedQuery("q98_decontamination", (s, dir) => decontamination(s, dir), oracle = Some(
+      shingleCte +
+        """
+          |, bench AS (SELECT doc_id AS bench_id, sh AS bsh FROM s WHERE doc_id % 50 = 0),
+          |cand AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 0 AND len(sh) > 0)
+          |SELECT c.doc_id, b.bench_id,
+          |  CAST(len(list_intersect(c.sh, b.bsh)) AS DOUBLE) / len(c.sh) AS containment
+          |FROM cand c CROSS JOIN bench b
+          |WHERE CAST(len(list_intersect(c.sh, b.bsh)) AS DOUBLE) / len(c.sh) >= 0.5
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -107,6 +107,25 @@ object TextOps {
         size(col("bpe")).cast("long").as("n_bpe_tokens"),
         (col("n_chars").cast("double") / size(col("bpe"))).as("chars_per_bpe_token"))
 
+  /** q97 — deterministic train/val/test split, the standard 80/10/10
+    * hash split every training-data pipeline runs before anything else.
+    * The bucket is the LOW 32 BITS of md5(doc_id-as-string) mod 100 —
+    * low 32 deliberately: they are non-negative in a signed long, so
+    * Spark's signed `pmod` and DuckDB's unsigned `%` agree (the full
+    * low-64 value would flip sign cross-engine). Content-independent
+    * (id-keyed) so re-crawled/edited documents keep their split, pure
+    * map-side at any corpus size, and fully engine-portable (the q72
+    * md5-basis lesson) — the oracle recomputes every assignment. */
+  val splitAssign: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10).cast("long"),
+      lit(100L))
+    docs(s, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+  }
+
   /** Language-ID over the corpus (heuristic; spec-tested — see scaladoc). */
   def detectLanguages(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -154,5 +173,16 @@ object TextOps {
         |    / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
         |    AS chars_per_bpe_token
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q97_dataset_split", splitAssign, oracle = Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT % 100
+        |      AS BIGINT) AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

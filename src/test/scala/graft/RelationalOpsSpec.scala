@@ -19,14 +19,14 @@ class RelationalOpsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("registry never shrinks: the round-11 floor is 96 queries / 91 oracles") {
+  test("registry never shrinks: the round-11 floor is 98 queries / 93 oracles") {
     // an accidentally-dropped NamedQuery would silently shrink the
     // driver's scoreboard (rows just vanish — the round-9 q50/q51
     // lesson); growing past the floor is fine and expected
-    assert(SparkEntry.queries.size >= 96,
-      s"query registry shrank: ${SparkEntry.queries.size} < 96")
-    assert(SparkEntry.oracleSql.size >= 91,
-      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 91")
+    assert(SparkEntry.queries.size >= 98,
+      s"query registry shrank: ${SparkEntry.queries.size} < 98")
+    assert(SparkEntry.oracleSql.size >= 93,
+      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 93")
   }
 
   test("the no-oracle set is exactly the documented irreducible ledger") {

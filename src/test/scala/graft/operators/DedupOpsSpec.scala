@@ -252,4 +252,25 @@ class DedupOpsSpec extends SparkSpec {
       .select(TextSig.rollingFingerprint(col("text")).as("fp")).as[Long].collect()
     assert(df(0) == df(1) && df(0) != df(2))
   }
+  test("q98 decontamination equals brute-force containment; benchmark side broadcasts") {
+    val sh = DedupOps.shingled(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val bench = sh.filter(_._1 % 50 == 0)
+    val truth = (for {
+      (id, set) <- sh if id % 50 != 0 && set.nonEmpty
+      (bid, bset) <- bench
+      cont = (set intersect bset).size.toDouble / set.size
+      if cont >= DedupOps.DecontaminationThreshold
+    } yield (id, bid, cont)).toSet
+    val df = DedupOps.decontamination(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "fixture has no contaminated docs; test is vacuous")
+    assert(got == truth, s"missed=${truth -- got} extra=${got -- truth}")
+    // the benchmark postings are the BROADCAST side (small by nature);
+    // the corpus is never broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
 }

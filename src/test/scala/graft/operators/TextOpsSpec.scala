@@ -40,4 +40,28 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("reconstructed") =!= col("n_chars"))
     assert(bad.count() == 0)
   }
+  test("q97 split: deterministic, id-keyed, ~80/10/10, engine-portable bucket domain") {
+    val a = TextOps.splitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    // deterministic and content-independent: re-running AND running over
+    // a different corpus snapshot with the same ids assigns identically
+    val b = TextOps.splitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(a == b)
+    val c = TextOps.splitAssign(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).map(t => t._1 -> (t._2, t._3)).toMap
+    a.foreach { case (id, bkt, sp) =>
+      assert(c.get(id).forall(_ == (bkt, sp)), s"id $id split drifted across corpora")
+    }
+    // buckets live in [0, 100) and the split boundaries hold exactly
+    a.foreach { case (id, bkt, sp) =>
+      assert(bkt >= 0 && bkt < 100, s"id $id bucket $bkt")
+      val want = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+      assert(sp == want, s"id $id bucket $bkt split $sp")
+    }
+    // hash split is approximately 80/10/10 (loose: small corpus)
+    val frac = a.count(_._3 == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
 }
