@@ -460,7 +460,15 @@ object DedupOps {
     * the corpus, no pair enumeration beyond actually-overlapping pairs.
     * Shingle arrays are distinct per doc, so the join-row count per
     * (doc, bench) IS the exact intersection size — containment is exact,
-    * and the DuckDB oracle brute-forces the identical value. */
+    * and the DuckDB oracle brute-forces the identical value.
+    *
+    * Honest caveat on the DEMO input: the stand-in benchmark here is a
+    * `% 50` slice, which grows O(corpus) — at 100 TB a slice like that
+    * would NOT be broadcastable, and a caller decontaminating against a
+    * corpus-proportional set should drop the broadcast hint (the plan
+    * degrades to a co-partitioned shuffle join on the shingle key, same
+    * exactness). The hint encodes the real deployment shape: a bounded
+    * eval-suite table. */
   val DecontaminationThreshold = 0.5
   def decontamination(s: SparkSession, dir: String,
       threshold: Double = DecontaminationThreshold): DataFrame = {
