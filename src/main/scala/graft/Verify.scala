@@ -19,7 +19,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (same contract as SPARK_GRAFT_BENCH_ONLY);
+    // unset = the full registry, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       // Operators return unordered plans (a verification-only global sort
       // inside an operator would be a full range-partition shuffle at scale
       // — VERDICT r1 "What's wrong" #2); the canonical row order lives only
@@ -41,7 +48,7 @@ object Verify {
     // the driver's per-query scoreboard (round 9 lost q50/q51 exactly this
     // way) — make the round summary impossible to miss, on stdout AND
     // stderr, before the oracle dump.
-    val total = SparkEntry.queries.size
+    val total = selected.size
     val summary =
       if (failed.isEmpty) s"[verify] all $total queries dumped"
       else s"[verify] ${total - failed.size}/$total dumped; FAILED: ${failed.sorted.mkString(", ")}"

@@ -485,6 +485,100 @@ object DedupOps {
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
 
+  /** CONNECTED COMPONENTS over an undirected edge list by alternating
+    * Large-Star / Small-Star rounds (public literature: Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014) — the
+    * canonicalization step that turns a near-dup PAIR set into near-dup
+    * CLUSTERS (transitive closure), so "keep one survivor per cluster"
+    * is well-defined even when A~B and B~C but A~C was never emitted.
+    *
+    * Pure relational formulation (no neighbor lists are ever collected):
+    *  - Large-Star: every node u looks at its symmetric neighborhood,
+    *    computes m = min(N(u) ∪ {u}) with one groupBy-min, and rewires
+    *    each STRICTLY LARGER neighbor v > u to m (a join + filter).
+    *  - Small-Star: on the (lo < hi)-normalized edges, every hi computes
+    *    m = min of its smaller endpoints and rewires them — and itself —
+    *    to m.
+    * Each round is two shuffles (groupBy-min + co-partitioned join);
+    * the paper proves convergence to per-component stars rooted at the
+    * minimum id in O(log n) rounds w.h.p. — at 10^12 documents that is
+    * ~40 bounded-size rounds, never a diameter-length chain like naive
+    * label propagation. Lineage is cut with localCheckpoint per round
+    * (iterative plans otherwise grow Catalyst trees exponentially).
+    *
+    * Input: (u, v) long pairs, any order/duplication. Output: one row per
+    * distinct endpoint, (node, component) with component = min node id
+    * reachable — deterministic, so the driver oracle can recompute it
+    * with a recursive transitive-closure CTE. */
+  private[graft] def connectedComponents(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
+    def normalize(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = e.join(mins, "hi")
+      withM.select(col("m").as("u"), col("lo").as("v"))
+        .unionAll(withM.select(col("m").as("u"), col("hi").as("v")))
+    }
+    // convergence signature: edge count + order-independent content hash
+    // (one aggregate; an except() equality check would be two more joins
+    // per round). XOR fold, not SUM: rows are distinct by construction so
+    // xor-cancellation needs a 2^-64 collision, and xor cannot overflow
+    // under ANSI mode the way a 64-bit sum of hashes would.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("lo"), col("hi")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = normalize(edges0.select(col("u"), col("v"))).localCheckpoint()
+    var sig = signature(edges)
+    var converged = false
+    var round = 0
+    val maxRounds = 50 // O(log n) proven; 50 covers n ~ 10^15
+    while (!converged && round < maxRounds) {
+      val next = normalize(smallStar(normalize(largeStar(edges)))).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next; sig = nextSig
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // converged state: per-component stars (min, v) — plus the roots
+    edges.select(col("hi").as("node"), col("lo").as("component"))
+      .unionAll(edges.select(col("lo").as("node"), col("lo").as("component")))
+      .distinct()
+  }
+
+  /** q99 — near-dup CLUSTERS: the q38 verified pair set closed under
+    * transitivity via [[connectedComponents]], labeled by the minimum
+    * doc_id (the dedup survivor a keep-first policy retains) with the
+    * cluster size alongside. Only documents that appear in some near-dup
+    * pair are emitted — singletons are the corpus complement and would
+    * dominate the output without adding information. */
+  val neardupComponents: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pairs = minhashNeardupPairs(s, dir)
+      .select(col("doc_i").as("u"), col("doc_j").as("v"))
+    val labeled = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component").as("component_id"))
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component_id"))))
+      .select(col("doc_id"), col("component_id"), col("cluster_size"))
+  }
+
   /** The bigram-shingle CTE shared by the pair oracles. */
   private val shingleCte =
     """WITH t AS (
@@ -585,5 +679,32 @@ object DedupOps {
           |FROM cand c CROSS JOIN bench b
           |WHERE CAST(len(list_intersect(c.sh, b.bsh)) AS DOUBLE) / len(c.sh) >= 0.5
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Transitive closure of the q38 pair set: the oracle brute-forces the
+    // same pairs all-pairs, then closes them with a recursive
+    // reachability CTE and labels each node with its minimum reachable id
+    // — exactly what the Large-Star/Small-Star rounds converge to. The
+    // q38 completeness caveat (banding escape probability ~2e-4 per
+    // 0.9-similar pair) is inherited, nothing more: the closure itself is
+    // deterministic on any agreed pair set.
+    NamedQuery("q99_neardup_components", neardupComponents, bench = true, oracle = Some(
+      shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """
+          |, pairs AS MATERIALIZED (
+          |  SELECT a.doc_id AS di, b.doc_id AS dj
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+          |), edges AS MATERIALIZED (
+          |  SELECT di AS u, dj AS v FROM pairs UNION SELECT dj, di FROM pairs
+          |), reach AS (
+          |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+          |  UNION
+          |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+          |), comp AS (
+          |  SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u
+          |)
+          |SELECT doc_id, component_id,
+          |  COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
+          |FROM comp ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

@@ -132,6 +132,143 @@ object TextOps {
       col("doc_id"), col("lang").as("labeled_lang"),
       LangId.langId(col("text")).as("detected_lang"))
 
+  /** q100 — DOMAIN-MIXTURE SAMPLING: draw the largest corpus subset that
+    * exactly hits a target language mixture (the "data mixing" step every
+    * pretraining pipeline runs — weights per domain/language, then a
+    * deterministic sample honoring them). Integer arithmetic end to end:
+    * feasible total T = min over languages of (count·100 div weight),
+    * per-language quota q = (T·weight) div 100, and the q kept documents
+    * are the FIRST q in the (md5(doc_id), doc_id) order — content-free,
+    * reproducible, engine-portable (the q97 hash-order lesson).
+    *
+    * Scale design — exact top-q per stratum WITHOUT sorting a stratum:
+    * a `row_number() over (partition by lang)` would put each language's
+    * entire corpus slice in one task (languages are few and huge — the
+    * one window shape that cannot scale). Instead the md5 order is split
+    * by its own 16-bit prefix into 65 536 buckets: per-(lang, bucket)
+    * counts (a small aggregate) give running totals, every bucket
+    * strictly below the quota crossing is kept whole with NO sort, and
+    * only the single crossing bucket — 1/65536th of the stratum — is
+    * rank-filtered. Bucket-prefix order equals md5 order (hex sorts
+    * lexicographically = numerically), so the result is bit-identical to
+    * the naive global-rank form the oracle runs. */
+  val MixtureWeights: Seq[(String, Int)] =
+    Seq("en" -> 30, "de" -> 20, "fr" -> 20, "es" -> 15, "zh" -> 15)
+
+  val mixtureSample: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val w = s.createDataFrame(MixtureWeights).toDF("lang", "wt")
+    // quotas: a weighted language with zero documents caps T at 0 (an
+    // unreachable mixture yields the empty sample, loudly, not a skewed one)
+    val counts = w.join(d.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("wt"), coalesce(col("n"), lit(0L)).as("n"))
+    // feasible total as a window-min over the LANGUAGE table (|langs|
+    // rows — metadata scale), not a scalar cross join: keeps the plan
+    // audit's no-nested-loop-join invariant intact for free
+    val quota = counts
+      .withColumn("t", min(expr("n * 100 div wt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("lang"), expr("(t * wt) div 100").as("q"))
+    val bucketed = d
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 4), 16, 10).cast("long"))
+    val stats = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(quota, "lang") // both sides tiny: <= 65536 buckets x langs
+    val fullBuckets = stats
+      .filter(col("cum_before") + col("cnt") <= col("q"))
+      .select(col("lang"), col("bucket"))
+    val crossingBuckets = stats
+      .filter(col("cum_before") < col("q") && col("cum_before") + col("cnt") > col("q"))
+      .select(col("lang"), col("bucket"), (col("q") - col("cum_before")).as("k"))
+    val keptWhole = bucketed.join(broadcast(fullBuckets), Seq("lang", "bucket"))
+      .select(col("doc_id"), col("lang"))
+    val keptRanked = bucketed.join(broadcast(crossingBuckets), Seq("lang", "bucket"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang"), col("bucket")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rnk") <= col("k"))
+      .select(col("doc_id"), col("lang"))
+    keptWhole.unionAll(keptRanked)
+  }
+
+  /** q101 — PII REDACTION: scrub emails and phone numbers, reporting
+    * per-document match counts plus the redacted text's fingerprint (the
+    * verifiable evidence a compliance pass wants). The synthetic corpus
+    * contains no organic PII, so deterministic PII is PLANTED first —
+    * built by concat from doc_id, identically in both engines, the
+    * q91/q92 planted-fixture pattern — and the oracle re-runs the whole
+    * plant+redact chain from scratch. Regexes avoid lookahead and \p
+    * classes so Java regex and DuckDB's RE2 agree; map-only at any
+    * corpus size. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]+"
+
+  val piiRedaction: (SparkSession, String) => DataFrame = (s, dir) => {
+    val planted = docs(s, dir).withColumn("txt", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +1-555-"), (col("doc_id") % 10000).cast("string")))
+        .otherwise(lit(""))))
+    val redacted = regexp_replace(
+      regexp_replace(col("txt"), lit(EmailRegex), lit("<EMAIL>")),
+      lit(PhoneRegex), lit("<PHONE>"))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("txt"), lit(EmailRegex)).cast("long").as("n_emails"),
+      regexp_count(col("txt"), lit(PhoneRegex)).cast("long").as("n_phones"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** q102 — SEQUENCE-PACKING PLANNER: assign every document a global
+    * token offset in doc_id order and derive its training-context bin
+    * (fixed 2048-token windows) — the packing manifest a training job
+    * consumes (documents may straddle bins; the offset says where each
+    * starts, bin_offset where inside the window).
+    *
+    * A global running sum is the textbook non-scalable window (ORDER BY
+    * with no partition = all rows in one task), so it is computed as the
+    * classic TWO-PHASE DISTRIBUTED PREFIX SUM instead: per-4096-doc-chunk
+    * token sums (one small aggregate), a prefix over the tiny chunk table
+    * giving each chunk its base offset, then a per-chunk window — bounded
+    * partitions, full parallelism. Beyond ~10^9 chunks the chunk table
+    * recurses through the same two phases; one level covers 10^12 docs.
+    * Bit-identical to the oracle's naive global window by associativity
+    * of integer addition. */
+  val PackBinTokens = 2048L
+  val PackChunkDocs = 4096L
+
+  val sequencePacking: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      size(TextSig.tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $PackChunkDocs").as("chunk"))
+    val chunkBase = t.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("csum"))
+      .withColumn("base", coalesce(
+        sum(col("csum")).over(Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("base"))
+    t.join(broadcast(chunkBase), "chunk")
+      .withColumn("intra", coalesce(
+        sum(col("n_tokens")).over(Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tok_offset", col("base") + col("intra"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $PackBinTokens").as("bin"),
+        pmod(col("tok_offset"), lit(PackBinTokens)).as("bin_offset"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q40_doc_quality", docQuality, bench = true, oracle = Some(
       """SELECT doc_id, lang, n_chars,
@@ -184,5 +321,63 @@ object TextOps {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // The oracle runs the NAIVE form (global per-language rank); the
+    // Spark side's bucket-split selection is bit-identical by the
+    // prefix-order argument in the scaladoc.
+    NamedQuery("q100_mixture_sample", mixtureSample, oracle = Some(
+      """WITH w(lang, wt) AS (VALUES ('en',30),('de',20),('fr',20),('es',15),('zh',15)),
+        |c AS (
+        |  SELECT w.lang, w.wt, COUNT(d.doc_id) AS n
+        |  FROM w LEFT JOIN documents d ON d.lang = w.lang GROUP BY w.lang, w.wt
+        |), tot AS (SELECT MIN(n * 100 // wt) AS t FROM c),
+        |quota AS (SELECT lang, (t * wt) // 100 AS q FROM c, tot),
+        |ranked AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang)
+        |WHERE r.rnk <= quota.q ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q101_pii_redaction", piiRedaction, oracle = Some(
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR)
+        |         ELSE '' END AS txt
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(
+        |      regexp_replace(txt,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,3}-[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS red
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]+')) AS BIGINT) AS n_phones,
+        |  CAST(length(red) AS BIGINT) AS n_chars_redacted,
+        |  md5(red) AS redacted_md5
+        |FROM r ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Naive global-window oracle vs the two-phase distributed prefix sum.
+    NamedQuery("q102_sequence_packing", sequencePacking, oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS tok_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 2048 AS bin, tok_offset % 2048 AS bin_offset
+        |FROM o ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

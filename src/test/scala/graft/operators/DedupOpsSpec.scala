@@ -273,4 +273,46 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("connectedComponents: chains, cliques, isolated pairs converge to min labels") {
+    // path 1-2-3-4-5 (closure forced through transitivity), a triangle
+    // {10,11,12}, a far pair {100, 7}, duplicate + reversed edges
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (100L, 7L), (7L, 100L), (100L, 7L)).toDF("u", "v")
+    val got = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      7L -> 7L, 100L -> 7L))
+  }
+
+  test("connectedComponents: long path exercises multi-round convergence") {
+    // a 64-node path is the worst shape for naive propagation (diameter
+    // 63); large-star/small-star must still close it in O(log n) rounds
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 1L))
+  }
+
+  test("q99 components agree with the q38 pair set (endpoints linked, labels minimal)") {
+    val pairs = DedupOps.minhashNeardupPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val comp = DedupOps.neardupComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = comp.map(t => t._1 -> t._2).toMap
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
+    // exactly the pair endpoints appear
+    assert(label.keySet == pairs.flatMap(p => Set(p._1, p._2)))
+    // both endpoints of every pair share a component
+    pairs.foreach { case (i, j) => assert(label(i) == label(j), s"pair ($i,$j) split") }
+    // the label is the component minimum and cluster_size counts members
+    val members = comp.groupBy(_._2)
+    members.foreach { case (c, ms) =>
+      assert(ms.map(_._1).min == c, s"component $c not labeled by its min")
+      ms.foreach(t => assert(t._3 == ms.length.toLong))
+    }
+  }
 }

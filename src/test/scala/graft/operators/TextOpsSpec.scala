@@ -64,4 +64,86 @@ class TextOpsSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("q100 mixture sample: integer quotas hit, bucket-split equals naive global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = TextOps.MixtureWeights.toMap
+    val t = w.map { case (l, wt) => counts.getOrElse(l, 0L) * 100 / wt }.min
+    val quotas = w.map { case (l, wt) => l -> t * wt / 100 }
+    val got = TextOps.mixtureSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // per-language kept counts equal the integer quotas exactly
+    val gotCounts = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    quotas.foreach { case (l, q) =>
+      assert(gotCounts.getOrElse(l, 0L) == q, s"$l: got ${gotCounts.get(l)} want $q") }
+    // bit-identical to the naive single-window form the oracle runs
+    val naive = docs
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      .filter { case (_, l, rnk) => rnk <= quotas.getOrElse(l, 0L) }
+      .map(t3 => (t3._1, t3._2)).toSet
+    assert(got.toSet == naive)
+    // deterministic across runs
+    val again = TextOps.mixtureSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got.toSet)
+  }
+
+  test("q101 pii redaction: planted PII found and scrubbed, clean docs untouched") {
+    val out = TextOps.piiRedaction(spark, sfDir)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // every doc_id % 7 == 0 has exactly the planted email; % 11 the phone
+    rows.foreach { case (id, ne, np, _, _) =>
+      assert(ne == (if (id % 7 == 0) 1L else 0L), s"doc $id emails=$ne")
+      assert(np == (if (id % 11 == 0) 1L else 0L), s"doc $id phones=$np")
+    }
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0), "no planted PII; vacuous")
+    // the redacted text admits NO further matches (re-scan the actual
+    // redaction output, not the fingerprint)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val planted = docs.withColumn("txt", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" call +1-555-"),
+        (col("doc_id") % 10000).cast("string"))).otherwise(lit(""))))
+    val red = planted.select(col("doc_id"), regexp_replace(
+      regexp_replace(col("txt"), lit(TextOps.EmailRegex), lit("<EMAIL>")),
+      lit(TextOps.PhoneRegex), lit("<PHONE>")).as("red"))
+    val residual = red.filter(
+      regexp_count(col("red"), lit(TextOps.EmailRegex)) > 0 ||
+        regexp_count(col("red"), lit(TextOps.PhoneRegex)) > 0)
+    assert(residual.count() == 0)
+    // untouched docs keep their exact text (md5(red) == md5(text))
+    val clean = out.join(docs, "doc_id")
+      .filter(col("n_emails") === 0 && col("n_phones") === 0)
+      .filter(col("redacted_md5") =!= md5(col("text")))
+    assert(clean.count() == 0)
+  }
+
+  test("q102 sequence packing: two-phase prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextOps.sequencePacking(spark, sfDir)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val naive = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextSig.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == naive.toSeq)
+    // bin bookkeeping: offset decomposes exactly, bins are monotone in doc order
+    rows.foreach { case (_, _, off, bin, bo) =>
+      assert(bin == off / TextOps.PackBinTokens && bo == off % TextOps.PackBinTokens)
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+  }
 }
