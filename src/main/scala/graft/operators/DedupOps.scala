@@ -544,21 +544,49 @@ object DedupOps {
     }
     var edges = normalize(edges0.select(col("u"), col("v"))).localCheckpoint()
     var sig = signature(edges)
-    var converged = false
-    var round = 0
-    val maxRounds = 50 // O(log n) proven; 50 covers n ~ 10^15
-    while (!converged && round < maxRounds) {
-      val next = normalize(smallStar(normalize(largeStar(edges)))).localCheckpoint()
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      edges = next; sig = nextSig
-      round += 1
+    // ADAPTIVE TAIL: a verified near-dup pair set is usually minuscule
+    // next to its corpus; below the (bounded, configurable) threshold the
+    // distributed rounds' per-round fixed cost — eager checkpoint job +
+    // convergence aggregate, ~4–6 rounds — dwarfs the work, so finish
+    // with one driver union-find over the already-deduplicated edge list
+    // (same bounded-driver pattern as the PQ codebook / prefix dict; at
+    // ≤ 2^19 edges that is ≤ 8 MB). Larger pair sets take the
+    // Large-Star/Small-Star rounds, which never collect anything.
+    val driverMax = s.conf.getOption("spark.graft.dedup.ccDriverMaxEdges")
+      .map(_.toLong).getOrElse(1L << 19)
+    if (sig._1 <= driverMax) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        parent.getOrElseUpdate(math.min(a, b), math.min(a, b))
+      }
+      val labels = parent.keys.map(n => (n, find(n))).toSeq
+      s.createDataFrame(labels).toDF("node", "component")
+    } else {
+      var converged = false
+      var round = 0
+      val maxRounds = 50 // O(log n) proven; 50 covers n ~ 10^15
+      while (!converged && round < maxRounds) {
+        val next = normalize(smallStar(normalize(largeStar(edges)))).localCheckpoint()
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        edges = next; sig = nextSig
+        round += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+      // converged state: per-component stars (min, v) — plus the roots
+      edges.select(col("hi").as("node"), col("lo").as("component"))
+        .unionAll(edges.select(col("lo").as("node"), col("lo").as("component")))
+        .distinct()
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    // converged state: per-component stars (min, v) — plus the roots
-    edges.select(col("hi").as("node"), col("lo").as("component"))
-      .unionAll(edges.select(col("lo").as("node"), col("lo").as("component")))
-      .distinct()
   }
 
   /** q99 — near-dup CLUSTERS: the q38 verified pair set closed under

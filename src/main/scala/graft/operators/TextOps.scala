@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import graft.functions.{LangId, TextSig}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` fixture (driver brief:
@@ -247,6 +247,92 @@ object TextOps {
   val PackBinTokens = 2048L
   val PackChunkDocs = 4096L
 
+  /** q103 — the END-TO-END CURATION PIPELINE: exact dedup → train-split
+    * gate → quality gate → per-(lang, source) corpus report, i.e. the
+    * composition a real pretraining data build runs, as ONE declarative
+    * plan. Survivor selection is a single window-min per token-set-key
+    * group (the q36/q37 normalized key, which actually collides on this
+    * corpus; one shuffle — not groupBy + semi-join back, which is two); the
+    * split and quality gates are pure map predicates over exact-integer
+    * metrics (engine-deterministic, q40's parity rules); the rollup is
+    * one small two-key aggregate. Thresholds chosen to BITE on this
+    * corpus (each gate drops documents) so the oracle check exercises
+    * every stage. */
+  val CurationMinTokens = 20L
+  val CurationMinDistinctRatio = 0.3
+  val CurationMaxStopwordRatio = 0.2
+
+  val curationPipeline: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = TextSig.tokens(col("text"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10).cast("long"),
+      lit(100L))
+    docs(s, dir)
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(TextSig.tokenSetKey(col("text")))))
+      .filter(col("doc_id") === col("keeper"))
+      .filter(bucket < 80)
+      .withColumn("n_tokens", size(tok).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(tok)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(tok, w => w.isin(Stopwords: _*))).cast("long"))
+      .filter(col("n_tokens") >= CurationMinTokens &&
+        col("n_distinct").cast("double") / col("n_tokens") > CurationMinDistinctRatio &&
+        col("n_stop").cast("double") / col("n_tokens") < CurationMaxStopwordRatio)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** q104 — INTRA-DOCUMENT REPETITION SCORING (the Gopher-style
+    * repetition filters): top-bigram share, duplicate-bigram fraction
+    * and top-token share per document. MAP-ONLY: multiplicities come
+    * from one `aggregate` run-length pass over the SORTED token/bigram
+    * arrays (max run in a sorted array = max multiplicity), so no
+    * (doc, n-gram) shuffle exists at any corpus size — the oracle
+    * computes the same numbers the relational way (unnest → two-key
+    * groupBy → max). */
+  private def bigramsOf(tok: Column): Column =
+    when(size(tok) >= 2,
+      transform(sequence(lit(1), size(tok) - 1), i =>
+        concat(element_at(tok, i), lit("_"), element_at(tok, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Max element multiplicity of a string array via sorted run-lengths. */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  val repetitionScores: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .withColumn("tok", TextSig.tokens(col("text")))
+      .filter(size(col("tok")) >= 2)
+      .withColumn("bgs", bigramsOf(col("tok")))
+      .select(
+        col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct_bigrams"),
+        maxMultiplicity(col("bgs")).as("max_bigram_count"),
+        maxMultiplicity(col("tok")).as("max_token_count"),
+        col("tok"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("max_bigram_count"),
+        (col("max_bigram_count").cast("double") / col("n_bigrams"))
+          .as("top_bigram_share"),
+        (lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_ratio"),
+        col("max_token_count"),
+        (col("max_token_count").cast("double") / size(col("tok")))
+          .as("top_token_share"))
+
   val sequencePacking: (SparkSession, String) => DataFrame = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val t = docs(s, dir).select(
@@ -364,6 +450,59 @@ object TextOps {
         |  CAST(length(red) AS BIGINT) AS n_chars_redacted,
         |  md5(red) AS redacted_md5
         |FROM r ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q103_curation_pipeline", curationPipeline, bench = true, oracle = Some(
+      """WITH k AS (
+        |  SELECT doc_id, lang, source, text,
+        |    MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+        |      list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keeper,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT % 100
+        |      AS BIGINT) AS bucket,
+        |    string_split(text, ' ') AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang, source, CAST(len(tok) AS BIGINT) AS n_tokens
+        |  FROM k
+        |  WHERE doc_id = keeper AND bucket < 80
+        |    AND len(tok) >= 20
+        |    AND CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) > 0.3
+        |    AND CAST(len(list_filter(tok,
+        |      w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+        |      / len(tok) < 0.2
+        |)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM f GROUP BY lang, source ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // The oracle computes multiplicities relationally (unnest → two-key
+    // group → max); the Spark side's sorted-run-length pass is map-only.
+    NamedQuery("q104_repetition_scores", repetitionScores, oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), b AS (
+        |  SELECT doc_id, tok,
+        |    [tok[i] || '_' || tok[i+1] FOR i IN range(1, len(tok))] AS bgs
+        |  FROM t
+        |), bm AS (
+        |  SELECT doc_id, MAX(c) AS mxb FROM (
+        |    SELECT doc_id, bg, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg
+        |  ) GROUP BY doc_id
+        |), tm AS (
+        |  SELECT doc_id, MAX(c) AS mxt FROM (
+        |    SELECT doc_id, tk, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(tok) AS tk FROM t) GROUP BY doc_id, tk
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(mxb AS BIGINT) AS max_bigram_count,
+        |  CAST(mxb AS DOUBLE) / len(bgs) AS top_bigram_share,
+        |  1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS dup_bigram_ratio,
+        |  CAST(mxt AS BIGINT) AS max_token_count,
+        |  CAST(mxt AS DOUBLE) / len(tok) AS top_token_share
+        |FROM b JOIN bm USING (doc_id) JOIN tm USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     // Naive global-window oracle vs the two-phase distributed prefix sum.
     NamedQuery("q102_sequence_packing", sequencePacking, oracle = Some(
       """WITH t AS (

@@ -290,11 +290,29 @@ class DedupOpsSpec extends SparkSpec {
 
   test("connectedComponents: long path exercises multi-round convergence") {
     // a 64-node path is the worst shape for naive propagation (diameter
-    // 63); large-star/small-star must still close it in O(log n) rounds
-    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("u", "v")
-    val got = DedupOps.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 64 && got.values.forall(_ == 1L))
+    // 63); large-star/small-star must still close it in O(log n) rounds.
+    // Force the DISTRIBUTED rounds (the driver union-find tail would
+    // otherwise absorb a fixture this small).
+    spark.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
+    try {
+      val edges = (1L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+      val got = DedupOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 64 && got.values.forall(_ == 1L))
+    } finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
+  }
+
+  test("connectedComponents: driver tail and distributed rounds agree on the q38 pairs") {
+    val pairs = DedupOps.minhashNeardupPairs(spark, sfDir)
+      .select(col("doc_i").as("u"), col("doc_j").as("v"))
+    val viaDriver = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    spark.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
+    val viaRounds =
+      try DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
+    assert(viaDriver.nonEmpty && viaDriver == viaRounds)
   }
 
   test("q99 components agree with the q38 pair set (endpoints linked, labels minimal)") {

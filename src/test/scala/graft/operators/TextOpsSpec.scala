@@ -146,4 +146,57 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
   }
+
+  test("q103 curation pipeline: every gate bites and the rollup reconciles") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+    // recompute the survivor chain step by step
+    val dedup = docs.withColumn("k",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.TextSig.tokenSetKey(col("text")))))
+      .filter(col("doc_id") === col("k"))
+    val split = dedup.filter(pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10).cast("long"),
+      lit(100L)) < 80)
+    val tok = graft.functions.TextSig.tokens(col("text"))
+    val qual = split
+      .withColumn("nt", size(tok).cast("long"))
+      .withColumn("nd", size(array_distinct(tok)).cast("long"))
+      .withColumn("ns", size(filter(tok,
+        w => w.isin(TextOps.Stopwords: _*))).cast("long"))
+      .filter(col("nt") >= TextOps.CurationMinTokens &&
+        col("nd").cast("double") / col("nt") > TextOps.CurationMinDistinctRatio &&
+        col("ns").cast("double") / col("nt") < TextOps.CurationMaxStopwordRatio)
+    // gates are neither vacuous nor total
+    assert(dedup.count() < total, "dedup gate dropped nothing")
+    assert(split.count() < dedup.count(), "split gate dropped nothing")
+    assert(qual.count() > 0, "quality gates dropped everything")
+    val out = TextOps.curationPipeline(spark, sfDir)
+      .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
+    assert(out.getLong(0) == qual.count())
+    assert(out.getLong(1) == qual.agg(sum(col("nt"))).head().getLong(0))
+  }
+
+  test("q104 repetition: sorted-run-length multiplicities equal the relational count") {
+    val rows = TextOps.repetitionScores(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // relational recomputation of max multiplicities
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.functions.TextSig.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { case (id, nBg, nDist, mxBg, mxTok) =>
+      val tk = docs(id)
+      val bgs = tk.sliding(2).map(_.mkString("_")).toSeq
+      assert(nBg == bgs.size.toLong, s"doc $id n_bigrams")
+      assert(nDist == bgs.distinct.size.toLong, s"doc $id distinct bigrams")
+      assert(mxBg == bgs.groupBy(identity).values.map(_.size).max.toLong, s"doc $id max bigram")
+      assert(mxTok == tk.groupBy(identity).values.map(_.size).max.toLong, s"doc $id max token")
+    }
+    // map-only plan: no exchange of any kind before the verify sink
+    val plan = TextOps.repetitionScores(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition scoring shuffled:\n$plan")
+  }
 }
