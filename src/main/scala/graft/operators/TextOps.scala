@@ -333,6 +333,40 @@ object TextOps {
         (col("max_token_count").cast("double") / size(col("tok")))
           .as("top_token_share"))
 
+  /** q105 — TF-IDF TOP TERMS per document (keyword extraction): term
+    * frequency × inverse document frequency, top 3 terms per doc. The
+    * IDF is the RATIONAL inverse frequency N/df, not log(N/df):
+    * transcendental functions are not bit-stable across engines (libm vs
+    * DuckDB's implementation can differ in the last ulp, breaking the
+    * hash compare), while tf·N/df is one double division of exact
+    * integers — and the log is monotone in it, so the top-k selection is
+    * identical either way. Ties break on the token for determinism.
+    *
+    * Scale: df is the q42-shaped vocabulary aggregate (map-side combine,
+    * shuffle O(vocab)); the per-doc tf join is co-partitioned on token;
+    * the top-k window partitions BY DOCUMENT — bounded partitions at any
+    * corpus size (a document has finitely many distinct terms). */
+  val TfidfTopK = 3
+
+  val tfidfTopTerms: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val n = d.count() // one metadata-cheap count; the corpus-size scalar
+    val tf = d
+      .select(col("doc_id"), explode(TextSig.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .withColumn("weight",
+        (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("weight").desc, col("token"))))
+      .filter(col("term_rank") <= TfidfTopK)
+      .select(col("doc_id"), col("term_rank").cast("long").as("term_rank"),
+        col("token"), col("tf"), col("df"), col("weight"))
+  }
+
   val sequencePacking: (SparkSession, String) => DataFrame = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val t = docs(s, dir).select(
@@ -503,6 +537,26 @@ object TextOps {
         |  CAST(mxt AS DOUBLE) / len(tok) AS top_token_share
         |FROM b JOIN bm USING (doc_id) JOIN tm USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Rational IDF (N/df, no log) keeps the weight engine-deterministic;
+    // the log form is monotone in it, so the top-k set is identical.
+    NamedQuery("q105_tfidf_top_terms", tfidfTopTerms, oracle = Some(
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok
+        |), idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        |    CAST(tf.tf * n.n AS DOUBLE) / idf.df AS weight
+        |  FROM tf JOIN idf USING (token), n
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY weight DESC, token) AS term_rank
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tf, df, weight
+        |FROM r WHERE term_rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin)),
     // Naive global-window oracle vs the two-phase distributed prefix sum.
     NamedQuery("q102_sequence_packing", sequencePacking, oracle = Some(
       """WITH t AS (

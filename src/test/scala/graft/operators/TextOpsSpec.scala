@@ -199,4 +199,25 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"repetition scoring shuffled:\n$plan")
   }
+
+  test("q105 tfidf: top terms equal a direct recomputation, ranks well-formed") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.functions.TextSig.tokens(col("text")).as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = docs.size.toLong
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expect = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (t, tf) => (t, tf, dfMap(t), (tf * n).toDouble / dfMap(t)) }
+        .sortBy { case (t, _, _, w) => (-w, t) }
+        .take(TextOps.TfidfTopK)
+        .zipWithIndex
+        .map { case ((t, tf, df, w), i) => (id, i + 1L, t, tf, df, w) }
+    }.toSet
+    val got = TextOps.tfidfTopTerms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expect)
+  }
 }
