@@ -155,10 +155,16 @@ object TextOps {
   val MixtureWeights: Seq[(String, Int)] =
     Seq("en" -> 30, "de" -> 20, "fr" -> 20, "es" -> 15, "zh" -> 15)
 
-  val mixtureSample: (SparkSession, String) => DataFrame = (s, dir) => {
+  val mixtureSample: (SparkSession, String) => DataFrame = (s, dir) =>
+    mixtureSampleOn(docs(s, dir), MixtureWeights)
+
+  /** [[mixtureSample]] over any (doc_id, lang) DataFrame and weight set —
+    * split out so specs can property-test arbitrary mixtures. */
+  private[graft] def mixtureSampleOn(d: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir)
-    val w = s.createDataFrame(MixtureWeights).toDF("lang", "wt")
+    val s = d.sparkSession
+    val w = s.createDataFrame(weights).toDF("lang", "wt")
     // quotas: a weighted language with zero documents caps T at 0 (an
     // unreachable mixture yields the empty sample, loudly, not a skewed one)
     val counts = w.join(d.groupBy(col("lang")).agg(count(lit(1)).as("n")),

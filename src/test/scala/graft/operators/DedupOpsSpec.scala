@@ -333,4 +333,41 @@ class DedupOpsSpec extends SparkSpec {
       ms.foreach(t => assert(t._3 == ms.length.toLong))
     }
   }
+
+  test("connectedComponents property: random graphs match union-find ground truth") {
+    val rng = new scala.util.Random(20260814L)
+    def truthOf(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a0, b0) =>
+        val (a, b) = (find(a0), find(b0))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    (1 to 20).foreach { i =>
+      val n = rng.between(2, 40)
+      val m = rng.between(1, 3 * n)
+      val edges = Seq.fill(m)((rng.between(0, n).toLong, rng.between(0, n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val truth = truthOf(n, edges)
+        // driver-tail path on every graph; forced distributed rounds on a few
+        val viaDriver = DedupOps.connectedComponents(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaDriver == truth, s"graph $i driver path")
+        if (i % 7 == 0) {
+          spark.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
+          try {
+            val viaRounds = DedupOps.connectedComponents(edges.toDF("u", "v"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(viaRounds == truth, s"graph $i distributed path")
+          } finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
+        }
+      }
+    }
+  }
 }

@@ -220,4 +220,31 @@ class TextOpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
     assert(got == expect)
   }
+
+  test("q100 property: arbitrary integer mixtures match the naive rank on every weight set") {
+    val rng = new scala.util.Random(20260814L)
+    val docs = graft.Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
+    val local = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    (1 to 5).foreach { trial =>
+      // random weights over a random subset of languages (1..5 of them)
+      val langs = rng.shuffle(Seq("en", "de", "fr", "es", "zh"))
+        .take(rng.between(1, 6))
+      val weights = langs.map(_ -> rng.between(1, 50))
+      val counts = local.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val t = weights.map { case (l, w) => counts.getOrElse(l, 0L) * 100 / w }.min
+      val quotas = weights.map { case (l, w) => l -> t * w / 100 }.toMap
+      val expect = local
+        .filter { case (_, l) => quotas.contains(l) }
+        .groupBy(_._2).toSeq.flatMap { case (l, ds) =>
+          ds.sortBy { case (id, _) => (md5hex(id.toString), id) }
+            .take(quotas(l).toInt)
+        }.toSet
+      val got = TextOps.mixtureSampleOn(docs, weights).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expect, s"trial $trial weights=$weights")
+    }
+  }
 }
