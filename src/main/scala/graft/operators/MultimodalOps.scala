@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   *  - AUDIO decode is REAL too: the JDK ships a WAV/PCM codec
   *    (`javax.sound.sampled.AudioSystem`) — [[audioDecodeStats]] (q95)
   *    round-trips genuine RIFF containers the same way.
-  *  - VIDEO codecs do not exist in this environment, so video decode
-  *    stays a DETERMINISTIC FAKE (clearly marked below).
+  *  - VIDEO: no inter-frame video codec (H.264 etc.) exists in this
+  *    JDK, so true video decode is impossible here — but FRAME SAMPLING
+  *    is real (r11, q106): assets are MJPEG-style containers of genuine
+  *    PNG frames, demuxed by offset and with every sampled frame decoded
+  *    through the real ImageIO codec. Only [[fakeDecode]] (the generic
+  *    feature-extraction stand-in) remains a deterministic fake, clearly
+  *    marked below.
   * Everything around the decode — the binary schema, the typed Dataset +
   * mapPartitions batch pipeline (the Scala equivalent of mapInPandas:
   * rows stream through in executor-side batches with no driver
@@ -373,6 +378,115 @@ object MultimodalOps {
       .toDF("asset_id", "n_samples", "khz", "sum_pcm", "min_pcm", "max_pcm")
   }
 
+  // ----------------------------------------- real frame-sampled video path
+
+  /** Deterministic grayscale pixel of video `assetId`, frame `f`, at
+    * (x, y) — the closed form the DuckDB oracle recomputes. */
+  private def videoPixel(assetId: Long, f: Int, x: Int, y: Int): Int =
+    ((assetId * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+  private def videoFrameCount(id: Long): Int = (id % 6 + 4).toInt
+  private def videoW(id: Long): Int = (id % 8 + 6).toInt
+  private def videoH(id: Long): Int = (id % 6 + 5).toInt
+
+  private val GvidMagic = 0x47564944 // "GVID"
+
+  /** Synthesize a frame container: `GVID` magic, frame count, then each
+    * frame as a length-prefixed GENUINE PNG (JDK ImageIO encoder). No
+    * video CODEC exists in this JDK — this container is honestly custom
+    * (an MJPEG-style concatenation) — but the per-frame encode/decode
+    * work is the real PNG codec, so demux + frame decode below are real
+    * pipeline stages, not byte-peeks. Runs in executors. */
+  private[operators] def syntheticGvid(id: Long): Array[Byte] = {
+    val (fc, w, h) = (videoFrameCount(id), videoW(id), videoH(id))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(GvidMagic)
+    out.writeInt(fc)
+    (0 until fc).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = videoPixel(id, f, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val frame = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frame)
+      out.writeInt(frame.size())
+      frame.writeTo(out)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Demux a GVID container into its PNG frame payloads; None on
+    * malformed bytes (quarantine, not a pipeline kill). */
+  private[operators] def demuxGvid(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+      if (in.readInt() != GvidMagic) None
+      else {
+        val fc = in.readInt()
+        if (fc < 0 || fc > (1 << 20)) None
+        else Some((0 until fc).map { _ =>
+          val len = in.readInt()
+          require(len >= 0 && len <= payload.length, s"bad frame length $len")
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          buf
+        })
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+
+  /** q106 — REAL frame sampling, oracle-checked: every asset's container
+    * is demuxed, every SECOND frame is selected (the keyframe-stride
+    * pattern), and each sampled frame is decoded through the JDK's real
+    * PNG codec before its pixels are reduced — so the closed-form DuckDB
+    * hash match proves demux offsets, sampling stride AND the per-frame
+    * codec round-trip all at once. Map-only, executor-side; payloads
+    * never reach the driver. */
+  val FrameSampleStride = 2
+
+  def videoFrameStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
+        demuxGvid(syntheticGvid(id)).map { frames =>
+          val sampled = frames.zipWithIndex
+            .collect { case (b, i) if i % FrameSampleStride == 0 => b }
+            .flatMap(decodeImage)
+          var sum = 0L
+          var mn = 255L
+          var mx = 0L
+          sampled.foreach { img =>
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = (img.getRGB(x, y) & 0xFF).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+          }
+          (id, frames.size.toLong, sampled.size.toLong, sum, mn, mx)
+        }
+      }))
+      .toDF("asset_id", "n_frames", "n_sampled", "sum_px", "min_px", "max_px")
+  }
+
   // q44 — media catalog rollup over the BINARY payload column: per media
   // type, asset count + exact byte accounting (octet_length on binary in
   // Spark ≡ octet_length(encode(text)) in DuckDB — multibyte text makes
@@ -454,5 +568,31 @@ object MultimodalOps {
         |  CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
         |FROM px GROUP BY doc_id, w2, h2
         |ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // Closed form of the per-frame pixel pattern over the every-2nd-frame
+    // sample; Spark's numbers come from really demuxing the container and
+    // really decoding each sampled frame's PNG, so a hash match proves
+    // demux offsets + sampling stride + per-frame codec round-trip.
+    NamedQuery("q106_video_frame_stats", (s, dir) => videoFrameStats(s, dir),
+      bench = true, oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id, doc_id % 6 + 4 AS fc,
+          |         doc_id % 8 + 6 AS w, doc_id % 6 + 5 AS h
+          |  FROM documents
+          |), px AS (
+          |  SELECT doc_id, fc,
+          |         ((doc_id * 31 + f.f * 17 + x.x * 7 + y.y * 13) % 256) AS v
+          |  FROM d
+          |  CROSS JOIN (SELECT unnest(range(10)) AS f) f
+          |  CROSS JOIN (SELECT unnest(range(14)) AS x) x
+          |  CROSS JOIN (SELECT unnest(range(11)) AS y) y
+          |  WHERE f.f < fc AND f.f % 2 = 0 AND x.x < w AND y.y < h
+          |)
+          |SELECT doc_id AS asset_id,
+          |  CAST(MAX(fc) AS BIGINT) AS n_frames,
+          |  CAST((MAX(fc) + 1) // 2 AS BIGINT) AS n_sampled,
+          |  CAST(SUM(v) AS BIGINT) AS sum_px,
+          |  CAST(MIN(v) AS BIGINT) AS min_px,
+          |  CAST(MAX(v) AS BIGINT) AS max_px
+          |FROM px GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

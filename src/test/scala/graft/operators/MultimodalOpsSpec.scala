@@ -104,4 +104,29 @@ class MultimodalOpsSpec extends SparkSpec {
       fs.foreach(f => assert(f.frame_bytes.length <= 16))
     }
   }
+
+  test("q106 video: demux + stride sample + frame decode; malformed containers quarantine") {
+    // well-formed container round-trips through demux
+    val good = MultimodalOps.syntheticGvid(7L)
+    val frames = MultimodalOps.demuxGvid(good)
+    assert(frames.isDefined && frames.get.size == (7 % 6 + 4))
+    // each demuxed frame is a REAL PNG the codec accepts
+    frames.get.foreach { f =>
+      assert(f.take(4).map(_ & 0xFF).sameElements(Seq(0x89, 0x50, 0x4E, 0x47)),
+        "frame is not a PNG stream")
+      assert(MultimodalOps.decodeImage(f).isDefined)
+    }
+    // malformed bytes quarantine (wrong magic, truncation) — never throw
+    assert(MultimodalOps.demuxGvid("not a container".getBytes).isEmpty)
+    assert(MultimodalOps.demuxGvid(good.take(10)).isEmpty)
+    assert(MultimodalOps.demuxGvid(Array.emptyByteArray).isEmpty)
+    // stride arithmetic: sampled = ceil(fc / 2) on every asset
+    val out = MultimodalOps.videoFrameStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, fc, ns) =>
+      assert(fc == id % 6 + 4, s"asset $id frame count")
+      assert(ns == (fc + 1) / 2, s"asset $id sampled count")
+    }
+  }
 }
