@@ -373,6 +373,33 @@ object TextOps {
         col("token"), col("tf"), col("df"), col("weight"))
   }
 
+  /** q107 — EXACT DUPLICATED-SPAN DETECTION, the substring-level sibling
+    * of document dedup (public literature: Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — verbatim
+    * repeated spans hurt models even when the DOCUMENTS differ): every
+    * 8-token sliding window is fingerprinted and windows occurring more
+    * than once corpus-wide are reported with occurrence/document counts.
+    * The window fingerprints are md5 (engine-portable), computed inside
+    * the explode so the aggregate's grouping key is a fixed 32-char hash
+    * rather than an unbounded span string. Shuffle is O(corpus windows)
+    * — the distributed standard for this step (full suffix automata
+    * don't shard; fixed-width window hashing is what scales). */
+  val SpanWindow = 8
+
+  val duplicateSpans: (SparkSession, String) => DataFrame = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), TextSig.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= SpanWindow)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tok")) - (SpanWindow - 1)),
+        i => md5(array_join(slice(col("tok"), i, lit(SpanWindow)), " ")))).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occurrences") > 1)
+
   val sequencePacking: (SparkSession, String) => DataFrame = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val t = docs(s, dir).select(
@@ -563,6 +590,18 @@ object TextOps {
         |)
         |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tf, df, weight
         |FROM r WHERE term_rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q107_duplicate_spans", duplicateSpans, oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |), w AS (
+        |  SELECT doc_id, md5(array_to_string(tok[i:i+7], ' ')) AS span_hash
+        |  FROM t, LATERAL unnest(range(1, len(tok) - 6)) AS r(i)
+        |)
+        |SELECT span_hash, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM w GROUP BY span_hash HAVING COUNT(*) > 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin)),
     // Naive global-window oracle vs the two-phase distributed prefix sum.
     NamedQuery("q102_sequence_packing", sequencePacking, oracle = Some(
       """WITH t AS (

@@ -247,4 +247,21 @@ class TextOpsSpec extends SparkSpec {
       assert(got == expect, s"trial $trial weights=$weights")
     }
   }
+
+  test("q107 duplicate spans: equals brute-force sliding-window recomputation") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.functions.TextSig.tokens(col("text")).as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).filter(_._2.size >= 8)
+    val windows = docs.flatMap { case (id, tk) =>
+      tk.sliding(TextOps.SpanWindow).map(w => (id, w.mkString(" "))).toSeq
+    }
+    val expect = windows.groupBy(_._2).collect {
+      case (_, occ) if occ.length > 1 =>
+        (occ.length.toLong, occ.map(_._1).distinct.length.toLong, occ.map(_._1).min)
+    }.toSeq.sorted
+    val got = TextOps.duplicateSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(expect.nonEmpty, "no duplicated spans in fixture; vacuous")
+    assert(got == expect)
+  }
 }
