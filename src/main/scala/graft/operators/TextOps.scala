@@ -116,10 +116,15 @@ object TextOps {
     * (id-keyed) so re-crawled/edited documents keep their split, pure
     * map-side at any corpus size, and fully engine-portable (the q72
     * md5-basis lesson) — the oracle recomputes every assignment. */
+  /** The split bucket (md5-low-32 mod 100) shared by q97 and q103 — one
+    * definition so the curation pipeline's train gate can never drift
+    * from the actual dataset split. */
+  private def splitBucket: Column = pmod(
+    conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10).cast("long"),
+    lit(100L))
+
   val splitAssign: (SparkSession, String) => DataFrame = (s, dir) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = splitBucket
     docs(s, dir).select(
       col("doc_id"),
       bucket.as("bucket"),
@@ -271,9 +276,7 @@ object TextOps {
   val curationPipeline: (SparkSession, String) => DataFrame = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val tok = TextSig.tokens(col("text"))
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = splitBucket
     docs(s, dir)
       .withColumn("keeper",
         min(col("doc_id")).over(Window.partitionBy(TextSig.tokenSetKey(col("text")))))
