@@ -563,12 +563,22 @@ object DedupOps {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      val collected = edges.collect()
+      collected.foreach { row =>
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
         parent.getOrElseUpdate(math.min(a, b), math.min(a, b))
       }
-      val labels = parent.keys.map(n => (n, find(n))).toSeq
+      // SNAPSHOT the keys before labeling: `parent.keys` is a live view,
+      // and find()'s path compression mutates the map — mapping over the
+      // view while mutating silently SKIPPED entries (caught by the full
+      // sf0.01 oracle run: 47 keys → 28 labels)
+      val keys = parent.keysIterator.toArray
+      val labels = keys.map(n => (n, find(n))).toSeq
+      val nodes = collected.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+      require(labels.size == nodes.size,
+        s"union-find lost nodes: ${labels.size} labels for ${nodes.size} endpoints")
       s.createDataFrame(labels).toDF("node", "component")
     } else {
       var converged = false

@@ -303,16 +303,24 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents: driver tail and distributed rounds agree on the q38 pairs") {
-    val pairs = DedupOps.minhashNeardupPairs(spark, sfDir)
-      .select(col("doc_i").as("u"), col("doc_j").as("v"))
-    val viaDriver = DedupOps.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
-    spark.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
-    val viaRounds =
-      try DedupOps.connectedComponents(pairs)
+    // BOTH fixture scales: the sf0.01 pair set is the one that exposed
+    // the keys-view-mutation bug (47 endpoints -> 28 labels) which the
+    // smaller sf0.001 set did not trigger
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val pairs = DedupOps.minhashNeardupPairs(spark, dir)
+        .select(col("doc_i").as("u"), col("doc_j").as("v"))
+      val endpoints = pairs.collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      val viaDriver = DedupOps.connectedComponents(pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
-      finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
-    assert(viaDriver.nonEmpty && viaDriver == viaRounds)
+      spark.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
+      val viaRounds =
+        try DedupOps.connectedComponents(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+        finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
+      assert(viaDriver.nonEmpty && viaDriver == viaRounds, s"paths diverge at $dir")
+      assert(viaDriver.map(_._1) == endpoints, s"labels lost endpoints at $dir")
+    }
   }
 
   test("q99 components agree with the q38 pair set (endpoints linked, labels minimal)") {
