@@ -617,6 +617,66 @@ object DedupOps {
       .select(col("doc_id"), col("component_id"), col("cluster_size"))
   }
 
+  /** q108 — INCREMENTAL EXACT DEDUP, the streaming-shaped sibling of q37:
+    * the corpus arrives in ORDERED micro-batches and each batch is
+    * anti-joined against the accumulated survivor keys — first seen
+    * wins, exactly how a production ingest dedups against served state
+    * (per micro-batch: in-batch min per key, then `left_anti` on the
+    * state table, then append). Because the batch ranges are ordered by
+    * doc_id, "first seen" provably equals the global min per key, so the
+    * incremental end state is oracle-checkable against the one-shot
+    * batch recomputation — equality of the two IS the property under
+    * test. The streaming twin (a real MemoryStream + foreachBatch query
+    * applying the same per-batch step) is parity-tested in
+    * DedupOpsSpec. State grows O(distinct keys); each round is one
+    * aggregate + one co-partitioned anti-join; localCheckpoint truncates
+    * the per-round lineage. (The driver-side max(doc_id) scalar would
+    * come from table statistics at scale.) */
+  val DedupBatches = 4
+
+  def incrementalDedup(s: SparkSession, dir: String,
+      nBatches: Int = DedupBatches): DataFrame = {
+    val keyed = docs(s, dir).select(
+      col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
+    val maxId = keyed.agg(max(col("doc_id"))).head().getLong(0)
+    val span = maxId / nBatches + 1 // batch b covers [b*span, (b+1)*span)
+    incrementalDedupOn(
+      (0 until nBatches).map(b => keyed.filter(expr(s"doc_id div $span") === b)))
+  }
+
+  /** Empty survivor-state table (doc_id, group_key, first_seen_batch). */
+  private[graft] def emptySurvivors(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("group_key",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("first_seen_batch",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
+  /** One anti-join-and-append round — the exact step the streaming
+    * foreachBatch twin runs (shared so the spec's MemoryStream query and
+    * q108 cannot drift): in-batch min per key, anti-join on served
+    * state, append the fresh keys, checkpoint to truncate lineage. */
+  private[graft] def dedupStep(survivors: DataFrame, batch: DataFrame,
+      b: Long): DataFrame = {
+    val batchMin = batch.groupBy(col("group_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val fresh = batchMin
+      .join(survivors.select(col("group_key")), Seq("group_key"), "left_anti")
+      .select(col("doc_id"), col("group_key"), lit(b).as("first_seen_batch"))
+    survivors.unionByName(fresh).localCheckpoint()
+  }
+
+  private[graft] def incrementalDedupOn(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "at least one batch")
+    batches.zipWithIndex.foldLeft(emptySurvivors(batches.head.sparkSession)) {
+      case (state, (batch, b)) => dedupStep(state, batch, b.toLong)
+    }
+  }
+
   /** The bigram-shingle CTE shared by the pair oracles. */
   private val shingleCte =
     """WITH t AS (
@@ -744,5 +804,18 @@ object DedupOps {
           |SELECT doc_id, component_id,
           |  COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
           |FROM comp ORDER BY ALL NULLS FIRST""".stripMargin)),
+    // The oracle is the ONE-SHOT batch recomputation (global min per
+    // key); the incremental ordered-batch path must converge to it
+    // exactly — that equality is the property the hash check proves.
+    NamedQuery("q108_incremental_dedup", (s, dir) => incrementalDedup(s, dir),
+      oracle = Some(
+        """WITH k AS (
+          |  SELECT doc_id, md5(array_to_string(
+          |    list_sort(list_distinct(string_split(text, ' '))), ' ')) AS group_key
+          |  FROM documents
+          |), mx AS (SELECT MAX(doc_id) // 4 + 1 AS span FROM k),
+          |s AS (SELECT group_key, MIN(doc_id) AS doc_id FROM k GROUP BY group_key)
+          |SELECT s.doc_id, s.group_key, s.doc_id // mx.span AS first_seen_batch
+          |FROM s, mx ORDER BY ALL NULLS FIRST""".stripMargin)),
   )
 }

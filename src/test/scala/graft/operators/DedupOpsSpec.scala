@@ -378,4 +378,40 @@ class DedupOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q108 streaming twin: MemoryStream + foreachBatch converges to the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the corpus keyed like q108, split into two ORDERED halves
+    val keyed = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextSig.tokenSetKey(col("text")).as("group_key"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (h1, h2) = keyed.splitAt(keyed.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    @volatile var state = DedupOps.emptySurvivors(spark)
+    def drain(): Unit = {
+      val q = stream.toDF().toDF("doc_id", "group_key")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          state = DedupOps.dedupStep(state, b, id)
+          ()
+        }
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stream.addData(h1.toSeq); drain()
+    stream.addData(h2.toSeq); drain()
+    val got = state.select("doc_id", "group_key")
+      .as[(Long, String)].collect().toSet
+    val expect = keyed.groupBy(_._2).view.mapValues(_.map(_._1).min)
+      .toMap.map(_.swap).map { case (id, k) => (id, k) }.toSet
+    assert(got == expect, "streaming incremental dedup diverged from batch min-per-key")
+    // and the q108 operator itself agrees with the same ground truth
+    val q108 = DedupOps.incrementalDedup(spark, sfDir)
+      .select("doc_id", "group_key").as[(Long, String)].collect().toSet
+    assert(q108 == expect)
+  }
 }
