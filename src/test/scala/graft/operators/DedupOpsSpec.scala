@@ -414,4 +414,30 @@ class DedupOpsSpec extends SparkSpec {
       .select("doc_id", "group_key").as[(Long, String)].collect().toSet
     assert(q108 == expect)
   }
+
+  test("connectedComponents at scale: 5k-node random graph, forced distributed rounds") {
+    // large enough that convergence takes multiple Large-Star/Small-Star
+    // rounds and the O(log n) bound matters; ground truth by union-find
+    val rng = new scala.util.Random(20260815L)
+    val n = 5000
+    val edges = Seq.fill(6000)((rng.between(0, n).toLong, rng.between(0, n).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a0, b0) =>
+      val (a, b) = (find(a0), find(b0))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val truth = nodes.map(x => x -> find(x)).toMap
+    spark.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
+    try {
+      val got = DedupOps.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == truth.size, s"${got.size} labels for ${truth.size} nodes")
+      assert(got == truth)
+    } finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
+  }
 }
