@@ -194,6 +194,25 @@ object LakeOps {
   // fold exact by construction, and AVG is served only in the provably
   // exact double regime (|value|·count ≤ 2^53). The query REQUIRES the
   // metadata plan: a regression to a real scan fails the gate.
+  /** q109 — the curated-corpus report SERVED FROM METADATA: the text
+    * pipeline's survivors live in a lake table partitioned by
+    * identity(lang) ([[LakePipelines.curatedDocs]]), so the per-language
+    * doc counts and token totals fold from manifest entries (per-file row
+    * counts + commit-time column sums) as a zero-task LocalTableScan.
+    * The oracle recomputes the whole curation chain from the raw corpus
+    * — a hash match proves the lake write, the partition tuples AND the
+    * recorded column sums all agree with the declarative q103 chain. */
+  val curatedMetaServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    val t = LakePipelines.curatedDocs(s, dir)
+    val df = s.read.format("graftlake").option("path", t.location).load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"curated rollup was not metadata-served:\n$plan")
+    df
+  }
+
   val metadataSumRollup: (SparkSession, String) => DataFrame = (s, dir) => {
     val t = LakePipelines.ordersCents(s, dir)
     val df = s.read.format("graftlake").option("path", t.location).load()
@@ -487,6 +506,27 @@ object LakeOps {
         |  COUNT(*) AS n_orders,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q109_curated_meta_serve", curatedMetaServe, bench = true, oracle = Some(
+      """WITH k AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tok,
+        |    MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+        |      list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keeper,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT % 100
+        |      AS BIGINT) AS bucket
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang, CAST(len(tok) AS BIGINT) AS n_tokens
+        |  FROM k
+        |  WHERE doc_id = keeper AND bucket < 80
+        |    AND len(tok) >= 20
+        |    AND CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) > 0.3
+        |    AND CAST(len(list_filter(tok,
+        |      w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+        |      / len(tok) < 0.2
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM f GROUP BY lang ORDER BY ALL NULLS FIRST""".stripMargin)),
     NamedQuery("q86_metadata_sum_rollup", metadataSumRollup, bench = true, oracle = Some(
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |  CAST(month(o_orderdate) AS INT) AS order_month,

@@ -209,6 +209,25 @@ object LakePipelines {
       t
     }
 
+  /** CURATED CORPUS as a lake table (the text pipeline meeting the lake
+    * stack): q103's doc-level survivors written back partitioned by
+    * identity(lang) and clustered by doc_id, with doc_id as primary key —
+    * so the corpus report (q109) serves per-language counts AND token
+    * sums straight from manifest metadata (identity-partition rollup +
+    * commit-time column sums), zero tasks, zero data I/O. */
+  def curatedDocs(spark: SparkSession, sfDir: String): LakeTable =
+    cached(spark, sfDir, "curated_docs") { cat =>
+      val survivors = TextOps.curationSurvivors(spark, sfDir)
+      val t = cat.createTable(
+        "curated_docs",
+        survivors.schema,
+        partitionSpec = Seq(PartitionField("lang", Transform.Identity, "p_lang")),
+        clusterBy = Seq("doc_id"),
+        primaryKey = Seq("doc_id"))
+      t.append(survivors)
+      t
+    }
+
   /** Materialized GOLD table: the month×status KPI rollup pre-computed and
     * stored sorted by (order_month, status) — the reference's MergeTree
     * gold layer (scripts/iceberg-setup.sql:80-101). Queries serve from

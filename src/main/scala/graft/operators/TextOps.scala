@@ -273,15 +273,17 @@ object TextOps {
   val CurationMinDistinctRatio = 0.3
   val CurationMaxStopwordRatio = 0.2
 
-  val curationPipeline: (SparkSession, String) => DataFrame = (s, dir) => {
+  /** The doc-level survivor set behind q103 (and the rows the curated
+    * LAKE table materializes — q109): one row per document that passes
+    * dedup, the train-split gate and the quality gates. */
+  def curationSurvivors(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = TextSig.tokens(col("text"))
-    val bucket = splitBucket
     docs(s, dir)
       .withColumn("keeper",
         min(col("doc_id")).over(Window.partitionBy(TextSig.tokenSetKey(col("text")))))
       .filter(col("doc_id") === col("keeper"))
-      .filter(bucket < 80)
+      .filter(splitBucket < 80)
       .withColumn("n_tokens", size(tok).cast("long"))
       .withColumn("n_distinct", size(array_distinct(tok)).cast("long"))
       .withColumn("n_stop",
@@ -289,9 +291,13 @@ object TextOps {
       .filter(col("n_tokens") >= CurationMinTokens &&
         col("n_distinct").cast("double") / col("n_tokens") > CurationMinDistinctRatio &&
         col("n_stop").cast("double") / col("n_tokens") < CurationMaxStopwordRatio)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+  }
+
+  val curationPipeline: (SparkSession, String) => DataFrame = (s, dir) =>
+    curationSurvivors(s, dir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-  }
 
   /** q104 — INTRA-DOCUMENT REPETITION SCORING (the Gopher-style
     * repetition filters): top-bigram share, duplicate-bigram fraction
