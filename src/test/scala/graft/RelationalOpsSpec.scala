@@ -183,4 +183,37 @@ class RelationalOpsSpec extends SparkSpec {
       }.toMap
     exact.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
   }
+
+  test("registry-wide plan hygiene: every nested-loop join is a justified bounded broadcast") {
+    // blanket guarantee over EVERY registered query's physical plan: a
+    // cartesian/nested-loop join may only appear where the non-streamed
+    // side is BOUNDED BY NATURE — and each such query is named here with
+    // its justification, in BOTH directions (a new unlisted nested loop
+    // fails; a stale allowlist entry whose plan improved also fails).
+    val allowed = Map(
+      "q12_numbers_crossjoin" ->
+        "the reference's numbers() generator is a cross join by definition",
+      "q3_high_value_orders" ->
+        "uncorrelated scalar subquery: 1-row broadcast build",
+      "q39_exact_topk_cosine" ->
+        "probe-set broadcast: every corpus row scores k probes (k small by nature)",
+      "q69_exact_cosine_pairs" ->
+        "documented brute-force baseline the LSH/ANN paths are judged against",
+      "q71_ivf_ann_topk" ->
+        "probe x centroid assignment: both broadcast sides are bounded (k, nlist)",
+      "q77_pq_ann_topk" ->
+        "probe broadcast over PQ codes: probes bounded, codes 32x-compressed",
+      "q92_ivf_rank1_planted" -> "q71's planted-duplicate oracle slice",
+      "q93_pq_rank1_planted" -> "q77's planted-duplicate oracle slice")
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+        Some(q.name)
+      else None
+    }.toSet
+    assert((offenders -- allowed.keySet).isEmpty,
+      s"unjustified nested-loop/cartesian plans: ${offenders -- allowed.keySet}")
+    assert((allowed.keySet -- offenders).isEmpty,
+      s"stale allowlist entries (plans no longer nested-loop): ${allowed.keySet -- offenders}")
+  }
 }
