@@ -636,8 +636,13 @@ object DedupOps {
 
   def incrementalDedup(s: SparkSession, dir: String,
       nBatches: Int = DedupBatches): DataFrame = {
+    // materialize the keyed corpus ONCE: the max aggregate and every
+    // batch filter would otherwise each re-read the parquet and re-run
+    // the md5 token-set keying (the connectedComponents checkpoint
+    // pattern; review finding r11)
     val keyed = docs(s, dir).select(
       col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
+      .localCheckpoint()
     val maxId = keyed.agg(max(col("doc_id"))).head().getLong(0)
     val span = maxId / nBatches + 1 // batch b covers [b*span, (b+1)*span)
     incrementalDedupOn(
@@ -664,8 +669,14 @@ object DedupOps {
       b: Long): DataFrame = {
     val batchMin = batch.groupBy(col("group_key"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // NULL-SAFE anti-join: groupBy above treats a null key as one group,
+    // and the state probe must agree — a plain equality anti-join never
+    // matches NULL, so a null-keyed group would be re-appended on every
+    // batch instead of deduped once (latent on current fixtures, which
+    // have no null text; review finding r11)
     val fresh = batchMin
-      .join(survivors.select(col("group_key")), Seq("group_key"), "left_anti")
+      .join(survivors.select(col("group_key").as("seen_key")),
+        col("group_key") <=> col("seen_key"), "left_anti")
       .select(col("doc_id"), col("group_key"), lit(b).as("first_seen_batch"))
     survivors.unionByName(fresh).localCheckpoint()
   }
@@ -809,11 +820,11 @@ object DedupOps {
     // exactly — that equality is the property the hash check proves.
     NamedQuery("q108_incremental_dedup", (s, dir) => incrementalDedup(s, dir),
       oracle = Some(
-        """WITH k AS (
+        s"""WITH k AS (
           |  SELECT doc_id, md5(array_to_string(
           |    list_sort(list_distinct(string_split(text, ' '))), ' ')) AS group_key
           |  FROM documents
-          |), mx AS (SELECT MAX(doc_id) // 4 + 1 AS span FROM k),
+          |), mx AS (SELECT MAX(doc_id) // $DedupBatches + 1 AS span FROM k),
           |s AS (SELECT group_key, MIN(doc_id) AS doc_id FROM k GROUP BY group_key)
           |SELECT s.doc_id, s.group_key, s.doc_id // mx.span AS first_seen_batch
           |FROM s, mx ORDER BY ALL NULLS FIRST""".stripMargin)),
