@@ -440,4 +440,19 @@ class DedupOpsSpec extends SparkSpec {
       assert(got == truth)
     } finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
   }
+
+  test("dedupStep: a null group key dedups once across batches (null-safe state probe)") {
+    val b1 = Seq((5L, Option("k1")), (9L, Option.empty[String]), (7L, Option("k1")))
+      .toDF("doc_id", "group_key")
+    val b2 = Seq((11L, Option.empty[String]), (12L, Option("k2")))
+      .toDF("doc_id", "group_key")
+    val s1 = DedupOps.dedupStep(DedupOps.emptySurvivors(spark), b1, 0L)
+    val s2 = DedupOps.dedupStep(s1, b2, 1L)
+    val got = s2.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    // the null key is ONE group: batch 0 keeps its min (9), batch 1's
+    // null-keyed doc must NOT re-append
+    assert(got == Set((5L, Some("k1"), 0L), (9L, None, 0L), (12L, Some("k2"), 1L)),
+      s"got $got")
+  }
 }
