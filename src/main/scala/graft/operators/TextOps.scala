@@ -313,8 +313,22 @@ object TextOps {
         concat(element_at(tok, i), lit("_"), element_at(tok, i + 1))))
       .otherwise(array().cast("array<string>"))
 
-  /** Max element multiplicity of a string array via sorted run-lengths. */
-  private def maxMultiplicity(arr: Column): Column =
+  /** Max element multiplicity of a string array: the NATIVE one-pass
+    * hash kernel ([[graft.plans.MaxRun]]) when the session has
+    * GraftExtensions; the sorted-run-length HOF below otherwise —
+    * bit-identical by construction and spec (TextOpsSpec). The cast
+    * makes both forms see array<string> regardless of input element
+    * type (the [[graft.functions.TextSig.simhash]] pattern). */
+  private[operators] def maxMultiplicity(arr: Column): Column = {
+    val a = arr.cast("array<string>")
+    graft.plans.GraftExtensions.nativeCall(
+      graft.plans.GraftExtensions.MaxRunName, a)(maxMultiplicityHof(a))
+  }
+
+  /** The pure-functions fallback and bit-parity baseline: max run over
+    * the sorted array = max multiplicity (nulls sort together, so a null
+    * group counts like any other). */
+  private[operators] def maxMultiplicityHof(arr: Column): Column =
     aggregate(array_sort(arr),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {

@@ -114,6 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.interCountDescriptor)
     ext.injectFunction(GraftExtensions.srpSumsDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.maxRunDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
     // metadata-answered GROUP BY over partition transforms (month/day/...)
@@ -131,6 +132,7 @@ object GraftExtensions {
   val InterCountName = "graft_inter_count"
   val SrpSumsName = "graft_srp_sums"
   val SimHashName = "graft_simhash"
+  val MaxRunName = "graft_max_run"
 
   /** Pick the registered native kernel when the ACTIVE session has the
     * extensions; the pure-functions fallback otherwise (bit-identical by
@@ -142,6 +144,16 @@ object GraftExtensions {
       .filter(_.catalog.functionExists(name))
       .map(_ => org.apache.spark.sql.functions.call_function(name, args: _*))
       .getOrElse(fallback)
+
+  private[plans] val maxRunDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(MaxRunName),
+    new ExpressionInfo(classOf[MaxRun].getName, MaxRunName),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, s"$MaxRunName(arr)")
+      MaxRun(args.head)
+    },
+  )
 
   private[plans] val simhashDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

@@ -264,4 +264,40 @@ class TextOpsSpec extends SparkSpec {
     assert(expect.nonEmpty, "no duplicated spans in fixture; vacuous")
     assert(got == expect)
   }
+
+  test("native graft_max_run is bit-identical to the sorted-run-length HOF") {
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.MaxRunName),
+      "spec session must register the extensions")
+    // corpus-wide on both q104 input shapes (tokens and bigrams)
+    val tok = graft.functions.TextSig.tokens(col("text"))
+    val both = graft.Tables.load(spark, sfDir, "documents").select(
+      call_function(graft.plans.GraftExtensions.MaxRunName, tok).as("nat"),
+      TextOps.maxMultiplicityHof(tok).as("hof"))
+    assert(both.queryExecution.executedPlan.toString.contains("graft_max_run"))
+    assert(both.filter(col("nat") =!= col("hof")).count() == 0)
+    // the q104 operator picks the kernel on this session
+    assert(TextOps.repetitionScores(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("graft_max_run"))
+    // adversarial edges: null elements (own group), all-null, empty
+    // array, null array, multi-byte and empty-string tokens, ties
+    val edge = Seq(
+      (1L, Some(Seq(Option("a"), None, Option("a"), None, None))),
+      (2L, Some(Seq(Option.empty[String], Option.empty[String]))),
+      (3L, Some(Seq.empty[Option[String]])),
+      (4L, Option.empty[Seq[Option[String]]]),
+      (5L, Some(Seq(Option(""), Option(""), Option("日本"), Option("日本"), Option("日本")))),
+      (6L, Some(Seq(Option("x"), Option("y"), Option("x"), Option("y"))))
+    ).toDF("id", "arr")
+    val er = edge.select(col("id"),
+      call_function(graft.plans.GraftExtensions.MaxRunName, col("arr")).as("nat"),
+      TextOps.maxMultiplicityHof(col("arr")).as("hof")).orderBy(col("id")).collect()
+    er.foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2), s"null split on row $id")
+      else assert(r.getLong(1) == r.getLong(2), s"row $id: ${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+    val byId = er.map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(byId == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> -1L, 5L -> 3L, 6L -> 2L))
+  }
 }
