@@ -409,13 +409,32 @@ object TextOps {
     * don't shard; fixed-width window hashing is what scales). */
   val SpanWindow = 8
 
+  /** Window fingerprints: the NATIVE one-pass digest kernel
+    * ([[graft.plans.SpanHashes]]) when the session has GraftExtensions;
+    * the HOF composition below otherwise — bit-identical by construction
+    * and spec. */
+  private[operators] def spanHashes(tok: Column, w: Int): Column = {
+    val t = tok.cast("array<string>")
+    graft.plans.GraftExtensions.nativeCall(
+      graft.plans.GraftExtensions.SpanHashesName, t, lit(w))(spanHashesHof(t, w))
+  }
+
+  /** The pure-functions fallback and bit-parity baseline. Guards mirror
+    * the kernel exactly: < w tokens → empty array (the bare sequence
+    * would count DOWN for size < w and emit garbage windows); null
+    * array → null (otherwise-less CASE). */
+  private[operators] def spanHashesHof(tok: Column, w: Int): Column =
+    when(size(tok) >= w,
+      transform(sequence(lit(1), size(tok) - (w - 1)),
+        i => md5(array_join(slice(tok, i, lit(w)), " "))))
+      .when(tok.isNotNull, array().cast("array<string>"))
+
   val duplicateSpans: (SparkSession, String) => DataFrame = (s, dir) =>
     docs(s, dir)
       .select(col("doc_id"), TextSig.tokens(col("text")).as("tok"))
       .filter(size(col("tok")) >= SpanWindow)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("tok")) - (SpanWindow - 1)),
-        i => md5(array_join(slice(col("tok"), i, lit(SpanWindow)), " ")))).as("span_hash"))
+      .select(col("doc_id"),
+        explode(spanHashes(col("tok"), SpanWindow)).as("span_hash"))
       .groupBy(col("span_hash"))
       .agg(
         count(lit(1)).as("n_occurrences"),

@@ -115,6 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.srpSumsDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.maxRunDescriptor)
+    ext.injectFunction(GraftExtensions.spanHashesDescriptor)
     // distributed MoR anti-join for DSv2 lake scans with large delete sets
     ext.injectOptimizerRule(new LakeMorRewrite(_))
     // metadata-answered GROUP BY over partition transforms (month/day/...)
@@ -133,6 +134,7 @@ object GraftExtensions {
   val SrpSumsName = "graft_srp_sums"
   val SimHashName = "graft_simhash"
   val MaxRunName = "graft_max_run"
+  val SpanHashesName = "graft_span_hashes"
 
   /** Pick the registered native kernel when the ACTIVE session has the
     * extensions; the pure-functions fallback otherwise (bit-identical by
@@ -144,6 +146,16 @@ object GraftExtensions {
       .filter(_.catalog.functionExists(name))
       .map(_ => org.apache.spark.sql.functions.call_function(name, args: _*))
       .getOrElse(fallback)
+
+  private[plans] val spanHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(SpanHashesName),
+    new ExpressionInfo(classOf[SpanHashes].getName, SpanHashesName),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, s"$SpanHashesName(tokens, w)")
+      SpanHashes(args.head, args(1))
+    },
+  )
 
   private[plans] val maxRunDescriptor
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (

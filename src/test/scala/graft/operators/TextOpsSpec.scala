@@ -300,4 +300,43 @@ class TextOpsSpec extends SparkSpec {
     val byId = er.map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(byId == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> -1L, 5L -> 3L, 6L -> 2L))
   }
+
+  test("native graft_span_hashes is bit-identical to the HOF composition") {
+    assert(spark.catalog.functionExists(graft.plans.GraftExtensions.SpanHashesName),
+      "spec session must register the extensions")
+    // corpus-wide on the q107 shape
+    val tok = graft.functions.TextSig.tokens(col("text"))
+    val both = graft.Tables.load(spark, sfDir, "documents").select(
+      call_function(graft.plans.GraftExtensions.SpanHashesName,
+        tok, lit(TextOps.SpanWindow)).as("nat"),
+      TextOps.spanHashesHof(tok, TextOps.SpanWindow).as("hof"))
+    assert(both.queryExecution.executedPlan.toString.contains("graft_span_hashes"))
+    assert(both.filter(not(col("nat") <=> col("hof"))).count() == 0)
+    // the q107 operator picks the kernel on this session
+    assert(TextOps.duplicateSpans(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("graft_span_hashes"))
+    // adversarial edges: null tokens skipped with their separator
+    // (array_join semantics), short arrays empty, null array null,
+    // multi-byte and empty-string tokens hash byte-identically
+    val edge = Seq(
+      (1L, Some(Seq(Option("a"), None, Option("b"), Option("c")))),
+      (2L, Some(Seq(Option("only"), Option("two")))),
+      (3L, Option.empty[Seq[Option[String]]]),
+      (4L, Some(Seq(Option(""), Option("日本"), Option("x y"), Option("z")))),
+    ).toDF("id", "arr")
+    val w = 3
+    val er = edge.select(col("id"),
+      call_function(graft.plans.GraftExtensions.SpanHashesName,
+        col("arr"), lit(w)).as("nat"),
+      TextOps.spanHashesHof(col("arr"), w).as("hof")).orderBy(col("id")).collect()
+    er.foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2), s"null split on row $id")
+      else assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"row $id: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+    }
+    assert(er(1).getSeq[String](1).isEmpty, "short array must give no windows")
+    assert(er(2).isNullAt(1), "null array must stay null")
+  }
 }
