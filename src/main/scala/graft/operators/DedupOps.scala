@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *  - SimHash: same bucket-join shape over 16-bit hamming bands, with a
   *    pigeonhole completeness guarantee for distance <= 3.
   *
-  * Verification split: exact / normalized dedup and the verified MinHash
-  * pipeline are DuckDB-oracle-checked (q35–q38); SimHash and the
-  * plan-shape guarantees (no cartesian product anywhere) are ScalaTest'd
-  * (DedupOpsSpec).
+  * Verification split: every registered dedup query is DuckDB-oracle-
+  * checked (q35–q38, q68, q72, q98, q99, q108 — SimHash included since
+  * its r10 move to the portable md5 basis); the plan-shape guarantees
+  * (no cartesian product anywhere) and algorithm properties (LSH
+  * recall, banding completeness, union-find ground truth, streaming-
+  * twin parity) are ScalaTest'd (DedupOpsSpec).
   */
 object DedupOps {
 

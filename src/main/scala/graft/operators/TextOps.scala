@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * All per-document metrics are single-pass array expressions producing
   * exact integers; every ratio is one double division of exact ints, so
   * the outputs are engine-deterministic and DuckDB-oracle-checked
-  * (q40–q42). Language-ID is a heuristic (no ground truth recoverable
+  * (q40–q43, q70, q97, q100–q105, q107, q109). Language-ID is a heuristic (no ground truth recoverable
   * from the synthetic fixture, whose languages share one vocabulary) and
   * is spec-tested on real sentences instead ([[graft.functions.LangId]]).
   *
@@ -583,7 +583,7 @@ object TextOps {
         |FROM f GROUP BY lang, source ORDER BY ALL NULLS FIRST""".stripMargin)),
     // The oracle computes multiplicities relationally (unnest → two-key
     // group → max); the Spark side's sorted-run-length pass is map-only.
-    NamedQuery("q104_repetition_scores", repetitionScores, oracle = Some(
+    NamedQuery("q104_repetition_scores", repetitionScores, bench = true, oracle = Some(
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2
@@ -632,7 +632,7 @@ object TextOps {
         |)
         |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tf, df, weight
         |FROM r WHERE term_rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin)),
-    NamedQuery("q107_duplicate_spans", duplicateSpans, oracle = Some(
+    NamedQuery("q107_duplicate_spans", duplicateSpans, bench = true, oracle = Some(
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
         |  WHERE len(string_split(text, ' ')) >= 8
