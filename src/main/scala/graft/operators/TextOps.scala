@@ -420,11 +420,13 @@ object TextOps {
   }
 
   /** The pure-functions fallback and bit-parity baseline. Guards mirror
-    * the kernel exactly: < w tokens → empty array (the bare sequence
-    * would count DOWN for size < w and emit garbage windows); null
-    * array → null (otherwise-less CASE). */
+    * the kernel exactly: w <= 0 or < w tokens → empty array (the bare
+    * sequence would count DOWN and emit garbage windows, and a
+    * non-positive slice length throws); null array → null
+    * (otherwise-less CASE). */
   private[operators] def spanHashesHof(tok: Column, w: Int): Column =
-    when(size(tok) >= w,
+    if (w <= 0) when(tok.isNotNull, array().cast("array<string>"))
+    else when(size(tok) >= w,
       transform(sequence(lit(1), size(tok) - (w - 1)),
         i => md5(array_join(slice(tok, i, lit(w)), " "))))
       .when(tok.isNotNull, array().cast("array<string>"))

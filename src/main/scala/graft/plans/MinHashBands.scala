@@ -124,6 +124,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Shared per-thread MD5 instance for the md5-basis kernels
+    * (MessageDigest is not thread-safe; one instance per executor
+    * thread, reset per use — no steady-state allocation). */
+  private[plans] val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   val MinHashBandsName = "graft_minhash_bands"
   val DotName = "graft_dot"
   val L2SqName = "graft_l2sq"

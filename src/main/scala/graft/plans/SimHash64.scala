@@ -58,13 +58,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  /** Per-thread MD5 instance (MessageDigest is not thread-safe; one
-    * instance per executor thread, reset per token — no allocation in the
-    * steady state). */
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  private def md5 = GraftExtensions.md5Local
 
   /** First 8 MD5 digest bytes, big-endian — the value chain of parsing
     * the first 16 hex chars of `md5(s)`, shared with the HOF fallback and

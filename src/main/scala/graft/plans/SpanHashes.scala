@@ -57,10 +57,7 @@ case class SpanHashes(left: Expression, right: Expression) extends BinaryExpress
 
 object SpanHashes {
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  private def md5 = GraftExtensions.md5Local
   private val Sep = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   def compute(arr: ArrayData, w: Int): ArrayData = {

@@ -274,7 +274,7 @@ class TextOpsSpec extends SparkSpec {
       call_function(graft.plans.GraftExtensions.MaxRunName, tok).as("nat"),
       TextOps.maxMultiplicityHof(tok).as("hof"))
     assert(both.queryExecution.executedPlan.toString.contains("graft_max_run"))
-    assert(both.filter(col("nat") =!= col("hof")).count() == 0)
+    assert(both.filter(not(col("nat") <=> col("hof"))).count() == 0)
     // the q104 operator picks the kernel on this session
     assert(TextOps.repetitionScores(spark, sfDir)
       .queryExecution.executedPlan.toString.contains("graft_max_run"))
@@ -338,5 +338,15 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(er(1).getSeq[String](1).isEmpty, "short array must give no windows")
     assert(er(2).isNullAt(1), "null array must stay null")
+    // non-positive w: both forms give the empty array (null array stays null)
+    val z = edge.select(col("id"),
+      call_function(graft.plans.GraftExtensions.SpanHashesName,
+        col("arr"), lit(0)).as("nat"),
+      TextOps.spanHashesHof(col("arr"), 0).as("hof")).orderBy(col("id")).collect()
+    z.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"w=0 null split on row ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[String](1).isEmpty && r.getSeq[String](2).isEmpty)
+    }
   }
 }
