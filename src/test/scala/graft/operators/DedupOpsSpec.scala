@@ -455,4 +455,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Set((5L, Some("k1"), 0L), (9L, None, 0L), (12L, Some("k2"), 1L)),
       s"got $got")
   }
+
+  test("incrementalDedupOn property: first-seen-wins under arbitrary batch splits") {
+    // the ORDERED split (q108) makes first-seen = global min; under ANY
+    // split the contract is: one survivor per key, stamped with the
+    // first batch containing the key, and equal to the in-batch min of
+    // that batch — lock that semantics for out-of-order ingest too
+    val rng = new scala.util.Random(20260816L)
+    val keyed = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextSig.tokenSetKey(col("text")).as("group_key"))
+      .as[(Long, String)].collect()
+    (1 to 3).foreach { trial =>
+      val nB = rng.between(2, 5)
+      val assign = keyed.map(r => (r, rng.between(0, nB)))
+      val batches = (0 until nB).map(b =>
+        assign.filter(_._2 == b).map(_._1).toSeq.toDF("doc_id", "group_key"))
+      val got = DedupOps.incrementalDedupOn(batches).collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      // one survivor per key
+      assert(got.map(_._1).distinct.length == got.length, s"trial $trial dup keys")
+      val byKey = got.map(t => t._1 -> (t._2, t._3)).toMap
+      val truthFirst = assign.groupBy(_._1._2).view.mapValues { rs =>
+        val fb = rs.map(_._2).min // first batch containing the key
+        (rs.filter(_._2 == fb).map(_._1._1).min, fb.toLong)
+      }.toMap
+      assert(byKey.keySet == truthFirst.keySet, s"trial $trial key sets differ")
+      byKey.foreach { case (k, v) =>
+        assert(v == truthFirst(k), s"trial $trial key $k: $v vs ${truthFirst(k)}")
+      }
+    }
+  }
 }
