@@ -55,9 +55,15 @@ object Verify {
     // way) — make the round summary impossible to miss, on stdout AND
     // stderr, before the oracle dump.
     val total = selected.size
+    // A filtered dev run must NEVER print the same shape as the full gate —
+    // a grep for "all N queries dumped" once mistook a filtered run for the
+    // full 109-query gate (ADVICE r11; memory: full-gate-before-commit)
+    val scope =
+      if (only.isDefined) s"FILTERED ($total of ${SparkEntry.queries.size}) "
+      else ""
     val summary =
-      if (failed.isEmpty) s"[verify] all $total queries dumped"
-      else s"[verify] ${total - failed.size}/$total dumped; FAILED: ${failed.sorted.mkString(", ")}"
+      if (failed.isEmpty) s"[verify] ${scope}all $total queries dumped"
+      else s"[verify] $scope${total - failed.size}/$total dumped; FAILED: ${failed.sorted.mkString(", ")}"
     println(summary)
     System.err.println(summary)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -516,7 +516,8 @@ final class LakeTable private (
       // merge-on-read SQL row-level commits: new data files + delete-key
       // sidecars, the exact shape the changelog replays
       "update-mor", "merge-mor", "delete-mor")
-    ((from + 1) to to).map(snapshotFile(_)).foreach { sf =>
+    val rangeSnaps = ((from + 1) to to).map(snapshotFile(_))
+    rangeSnaps.foreach { sf =>
       require(replayable(sf.operation) || sf.operation.startsWith("append"),
         s"${meta.name}: snapshot ${sf.seq} is '${sf.operation}' — content restatements " +
           "have no row-level changelog; consume changes up to the restatement, then " +
@@ -529,7 +530,20 @@ final class LakeTable private (
     // rows ADDED in the range that are still live at `to`
     val added = morMerged(endSnap,
       endSnap.dataFiles.filter(f => f.seq > from && f.seq <= to))
-    if (meta.primaryKey.isEmpty)
+    // APPEND-ONLY FAST PATH (VERDICT r11 #7): a range whose every commit is
+    // an append (or schema DDL — metadata-only, no rows) adds rows but never
+    // restates or tombstones a live pk: pk restatement travels only through
+    // the upsert/MoR/cdc commit kinds, and appending an already-live pk
+    // breaks the table's pk-uniqueness contract (the scan would serve both
+    // rows — no well-defined changelog exists for that state). So every
+    // added row is an insert and NO base-table join is planned at all —
+    // the changelog of an append burst is O(delta), same as the scan side.
+    // This is the Delta-CDF / Iceberg-changelog idiom: append commits emit
+    // their rows as inserts straight from the commit's own files.
+    val metadataOnly = Set("add-column", "promote-type", "drop-column", "evolve-spec")
+    val appendOnly = rangeSnaps.forall(sf =>
+      sf.operation.startsWith("append") || metadataOnly(sf.operation))
+    if (meta.primaryKey.isEmpty || appendOnly)
       return added.select(userCols :+ lit("insert").as(TypeCol): _*)
     val pk = meta.primaryKey
     // base rows carry the FROM-era schema; align to the `to` schema the

@@ -589,7 +589,12 @@ object DedupOps {
       while (!converged && round < maxRounds) {
         val next = normalize(smallStar(normalize(largeStar(edges)))).localCheckpoint()
         val nextSig = signature(next)
-        converged = nextSig == sig
+        // signature equality is probabilistic (64-bit XOR fold); before
+        // ACCEPTING convergence, confirm with one exact set check — both
+        // sides are distinct rows with equal counts here, so one-direction
+        // except-emptiness proves equality. Runs once per call (only when
+        // the signatures already match), never per round (ADVICE r11).
+        converged = nextSig == sig && next.exceptAll(edges).isEmpty
         edges = next; sig = nextSig
         round += 1
       }
@@ -645,7 +650,12 @@ object DedupOps {
     val keyed = docs(s, dir).select(
       col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
       .localCheckpoint()
-    val maxId = keyed.agg(max(col("doc_id"))).head().getLong(0)
+    val maxRow = keyed.agg(max(col("doc_id"))).head()
+    // max over zero rows is NULL — an empty corpus has nothing to dedup,
+    // so return the (schema-correct) empty state instead of an opaque
+    // NullPointerException from getLong (ADVICE r11)
+    if (maxRow.isNullAt(0)) return emptySurvivors(s)
+    val maxId = maxRow.getLong(0)
     val span = maxId / nBatches + 1 // batch b covers [b*span, (b+1)*span)
     incrementalDedupOn(
       (0 until nBatches).map(b => keyed.filter(expr(s"doc_id div $span") === b)))

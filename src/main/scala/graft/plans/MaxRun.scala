@@ -55,7 +55,9 @@ object MaxRun {
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     if (n == 0) return 0L
-    val counts = new java.util.HashMap[UTF8String, Integer](Math.min(n * 2, 1 << 16))
+    // clamp BEFORE doubling: n * 2 in Int overflows negative for arrays
+    // over 2^30 elements and the HashMap constructor would throw
+    val counts = new java.util.HashMap[UTF8String, Integer](Math.min(n, 1 << 15) * 2)
     var best = 0
     var nulls = 0
     var i = 0

@@ -5,11 +5,22 @@ import org.apache.spark.sql.Row
 
 class RelationalOpsSpec extends SparkSpec {
 
+  /** Every registered query, executed ONCE per suite run: (rows, plan).
+    * Several operators are eager by nature (q99's CC rounds, q108's
+    * checkpointed folds, q105's corpus count, q109's lake-table build) —
+    * their plan strings cannot be obtained without running them, so the
+    * rows test and the plan-hygiene test share this single pass instead
+    * of each triggering the eager work separately (ADVICE r11). sf0.001
+    * keeps the eager execution tiny (~60 rows/table). */
+  private lazy val executedOnce: Map[String, (Long, String)] =
+    SparkEntry.registry.map { q =>
+      val df = q.run(spark, sfDir)
+      q.name -> (df.count(), df.queryExecution.executedPlan.toString)
+    }.toMap
+
   test("every registered query runs and returns rows at sf0.001") {
     SparkEntry.registry.foreach { q =>
-      val df = q.run(spark, sfDir)
-      val n = df.count()
-      assert(n > 0, s"${q.name} returned 0 rows")
+      assert(executedOnce(q.name)._1 > 0, s"${q.name} returned 0 rows")
     }
   }
 
@@ -206,7 +217,7 @@ class RelationalOpsSpec extends SparkSpec {
       "q92_ivf_rank1_planted" -> "q71's planted-duplicate oracle slice",
       "q93_pq_rank1_planted" -> "q77's planted-duplicate oracle slice")
     val offenders = SparkEntry.registry.flatMap { q =>
-      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      val plan = executedOnce(q.name)._2
       if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
         Some(q.name)
       else None

@@ -871,6 +871,34 @@ class LakeSpec extends SparkSpec {
     assert(t.changes(t.currentSeq, t.currentSeq).count() == 0)
   }
 
+  test("changelog append-only fast path: pure-insert ranges plan no base-table join") {
+    // VERDICT r11 #7: a range whose commits are all appends (or metadata-
+    // only DDL) emits its rows as inserts straight from the range's own
+    // files — the base snapshot must not be scanned or joined at all,
+    // even on a pk table.
+    val dir = Files.createTempDirectory("graft-appendonly-cdc").toString
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema, primaryKey = Seq("id"))
+    t.append(df)                                     // seq 1 — baseline
+    t.append(Seq((3L, "c")).toDF("id", "s"))         // seq 2 — append
+    t.addColumn("extra", "int")                      // seq 3 — metadata-only
+    t.append(Seq((4L, "d", 7)).toDF("id", "s", "extra")) // seq 4 — append
+    val ch = t.changes(1L, t.currentSeq)
+    assert(ch.select("id", "_change_type").as[(Long, String)].collect().toSet ==
+      Set((3L, "insert"), (4L, "insert")))
+    val plan = ch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"append-only changelog planned a join:\n$plan")
+    // a range that DOES contain a pk restatement still takes the keyed
+    // join — and nets id 3 (appended AND restated in range, absent at
+    // `from`) to a single insert carrying the final value
+    t.upsert(Seq((2L, "b2", 8), (3L, "c2", 9)).toDF("id", "s", "extra"))
+    val ch2 = t.changes(1L, t.currentSeq)
+    assert(ch2.queryExecution.executedPlan.toString.contains("Join"))
+    assert(ch2.select("id", "s", "_change_type").as[(Long, String, String)].collect().toSet ==
+      Set((2L, "b2", "update"), (3L, "c2", "insert"), (4L, "d", "insert")))
+  }
+
   test("metadata versions never recycle across a rollback") {
     val dir = Files.createTempDirectory("graft-vrecycle-spec").toString
     import spark.implicits._
