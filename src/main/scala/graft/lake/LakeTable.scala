@@ -817,6 +817,7 @@ final class LakeTable private (
     val observed = currentSnapshot
     val newFiles = stageDataFiles(df, schemaVersion = observed.schemaVersion,
       seq = observed.seq + 1, specVersion = observed.specVersion)
+    LakeTable.failpoint("staged-data") // crash-injection site (test-only)
     synchronized {
       if (keepExisting) commitAppendWithRetry(newFiles, op)
       else {
@@ -964,6 +965,7 @@ final class LakeTable private (
       val seq = cur.seq + 1
       val newData = upserts.map(stageDataFiles(_, cur.schemaVersion, seq, cur.specVersion)).getOrElse(Nil)
       val delFiles = writeDeleteFiles(deleteKeys, seq, cur.specVersion)
+      LakeTable.failpoint("staged-delta") // crash-injection site (test-only)
       try commitSnapshot(Snapshot(
         seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
@@ -1115,7 +1117,14 @@ final class LakeTable private (
           val v = d.partition(pf.name)
           s"${pf.name}=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
         }
-        val destRel = (Seq("data") ++ partDirs :+ s"s$seq-$i-${src.getName}").mkString("/")
+        // the staging dir's UUID rides into the published name: task
+        // attempt ids restart per SparkContext, so two PROCESSES staging
+        // against the same observed seq would otherwise render identical
+        // destination paths — on local fs the loser's rename fails the
+        // whole commit; on an object store it could overwrite the
+        // winner's data (caught by ProcessSafetySpec's cross-JVM race)
+        val destRel = (Seq("data") ++ partDirs :+
+          s"s$seq-${staging.getName}-$i-${src.getName}").mkString("/")
         val dest = new Path(root, destRel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
@@ -1357,6 +1366,14 @@ final class LakeTable private (
 }
 
 object LakeTable {
+  /** TEST-ONLY crash-injection hook, invoked with a site label at the
+    * commit protocol's vulnerable windows (after staging, before the
+    * snapshot publish). A fault-injection test process installs a handler
+    * that `Runtime.halt`s the JVM to simulate a writer dying mid-commit;
+    * production never touches it (the default is a no-op and nothing in
+    * the library sets it). */
+  @volatile private[lake] var failpoint: String => Unit = _ => ()
+
   /** Process-wide manifest cache. Manifest files are IMMUTABLE (uuid
     * names, write-once), so caching by absolute path is always coherent —
     * across LakeTable instances, catalog lookups, and snapshot history

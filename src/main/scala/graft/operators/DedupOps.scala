@@ -664,20 +664,16 @@ object DedupOps {
   /** Empty survivor-state table (doc_id, group_key, first_seen_batch). */
   private[graft] def emptySurvivors(s: SparkSession): DataFrame =
     s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("group_key",
-          org.apache.spark.sql.types.StringType, nullable = true),
-        org.apache.spark.sql.types.StructField("first_seen_batch",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], SurvivorSchema)
 
-  /** One anti-join-and-append round — the exact step the streaming
-    * foreachBatch twin runs (shared so the spec's MemoryStream query and
-    * q108 cannot drift): in-batch min per key, anti-join on served
-    * state, append the fresh keys, checkpoint to truncate lineage. */
-  private[graft] def dedupStep(survivors: DataFrame, batch: DataFrame,
+  /** The survivors a batch adds to the served state — the semantic core
+    * every incremental-dedup route shares (in-memory fold, MemoryStream
+    * twin, lake-persistent pipeline), so the routes cannot drift:
+    * in-batch min per key, NULL-SAFE anti-join on served state.
+    * Idempotent by construction: re-presenting an already-applied batch
+    * (at-least-once replay after a crash) finds every key already served
+    * and contributes nothing. */
+  private[graft] def freshSurvivors(survivors: DataFrame, batch: DataFrame,
       b: Long): DataFrame = {
     val batchMin = batch.groupBy(col("group_key"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -686,12 +682,57 @@ object DedupOps {
     // matches NULL, so a null-keyed group would be re-appended on every
     // batch instead of deduped once (latent on current fixtures, which
     // have no null text; review finding r11)
-    val fresh = batchMin
+    batchMin
       .join(survivors.select(col("group_key").as("seen_key")),
         col("group_key") <=> col("seen_key"), "left_anti")
       .select(col("doc_id"), col("group_key"), lit(b).as("first_seen_batch"))
-    survivors.unionByName(fresh).localCheckpoint()
   }
+
+  /** One anti-join-and-append round — the exact step the streaming
+    * foreachBatch twin runs (shared so the spec's MemoryStream query and
+    * q108 cannot drift): [[freshSurvivors]], then append the fresh keys
+    * and checkpoint to truncate lineage. */
+  private[graft] def dedupStep(survivors: DataFrame, batch: DataFrame,
+      b: Long): DataFrame =
+    survivors.unionByName(freshSurvivors(survivors, batch, b)).localCheckpoint()
+
+  /** Survivor-state schema of the lake-persistent route ([[lakeDedupStep]]). */
+  private[graft] val SurvivorSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("group_key",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("first_seen_batch",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** LAKE-PERSISTENT incremental dedup state (VERDICT r11 #5): the
+    * in-memory fold keeps survivors in `localCheckpoint` blocks, which
+    * die with the executors — a restarted pipeline would re-admit every
+    * duplicate. This route serves the state from a `graftlake` table
+    * instead: each micro-batch reads the table, anti-joins via the SAME
+    * [[freshSurvivors]] step, and appends only the fresh keys as one
+    * snapshot commit, so the pipeline resumes across sessions from
+    * table + streaming checkpoint alone.
+    *
+    * Crash contract, both orders: the streaming checkpoint advances only
+    * after foreachBatch returns, so a crash before the append replays the
+    * batch against unchanged state (same result); a crash after the
+    * append but before the checkpoint commit replays an already-applied
+    * batch, and [[freshSurvivors]]' anti-join makes that replay a no-op
+    * append. At scale the anti-join is one co-partitioned shuffle of
+    * O(batch + state-keys); the append is O(fresh rows) — no state
+    * rewrite, ever. */
+  def lakeDedupStep(table: graft.lake.LakeTable, batch: DataFrame, b: Long): Unit = {
+    val fresh = freshSurvivors(table.scan(), batch, b)
+    if (!fresh.isEmpty) { table.append(fresh); () }
+  }
+
+  /** Create-or-open the survivor-state table for [[lakeDedupStep]]. */
+  def survivorTable(s: SparkSession, location: String): graft.lake.LakeTable =
+    if (new java.io.File(s"$location/meta/table.json").exists())
+      graft.lake.LakeTable.load(s, location)
+    else graft.lake.LakeTable.create(s, location, "dedup_survivors", SurvivorSchema)
 
   private[graft] def incrementalDedupOn(batches: Seq[DataFrame]): DataFrame = {
     require(batches.nonEmpty, "at least one batch")

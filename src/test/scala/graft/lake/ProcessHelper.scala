@@ -1,0 +1,58 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-process entry for cross-JVM commit-safety tests
+  * ([[ProcessSafetySpec]] forks this with the test classpath). Modes:
+  *
+  *   - `race <loc> <writer> <n>` — open the table and run `n` appends,
+  *     each carrying a distinct `(writer, i)` marker row. Exercises the
+  *     optimistic snapshot protocol ACROSS PROCESSES: the in-JVM
+  *     `synchronized` cannot serialize two JVMs, so contention lands on
+  *     the O_EXCL snapshot-file create and the rebase retry.
+  *   - `crash-data <loc>` — start an append and `Runtime.halt` at the
+  *     staged-data failpoint: files are already moved into `data/` but no
+  *     snapshot references them (the widest crash window the protocol has).
+  *   - `crash-delta <loc>` — start an upsert and halt after BOTH its new
+  *     data files and its delete-key sidecars are staged, before the
+  *     snapshot publish.
+  *
+  * Exit codes: 0 = mode completed; 137 = deliberate halt at a failpoint
+  * (the spec asserts on it); anything else = real failure.
+  */
+object ProcessHelper {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val loc = args(1)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-process-helper-$mode")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val t = LakeTable.load(spark, loc)
+    mode match {
+      case "race" =>
+        val writer = args(2)
+        val n = args(3).toInt
+        (0 until n).foreach { i =>
+          t.append(Seq((s"$writer-$i", writer, i)).toDF("marker", "w", "i"))
+        }
+        spark.stop()
+      case "crash-data" =>
+        LakeTable.failpoint =
+          site => if (site == "staged-data") Runtime.getRuntime.halt(137)
+        t.append(Seq(("doomed", "x", 0)).toDF("marker", "w", "i"))
+        sys.error("unreachable: staged-data failpoint did not fire")
+      case "crash-delta" =>
+        LakeTable.failpoint =
+          site => if (site == "staged-delta") Runtime.getRuntime.halt(137)
+        t.upsert(Seq(("doomed", "x", 0)).toDF("marker", "w", "i"))
+        sys.error("unreachable: staged-delta failpoint did not fire")
+      case other => sys.error(s"unknown mode $other")
+    }
+  }
+}

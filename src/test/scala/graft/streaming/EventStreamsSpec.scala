@@ -275,6 +275,52 @@ class EventStreamsSpec extends SparkSpec {
       s"restatement did not refuse actionably: $msgs")
   }
 
+  test("lake-persistent incremental dedup: restart resumes from the state table alone, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft-lakededup")
+    val stateLoc = dir.resolve("state").toString
+    val keyed = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextSig.tokenSetKey(col("text")).as("group_key"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (h1, h2) = keyed.splitAt(keyed.length / 2)
+    // one "pipeline session": a FRESH table handle (state must come from
+    // disk, never a JVM-held DataFrame), a fresh stream, one drain
+    def session(data: Seq[(Long, String)], startBatch: Long): Unit = {
+      val t = graft.operators.DedupOps.survivorTable(spark, stateLoc)
+      val stream = MemoryStream[(Long, String)]
+      stream.addData(data)
+      val q = stream.toDF().toDF("doc_id", "group_key").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.operators.DedupOps.lakeDedupStep(t, b, startBatch + id)
+          ()
+        }
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    session(h1, 0L) // first session ends here — every in-JVM handle dropped
+    session(h2, 1L) // RESTART: new handle, new stream; state read from the table
+    val expect = keyed.groupBy(_._2).view.mapValues(_.map(_._1).min)
+      .toMap.map { case (k, id) => (id, k) }.toSet
+    def served: Set[(Long, String)] =
+      graft.lake.LakeTable.load(spark, stateLoc).scan()
+        .select("doc_id", "group_key").as[(Long, String)].collect().toSet
+    assert(served == expect,
+      "lake-persistent dedup diverged from the in-memory min-per-key fold")
+    val commitsAfterRun = graft.lake.LakeTable.load(spark, stateLoc).currentSeq
+    // AT-LEAST-ONCE REPLAY (crash after append, before checkpoint commit):
+    // re-presenting an already-applied batch must change nothing — the
+    // anti-join finds every key served and lakeDedupStep skips the append
+    session(h2, 1L)
+    assert(served == expect, "replayed batch mutated the survivor state")
+    assert(graft.lake.LakeTable.load(spark, stateLoc).currentSeq == commitsAfterRun,
+      "replayed batch committed a snapshot despite zero fresh survivors")
+  }
+
   test("sessions respect the gap invariant: intra-session gaps <= 30 min, sessions ordered") {
     val sessions = EventStreams.sessionizeBatch(Tables.load(spark, sfDir, "events"))
     // session_end >= session_start, and per user sessions don't overlap
