@@ -13,7 +13,7 @@ object SparkEntry {
   def registry: Seq[NamedQuery] =
     operators.RelationalOps.all ++ operators.LakeOps.all ++ operators.SqlCatalogOps.all ++
       operators.DedupOps.all ++ operators.VectorOps.all ++ operators.TextOps.all ++
-      operators.MultimodalOps.all ++ operators.StreamingOps.all
+      operators.MultimodalOps.all ++ operators.StreamingOps.all ++ diff.DiffOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,29 @@
+package graft.diff
+
+import graft.NamedQuery
+
+/** Pinned representatives of the generated differential family — one per
+  * grammar scenario, registered as ordinary [[NamedQuery]]s so the
+  * DRIVER's DuckDB gate hash-checks them every round exactly like the
+  * hand-written queries. [[QueryGen]] is deterministic per seed, so these
+  * are stable named plans; the full 120-seed family runs in QueryGenSpec
+  * (DataFrame-vs-SparkSQL) and via [[DiffVerify]] (vs DuckDB). */
+object DiffOps {
+
+  /** The generator's SQL has no ORDER BY (LIMIT-bearing instances order
+    * internally); the registry contract wants a canonically-ordered
+    * oracle, so wrap instead of appending — `... LIMIT k ORDER BY ALL`
+    * would not parse. */
+  private def pinned(seed: Long, sc: Int, qname: String): NamedQuery = {
+    val g = QueryGen.gen(seed, Some(sc))
+    NamedQuery(qname, g.build,
+      oracle = Some(s"SELECT * FROM (${g.sql}) ORDER BY ALL NULLS FIRST"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    pinned(1001L, 0, "q110_diff_scan"),
+    pinned(1002L, 1, "q111_diff_agg"),
+    pinned(1003L, 2, "q112_diff_join2"),
+    pinned(1004L, 3, "q113_diff_join3"),
+    pinned(1005L, 4, "q114_diff_union"))
+}

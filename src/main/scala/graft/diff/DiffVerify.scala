@@ -1,0 +1,63 @@
+package graft.diff
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Differential-family dump (VERDICT r11 #2): materializes `n` seeded
+  * [[QueryGen]] instances in the exact [[graft.Verify]] output contract —
+  * one canonical-ordered parquet dir per query plus `oracle_sql.json` —
+  * so `tools/check_oracle.py` replays every generated instance against
+  * DuckDB unchanged:
+  *
+  *   sbt "runMain graft.diff.DiffVerify /root/testdata/sf0.01 /tmp/diff_out 120"
+  *   python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/diff_out
+  *
+  * The in-repo spec (QueryGenSpec) cross-checks the same instances
+  * DataFrame-vs-SparkSQL on every `sbt test`; this main adds the
+  * cross-ENGINE leg of the family. */
+object DiffVerify {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 120
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    var failed = 0
+    val sqls = (1 to n).map { seed =>
+      val g = QueryGen.gen(seed.toLong)
+      try {
+        val df = g.build(spark, sfDir)
+        val canonical = df.orderBy(
+          df.columns.map(c => org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
+        canonical.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${g.name}")
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[diff] ${g.name} failed: ${e.getMessage}")
+      }
+      g.name -> g.sql
+    }
+    println(s"[diff] ${n - failed}/$n generated queries dumped" +
+      (if (failed > 0) s" ($failed FAILED)" else ""))
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => String.format("\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    } + "\""
+    val json = sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,440 @@
+package graft.diff
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import scala.util.Random
+
+/** Randomized differential-testing query generator (VERDICT r11 #2).
+  *
+  * The 104 oracle-checked registry queries are FIXED plans; this turns
+  * correctness into a FAMILY: a seeded generator composes the SURVEY §2
+  * grammar — filters (P1–P8) × joins (J1–J3) × aggregates (A1–A11) ×
+  * sorts/limits (O1–O5) × unions (U1–U2) — over the TPC-H-ish fixtures,
+  * emitting for every seed BOTH
+  *   - a DataFrame plan built with the DataFrame API (select / filter /
+  *     join / groupBy / agg / orderBy / limit / union), and
+  *   - the equivalent ANSI SQL, built in lockstep from the same random
+  *     draws, runnable by Spark SQL *and* DuckDB.
+  * The two are independent routes through different frontends (DataFrame
+  * DSL vs SQL parser), so comparing them catches composition bugs; the
+  * same SQL doubles as a DuckDB oracle for the cross-ENGINE check
+  * ([[graft.DiffVerify]] dumps the exact `Verify` contract, so
+  * `tools/check_oracle.py` replays every generated instance against
+  * DuckDB unchanged).
+  *
+  * Determinism: every draw comes from `new Random(seed)` — the same seed
+  * yields byte-identical SQL and an equivalent plan on every JVM, so
+  * generated instances can be pinned in the registry as stable named
+  * queries. Cross-engine parity follows the [[graft.NamedQuery]] rules:
+  * sums go through DECIMAL(18,2) and cast to DOUBLE once at the end;
+  * money thresholds render with 2 decimals via Locale.ROOT; ORDER BY is
+  * always over ALL output columns with explicit ASC NULLS FIRST (so a
+  * LIMIT cuts a deterministic multiset even under ties); every computed
+  * column carries the same alias on both sides.
+  */
+object QueryGen {
+
+  /** One generated instance: `sql` runs on Spark SQL and DuckDB; `build`
+    * composes the equivalent DataFrame plan over `Tables.load`. */
+  final case class Gen(name: String, sql: String, build: (SparkSession, String) => DataFrame)
+
+  // ------------------------------------------------------------ metadata
+
+  /** (column, SQL fragment pool | numeric range) catalogs per fixture
+    * table. Value pools mirror the driver-generated fixtures (seed=42,
+    * TESTDATA.md); thresholds drawn inside the observed ranges keep
+    * selectivity non-degenerate at every sf. */
+  private case class Tbl(
+      name: String,
+      longKeys: Seq[(String, Long)],
+      intCols: Seq[(String, Int, Int)],
+      moneyCols: Seq[(String, Double, Double)],
+      strCols: Map[String, Seq[String]],
+      tsCols: Seq[String],
+      groupable: Seq[String],
+      likeCols: Seq[(String, Seq[String])]) {
+    def allCols: Seq[String] =
+      longKeys.map(_._1) ++ intCols.map(_._1) ++ moneyCols.map(_._1) ++
+        strCols.keys.toSeq.sorted ++ tsCols
+  }
+
+  private val orders = Tbl("orders",
+    longKeys = Seq(("o_orderkey", 1400L), ("o_custkey", 140L)),
+    intCols = Nil,
+    moneyCols = Seq(("o_totalprice", 2000.0, 480000.0)),
+    strCols = Map(
+      "o_orderstatus" -> Seq("O", "F", "P"),
+      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+    tsCols = Seq("o_orderdate"),
+    groupable = Seq("o_orderstatus", "o_orderpriority"),
+    likeCols = Nil)
+
+  private val lineitem = Tbl("lineitem",
+    longKeys = Seq(("l_orderkey", 1400L), ("l_partkey", 190L), ("l_suppkey", 9L)),
+    intCols = Seq(("l_linenumber", 1, 7)),
+    moneyCols = Seq(("l_quantity", 1.0, 50.0), ("l_extendedprice", 1000.0, 100000.0)),
+    strCols = Map(
+      "l_returnflag" -> Seq("N", "A", "R"),
+      "l_linestatus" -> Seq("F", "O")),
+    tsCols = Seq("l_shipdate"),
+    groupable = Seq("l_returnflag", "l_linestatus"),
+    likeCols = Nil)
+
+  private val customer = Tbl("customer",
+    longKeys = Seq(("c_custkey", 140L)),
+    intCols = Seq(("c_nationkey", 0, 24)),
+    moneyCols = Seq(("c_acctbal", -800.0, 9900.0)),
+    strCols = Map("c_mktsegment" ->
+      Seq("AUTOMOBILE", "FURNITURE", "BUILDING", "HOUSEHOLD", "MACHINERY")),
+    tsCols = Nil,
+    groupable = Seq("c_mktsegment", "c_nationkey"),
+    likeCols = Seq(("c_name", Seq("1", "2", "00", "3"))))
+
+  private val supplier = Tbl("supplier",
+    longKeys = Seq(("s_suppkey", 9L)),
+    intCols = Seq(("s_nationkey", 0, 24)),
+    moneyCols = Seq(("s_acctbal", -800.0, 9900.0)),
+    strCols = Map.empty,
+    tsCols = Nil,
+    groupable = Seq("s_nationkey"),
+    likeCols = Seq(("s_name", Seq("1", "3", "5"))))
+
+  private val part = Tbl("part",
+    longKeys = Seq(("p_partkey", 190L)),
+    intCols = Seq(("p_size", 1, 50)),
+    moneyCols = Seq(("p_retailprice", 900.0, 920.0)),
+    strCols = Map(
+      "p_brand" -> (1 to 25).map(i => s"Brand#$i"),
+      "p_type" -> Seq("LARGE", "STANDARD", "ECONOMY", "MEDIUM", "PROMO", "SMALL")),
+    tsCols = Nil,
+    groupable = Seq("p_brand", "p_type", "p_size"),
+    likeCols = Seq(("p_name", Seq("widget", "bolt", "small", "cold"))))
+
+  private val nation = Tbl("nation",
+    longKeys = Nil,
+    intCols = Seq(("n_nationkey", 0, 24), ("n_regionkey", 0, 4)),
+    moneyCols = Nil,
+    strCols = Map("n_name" -> (0 to 24).map(i => s"NATION_$i")),
+    tsCols = Nil,
+    groupable = Seq("n_name", "n_regionkey"),
+    likeCols = Nil)
+
+  private val region = Tbl("region",
+    longKeys = Nil,
+    intCols = Seq(("r_regionkey", 0, 4)),
+    moneyCols = Nil,
+    strCols = Map("r_name" -> Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")),
+    tsCols = Nil,
+    groupable = Seq("r_name"),
+    likeCols = Nil)
+
+  private val singleTables = Seq(orders, lineitem, customer, supplier, part)
+
+  /** Valid equi-join edges (left, right, leftKey, rightKey). */
+  private val joins: Seq[(Tbl, Tbl, String, String)] = Seq(
+    (orders, customer, "o_custkey", "c_custkey"),
+    (lineitem, orders, "l_orderkey", "o_orderkey"),
+    (lineitem, part, "l_partkey", "p_partkey"),
+    (lineitem, supplier, "l_suppkey", "s_suppkey"),
+    (customer, nation, "c_nationkey", "n_nationkey"),
+    (supplier, nation, "s_nationkey", "n_nationkey"),
+    (nation, region, "n_regionkey", "r_regionkey"))
+
+  /** Valid 3-table chains: (a ⋈ b on k1) ⋈ c on k2. */
+  private val chains: Seq[(Tbl, Tbl, String, String, Tbl, String, String)] = Seq(
+    (orders, customer, "o_custkey", "c_custkey", nation, "c_nationkey", "n_nationkey"),
+    (lineitem, orders, "l_orderkey", "o_orderkey", customer, "o_custkey", "c_custkey"),
+    (customer, nation, "c_nationkey", "n_nationkey", region, "n_regionkey", "r_regionkey"),
+    (lineitem, part, "l_partkey", "p_partkey", supplier, "l_suppkey", "s_suppkey"))
+
+  // ------------------------------------------------------- dual renderers
+
+  /** A (Column, SQL) pair built from one random draw — the two sides are
+    * constructed together so they cannot drift. */
+  private type Dual = (Column, String)
+
+  private def money(v: Double): String = {
+    // 3-decimal literal, Locale.ROOT-rendered; thresholds carry a .005
+    // offset so no fixture value (cent-exact by construction) sits ON the
+    // boundary — a double-vs-decimal-literal comparison then can't flip
+    // on representation rounding in either engine
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  }
+
+  private def tsLit(rng: Random): String = {
+    val year = 1995 + rng.nextInt(7)
+    val month = 1 + rng.nextInt(12)
+    val day = 1 + rng.nextInt(28)
+    String.format(java.util.Locale.ROOT, "%04d-%02d-%02d 00:00:00",
+      Int.box(year), Int.box(month), Int.box(day))
+  }
+
+  /** One atomic predicate over `t`'s columns. */
+  private def predicate(rng: Random, t: Tbl): Dual = {
+    val kinds = Seq.newBuilder[() => Dual]
+    if (t.longKeys.nonEmpty) kinds += { () =>
+      val (c, max) = t.longKeys(rng.nextInt(t.longKeys.size))
+      rng.nextInt(3) match {
+        case 0 =>
+          val v = 1 + rng.nextLong(max)
+          if (rng.nextBoolean()) (col(c) < v, s"$c < $v") else (col(c) >= v, s"$c >= $v")
+        case 1 =>
+          val m = 2 + rng.nextInt(6); val r = rng.nextInt(m)
+          (col(c) % m === r, s"$c % $m = $r")
+        case _ =>
+          val lo = rng.nextLong(max); val hi = lo + 1 + rng.nextLong(max)
+          (col(c) >= lo && col(c) <= hi, s"($c >= $lo AND $c <= $hi)")
+      }
+    }
+    if (t.intCols.nonEmpty) kinds += { () =>
+      val (c, lo, hi) = t.intCols(rng.nextInt(t.intCols.size))
+      val v = lo + rng.nextInt(hi - lo + 1)
+      rng.nextInt(3) match {
+        case 0 => (col(c) < v, s"$c < $v")
+        case 1 => (col(c) >= v, s"$c >= $v")
+        case _ => (col(c) === v, s"$c = $v")
+      }
+    }
+    if (t.moneyCols.nonEmpty) kinds += { () =>
+      val (c, lo, hi) = t.moneyCols(rng.nextInt(t.moneyCols.size))
+      val v = math.rint((lo + rng.nextDouble() * (hi - lo)) * 100) / 100 + 0.005
+      val lit = money(v)
+      if (rng.nextBoolean()) (col(c) < lit.toDouble, s"$c < $lit")
+      else (col(c) >= lit.toDouble, s"$c >= $lit")
+    }
+    if (t.strCols.nonEmpty) kinds += { () =>
+      val keys = t.strCols.keys.toSeq.sorted
+      val c = keys(rng.nextInt(keys.size))
+      val pool = t.strCols(c)
+      rng.nextInt(3) match {
+        case 0 =>
+          val v = pool(rng.nextInt(pool.size))
+          (col(c) === v, s"$c = '$v'")
+        case 1 =>
+          val v = pool(rng.nextInt(pool.size))
+          (col(c) =!= v, s"$c <> '$v'")
+        case _ =>
+          val n = 2 + rng.nextInt(math.min(3, pool.size - 1))
+          val vs = rng.shuffle(pool).take(n)
+          (col(c).isin(vs: _*), vs.mkString(s"$c IN ('", "', '", "')"))
+      }
+    }
+    if (t.tsCols.nonEmpty) kinds += { () =>
+      val c = t.tsCols(rng.nextInt(t.tsCols.size))
+      val v = tsLit(rng)
+      if (rng.nextBoolean()) (col(c) < expr(s"TIMESTAMP '$v'"), s"$c < TIMESTAMP '$v'")
+      else (col(c) >= expr(s"TIMESTAMP '$v'"), s"$c >= TIMESTAMP '$v'")
+    }
+    if (t.likeCols.nonEmpty) kinds += { () =>
+      val (c, frags) = t.likeCols(rng.nextInt(t.likeCols.size))
+      val f = frags(rng.nextInt(frags.size))
+      (col(c).like(s"%$f%"), s"$c LIKE '%$f%'")
+    }
+    val pool = kinds.result()
+    pool(rng.nextInt(pool.size))()
+  }
+
+  /** 1–3 predicates over the given tables, composed with AND/OR and full
+    * parens (identical associativity on both sides). */
+  private def wherePreds(rng: Random, tbls: Seq[Tbl]): Option[Dual] = {
+    val n = rng.nextInt(4) // 0..3 (0 = no WHERE)
+    if (n == 0) return None
+    val parts = Seq.fill(n) { predicate(rng, tbls(rng.nextInt(tbls.size))) }
+    Some(parts.reduce { (a, b) =>
+      if (rng.nextInt(3) == 0) (a._1 || b._1, s"(${a._2} OR ${b._2})")
+      else (a._1 && b._1, s"(${a._2} AND ${b._2})")
+    })
+  }
+
+  /** 2–4 aggregate expressions over the given tables (decimal-pathed sums
+    * per the NamedQuery parity rules; aliases identical on both sides). */
+  private def aggExprs(rng: Random, tbls: Seq[Tbl]): Seq[Dual] = {
+    val out = Seq.newBuilder[Dual]
+    out += ((count(lit(1)).as("cnt"), "COUNT(*) AS cnt"))
+    val extra = 1 + rng.nextInt(3)
+    val pool = Seq.newBuilder[() => Dual]
+    tbls.foreach { t =>
+      t.moneyCols.foreach { case (c, _, _) =>
+        pool += { () =>
+          (sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"sum_$c"),
+            s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_$c")
+        }
+        pool += { () => (min(col(c)).as(s"min_$c"), s"MIN($c) AS min_$c") }
+        pool += { () => (max(col(c)).as(s"max_$c"), s"MAX($c) AS max_$c") }
+      }
+      (t.longKeys.map(_._1) ++ t.intCols.map(_._1)).foreach { c =>
+        pool += { () => (countDistinct(col(c)).as(s"ndv_$c"), s"COUNT(DISTINCT $c) AS ndv_$c") }
+        pool += { () => (max(col(c)).as(s"max_$c"), s"MAX($c) AS max_$c") }
+      }
+      t.strCols.keys.toSeq.sorted.foreach { c =>
+        pool += { () => (min(col(c)).as(s"min_$c"), s"MIN($c) AS min_$c") }
+      }
+    }
+    val ps = pool.result()
+    // distinct draws: duplicate output aliases would be ambiguous
+    val seen = scala.collection.mutable.Set("cnt")
+    var tries = 0
+    while (seen.size < 1 + extra && tries < 20) {
+      val d = ps(rng.nextInt(ps.size))()
+      if (seen.add(d._2.split(" AS ").last)) out += d
+      tries += 1
+    }
+    out.result()
+  }
+
+  /** Projection items: a random subset of plain columns plus optional
+    * computed expressions, aliases aligned. Returns (duals, names). */
+  private def projection(rng: Random, tbls: Seq[Tbl]): Seq[Dual] = {
+    val cols = rng.shuffle(tbls.flatMap(_.allCols)).take(2 + rng.nextInt(3))
+    val plain: Seq[Dual] = cols.map(c => (col(c), c))
+    val computed = Seq.newBuilder[Dual]
+    if (tbls.exists(_.name == "lineitem") && rng.nextBoolean())
+      computed += ((((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net")),
+        "l_extendedprice * (1 - l_discount) AS net"))
+    tbls.find(_.tsCols.nonEmpty).foreach { t =>
+      if (rng.nextBoolean()) {
+        val c = t.tsCols.head
+        computed += ((year(col(c)).as("yr"), s"CAST(year($c) AS INT) AS yr"))
+      }
+    }
+    tbls.find(_.moneyCols.nonEmpty).foreach { t =>
+      if (rng.nextInt(3) == 0) {
+        val (c, lo, hi) = t.moneyCols.head
+        val v = money(math.rint((lo + hi) / 2 * 100) / 100 + 0.005)
+        computed += ((when(col(c) > v.toDouble, "hi").otherwise("lo").as("bucket"),
+          s"CASE WHEN $c > $v THEN 'hi' ELSE 'lo' END AS bucket"))
+      }
+    }
+    tbls.find(_.likeCols.nonEmpty).foreach { t =>
+      if (rng.nextInt(3) == 0) {
+        val c = t.likeCols.head._1
+        computed += ((upper(substring(col(c), 1, 4)).as("frag"),
+          s"upper(substring($c, 1, 4)) AS frag"))
+      }
+    }
+    plain ++ computed.result()
+  }
+
+  // ------------------------------------------------------------ scenarios
+
+  /** Scenario ids (also directly forceable for pinned registry entries):
+    * 0 scan/project (+DISTINCT/ORDER+LIMIT), 1 single-table aggregate
+    * (+HAVING), 2 two-table join → aggregate, 3 three-table join →
+    * aggregate, 4 union all/distinct. */
+  val NumScenarios = 5
+
+  def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
+    val rng = new Random(seed)
+    val scenario = forceScenario.getOrElse(rng.nextInt(NumScenarios))
+    val name = s"diff_s${seed}_sc$scenario"
+
+    def load(s: SparkSession, dir: String, t: Tbl): DataFrame =
+      graft.Tables.load(s, dir, t.name)
+
+    scenario match {
+      case 0 =>
+        val t = singleTables(rng.nextInt(singleTables.size))
+        val pred = wherePreds(rng, Seq(t))
+        val proj = projection(rng, Seq(t))
+        val distinct = rng.nextInt(3) == 0
+        val limit = if (rng.nextBoolean()) Some(20 + rng.nextInt(180)) else None
+        val names = proj.map(_._2.split(" AS ").last)
+        val sql = new StringBuilder("SELECT ")
+        if (distinct) sql ++= "DISTINCT "
+        sql ++= proj.map(_._2).mkString(", ")
+        sql ++= s" FROM ${t.name}"
+        pred.foreach(p => sql ++= s" WHERE ${p._2}")
+        limit.foreach { k =>
+          sql ++= names.mkString(" ORDER BY ", " ASC NULLS FIRST, ", " ASC NULLS FIRST")
+          sql ++= s" LIMIT $k"
+        }
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, t)
+          pred.foreach(p => df = df.filter(p._1))
+          df = df.select(proj.map(_._1): _*)
+          if (distinct) df = df.distinct()
+          limit.foreach { k =>
+            df = df.orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
+          }
+          df
+        })
+
+      case 1 =>
+        val t = singleTables(rng.nextInt(singleTables.size))
+        val pred = wherePreds(rng, Seq(t))
+        val nKeys = rng.nextInt(3) // 0 = global aggregate
+        val keys = rng.shuffle(t.groupable).take(nKeys)
+        val aggs = aggExprs(rng, Seq(t))
+        val having = if (keys.nonEmpty && rng.nextInt(3) == 0) Some(1 + rng.nextInt(3)) else None
+        val sql = new StringBuilder("SELECT ")
+        sql ++= (keys ++ aggs.map(_._2)).mkString(", ")
+        sql ++= s" FROM ${t.name}"
+        pred.foreach(p => sql ++= s" WHERE ${p._2}")
+        if (keys.nonEmpty) sql ++= keys.mkString(" GROUP BY ", ", ", "")
+        having.foreach(h => sql ++= s" HAVING COUNT(*) > $h")
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, t)
+          pred.foreach(p => df = df.filter(p._1))
+          var out =
+            if (keys.isEmpty) df.agg(aggs.head._1, aggs.tail.map(_._1): _*)
+            else df.groupBy(keys.map(col): _*).agg(aggs.head._1, aggs.tail.map(_._1): _*)
+          having.foreach(h => out = out.filter(col("cnt") > h))
+          out
+        })
+
+      case 2 =>
+        val (a, b, lk, rk) = joins(rng.nextInt(joins.size))
+        val joinType = if (rng.nextInt(4) == 0) "left" else "inner"
+        val pred = wherePreds(rng, if (joinType == "left") Seq(a) else Seq(a, b))
+        val keys = rng.shuffle(a.groupable ++ b.groupable).take(1 + rng.nextInt(2))
+        val aggs = aggExprs(rng, Seq(a, b))
+        val jt = if (joinType == "left") "LEFT JOIN" else "JOIN"
+        val sql = new StringBuilder("SELECT ")
+        sql ++= (keys ++ aggs.map(_._2)).mkString(", ")
+        sql ++= s" FROM ${a.name} $jt ${b.name} ON $lk = $rk"
+        pred.foreach(p => sql ++= s" WHERE ${p._2}")
+        sql ++= keys.mkString(" GROUP BY ", ", ", "")
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, a).join(load(s, dir, b), col(lk) === col(rk), joinType)
+          pred.foreach(p => df = df.filter(p._1))
+          df.groupBy(keys.map(col): _*).agg(aggs.head._1, aggs.tail.map(_._1): _*)
+        })
+
+      case 3 =>
+        val (a, b, k1l, k1r, c, k2l, k2r) = chains(rng.nextInt(chains.size))
+        val pred = wherePreds(rng, Seq(a, b, c))
+        val keys = rng.shuffle(a.groupable ++ b.groupable ++ c.groupable).take(1 + rng.nextInt(2))
+        val aggs = aggExprs(rng, Seq(a, b, c))
+        val sql = new StringBuilder("SELECT ")
+        sql ++= (keys ++ aggs.map(_._2)).mkString(", ")
+        sql ++= s" FROM ${a.name} JOIN ${b.name} ON $k1l = $k1r JOIN ${c.name} ON $k2l = $k2r"
+        pred.foreach(p => sql ++= s" WHERE ${p._2}")
+        sql ++= keys.mkString(" GROUP BY ", ", ", "")
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, a)
+            .join(load(s, dir, b), col(k1l) === col(k1r))
+            .join(load(s, dir, c), col(k2l) === col(k2r))
+          pred.foreach(p => df = df.filter(p._1))
+          df.groupBy(keys.map(col): _*).agg(aggs.head._1, aggs.tail.map(_._1): _*)
+        })
+
+      case _ =>
+        val t = singleTables(rng.nextInt(singleTables.size))
+        val cols = rng.shuffle(t.allCols).take(2 + rng.nextInt(2))
+        val p1 = predicate(rng, t)
+        val p2 = predicate(rng, t)
+        val all = rng.nextBoolean()
+        val kw = if (all) "UNION ALL" else "UNION"
+        val sel = cols.mkString(", ")
+        val sql = s"SELECT $sel FROM ${t.name} WHERE ${p1._2} $kw " +
+          s"SELECT $sel FROM ${t.name} WHERE ${p2._2}"
+        Gen(name, sql, (s, dir) => {
+          val base = load(s, dir, t)
+          val l = base.filter(p1._1).select(cols.map(col): _*)
+          val r = base.filter(p2._1).select(cols.map(col): _*)
+          if (all) l.unionAll(r) else l.unionAll(r).distinct()
+        })
+    }
+  }
+}

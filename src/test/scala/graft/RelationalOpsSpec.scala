@@ -30,14 +30,14 @@ class RelationalOpsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("registry never shrinks: the round-11 floor is 109 queries / 104 oracles") {
+  test("registry never shrinks: the round-12 floor is 114 queries / 109 oracles") {
     // an accidentally-dropped NamedQuery would silently shrink the
     // driver's scoreboard (rows just vanish — the round-9 q50/q51
     // lesson); growing past the floor is fine and expected
-    assert(SparkEntry.queries.size >= 109,
-      s"query registry shrank: ${SparkEntry.queries.size} < 109")
-    assert(SparkEntry.oracleSql.size >= 104,
-      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 104")
+    assert(SparkEntry.queries.size >= 114,
+      s"query registry shrank: ${SparkEntry.queries.size} < 114")
+    assert(SparkEntry.oracleSql.size >= 109,
+      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 109")
   }
 
   test("the no-oracle set is exactly the documented irreducible ledger") {
