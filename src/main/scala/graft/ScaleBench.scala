@@ -35,7 +35,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val Copies = 10
   private val IdStride = 10_000_000L
 
   /** Queries measured, with the expected 10×-rows behavior. */
@@ -98,39 +97,54 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir1 = s"$work/x1"
-    val dir10 = s"$work/x$Copies"
-    buildFixture(spark, base, dir1, 1)
-    buildFixture(spark, base, dir10, Copies)
+    val points = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    require(points.headOption.contains(1), "scale points must start at 1 (the ratio base)")
+    val dirs = points.map(k => k -> s"$work/x$k").toMap
+    points.foreach(k => buildFixture(spark, base, dirs(k), k))
+
+    // Shuffle files live until the ContextCleaner GCs their dereferenced
+    // ShuffleDependency — across back-to-back runs of a shuffle-heavy
+    // query they ACCUMULATE (the 100× q68 point wrote ~40 GB per
+    // execution; four un-collected executions filled the disk). Force the
+    // GC between runs so each run's spill budget is one execution's.
+    def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(500) }
 
     def measure(name: String, dir: String): (Double, Long, Map[String, Int]) = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).queryExecution.toRdd.count() // warm-up: codegen/JIT/listing
       var rows = 0L
       val t = (1 to 3).map { _ =>
+        reclaimShuffles()
         val t0 = System.nanoTime()
         rows = fn(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      reclaimShuffles()
       (t, rows, planNodes(fn(spark, dir)))
     }
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val entries = Headline.map { case (name, rowsLaw) =>
-      val (t1, r1, p1) = measure(name, dir1)
-      val (t10, r10, p10) = measure(name, dir10)
-      val ratio = if (t1 > 0) t10 / t1 else -1.0
-      val rowsLinear = rowsLaw match {
-        case "linear" => r10 == Copies * r1
-        case _        => r10 == r1
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val entries = Headline.filter(h => only.forall(_.contains(h._1))).map { case (name, rowsLaw) =>
+      val measured = points.map(k => k -> measure(name, dirs(k)))
+      val (_, (t1, r1, p1)) = measured.head
+      val perPoint = measured.map { case (k, (t, r, p)) =>
+        val ratio = if (t1 > 0) t / t1 else -1.0
+        val rowsOk = rowsLaw match {
+          case "linear" => r == k.toLong * r1
+          case _        => r == r1
+        }
+        System.err.println(s"[scale] $name ${k}x: ${fmt(t)}s ${r}r ratio=${fmt(ratio)} " +
+          s"rows_${rowsLaw}_ok=$rowsOk plan_same=${p == p1}")
+        s""""x$k":{"t":${fmt(t)},"ratio":${fmt(ratio)},"rows":$r,""" +
+          s""""rows_ok":$rowsOk,"plan_same":${p == p1}}"""
       }
-      System.err.println(s"[scale] $name 1x=${fmt(t1)}s ${r1}r  ${Copies}x=${fmt(t10)}s ${r10}r  " +
-        s"ratio=${fmt(ratio)} rows_${rowsLaw}_ok=$rowsLinear plan_same=${p1 == p10}")
-      s""""$name":{"t1":${fmt(t1)},"t10":${fmt(t10)},"ratio":${fmt(ratio)},""" +
-        s""""rows1":$r1,"rows10":$r10,"rows_law":"$rowsLaw","rows_ok":$rowsLinear,""" +
-        s""""plan_same":${p1 == p10}}"""
+      s""""$name":{"rows_law":"$rowsLaw",${perPoint.mkString(",")}}"""
     }
-    val json = s"""{"copies":$Copies,"base":"$base","queries":{${entries.mkString(",")}}}"""
+    val json = s"""{"points":${points.mkString("[", ",", "]")},"base":"$base",""" +
+      s""""queries":{${entries.mkString(",")}}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")), json + "\n")
     catch { case e: Exception => System.err.println(s"[scale] sidecar write failed: $e") }

@@ -357,6 +357,21 @@ object DedupOps {
 
   def jaccardSimilarityJoinOn(shingles: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val cand = jaccardPrefixCandidates(shingles, tNum, tDen)
+    // COMPACT SIGNATURES for the verify join (r12 scale measurement: the
+    // candidate×signature exchange is THE volume term of the Vernica
+    // shape — shipping raw string-bigram arrays per candidate wrote
+    // ~150 GB of shuffle at a 100× corpus on one node). Each document's
+    // shingle set is hashed ONCE to a sorted, deduplicated array<bigint>
+    // (~4× fewer bytes than the strings + offsets), and the intersection
+    // becomes a two-pointer merge in the native kernel. Set sizes,
+    // intersections and the derived jaccard are identical unless two
+    // DISTINCT bigrams of one comparison collide in 64 bits (~2⁻⁶⁴ per
+    // pair of distinct shingles) — the same hash-exactness idiom the
+    // exact-dedup family already stands on (md5 text/token-set keys,
+    // q35–q37). Sortedness is the kernel's input contract; array_sort
+    // here is what establishes it.
+    val compact = shingles.select(col("doc_id"),
+      array_sort(array_distinct(transform(col("sh"), t => xxhash64(t)))).as("sh"))
     // the intersection is the expensive term: its SIZE decides the
     // threshold in exact integer arithmetic
     // (inter/union >= tNum/tDen  <=>  inter*(tNum+tDen) >= tNum*(szi+szj)),
@@ -384,9 +399,9 @@ object DedupOps {
     // and is the shape that survives 100 TB (the corpus side is never
     // broadcastable; the pair stream exchange is O(candidates))
     val joined = cand
-      .join(shingles.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+      .join(compact.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
         .hint("shuffle_hash"), "doc_i")
-      .join(shingles.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+      .join(compact.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
         .hint("shuffle_hash"), "doc_j")
       .select(col("doc_i"), col("doc_j"), interCol.as("inter"),
         size(col("sh_i")).as("szi"), size(col("sh_j")).as("szj"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native thresholded set-intersection count — the verification kernel of
@@ -38,24 +38,36 @@ case class InterCount(left: Expression, right: Expression, tNum: Int, tDen: Int)
 
   private def ok(dt: DataType): Boolean = dt match {
     case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (ok(left.dataType) && ok(right.dataType) && left.dataType == right.dataType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<string> inputs, got " +
+      s"$prettyName expects two array<string> or two array<bigint> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_inter_count"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    InterCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tNum, tDen)
+    if (isLong)
+      InterCount.computeSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tNum, tDen)
+    else
+      InterCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tNum, tDen)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (isLong) "computeSortedLong" else "compute"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.InterCount$$.MODULE$$.compute($a, $b, $tNum, $tDen)")
+      s"graft.plans.InterCount$$.MODULE$$.$method($a, $b, $tNum, $tDen)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): InterCount =
@@ -93,6 +105,33 @@ object InterCount {
       // remaining b elements bound the best case; bail when short of alpha
       if (m + (nb - j - 1) < alpha) return -1
       j += 1
+    }
+    if (m * den >= tNum.toLong * (na + nb)) m.toInt else -1
+  }
+
+  /** The compact-signature fast path: thresholded intersection count of
+    * two SORTED-ASCENDING, DISTINCT, null-free `array<bigint>` inputs
+    * (the hashed shingle signatures built by
+    * [[graft.operators.DedupOps.jaccardSimilarityJoinOn]] — sorted and
+    * deduplicated at construction). A linear two-pointer merge: no hash
+    * set, no per-element allocation, and the same unreachability early
+    * exit as the string path. Sortedness is the CALLER's contract —
+    * unsorted inputs would undercount silently, so nothing else may
+    * route here (the expression only accepts array<bigint>, which no
+    * other graft call site produces). */
+  def computeSortedLong(a: ArrayData, b: ArrayData, tNum: Int, tDen: Int): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    val den = tNum + tDen
+    val alpha = (tNum.toLong * (na + nb) + den - 1) / den
+    if (math.min(na, nb) < alpha) return -1
+    var i = 0; var j = 0; var m = 0L
+    while (i < na && j < nb) {
+      // remaining best case from the SHORTER tail; bail when short of alpha
+      if (m + math.min(na - i, nb - j) < alpha) return -1
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
     }
     if (m * den >= tNum.toLong * (na + nb)) m.toInt else -1
   }
