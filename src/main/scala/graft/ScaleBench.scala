@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale-curve measurement (VERDICT r11 #1 — "measure scale,
-  * don't just argue it"). Synthesizes a ~10× corpus from the sf0.1
-  * fixture with deterministic id offsets, runs the dedup/curation
-  * headline set plus the q1 scan-agg on BOTH scales, and emits one JSON
-  * line (plus a `SCALE_r12.json` sidecar) recording per-query wall time,
-  * row counts, time ratio, and a plan-shape comparison.
+  * don't just argue it"). Synthesizes K× corpora from the sf0.1 fixture
+  * with deterministic id offsets (scale points from
+  * `SPARK_GRAFT_SCALE_POINTS`, default 1,10,100), runs the
+  * dedup/curation headline set plus the q1 scan-agg on every point, and
+  * emits one JSON line (plus a `SCALE_r12.json` sidecar) recording
+  * per-query wall time, row counts, time ratios vs the 1× base, and a
+  * plan-shape comparison.
   *
   * Corpus construction — linear ground truth by design:
   *   - `documents` is replicated K times with `doc_id + k·10⁷` and every
@@ -26,27 +28,39 @@ import org.apache.spark.sql.functions._
   *   - the 1× baseline is built through the SAME transform (K=1), so
   *     both measurements see identical token shapes and file layouts.
   *
-  * Recorded per query: min-of-3 wall seconds at 1× and 10×, output rows
-  * at both scales, `rows_linear` (rows₁₀ == 10·rows₁ for the
-  * structure-carrying queries; q1's group count is scale-invariant), and
-  * `plan_same` (the multiset of physical-plan node class names is
-  * unchanged — scaling must not introduce new plan shapes, e.g. a
-  * broadcast silently degrading to a sort-merge join).
+  * Recorded per query and scale point: min-of-3 wall seconds (per-query
+  * warm-up; forced shuffle-file GC between runs), output rows, `rows_ok`
+  * (rows_K == K·rows₁ for structure-carrying queries; rollup outputs are
+  * scale-invariant), and `plan_same` (the multiset of physical-plan node
+  * class names is unchanged vs 1× — scaling must not introduce new plan
+  * shapes, e.g. a broadcast silently degrading to a sort-merge join).
   */
 object ScaleBench {
 
   private val IdStride = 10_000_000L
 
-  /** Queries measured, with the expected 10×-rows behavior. */
+  /** Queries measured, with the expected K×-rows behavior. */
   private val Headline: Seq[(String, String)] = Seq(
     "q1_orders_by_status" -> "invariant", // group-by status: rows = |statuses|
     "q38_minhash_neardup_pairs" -> "linear",
     "q68_jaccard_similarity_join" -> "linear",
     "q99_neardup_components" -> "linear",
+    // q99 with the driver-tail gate CLOSED (ccDriverMaxEdges=0): the same
+    // pair sets forced through the distributed Large-Star/Small-Star
+    // rounds — the >2¹⁹-edge path a 100-TB corpus would actually take,
+    // which the gated default never exercises at these fixture sizes
+    "q99_cc_distributed" -> "linear",
     "q103_curation_pipeline" -> "invariant", // (lang, source) rollup: group count fixed
-
     "q107_duplicate_spans" -> "linear",
     "q108_incremental_dedup" -> "linear")
+
+  /** Scale-bench-only variants not in the driver registry. */
+  private def resolve(name: String): (SparkSession, String) => DataFrame =
+    if (name == "q99_cc_distributed") { (s, dir) =>
+      s.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
+      try SparkEntry.queries("q99_neardup_components")(s, dir)
+      finally s.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
+    } else SparkEntry.queries(name)
 
   private def buildFixture(spark: SparkSession, base: String, out: String, k: Int): Unit = {
     val done = new java.io.File(s"$out/_SCALE_DONE")
@@ -111,7 +125,7 @@ object ScaleBench {
     def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(500) }
 
     def measure(name: String, dir: String): (Double, Long, Map[String, Int]) = {
-      val fn = SparkEntry.queries(name)
+      val fn = resolve(name)
       fn(spark, dir).queryExecution.toRdd.count() // warm-up: codegen/JIT/listing
       var rows = 0L
       val t = (1 to 3).map { _ =>

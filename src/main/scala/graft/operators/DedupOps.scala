@@ -743,11 +743,14 @@ object DedupOps {
     if (!fresh.isEmpty) { table.append(fresh); () }
   }
 
-  /** Create-or-open the survivor-state table for [[lakeDedupStep]]. */
+  /** Create-or-open the survivor-state table for [[lakeDedupStep]]
+    * (probe via LakeTable.load so any Hadoop filesystem works, not just
+    * file://). */
   def survivorTable(s: SparkSession, location: String): graft.lake.LakeTable =
-    if (new java.io.File(s"$location/meta/table.json").exists())
-      graft.lake.LakeTable.load(s, location)
-    else graft.lake.LakeTable.create(s, location, "dedup_survivors", SurvivorSchema)
+    try graft.lake.LakeTable.load(s, location)
+    catch { case _: IllegalArgumentException =>
+      graft.lake.LakeTable.create(s, location, "dedup_survivors", SurvivorSchema)
+    }
 
   private[graft] def incrementalDedupOn(batches: Seq[DataFrame]): DataFrame = {
     require(batches.nonEmpty, "at least one batch")

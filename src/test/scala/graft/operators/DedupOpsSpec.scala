@@ -159,6 +159,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Set((3L, 4L), (5L, 6L)), s"operator found: $got")
   }
 
+  test("graft_inter_count sorted-long fast path: property-equal to set semantics, early exit safe") {
+    // the compact-signature verify path (r12): thresholded merge
+    // intersection of sorted distinct long arrays must agree with naive
+    // set intersection + the exact rational threshold on every input —
+    // including the adversarial shapes: empty arrays, zero overlap, full
+    // overlap, and pairs sitting exactly ON the ceil(alpha) boundary
+    // (where a premature early exit would flip a true pair to -1)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def check(a: Seq[Long], b: Seq[Long], tNum: Int, tDen: Int): Unit = {
+      val inter = a.toSet.intersect(b.toSet).size
+      val expect =
+        if (inter.toLong * (tNum + tDen) >= tNum.toLong * (a.size + b.size)) inter else -1
+      val got = graft.plans.InterCount.computeSortedLong(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray), tNum, tDen)
+      assert(got == expect, s"a=$a b=$b t=$tNum/$tDen: got $got want $expect")
+    }
+    check(Nil, Nil, 4, 5)          // 0 >= 0: empty pair IS above threshold
+    check(Seq(1L), Nil, 4, 5)      // empty vs non-empty: unreachable
+    check(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 4, 5)      // identical
+    check(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), 4, 5)      // disjoint
+    check((1L to 5L), (1L to 4L) :+ 9L, 4, 5)          // 4/6 < 0.8
+    check((1L to 10L), (1L to 9L) :+ 99L, 4, 5)        // 9/11 = 0.818 on the boundary
+    val rng = new scala.util.Random(20260814L)
+    (1 to 500).foreach { _ =>
+      val n = rng.nextInt(40)
+      val m = rng.nextInt(40)
+      val pool = (0L until 30L).toVector
+      val a = rng.shuffle(pool).take(n).sorted
+      val b = rng.shuffle(pool).take(m).sorted
+      val (tn, td) = Seq((4, 5), (1, 2), (9, 10), (1, 9))(rng.nextInt(4))
+      check(a, b, tn, td)
+    }
+  }
+
   test("dedup survivors partition the corpus: sum of group sizes = corpus size") {
     val total = graft.Tables.load(spark, sfDir, "documents").count()
     val survivors = DedupOps.dedupSurvivors(spark, sfDir)
