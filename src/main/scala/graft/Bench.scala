@@ -247,7 +247,15 @@ object Bench {
     val qs = okRes.map(r => "\"" + r.name + "\":" + fmt3(r.min))
       .mkString("{", ",", "}")
     val totalMin = okRes.map(_.min).sum
-    val totalMed = okRes.map(_.med).sum
+    // medians come from the PRE-polish windows: the polish pass appends
+    // 10 maximally-warm runs to serve-class queries, which would shift
+    // their medians (and total_median) relative to unpolished queries
+    // and earlier rounds' sidecars — a harness-caused step change in a
+    // forensics signal (review finding r12). Mins may fold polish runs
+    // (noise only ever adds time); medians must not.
+    val medByName = results.filter(_.ok).map(r => r.name -> r.med).toMap
+    def medOf(r: QRes): Double = medByName.getOrElse(r.name, r.med)
+    val totalMed = okRes.map(medOf).sum
     val sentMed = if (sentinels.isEmpty) 0.0 else median(sentinels.toSeq)
     val allPar = polished.flatMap(_.windows.map(_.parMs))
     val parSentMed = if (allPar.isEmpty) 0.0 else median(allPar)
@@ -268,7 +276,7 @@ object Bench {
       s"""{"runs":${polished.map(r => "\"" + r.name + "\":" +
           r.windows.map(w => fmtArr(w.times)).mkString("[", ",", "]"))
         .mkString("{", ",", "}")},""" +
-      s""""medians":${okRes.map(r => "\"" + r.name + "\":" + fmt(r.med))
+      s""""medians":${okRes.map(r => "\"" + r.name + "\":" + fmt(medOf(r)))
         .mkString("{", ",", "}")},""" +
       s""""steal_per_run_sec":${polished.map(r => "\"" + r.name + "\":" +
           r.windows.map(w => fmtArr(w.steals)).mkString("[", ",", "]"))

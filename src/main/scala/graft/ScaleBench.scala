@@ -63,10 +63,24 @@ object ScaleBench {
     } else SparkEntry.queries(name)
 
   private def buildFixture(spark: SparkSession, base: String, out: String, k: Int): Unit = {
+    val marker = s"copies=$k base=$base\n"
     val done = new java.io.File(s"$out/_SCALE_DONE")
-    if (done.exists()) return
+    if (done.exists()) {
+      // a marker from a DIFFERENT base silently reusing the old fixture
+      // would corrupt every ratio below; fail fast instead
+      val have = java.nio.file.Files.readString(done.toPath)
+      require(have == marker,
+        s"$out holds a fixture built as '${have.trim}' but this run wants " +
+          s"'${marker.trim}' — clear SPARK_GRAFT_SCALE_DIR and rebuild")
+      return
+    }
     new java.io.File(out).mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
+    // the whole linear-ground-truth construction stands on copies never
+    // overlapping id ranges; a larger base corpus must fail fast
+    val maxIds = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxIds < IdStride,
+      s"base corpus doc_id max $maxIds >= stride $IdStride: copies would collide")
     val docCopies = (0 until k).map { c =>
       docs
         .withColumn("doc_id", col("doc_id") + lit(c * IdStride))
@@ -77,6 +91,9 @@ object ScaleBench {
     docCopies.reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     val orders = spark.read.parquet(s"$base/orders.parquet")
+    val maxOk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    require(maxOk < IdStride,
+      s"base corpus o_orderkey max $maxOk >= stride $IdStride: copies would collide")
     (0 until k).map(c => orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * IdStride)))
       .reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
@@ -87,7 +104,7 @@ object ScaleBench {
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"$base/$n.parquet"))
     }
-    java.nio.file.Files.writeString(done.toPath, s"copies=$k\n")
+    java.nio.file.Files.writeString(done.toPath, marker)
   }
 
   private def planNodes(df: DataFrame): Map[String, Int] =
@@ -128,14 +145,24 @@ object ScaleBench {
       val fn = resolve(name)
       fn(spark, dir).queryExecution.toRdd.count() // warm-up: codegen/JIT/listing
       var rows = 0L
+      // capture the plan from a timed run's OWN DataFrame — a separate
+      // fn() call just for plan names would be a whole extra end-to-end
+      // execution for the eager operators (q99's CC rounds, q108's
+      // checkpointed folds; review finding r12)
+      var lastDf: DataFrame = null
       val t = (1 to 3).map { _ =>
         reclaimShuffles()
         val t0 = System.nanoTime()
-        rows = fn(spark, dir).queryExecution.toRdd.count()
+        // fn() stays INSIDE the window: eager operators do their real
+        // work while building (q99 runs its CC rounds in fn), and lazy
+        // ones should include Catalyst time like Bench does
+        val df = fn(spark, dir)
+        rows = df.queryExecution.toRdd.count()
+        lastDf = df
         (System.nanoTime() - t0) / 1e9
       }.min
       reclaimShuffles()
-      (t, rows, planNodes(fn(spark, dir)))
+      (t, rows, planNodes(lastDf))
     }
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

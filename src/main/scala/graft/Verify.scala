@@ -66,21 +66,27 @@ object Verify {
       else s"[verify] $scope${total - failed.size}/$total dumped; FAILED: ${failed.sorted.mkString(", ")}"
     println(summary)
     System.err.println(summary)
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${JsonStr.q(k)}: ${JsonStr.q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+}
+
+/** JSON string escape shared by every oracle-sql dump ([[Verify]],
+  * [[graft.diff.DiffVerify]]): backslash, quote, and ALL control chars
+  * (<0x20) — a tab or CR in builder-authored SQL would otherwise make
+  * the driver's json.load fail and silently zero the round's
+  * correctness. ONE implementation on purpose: two copies drifted within
+  * a day of the second appearing (review finding r12). */
+private[graft] object JsonStr {
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

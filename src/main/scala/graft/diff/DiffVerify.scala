@@ -48,14 +48,8 @@ object DiffVerify {
     }
     println(s"[diff] ${n - failed}/$n generated queries dumped" +
       (if (failed > 0) s" ($failed FAILED)" else ""))
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => String.format("\\u%04x", Int.box(c.toInt))
-      case c => c.toString
-    } + "\""
-    val json = sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = sqls.map { case (k, v) =>
+      s"${graft.JsonStr.q(k)}: ${graft.JsonStr.q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -28,7 +28,9 @@ import scala.util.Random
   * generated instances can be pinned in the registry as stable named
   * queries. Cross-engine parity follows the [[graft.NamedQuery]] rules:
   * sums go through DECIMAL(18,2) and cast to DOUBLE once at the end;
-  * money thresholds render with 2 decimals via Locale.ROOT; ORDER BY is
+  * money thresholds render as Locale.ROOT 3-decimal literals carrying a
+  * .005 offset so no cent-exact fixture value sits on a comparison
+  * boundary; ORDER BY is
   * always over ALL output columns with explicit ASC NULLS FIRST (so a
   * LIMIT cuts a deterministic multiset even under ties); every computed
   * column carries the same alias on both sides.

@@ -739,7 +739,11 @@ object DedupOps {
     * O(batch + state-keys); the append is O(fresh rows) — no state
     * rewrite, ever. */
   def lakeDedupStep(table: graft.lake.LakeTable, batch: DataFrame, b: Long): Unit = {
-    val fresh = freshSurvivors(table.scan(), batch, b)
+    // materialize ONCE: the isEmpty probe would otherwise run the full
+    // state-scan + anti-join plan and the append would re-run it
+    // (review finding r12) — localCheckpoint executes it a single time
+    // and both consumers read the blocks
+    val fresh = freshSurvivors(table.scan(), batch, b).localCheckpoint()
     if (!fresh.isEmpty) { table.append(fresh); () }
   }
 

@@ -42,8 +42,19 @@ case class InterCount(left: Expression, right: Expression, tNum: Int, tDen: Int)
     case _ => false
   }
 
+  private def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => e
+    case other => other
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (ok(left.dataType) && ok(right.dataType) && left.dataType == right.dataType)
+    // compare ELEMENT types, not full ArrayTypes: two array<string>
+    // inputs may differ only in containsNull (shingles are
+    // containsNull=true, an array literal is not) and that must stay
+    // accepted — the guard only has to stop a string/bigint MIX, where
+    // the merge path would misread one side
+    if (ok(left.dataType) && ok(right.dataType) &&
+        elemType(left.dataType) == elemType(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects two array<string> or two array<bigint> inputs, got " +

@@ -159,6 +159,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Set((3L, 4L), (5L, 6L)), s"operator found: $got")
   }
 
+  test("graft_inter_count accepts array<string> inputs differing only in containsNull") {
+    // regression (review finding r12): the long-path type guard must
+    // compare ELEMENT types — an exact ArrayType equality rejected a
+    // containsNull=true shingle column against a containsNull=false
+    // array literal, both plain array<string>
+    val r = spark.sql(
+      "SELECT graft_inter_count(array('a','b','c'), " +
+        "transform(array('a','b','x'), t -> if(t = 'zz', NULL, t)), 1, 2)")
+      .head().getInt(0)
+    assert(r == 2) // {a,b} of union size 4: 2*3 >= 1*6 at threshold 1/2
+  }
+
   test("graft_inter_count sorted-long fast path: property-equal to set semantics, early exit safe") {
     // the compact-signature verify path (r12): thresholded merge
     // intersection of sorted distinct long arrays must agree with naive
