@@ -48,4 +48,43 @@ class QueryGenSpec extends SparkSpec {
       assert(QueryGen.gen(seed.toLong).sql == QueryGen.gen(seed.toLong).sql)
     }
   }
+
+  test("pinned registry instances q110-q114 render their golden SQL") {
+    // the pinned DiffOps entries are DRIVER-verified named queries whose
+    // plan+oracle derive from the generator's draw SEQUENCE — any grammar
+    // change (new arm, reordered draw) silently reshapes them while both
+    // sides keep passing, breaking round-over-round comparability. A
+    // grammar change must therefore update these goldens DELIBERATELY.
+    val golden = Map(
+      "q110_diff_scan" ->
+        ("SELECT * FROM (SELECT DISTINCT s_acctbal, s_nationkey, s_suppkey FROM supplier " +
+          "WHERE (s_nationkey < 23 AND s_name LIKE '%5%') ORDER BY s_acctbal ASC NULLS FIRST, " +
+          "s_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST LIMIT 150) ORDER BY ALL NULLS FIRST"),
+      "q111_diff_agg" ->
+        ("SELECT * FROM (SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice " +
+          "FROM lineitem WHERE (l_extendedprice < 56594.245 OR l_linestatus <> 'F') " +
+          "GROUP BY l_linestatus, l_returnflag) ORDER BY ALL NULLS FIRST"),
+      "q112_diff_join2" ->
+        ("SELECT * FROM (SELECT n_regionkey, r_name, COUNT(*) AS cnt, " +
+          "COUNT(DISTINCT n_nationkey) AS ndv_n_nationkey, MAX(r_regionkey) AS max_r_regionkey, " +
+          "MIN(n_name) AS min_n_name FROM nation JOIN region ON n_regionkey = r_regionkey " +
+          "WHERE r_regionkey >= 3 GROUP BY n_regionkey, r_name) ORDER BY ALL NULLS FIRST"),
+      "q113_diff_join3" ->
+        ("SELECT * FROM (SELECT n_name, c_nationkey, COUNT(*) AS cnt, " +
+          "COUNT(DISTINCT c_nationkey) AS ndv_c_nationkey, MIN(n_name) AS min_n_name, " +
+          "MAX(r_regionkey) AS max_r_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey WHERE (c_custkey >= 60 AND c_custkey <= 91) " +
+          "GROUP BY n_name, c_nationkey) ORDER BY ALL NULLS FIRST"),
+      "q114_diff_union" ->
+        ("SELECT * FROM (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders " +
+          "WHERE o_orderpriority = '4-NOT SPECIFIED' UNION SELECT o_orderkey, o_totalprice, " +
+          "o_orderdate FROM orders WHERE o_orderpriority <> '1-URGENT') ORDER BY ALL NULLS FIRST"))
+    DiffOps.all.foreach { q =>
+      assert(q.oracle.contains(golden(q.name)),
+        s"${q.name} drifted from its golden SQL — a generator change reshaped a pinned " +
+          s"registry query; update the golden deliberately.\nnow: ${q.oracle.get}")
+    }
+    assert(DiffOps.all.map(_.name).toSet == golden.keySet)
+  }
 }
