@@ -1372,7 +1372,7 @@ object LakeTable {
     * that `Runtime.halt`s the JVM to simulate a writer dying mid-commit;
     * production never touches it (the default is a no-op and nothing in
     * the library sets it). */
-  @volatile private[lake] var failpoint: String => Unit = _ => ()
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
 
   /** Process-wide manifest cache. Manifest files are IMMUTABLE (uuid
     * names, write-once), so caching by absolute path is always coherent —

@@ -199,13 +199,19 @@ private[sources] class GraftLakeDeltaBatchWrite(
     val root = new Path(t.location)
     val fs = root.getFileSystem(conf)
     val moved = mutable.ListBuffer.empty[Path]
+    val commitTag = stagingRel.stripPrefix("_staging/")
     try {
       val placedData = stagedData.zipWithIndex.map { case (f, i) =>
         val src = new Path(root, f.stagedRel)
         val partDirs = f.partition.toSeq.sortBy(_._1).map { case (k, v) =>
           s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
         }
-        val destRel = (Seq("data") ++ partDirs :+ s"s${f.seq}-d-$i-${src.getName}").mkString("/")
+        // staging UUID in the published name: task ids restart per
+        // SparkContext, so two PROCESSES staging deltas against the same
+        // observed seq would otherwise render identical destination paths
+        // (ProcessSafetySpec's cross-JVM finding, applied to all writers)
+        val destRel = (Seq("data") ++ partDirs :+
+          s"s${f.seq}-${commitTag}-$i-${src.getName}").mkString("/")
         val dest = new Path(root, destRel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
@@ -215,7 +221,7 @@ private[sources] class GraftLakeDeltaBatchWrite(
       }
       val placedDels = stagedDels.zipWithIndex.map { case (f, i) =>
         val src = new Path(root, f.stagedRel)
-        val destRel = s"deletes/d-${f.seq}-v2-$i-${src.getName}"
+        val destRel = s"deletes/d-${f.seq}-${commitTag}-$i-${src.getName}"
         val dest = new Path(root, destRel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))

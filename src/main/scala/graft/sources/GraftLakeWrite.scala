@@ -180,7 +180,14 @@ private[sources] class GraftLakeBatchWrite(
           .map { case (k, v) =>
             s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
           }
-        val destRel = (Seq("data") ++ partDirs :+ s"s${f.seq}-v2-$i-${src.getName}").mkString("/")
+        // the staging dir's UUID rides into the published name: task ids
+        // restart per SparkContext, so two PROCESSES committing DSv2
+        // appends against the same observed seq would otherwise render
+        // identical destination paths (the same cross-JVM collision the
+        // imperative writer fixed — ProcessSafetySpec)
+        val commitTag = stagingRel.stripPrefix("_staging/")
+        val destRel =
+          (Seq("data") ++ partDirs :+ s"s${f.seq}-$commitTag-$i-${src.getName}").mkString("/")
         val dest = new Path(root, destRel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
@@ -199,6 +206,7 @@ private[sources] class GraftLakeBatchWrite(
         DataFile(destRel, f.seq, f.partition, fm.len, splits = fm.splits, bounds = fm.bounds,
           rows = fm.rows, nonNull = fm.nonNull, sums = f.sums)
       }
+      LakeTable.failpoint("staged-dsv2") // crash-injection site (test-only)
       (replaceAll, replacedFiles) match {
         case (true, Some(planned)) =>
           // group replace: swap exactly the files the row-level scan read.

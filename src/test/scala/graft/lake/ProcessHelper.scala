@@ -52,6 +52,23 @@ object ProcessHelper {
           site => if (site == "staged-delta") Runtime.getRuntime.halt(137)
         t.upsert(Seq(("doomed", "x", 0)).toDF("marker", "w", "i"))
         sys.error("unreachable: staged-delta failpoint did not fire")
+      case "race-dsv2" =>
+        // same race as "race" but through the DataSourceV2 write path —
+        // the two-phase commit's published names and snapshot race must
+        // hold across processes exactly like the imperative writer's
+        val writer = args(2)
+        val n = args(3).toInt
+        (0 until n).foreach { i =>
+          Seq((s"$writer-$i", writer, i)).toDF("marker", "w", "i")
+            .write.format("graftlake").mode("append").save(loc)
+        }
+        spark.stop()
+      case "crash-dsv2" =>
+        LakeTable.failpoint =
+          site => if (site == "staged-dsv2") Runtime.getRuntime.halt(137)
+        Seq(("doomed", "x", 0)).toDF("marker", "w", "i")
+          .write.format("graftlake").mode("append").save(loc)
+        sys.error("unreachable: staged-dsv2 failpoint did not fire")
       case other => sys.error(s"unknown mode $other")
     }
   }

@@ -111,6 +111,52 @@ class ProcessSafetySpec extends SparkSpec {
     assert(LakeTable.load(spark, dir).scan().collect().toSet == before)
   }
 
+  test("two JVMs racing DSv2 appends: linear history, no lost rows, no published-name collisions") {
+    // the two-phase DataSourceV2 commit publishes files under names that
+    // embedded only (seq, index, partition, task) — task ids restart per
+    // SparkContext, so two processes at the same observed seq rendered
+    // IDENTICAL destination paths (same cross-JVM bug the imperative
+    // writer had; the staging UUID now rides into the name)
+    val dir = JFiles.createTempDirectory("graft-proc-race-dsv2").resolve("t").toString
+    val t = newTable(dir)
+    t.append(Seq(("seed", "s", -1)).toDF("marker", "w", "i"))
+    val perWriter = 3
+    val ps = Seq("A", "B").map(w => fork("race-dsv2", dir, w, perWriter.toString))
+    ps.foreach { p =>
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
+      assert(p.exitValue() == 0, s"racer exited ${p.exitValue()}")
+    }
+    val t2 = LakeTable.load(spark, dir)
+    val markers = t2.scan().select("marker").as[String].collect().toSeq
+    val expect = Seq("seed") ++ (for (w <- Seq("A", "B"); i <- 0 until perWriter) yield s"$w-$i")
+    assert(markers.sorted == expect.sorted,
+      s"lost/duplicated rows across DSv2 process race: ${markers.sorted}")
+    val snaps = t2.snapshots.sortBy(_.seq)
+    assert(snaps.map(_.seq) == (0L to (1 + 2 * perWriter).toLong))
+    snaps.tail.foreach(s => assert(s.parent.contains(s.seq - 1)))
+  }
+
+  test("writer killed between DSv2 publish-moves and snapshot commit: readers unaffected, sweep exact") {
+    val dir = JFiles.createTempDirectory("graft-proc-crash-dsv2").resolve("t").toString
+    val t = newTable(dir)
+    t.append(Seq(("seed", "s", -1)).toDF("marker", "w", "i"))
+    val before = t.scan().collect().toSet
+    val liveBefore = referenced(t)
+
+    val p = fork("crash-dsv2", dir)
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "crasher timed out")
+    assert(p.exitValue() == 137, s"expected halt(137), got ${p.exitValue()}")
+
+    val t2 = LakeTable.load(spark, dir)
+    val orphans = dataFilesOnDisk(t2) -- referenced(t2)
+    assert(orphans.nonEmpty, "DSv2 crash window left no published-but-unreferenced files")
+    assert(t2.scan().collect().toSet == before)
+    Maintenance.removeOrphans(t2, olderThanMs = -60000L)
+    assert(dataFilesOnDisk(t2) -- referenced(t2) == Set.empty[String])
+    assert(referenced(t2) == liveBefore, "sweep touched referenced files")
+    assert(LakeTable.load(spark, dir).scan().collect().toSet == before)
+  }
+
   test("writer killed between delta-stage and publish: tombstones invisible, sweep reclaims both kinds") {
     val dir = JFiles.createTempDirectory("graft-proc-crashdelta").resolve("t").toString
     val t = newTable(dir)
