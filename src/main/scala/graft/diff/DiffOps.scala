@@ -25,5 +25,6 @@ object DiffOps {
     pinned(1002L, 1, "q111_diff_agg"),
     pinned(1003L, 2, "q112_diff_join2"),
     pinned(1004L, 3, "q113_diff_join3"),
-    pinned(1005L, 4, "q114_diff_union"))
+    pinned(1005L, 4, "q114_diff_union"),
+    pinned(1006L, 5, "q115_diff_join_scan"))
 }

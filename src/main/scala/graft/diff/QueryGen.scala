@@ -323,8 +323,9 @@ object QueryGen {
   /** Scenario ids (also directly forceable for pinned registry entries):
     * 0 scan/project (+DISTINCT/ORDER+LIMIT), 1 single-table aggregate
     * (+HAVING), 2 two-table join → aggregate, 3 three-table join →
-    * aggregate, 4 union all/distinct. */
-  val NumScenarios = 5
+    * aggregate, 4 union all/distinct, 5 two-table join → projection
+    * with total-order LIMIT. */
+  val NumScenarios = 6
 
   def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
     val rng = new Random(seed)
@@ -421,7 +422,7 @@ object QueryGen {
           df.groupBy(keys.map(col): _*).agg(aggs.head._1, aggs.tail.map(_._1): _*)
         })
 
-      case _ =>
+      case 4 =>
         val t = singleTables(rng.nextInt(singleTables.size))
         val cols = rng.shuffle(t.allCols).take(2 + rng.nextInt(2))
         val p1 = predicate(rng, t)
@@ -436,6 +437,28 @@ object QueryGen {
           val l = base.filter(p1._1).select(cols.map(col): _*)
           val r = base.filter(p2._1).select(cols.map(col): _*)
           if (all) l.unionAll(r) else l.unionAll(r).distinct()
+        })
+
+      case _ =>
+        // join → row-level projection (no aggregate) with a LIMIT cut
+        // under a total order over ALL output columns — deterministic as
+        // a multiset even under ties, same argument as scenario 0
+        val (a, b, lk, rk) = joins(rng.nextInt(joins.size))
+        val pred = wherePreds(rng, Seq(a, b))
+        val proj = projection(rng, Seq(a, b))
+        val names = proj.map(_._2.split(" AS ").last)
+        val k = 20 + rng.nextInt(180)
+        val sql = new StringBuilder("SELECT ")
+        sql ++= proj.map(_._2).mkString(", ")
+        sql ++= s" FROM ${a.name} JOIN ${b.name} ON $lk = $rk"
+        pred.foreach(p => sql ++= s" WHERE ${p._2}")
+        sql ++= names.mkString(" ORDER BY ", " ASC NULLS FIRST, ", " ASC NULLS FIRST")
+        sql ++= s" LIMIT $k"
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, a).join(load(s, dir, b), col(lk) === col(rk))
+          pred.foreach(p => df = df.filter(p._1))
+          df.select(proj.map(_._1): _*)
+            .orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
         })
     }
   }

@@ -79,7 +79,13 @@ class QueryGenSpec extends SparkSpec {
       "q114_diff_union" ->
         ("SELECT * FROM (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders " +
           "WHERE o_orderpriority = '4-NOT SPECIFIED' UNION SELECT o_orderkey, o_totalprice, " +
-          "o_orderdate FROM orders WHERE o_orderpriority <> '1-URGENT') ORDER BY ALL NULLS FIRST"))
+          "o_orderdate FROM orders WHERE o_orderpriority <> '1-URGENT') ORDER BY ALL NULLS FIRST"),
+      "q115_diff_join_scan" ->
+        ("SELECT * FROM (SELECT c_custkey, n_regionkey, CASE WHEN c_acctbal > 4550.005 " +
+          "THEN 'hi' ELSE 'lo' END AS bucket FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "WHERE ((n_nationkey < 24 OR n_nationkey < 10) AND n_name = 'NATION_13') " +
+          "ORDER BY c_custkey ASC NULLS FIRST, n_regionkey ASC NULLS FIRST, " +
+          "bucket ASC NULLS FIRST LIMIT 74) ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
         s"${q.name} drifted from its golden SQL — a generator change reshaped a pinned " +
