@@ -676,6 +676,33 @@ object DedupOps {
       (0 until nBatches).map(b => keyed.filter(expr(s"doc_id div $span") === b)))
   }
 
+  /** q116 — the LAKE-PERSISTENT incremental dedup route, end to end:
+    * the same ordered batches as q108, but every anti-join round reads
+    * its served state from (and appends its fresh survivors to) a real
+    * `graftlake` table via [[lakeDedupStep]], and the RESULT is the
+    * table's scan. Registering it makes the durable route itself
+    * driver-oracle-checked — same oracle as q108 because both routes
+    * fold to first-seen-wins min-per-key; only the state backend
+    * differs. The table lives under a per-run temp dir (the operator is
+    * a query, not a sink; the restart-resume behavior of the SAME step
+    * is EventStreamsSpec's concern). */
+  def incrementalDedupLake(s: SparkSession, dir: String,
+      nBatches: Int = DedupBatches): DataFrame = {
+    val keyed = docs(s, dir).select(
+      col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
+      .localCheckpoint()
+    val maxRow = keyed.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) return emptySurvivors(s)
+    val span = maxRow.getLong(0) / nBatches + 1
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-q116-state").resolve("t").toString
+    val t = survivorTable(s, loc)
+    (0 until nBatches).foreach { b =>
+      lakeDedupStep(t, keyed.filter(expr(s"doc_id div $span") === b), b.toLong)
+    }
+    t.scan()
+  }
+
   /** Empty survivor-state table (doc_id, group_key, first_seen_batch). */
   private[graft] def emptySurvivors(s: SparkSession): DataFrame =
     s.createDataFrame(
@@ -894,6 +921,16 @@ object DedupOps {
     // key); the incremental ordered-batch path must converge to it
     // exactly — that equality is the property the hash check proves.
     NamedQuery("q108_incremental_dedup", (s, dir) => incrementalDedup(s, dir),
+      oracle = Some(
+        s"""WITH k AS (
+          |  SELECT doc_id, md5(array_to_string(
+          |    list_sort(list_distinct(string_split(text, ' '))), ' ')) AS group_key
+          |  FROM documents
+          |), mx AS (SELECT MAX(doc_id) // $DedupBatches + 1 AS span FROM k),
+          |s AS (SELECT group_key, MIN(doc_id) AS doc_id FROM k GROUP BY group_key)
+          |SELECT s.doc_id, s.group_key, s.doc_id // mx.span AS first_seen_batch
+          |FROM s, mx ORDER BY ALL NULLS FIRST""".stripMargin)),
+    NamedQuery("q116_incremental_dedup_lake", (s, dir) => incrementalDedupLake(s, dir),
       oracle = Some(
         s"""WITH k AS (
           |  SELECT doc_id, md5(array_to_string(
