@@ -344,7 +344,14 @@ object DedupOps {
       // giant bucket's output lands in one task's partial agg), while the
       // duplication rate is small (~17% on the sf0.1 corpus) and the
       // verifier rejects duplicates as cheaply as originals —
-      // [[jaccardSimilarityJoinOn]] dedups the SURVIVORS instead
+      // [[jaccardSimilarityJoinOn]] dedups the SURVIVORS instead.
+      // (Re-examined under the r12 compact signatures: a duplicate now
+      // costs ~1.2 KB of signature shipping through the verify joins vs
+      // 16 B through a pre-join distinct. A/B-benched at sf0.1 the
+      // distinct measured same-to-worse across windows — the extra full
+      // exchange+agg is not bought back by removing 17% of verify
+      // volume. Kept as-is; the crossover would need a far higher
+      // duplication rate.)
   }
 
   // q68 — exact Jaccard similarity join at threshold 0.8: prefix-filter
