@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   * `Runs` measured executions (full materialization via count on a
   * cached-plan-free DataFrame — plans are rebuilt per run so Catalyst
   * work is included, Spark result caching is not used). The reported
-  * per-query number is the MEDIAN of the runs (robust to a transient
-  * machine-load spike contaminating one run; two past rounds recorded
-  * phantom regressions from exactly that).
+  * per-query number is the MIN across all windows (see below — noise on
+  * this VM only ever adds time); medians ride in the detail sidecar,
+  * computed from the pre-polish windows only.
   *
   * A machine-load SENTINEL rides alongside: a fixed-work CPU busy loop
   * (deterministic arithmetic, no allocation) timed before every measured

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *    pigeonhole completeness guarantee for distance <= 3.
   *
   * Verification split: every registered dedup query is DuckDB-oracle-
-  * checked (q35–q38, q68, q72, q98, q99, q108 — SimHash included since
-  * its r10 move to the portable md5 basis); the plan-shape guarantees
+  * checked (q35–q38, q68, q72, q98, q99, q108, q116 — SimHash included
+  * since its r10 move to the portable md5 basis; q116 is the
+  * lake-persistent incremental route); the plan-shape guarantees
   * (no cartesian product anywhere) and algorithm properties (LSH
   * recall, banding completeness, union-find ground truth, streaming-
   * twin parity) are ScalaTest'd (DedupOpsSpec).
