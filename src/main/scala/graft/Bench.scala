@@ -278,6 +278,13 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""medians":${okRes.map(r => "\"" + r.name + "\":" + fmt(medOf(r)))
         .mkString("{", ",", "}")},""" +
+      // pre-polish mins alongside the polished primary (ADVICE r12): the
+      // serve-polish pass folds an extra maximally-warm window into
+      // sub-250ms queries' mins only — recording the min BEFORE that fold
+      // lets a reader attribute a round-over-round delta to the harness
+      // pass vs the code, the same comparability guard medians carry
+      s""""mins_prepolish":${results.filter(_.ok)
+          .map(r => "\"" + r.name + "\":" + fmt(r.min)).mkString("{", ",", "}")},""" +
       s""""steal_per_run_sec":${polished.map(r => "\"" + r.name + "\":" +
           r.windows.map(w => fmtArr(w.steals)).mkString("[", ",", "]"))
         .mkString("{", ",", "}")},""" +

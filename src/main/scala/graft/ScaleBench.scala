@@ -67,8 +67,7 @@ object ScaleBench {
       finally s.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
     }
     case "lake_ingest_scan" => (s, dir) => {
-      val loc = java.nio.file.Files
-        .createTempDirectory("graft-scale-lake").resolve("t").toString
+      val loc = TempDirs.scoped("graft-scale-lake").resolve("t").toString
       val df = s.read.parquet(s"$dir/orders.parquet")
       val t = graft.lake.LakeTable.create(s, loc, "scale_orders", df.schema,
         partitionSpec = Seq(graft.lake.PartitionField(

@@ -33,18 +33,23 @@ object DiffVerify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    val sqls = (1 to n).map { seed =>
+    val sqls = (1 to n).flatMap { seed =>
       val g = QueryGen.gen(seed.toLong)
       try {
         val df = g.build(spark, sfDir)
         val canonical = df.orderBy(
           df.columns.map(c => org.apache.spark.sql.functions.col(c).asc_nulls_first): _*)
         canonical.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${g.name}")
+        Some(g.name -> g.sql)
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[diff] ${g.name} failed: ${e.getMessage}")
+        // a failed instance has no parquet dump dir — keeping its key in
+        // oracle_sql.json would make the check_oracle replay report a
+        // spurious missing-dir FAIL on top of this run's nonzero exit
+        // (ADVICE r12); the exit code is the failure signal
+        None
       }
-      g.name -> g.sql
     }
     println(s"[diff] ${n - failed}/$n generated queries dumped" +
       (if (failed > 0) s" ($failed FAILED)" else ""))

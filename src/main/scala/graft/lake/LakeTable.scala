@@ -508,7 +508,19 @@ final class LakeTable private (
     * The range must be replayable: compaction / overwrite / rollback
     * restate files without changing content and have no row-level
     * changelog — ranges containing them are refused loudly (same contract
-    * as the streaming read). */
+    * as the streaming read).
+    *
+    * APPEND CONTRACT on pk tables (ADVICE r12): pk restatement travels
+    * only through the upsert/MoR/cdc commit kinds — `append` to a pk
+    * table MUST NOT restate a live pk. Appends are not pk-uniqueness-
+    * checked (that would put a full anti-join against the served state on
+    * every ingest batch, exactly the cost the upsert path exists to pay
+    * deliberately), so if a caller violates the contract the table itself
+    * is already ill-defined (a scan serves both rows) and the changelog's
+    * labels for that pk are undefined: the append-only fast path below
+    * emits 'insert' where the base-join path would emit 'update'. Writers
+    * that cannot guarantee unique keys must use `upsert`, which is the
+    * operation with those semantics. */
   def changes(from: Long, to: Long): DataFrame = {
     require(from <= to, s"${meta.name}: changes range [$from, $to] is inverted")
     val replayable = Set("upsert", "delete", "cdc", "add-column",

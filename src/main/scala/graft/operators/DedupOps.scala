@@ -612,12 +612,7 @@ object DedupOps {
       while (!converged && round < maxRounds) {
         val next = normalize(smallStar(normalize(largeStar(edges)))).localCheckpoint()
         val nextSig = signature(next)
-        // signature equality is probabilistic (64-bit XOR fold); before
-        // ACCEPTING convergence, confirm with one exact set check — both
-        // sides are distinct rows with equal counts here, so one-direction
-        // except-emptiness proves equality. Runs once per call (only when
-        // the signatures already match), never per round (ADVICE r11).
-        converged = nextSig == sig && next.exceptAll(edges).isEmpty
+        converged = ccAccept(next, edges, sigEqual = nextSig == sig)
         edges = next; sig = nextSig
         round += 1
       }
@@ -628,6 +623,18 @@ object DedupOps {
         .distinct()
     }
   }
+
+  /** The CC rounds' convergence acceptance (split out so the collision
+    * guard is directly testable — DedupOpsSpec doctors a colliding
+    * signature): signature equality is probabilistic (64-bit XOR fold),
+    * so before ACCEPTING convergence one exact set check confirms it.
+    * Both sides are distinct rows with (per the signature) equal counts,
+    * so one-direction exceptAll-emptiness proves set equality. Runs once
+    * per call (only when the signatures already match), never per round
+    * (ADVICE r11). */
+  private[graft] def ccAccept(next: DataFrame, prev: DataFrame,
+      sigEqual: Boolean): Boolean =
+    sigEqual && next.exceptAll(prev).isEmpty
 
   /** q99 — near-dup CLUSTERS: the q38 verified pair set closed under
     * transitivity via [[connectedComponents]], labeled by the minimum
@@ -702,8 +709,9 @@ object DedupOps {
     val maxRow = keyed.agg(max(col("doc_id"))).head()
     if (maxRow.isNullAt(0)) return emptySurvivors(s)
     val span = maxRow.getLong(0) / nBatches + 1
-    val loc = java.nio.file.Files
-      .createTempDirectory("graft-q116-state").resolve("t").toString
+    // fresh state dir per invocation (a reused one would turn the next
+    // run's appends into no-op replays); swept at JVM exit — see TempDirs
+    val loc = graft.TempDirs.scoped("graft-q116-state").resolve("t").toString
     val t = survivorTable(s, loc)
     (0 until nBatches).foreach { b =>
       lakeDedupStep(t, keyed.filter(expr(s"doc_id div $span") === b), b.toLong)
