@@ -54,22 +54,29 @@ object Verify {
     // the driver's per-query scoreboard (round 9 lost q50/q51 exactly this
     // way) — make the round summary impossible to miss, on stdout AND
     // stderr, before the oracle dump.
-    val total = selected.size
-    // A filtered dev run must NEVER print the same shape as the full gate —
-    // a grep for "all N queries dumped" once mistook a filtered run for the
-    // full 109-query gate (ADVICE r11; memory: full-gate-before-commit)
-    val scope =
-      if (only.isDefined) s"FILTERED ($total of ${SparkEntry.queries.size}) "
-      else ""
-    val summary =
-      if (failed.isEmpty) s"[verify] ${scope}all $total queries dumped"
-      else s"[verify] $scope${total - failed.size}/$total dumped; FAILED: ${failed.sorted.mkString(", ")}"
+    val summary = summaryLine(SparkEntry.queries.size, selected.size,
+      filtered = only.isDefined, failed.toSeq)
     println(summary)
     System.err.println(summary)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonStr.q(k)}: ${JsonStr.q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** The round-summary line, split out so its contract is spec-testable
+    * (VerifySummarySpec): a FILTERED dev run must NEVER print the same
+    * shape as the full gate — a grep for "all N queries dumped" once
+    * mistook a filtered run for the full registry gate (ADVICE r11;
+    * memory: full-gate-before-commit) — and a thrown query must be
+    * impossible to miss (round 9 lost q50/q51 to a silent vanish). */
+  private[graft] def summaryLine(registryTotal: Int, selectedTotal: Int,
+      filtered: Boolean, failed: Seq[String]): String = {
+    val scope =
+      if (filtered) s"FILTERED ($selectedTotal of $registryTotal) " else ""
+    if (failed.isEmpty) s"[verify] ${scope}all $selectedTotal queries dumped"
+    else s"[verify] $scope${selectedTotal - failed.size}/$selectedTotal dumped; " +
+      s"FAILED: ${failed.sorted.mkString(", ")}"
   }
 }
 

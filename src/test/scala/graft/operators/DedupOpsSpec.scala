@@ -348,6 +348,22 @@ class DedupOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
   }
 
+  test("convergence guard: a doctored colliding signature does not accept unequal edge sets") {
+    // VERDICT r12 #1 done-criterion: the per-round convergence signature
+    // is a (count, XOR-of-xxhash64) pair — probabilistic. ccAccept is the
+    // guard that runs when the signatures already match; doctoring
+    // sigEqual=true over two DIFFERENT same-count edge sets simulates a
+    // 64-bit collision, and the exact exceptAll check must refuse it.
+    val e1 = Seq((1L, 2L), (3L, 4L)).toDF("lo", "hi")
+    val e2 = Seq((1L, 2L), (3L, 5L)).toDF("lo", "hi")
+    assert(!DedupOps.ccAccept(e2, e1, sigEqual = true),
+      "a colliding signature over unequal sets was accepted as convergence")
+    // and the guard still accepts genuine fixpoints (content-equal sets)
+    assert(DedupOps.ccAccept(e1, Seq((3L, 4L), (1L, 2L)).toDF("lo", "hi"), sigEqual = true))
+    // signature inequality short-circuits regardless of content
+    assert(!DedupOps.ccAccept(e1, e1, sigEqual = false))
+  }
+
   test("connectedComponents: driver tail and distributed rounds agree on the q38 pairs") {
     // BOTH fixture scales: the sf0.01 pair set is the one that exposed
     // the keys-view-mutation bug (47 endpoints -> 28 labels) which the
