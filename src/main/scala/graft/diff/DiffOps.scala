@@ -26,5 +26,7 @@ object DiffOps {
     pinned(1003L, 2, "q112_diff_join2"),
     pinned(1004L, 3, "q113_diff_join3"),
     pinned(1005L, 4, "q114_diff_union"),
-    pinned(1006L, 5, "q115_diff_join_scan"))
+    pinned(1006L, 5, "q115_diff_join_scan"),
+    pinned(1007L, 6, "q117_diff_scalar_fns"),
+    pinned(1008L, 7, "q118_diff_leftjoin_nulls"))
 }

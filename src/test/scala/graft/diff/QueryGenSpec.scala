@@ -49,7 +49,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q114 render their golden SQL") {
+  test("pinned registry instances q110-q118 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -85,7 +85,23 @@ class QueryGenSpec extends SparkSpec {
           "THEN 'hi' ELSE 'lo' END AS bucket FROM customer JOIN nation ON c_nationkey = n_nationkey " +
           "WHERE ((n_nationkey < 24 OR n_nationkey < 10) AND n_name = 'NATION_13') " +
           "ORDER BY c_custkey ASC NULLS FIRST, n_regionkey ASC NULLS FIRST, " +
-          "bucket ASC NULLS FIRST LIMIT 74) ORDER BY ALL NULLS FIRST"))
+          "bucket ASC NULLS FIRST LIMIT 74) ORDER BY ALL NULLS FIRST"),
+      // r13 arms (VERDICT r12 #4): scalar-fn projections and guaranteed
+      // left-join null flow (note q118 groups by the RIGHT side's p_size —
+      // the NULL group is part of the pinned result)
+      "q117_diff_scalar_fns" ->
+        ("SELECT * FROM (SELECT p_size, CAST(LENGTH(p_type) AS INT) AS len_p_type, " +
+          "COALESCE(NULLIF(p_partkey, 62), -1) AS nz_p_partkey, " +
+          "GREATEST(p_retailprice, 910.005) AS g_p_retailprice, " +
+          "upper(substring(p_name, 1, 2)) AS u_p_name FROM part " +
+          "ORDER BY p_size ASC NULLS FIRST, len_p_type ASC NULLS FIRST, " +
+          "nz_p_partkey ASC NULLS FIRST, g_p_retailprice ASC NULLS FIRST, " +
+          "u_p_name ASC NULLS FIRST LIMIT 136) ORDER BY ALL NULLS FIRST"),
+      "q118_diff_leftjoin_nulls" ->
+        ("SELECT * FROM (SELECT p_size, COUNT(*) AS cnt, COUNT(DISTINCT p_size) AS ndv_p_size, " +
+          "MIN(p_retailprice) AS min_p_retailprice, COUNT(p_size) AS nn_p_size " +
+          "FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_partkey % 7 = 4) fb " +
+          "ON l_partkey = p_partkey GROUP BY p_size) ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
         s"${q.name} drifted from its golden SQL — a generator change reshaped a pinned " +
