@@ -330,7 +330,7 @@ object DedupOps {
             lit(tNum) * greatest(sx, sy) <= lit(tDen) * least(sx, sy) && ubound >= alpha,
             struct(x.getField("doc_id").as("doc_i"), y.getField("doc_id").as("doc_j")))
         }, p => p.isNotNull))
-    ordered
+    val cands = ordered
       .select(col("doc_id"), sz.as("sz"),
         posexplode(slice(col("toks"), lit(1), prefixLen)))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
@@ -339,20 +339,24 @@ object DedupOps {
       .filter(size(col("ids")) > 1)
       .select(explode(filteredPairs(col("ids"))).as("p"))
       .select(col("p.doc_i"), col("p.doc_j"))
-      // NO distinct here: a pair sharing k prefix tokens appears k times,
-      // but deduplicating 100% of candidates pre-verification costs a
-      // full exchange + hash-agg of the candidate stream (skew-prone: one
-      // giant bucket's output lands in one task's partial agg), while the
-      // duplication rate is small (~17% on the sf0.1 corpus) and the
-      // verifier rejects duplicates as cheaply as originals —
-      // [[jaccardSimilarityJoinOn]] dedups the SURVIVORS instead.
-      // (Re-examined under the r12 compact signatures: a duplicate now
-      // costs ~1.2 KB of signature shipping through the verify joins vs
-      // 16 B through a pre-join distinct. A/B-benched at sf0.1 the
-      // distinct measured same-to-worse across windows — the extra full
-      // exchange+agg is not bought back by removing 17% of verify
-      // volume. Kept as-is; the crossover would need a far higher
-      // duplication rate.)
+    // NO distinct BY DEFAULT: a pair sharing k prefix tokens appears k
+    // times, but deduplicating 100% of candidates pre-verification costs
+    // a full exchange + hash-agg of the candidate stream (skew-prone: one
+    // giant bucket's output lands in one task's partial agg), while the
+    // duplication rate is small (~17% on the sf0.1 corpus) and the
+    // verifier rejects duplicates as cheaply as originals —
+    // [[jaccardSimilarityJoinOn]] dedups the SURVIVORS instead.
+    // (Re-examined under the r12 compact signatures: a duplicate now
+    // costs ~1.2 KB of signature shipping through the verify joins vs
+    // 16 B through a pre-join distinct. A/B-benched at sf0.1 the
+    // distinct measured same-to-worse across windows, and re-measured at
+    // the 100x scale point via ScaleBench's q68_distinct_candidates
+    // variant — see SCALE_r13 — so the crossover would need a far higher
+    // duplication rate.) The conf below exists for that A/B measurement.
+    if (shingles.sparkSession.conf
+        .getOption("spark.graft.dedup.jaccardCandidatesDistinct")
+        .exists(_.toBoolean)) cands.distinct()
+    else cands
   }
 
   // q68 — exact Jaccard similarity join at threshold 0.8: prefix-filter

@@ -506,13 +506,24 @@ object VectorOps {
     * oracle with the same predicate, and the plant offset sits far above
     * any plausible organic vec_id so planted ids can never collide. */
   val PlantOffset = 1000000000000L
-  val lshNeardup: (SparkSession, String) => DataFrame = (s, dir) => {
+  val lshNeardup: (SparkSession, String) => DataFrame = (s, dir) =>
+    lshNeardupPlanted(s, dir, bits = 8)
+
+  /** [[lshNeardup]] with the band WIDTH as a parameter — the documented
+    * scale knob (see [[lshNeardupPairs]]: buckets hold ~N/2^bits vectors,
+    * so `bits` grows with the corpus to keep in-bucket pair expansion
+    * linear). Planted recall stays exactly 1 at ANY width — identical
+    * vectors carry identical codes in every band — which is what lets
+    * ScaleBench grow `bits` per scale point while the ground-truth pair
+    * count stays exactly linear. */
+  def lshNeardupPlanted(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val base = emb(s, dir).select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull &&
         VectorMath.normSq(VectorMath.quantize(col("embedding"))) > 0)
     val planted = base.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
-    lshNeardupPairs(s, dir, minSim = 0.9, df = Some(base.unionByName(planted)))
+    lshNeardupPairs(s, dir, minSim = 0.9, df = Some(base.unionByName(planted)),
+      bands = 8, bits = bits)
   }
 
   /** Corpus with an exact duplicate of each PROBE vector planted under

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round bench ritual (VERDICT r12 #8): the sf0.1 headline bench AND the
+# scale regression gate run from ONE command path, so a scale regression
+# (like r12's q68 raw-shingle exchange) is caught the round it lands, not
+# at the next ad-hoc 100x run.
+#
+#   tools/round_bench.sh 13            # -> bench JSON on stdout, SCALE_r13.json
+#   SCALE_POINTS=1,10,100 tools/round_bench.sh 13   # deep curve instead
+#
+# The standing gate is 1,10 (fast, ~2 min); a full 1,10,100 curve is run
+# when scale-relevant code changed.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: round_bench.sh <round-number>}"
+POINTS="${SCALE_POINTS:-1,10}"
+
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '{"metric"'
+
+SPARK_GRAFT_SCALE_POINTS="$POINTS" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_SCALE_OUT="SCALE_r${ROUND}.json" \
+  sbt -batch "runMain graft.ScaleBench" 2>&1 | grep -E '^\[scale\]|^\{"points"' || true
+echo "wrote SCALE_r${ROUND}.json"
