@@ -17,7 +17,13 @@ POINTS="${SCALE_POINTS:-1,10}"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '{"metric"'
 
+# no failure masking (a swallowed nonzero exit once echoed success over a
+# dead run): keep the full log, surface the [scale] lines, and PROVE the
+# sidecar exists before claiming it
 SPARK_GRAFT_SCALE_POINTS="$POINTS" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_SCALE_OUT="SCALE_r${ROUND}.json" \
-  sbt -batch "runMain graft.ScaleBench" 2>&1 | grep -E '^\[scale\]|^\{"points"' || true
-echo "wrote SCALE_r${ROUND}.json"
+  sbt -batch "runMain graft.ScaleBench" > /tmp/scalebench_r${ROUND}.log 2>&1 \
+  || { echo "ScaleBench FAILED; tail of /tmp/scalebench_r${ROUND}.log:"; \
+       tail -30 "/tmp/scalebench_r${ROUND}.log"; exit 1; }
+grep -E '^\[scale\]' "/tmp/scalebench_r${ROUND}.log"
+test -s "SCALE_r${ROUND}.json" && echo "wrote SCALE_r${ROUND}.json"
