@@ -21,10 +21,11 @@ class QueryGenSpec extends SparkSpec {
     Tables.names.foreach(t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
     var nonEmpty = 0
-    val scenarios = scala.collection.mutable.Set.empty[Int]
+    val scenarios = scala.collection.mutable.Map.empty[Int, Int]
     Seeds.foreach { seed =>
       val g = QueryGen.gen(seed.toLong)
-      scenarios += g.name.split("_sc").last.toInt
+      val sc = g.name.split("_sc").last.toInt
+      scenarios(sc) = scenarios.getOrElse(sc, 0) + 1
       val viaDf = g.build(spark, sfDir)
       val viaSql = spark.sql(g.sql)
       assert(viaDf.columns.toSeq == viaSql.columns.toSeq,
@@ -39,8 +40,14 @@ class QueryGenSpec extends SparkSpec {
     // must cover every scenario arm of the grammar
     assert(nonEmpty >= Seeds.size / 2,
       s"only $nonEmpty/${Seeds.size} generated queries returned rows — generator degenerate")
-    assert(scenarios == (0 until QueryGen.NumScenarios).toSet,
+    // every arm must carry REAL weight, not just appear once: a skewed
+    // draw (the nextInt(pow2) first-draw pathology produced exactly this
+    // — one arm with 120 hits) passes a presence-only check. Uniform
+    // expectation is 15/arm at 120 seeds; ≥5 is ~4σ-safe per arm.
+    assert(scenarios.keySet == (0 until QueryGen.NumScenarios).toSet,
       s"scenario coverage hole: $scenarios")
+    val thin = scenarios.filter(_._2 < 5)
+    assert(thin.isEmpty, s"scenario arms drawn < 5 times in ${Seeds.size} seeds: $thin")
   }
 
   test("generation is deterministic: same seed renders byte-identical SQL") {
