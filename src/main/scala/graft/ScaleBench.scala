@@ -70,6 +70,10 @@ object ScaleBench {
     "q39_exact_topk_cosine" -> "invariant",
     "q77_pq_scaled" -> "invariant",
     "q91_lsh_scaled" -> "linear",
+    // the codec family's representative (VERDICT r12 #3 parenthetical):
+    // one real PNG encode+decode per document id, map-only — rides the
+    // replicated documents fixture as-is, one stats row per asset
+    "q94_image_decode_stats" -> "linear",
     // q68 with the pre-verify candidate distinct FORCED — the A/B the
     // r12 compact-signature change re-opened (VERDICT r12 #5): at sf0.1
     // the distinct measured same-to-worse; this variant measures it at

@@ -28,5 +28,6 @@ object DiffOps {
     pinned(1005L, 4, "q114_diff_union"),
     pinned(1006L, 5, "q115_diff_join_scan"),
     pinned(1007L, 6, "q117_diff_scalar_fns"),
-    pinned(1008L, 7, "q118_diff_leftjoin_nulls"))
+    pinned(1008L, 7, "q118_diff_leftjoin_nulls"),
+    pinned(1009L, 8, "q119_diff_null_order_limit"))
 }

@@ -420,8 +420,14 @@ object QueryGen {
     * with total-order LIMIT, 6 scalar-function projections (§2.8
     * randomized), 7 left join against a FILTERED right side → aggregates
     * over right-side columns (guaranteed NULL flow through
-    * COUNT(col)/MIN/MAX/SUM and through a drawn right-side group key). */
-  val NumScenarios = 8
+    * COUNT(col)/MIN/MAX/SUM and through a drawn right-side group key),
+    * 8 left join → row-level projection with NULL-bearing right-side
+    * columns under a total-order LIMIT (the null-boundary corner of the
+    * sorted cut: ASC NULLS FIRST must cut the same multiset in Spark's
+    * asc_nulls_first, Spark SQL and DuckDB — only PLAIN/COALESCE duals
+    * here, never CONCAT over nullable columns, which Spark nulls out and
+    * DuckDB null-skips). */
+  val NumScenarios = 9
 
   def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
     val rng = new Random(seed)
@@ -589,7 +595,7 @@ object QueryGen {
             .orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
         })
 
-      case _ =>
+      case 7 =>
         // left join against a FILTERED right side → aggregates over
         // right-side columns: the right filter guarantees join misses, so
         // NULLs flow through COUNT(col) (null-skipping), MIN/MAX, the
@@ -641,6 +647,42 @@ object QueryGen {
           load(s, dir, a)
             .join(load(s, dir, b).filter(rpred._1), col(lk) === col(rk), "left")
             .groupBy(keys.map(col): _*).agg(aggs.head._1, aggs.tail.map(_._1): _*)
+        })
+
+      case _ =>
+        // left join → ROW-LEVEL projection with null-bearing right-side
+        // columns under a total-order LIMIT: the filtered right side
+        // guarantees misses, so NULLs sit AT the sort/limit boundary —
+        // ASC NULLS FIRST must cut the identical multiset through
+        // asc_nulls_first, Spark SQL, and DuckDB. Plain columns plus a
+        // COALESCE dual only (identical null semantics in all three);
+        // no CONCAT here (Spark nulls out, DuckDB null-skips)
+        val (a, b, lk, rk) = joins(rng.nextInt(joins.size))
+        val rpred = predicate(rng, b)
+        val lpred = if (rng.nextBoolean()) Some(predicate(rng, a)) else None
+        val aCols = rng.shuffle(a.allCols).take(1 + rng.nextInt(2))
+        val bCols = rng.shuffle(b.allCols).take(1 + rng.nextInt(2))
+        val proj: Seq[Dual] =
+          aCols.map(c => (col(c), c)) ++ bCols.map(c => (col(c), c)) ++
+            (b.intCols.map(_._1) ++ b.longKeys.map(_._1)).headOption.map { c =>
+              (coalesce(col(c), lit(-1)).as(s"co_$c"),
+                s"COALESCE($c, -1) AS co_$c")
+            }
+        val names = proj.map(_._2.split(" AS ").last)
+        val k = 20 + rng.nextInt(180)
+        val sql = new StringBuilder("SELECT ")
+        sql ++= proj.map(_._2).mkString(", ")
+        sql ++= s" FROM ${a.name} LEFT JOIN " +
+          s"(SELECT * FROM ${b.name} WHERE ${rpred._2}) fb ON $lk = $rk"
+        lpred.foreach(p => sql ++= s" WHERE ${p._2}")
+        sql ++= names.mkString(" ORDER BY ", " ASC NULLS FIRST, ", " ASC NULLS FIRST")
+        sql ++= s" LIMIT $k"
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, a)
+            .join(load(s, dir, b).filter(rpred._1), col(lk) === col(rk), "left")
+          lpred.foreach(p => df = df.filter(p._1))
+          df.select(proj.map(_._1): _*)
+            .orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
         })
     }
   }

@@ -56,7 +56,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q118 render their golden SQL") {
+  test("pinned registry instances q110-q119 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -108,7 +108,16 @@ class QueryGenSpec extends SparkSpec {
         ("SELECT * FROM (SELECT p_size, COUNT(*) AS cnt, COUNT(DISTINCT p_size) AS ndv_p_size, " +
           "MIN(p_retailprice) AS min_p_retailprice, COUNT(p_size) AS nn_p_size " +
           "FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_partkey % 7 = 4) fb " +
-          "ON l_partkey = p_partkey GROUP BY p_size) ORDER BY ALL NULLS FIRST"))
+          "ON l_partkey = p_partkey GROUP BY p_size) ORDER BY ALL NULLS FIRST"),
+      // arm 8: NULLs at the sorted-LIMIT boundary (asc_nulls_first vs
+      // ASC NULLS FIRST vs DuckDB must cut the same multiset)
+      "q119_diff_null_order_limit" ->
+        ("SELECT * FROM (SELECT l_extendedprice, o_totalprice, o_orderdate, " +
+          "COALESCE(o_orderkey, -1) AS co_o_orderkey FROM lineitem LEFT JOIN " +
+          "(SELECT * FROM orders WHERE (o_custkey >= 12 AND o_custkey <= 17)) fb " +
+          "ON l_orderkey = o_orderkey ORDER BY l_extendedprice ASC NULLS FIRST, " +
+          "o_totalprice ASC NULLS FIRST, o_orderdate ASC NULLS FIRST, " +
+          "co_o_orderkey ASC NULLS FIRST LIMIT 20) ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
         s"${q.name} drifted from its golden SQL — a generator change reshaped a pinned " +
