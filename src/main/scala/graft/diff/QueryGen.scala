@@ -631,6 +631,13 @@ object QueryGen {
           val ps = pool.result()
           val seen = scala.collection.mutable.Set("cnt")
           var tries = 0
+          // KNOWN WART, frozen by golden: the target count re-rolls in
+          // the loop CONDITION (one nextInt(2) per check — biased toward
+          // 3 aggs and a collision-dependent draw count) instead of being
+          // hoisted like aggExprs/scalarDuals do. Still deterministic per
+          // seed (the determinism spec is the contract), but hoisting it
+          // now would reshape pinned q118 — fix only alongside a
+          // deliberate golden update.
           while (seen.size < 3 + rng.nextInt(2) && tries < 20) {
             val d = ps(rng.nextInt(ps.size))()
             if (seen.add(d._2.split(" AS ").last)) out += d

@@ -353,9 +353,12 @@ object DedupOps {
     // the 100x scale point via ScaleBench's q68_distinct_candidates
     // variant — see SCALE_r13 — so the crossover would need a far higher
     // duplication rate.) The conf below exists for that A/B measurement.
+    // equalsIgnoreCase, not .toBoolean: a malformed value ("1") must read
+    // as unset, not throw an opaque IllegalArgumentException from deep
+    // inside candidate generation
     if (shingles.sparkSession.conf
         .getOption("spark.graft.dedup.jaccardCandidatesDistinct")
-        .exists(_.toBoolean)) cands.distinct()
+        .exists(_.equalsIgnoreCase("true"))) cands.distinct()
     else cands
   }
 

@@ -27,3 +27,10 @@ SPARK_GRAFT_SCALE_POINTS="$POINTS" SPARK_GRAFT_CPUS=32 \
        tail -30 "/tmp/scalebench_r${ROUND}.log"; exit 1; }
 grep -E '^\[scale\]' "/tmp/scalebench_r${ROUND}.log"
 test -s "SCALE_r${ROUND}.json" && echo "wrote SCALE_r${ROUND}.json"
+# the gate must GATE: a DNF point, a broken rows law, a drifted plan or a
+# missing 1x base all exit nonzero here, not just print a line
+if grep -qE 'ok=false|plan_same=false|NO_BASE|: DNF' "/tmp/scalebench_r${ROUND}.log"; then
+  echo "SCALE GATE FAILED — offending points:"
+  grep -E 'ok=false|plan_same=false|NO_BASE|: DNF' "/tmp/scalebench_r${ROUND}.log"
+  exit 1
+fi
