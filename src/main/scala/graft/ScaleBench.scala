@@ -74,6 +74,15 @@ object ScaleBench {
     // one real PNG encode+decode per document id, map-only — rides the
     // replicated documents fixture as-is, one stats row per asset
     "q94_image_decode_stats" -> "linear",
+    // the streaming-shaped families (r12 verdict: "extend the harnesses
+    // to the families they don't yet cover"): gap sessionization over
+    // events replicated with user_id/event_id offsets — per-copy event
+    // streams are identical to the base, so sessions replicate exactly
+    // K× (one shuffle on user_id; the window never crosses copies) —
+    // and the sequence-packing planner's two-phase distributed prefix
+    // sum over the replicated documents (one packing row per doc)
+    "q51_sessionization" -> "linear",
+    "q102_sequence_packing" -> "linear",
     // q68 with the pre-verify candidate distinct FORCED — the A/B the
     // r12 compact-signature change re-opened (VERDICT r12 #5): at sf0.1
     // the distinct measured same-to-worse; this variant measures it at
@@ -126,9 +135,11 @@ object ScaleBench {
   }
 
   private def buildFixture(spark: SparkSession, base: String, out: String, k: Int): Unit = {
-    // fmt=2: r13 added the signed-permutation embeddings replication — a
-    // fmt=1 fixture dir (symlinked embeddings) must not be silently reused
-    val marker = s"copies=$k base=$base fmt=2\n"
+    // fmt=3: r13 added the signed-permutation embeddings replication
+    // (fmt=2) and then the id-offset events replication — a stale-layout
+    // fixture dir (symlinked embeddings/events) must not be silently
+    // reused
+    val marker = s"copies=$k base=$base fmt=3\n"
     val done = new java.io.File(s"$out/_SCALE_DONE")
     if (done.exists()) {
       // a marker from a DIFFERENT base silently reusing the old fixture
@@ -146,7 +157,7 @@ object ScaleBench {
     // overwrite-delete FOLLOWS symlinks, so writing through it would
     // recursively delete the base testdata everything depends on (review
     // finding r13). Unlink any symlink at a written-table target first.
-    Seq("documents", "orders", "embeddings").foreach { n =>
+    Seq("documents", "orders", "embeddings", "events").foreach { n =>
       val p = java.nio.file.Paths.get(s"$out/$n.parquet")
       if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
     }
@@ -206,9 +217,24 @@ object ScaleBench {
     }
     embCopies.reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // `events` replicates with user_id/event_id offsets and VERBATIM
+    // timestamps: sessionization partitions by user, and within a copy
+    // the (ts, event_id) order is the base's order, so every copy holds
+    // exactly the base's session structure. Read through Tables.load —
+    // it normalizes the fixture's two historical ts encodings to one
+    // µs TimestampType, which round-trips plainly through this write.
+    val ev = Tables.load(spark, base, "events")
+    val maxUid = ev.agg(max(col("user_id"))).head().getLong(0)
+    require(maxUid < IdStride,
+      s"base corpus user_id max $maxUid >= stride $IdStride: copies would collide")
+    (0 until k).map(c => ev
+        .withColumn("user_id", col("user_id") + lit(c * IdStride))
+        .withColumn("event_id", col("event_id") + lit(c * IdStride)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     // remaining tables pass through by symlink: loaders see a complete dir
     Tables.names.filterNot(n =>
-        n == "documents" || n == "orders" || n == "embeddings").foreach { n =>
+        n == "documents" || n == "orders" || n == "embeddings" || n == "events").foreach { n =>
       val link = java.nio.file.Paths.get(s"$out/$n.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
