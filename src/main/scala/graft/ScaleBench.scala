@@ -87,7 +87,22 @@ object ScaleBench {
     // r12 compact-signature change re-opened (VERDICT r12 #5): at sf0.1
     // the distinct measured same-to-worse; this variant measures it at
     // every scale point against the default's row above
-    "q68_distinct_candidates" -> "linear")
+    "q68_distinct_candidates" -> "linear",
+    // decontamination (r14: the broadcast-postings join family). The
+    // benchmark slice is doc_id % 50 == 0 and copy offsets are ≡ 0 mod
+    // 50, so the slice replicates per copy; token prefixes keep
+    // cross-copy shingle sets disjoint, so contaminated (doc, bench)
+    // pairs replicate exactly K×. The curve carries DedupOps' honest
+    // caveat live: this DEMO bench side grows with the corpus, so its
+    // broadcast cost grows too (a real eval suite is bounded)
+    "q98_decontamination" -> "linear",
+    // TF-IDF top terms (r14: explode → two-level agg → idf join →
+    // per-doc window top-k). Per-copy vocabularies are disjoint, df is
+    // copy-invariant and N grows K×, so every weight scales by the same
+    // K factor — per-doc top-3 sets replicate exactly (row_number
+    // tiebreak is on token, and the shared per-copy prefix preserves
+    // lexicographic order); one row per (doc, rank ≤ 3) → linear
+    "q105_tfidf_top_terms" -> "linear")
 
   /** Scale-bench-only variants not in the driver registry; `k` is the
     * scale point (index params may grow with the corpus — the honest
@@ -224,9 +239,16 @@ object ScaleBench {
     // it normalizes the fixture's two historical ts encodings to one
     // µs TimestampType, which round-trips plainly through this write.
     val ev = Tables.load(spark, base, "events")
-    val maxUid = ev.agg(max(col("user_id"))).head().getLong(0)
+    // BOTH offset columns guarded (ADVICE r13 #3): event_id is shifted by
+    // the same stride as user_id, so an unguarded base with event_id ≥
+    // stride would silently produce cross-copy event_id collisions while
+    // the user_id guard passed
+    val evMax = ev.agg(max(col("user_id")), max(col("event_id"))).head()
+    val (maxUid, maxEid) = (evMax.getLong(0), evMax.getLong(1))
     require(maxUid < IdStride,
       s"base corpus user_id max $maxUid >= stride $IdStride: copies would collide")
+    require(maxEid < IdStride,
+      s"base corpus event_id max $maxEid >= stride $IdStride: copies would collide")
     (0 until k).map(c => ev
         .withColumn("user_id", col("user_id") + lit(c * IdStride))
         .withColumn("event_id", col("event_id") + lit(c * IdStride)))
@@ -325,6 +347,19 @@ object ScaleBench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fatal-class errors (OutOfMemoryError, disk-exhaustion Errors) leave
+    // the shared JVM/executor pool degraded: the run still completes so
+    // hours of prior measurement survive in the artifact, but every point
+    // measured AFTER one is flagged suspect in the log line and the
+    // sidecar, and round_bench.sh's gate fails on the flag (ADVICE r13 #4
+    // — the r13 q68 100× incident showed one exhausted point contaminating
+    // its neighbors while they were still reported healthy).
+    var fatalSeen: Option[String] = None
+    def noteFatal(e: Throwable): Boolean = {
+      val fatal = !scala.util.control.NonFatal(e)
+      if (fatal && fatalSeen.isEmpty) fatalSeen = Some(e.getClass.getName)
+      fatal
+    }
     val entries = Headline.filter(h => only.forall(_.contains(h._1))).map { case (name, rowsLaw) =>
       // a point that cannot complete records a DNF row instead of killing
       // the whole artifact (learned the hard way: the r13 q68-distinct
@@ -332,15 +367,20 @@ object ScaleBench {
       // down with it — a DNF is itself a result, e.g. "this variant's
       // peak shuffle footprint exceeds the disk budget the default fits")
       val measured = points.map { k =>
-        k -> (try Right(measure(name, k, dirs(k))) catch {
+        val suspect = fatalSeen.isDefined
+        k -> (try Right((measure(name, k, dirs(k)), suspect)) catch {
           case e: Throwable =>
-            System.err.println(s"[scale] $name ${k}x: DNF — ${e.getMessage}")
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+            val fatal = noteFatal(e)
+            System.err.println(
+              s"[scale] $name ${k}x: DNF${if (fatal) "(FATAL)" else ""} — ${e.getMessage}")
+            Left((Option(e.getMessage).getOrElse(e.getClass.getName).take(120), fatal))
         })
       }
-      val base = measured.head._2.toOption
+      val base = measured.head._2.toOption.map(_._1)
+      def suspectJson(s: Boolean) = if (s) ""","suspect_after_fatal":true""" else ""
+      def suspectLog(s: Boolean) = if (s) " SUSPECT(after-fatal)" else ""
       val perPoint = measured.map {
-        case (k, Right((t, r, p, steal))) => base match {
+        case (k, Right(((t, r, p, steal), suspect))) => base match {
           case Some((t1, r1, p1, _)) =>
             val ratio = if (t1 > 0) t / t1 else -1.0
             val rowsOk = rowsLaw match {
@@ -349,19 +389,22 @@ object ScaleBench {
             }
             val planSame = p == p1
             System.err.println(s"[scale] $name ${k}x: ${fmt(t)}s ${r}r ratio=${fmt(ratio)} " +
-              s"rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame steal=${fmt(steal)}s")
+              s"rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame steal=${fmt(steal)}s" +
+              suspectLog(suspect))
             s""""x$k":{"t":${fmt(t)},"ratio":${fmt(ratio)},"rows":$r,""" +
-              s""""rows_ok":$rowsOk,"plan_same":$planSame,"steal_sec":${fmt(steal)}}"""
+              s""""rows_ok":$rowsOk,"plan_same":$planSame,"steal_sec":${fmt(steal)}""" +
+              s"""${suspectJson(suspect)}}"""
           case None =>
             // the 1x base itself DNF'd: a healthy later point has no law
             // to check against — say so, never print rows_ok=false (which
             // reads as a real scaling-law violation; review finding r13)
             System.err.println(s"[scale] $name ${k}x: ${fmt(t)}s ${r}r NO_BASE " +
-              s"steal=${fmt(steal)}s")
-            s""""x$k":{"t":${fmt(t)},"rows":$r,"no_base":true,"steal_sec":${fmt(steal)}}"""
+              s"steal=${fmt(steal)}s" + suspectLog(suspect))
+            s""""x$k":{"t":${fmt(t)},"rows":$r,"no_base":true,"steal_sec":${fmt(steal)}""" +
+              s"""${suspectJson(suspect)}}"""
         }
-        case (k, Left(err)) =>
-          s""""x$k":{"dnf":${graft.JsonStr.q(err)}}"""
+        case (k, Left((err, fatal))) =>
+          s""""x$k":{"dnf":${graft.JsonStr.q(err)}${if (fatal) ""","fatal":true""" else ""}}"""
       }
       s""""$name":{"rows_law":"$rowsLaw",${perPoint.mkString(",")}}"""
     }
@@ -391,7 +434,11 @@ object ScaleBench {
             Some(k -> fmt(r))
           } finally { exact.unpersist(); () }
         } catch { case e: Throwable =>
-          System.err.println(s"[scale] recall at ${k}x DNF — ${e.getMessage}")
+          // `: DNF` (with colon) so round_bench.sh's gate pattern matches
+          // this line exactly like every measured point (ADVICE r13 #2)
+          val fatal = noteFatal(e)
+          System.err.println(
+            s"[scale] recall at ${k}x: DNF${if (fatal) "(FATAL)" else ""} — ${e.getMessage}")
           Some(k -> graft.JsonStr.q(
             Option(e.getMessage).getOrElse(e.getClass.getName).take(120)))
         }
@@ -399,12 +446,24 @@ object ScaleBench {
     }
     val recallJson = recall
       .map { case (k, v) => s""","q77_recall_x$k":$v""" }.getOrElse("")
-    val json = s"""{"points":${points.mkString("[", ",", "]")},"base":"$base"$recallJson,""" +
+    val fatalJson = fatalSeen.map(c => s""","fatal_dnf":${graft.JsonStr.q(c)}""").getOrElse("")
+    val json = s"""{"points":${points.mkString("[", ",", "]")},"base":"$base"$recallJson$fatalJson,""" +
       s""""queries":{${entries.mkString(",")}}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")), json + "\n")
-    catch { case e: Exception => System.err.println(s"[scale] sidecar write failed: $e") }
+    // the sidecar IS the round's measured artifact: a failed write exits
+    // nonzero (after the JSON still reaches stdout) instead of being
+    // swallowed into a stderr note (ADVICE r13 #1; memory:
+    // measured-artifact-runs-fail-loud)
+    val sidecarOk =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")),
+          json + "\n")
+        true
+      } catch {
+        case e: Exception => System.err.println(s"[scale] sidecar write FAILED: $e"); false
+      }
     spark.stop()
     println(json)
+    if (!sidecarOk) sys.exit(2)
   }
 }
