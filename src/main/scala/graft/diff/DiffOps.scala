@@ -29,5 +29,6 @@ object DiffOps {
     pinned(1006L, 5, "q115_diff_join_scan"),
     pinned(1007L, 6, "q117_diff_scalar_fns"),
     pinned(1008L, 7, "q118_diff_leftjoin_nulls"),
-    pinned(1009L, 8, "q119_diff_null_order_limit"))
+    pinned(1009L, 8, "q119_diff_null_order_limit"),
+    pinned(1010L, 9, "q120_diff_scalar_subquery"))
 }

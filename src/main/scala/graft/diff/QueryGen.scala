@@ -426,8 +426,17 @@ object QueryGen {
     * sorted cut: ASC NULLS FIRST must cut the same multiset in Spark's
     * asc_nulls_first, Spark SQL and DuckDB — only PLAIN/COALESCE duals
     * here, never CONCAT over nullable columns, which Spark nulls out and
-    * DuckDB null-skips). */
-  val NumScenarios = 9
+    * DuckDB null-skips),
+    * 9 uncorrelated scalar-subquery threshold filter (r14: the J3 family
+    * randomized — SURVEY §2.4's scalar subquery was fixed-plan-only) —
+    * `WHERE c >= (SELECT AGG(c) [± d] FROM t [WHERE p])`: the SQL routes
+    * plan a real ScalarSubquery through both SQL frontends while the
+    * DataFrame route expresses the identical semantics as the idiomatic
+    * broadcast single-row cross join + filter, so the differential
+    * compares Spark's subquery planner against its join planner AND
+    * DuckDB; an inner WHERE that empties the subquery yields a NULL
+    * threshold and zero rows on all three routes (drawn corner). */
+  val NumScenarios = 10
 
   def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
     val rng = new Random(seed)
@@ -656,7 +665,7 @@ object QueryGen {
             .groupBy(keys.map(col): _*).agg(aggs.head._1, aggs.tail.map(_._1): _*)
         })
 
-      case _ =>
+      case 8 =>
         // left join → ROW-LEVEL projection with null-bearing right-side
         // columns under a total-order LIMIT: the filtered right side
         // guarantees misses, so NULLs sit AT the sort/limit boundary —
@@ -690,6 +699,82 @@ object QueryGen {
           lpred.foreach(p => df = df.filter(p._1))
           df.select(proj.map(_._1): _*)
             .orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
+        })
+
+      case _ =>
+        // uncorrelated scalar-subquery threshold (J3 randomized): filter a
+        // table against an aggregate of itself. The SQL string carries a
+        // genuine `(SELECT ... FROM t ...)` scalar subquery — Spark SQL
+        // plans ScalarSubquery, DuckDB its own flavor — while the
+        // DataFrame dual is the idiomatic distributed form: a broadcast
+        // single-row aggregate cross-joined in and filtered on, so no
+        // driver collect and three genuinely different plans must agree.
+        //
+        // Threshold exactness across engines (the NamedQuery parity rules):
+        //  - AVG only over INTEGER columns: both engines form the exact
+        //    integer sum in double (fixture sums ≪ 2^53) and perform the
+        //    identical IEEE division — bit-equal thresholds; money AVG is
+        //    NOT drawn (Spark yields exact DECIMAL(22,6), DuckDB DOUBLE —
+        //    a genuine cross-engine representation divergence);
+        //  - MIN/MAX ± a small INTEGER offset: the extremum is an exact
+        //    fixture value and integer addition on a double is exact, so
+        //    both engines hold the bit-identical threshold.
+        // No .005 anti-boundary offset is needed here (unlike money()
+        // literals): boundary divergence requires a decimal-literal-vs-
+        // double representation gap, and every threshold in this arm is
+        // COMPUTED from stored values identically in both engines — a tie
+        // at the threshold cuts the same row set either way.
+        val t = singleTables(rng.nextInt(singleTables.size))
+        val numericPool: Seq[(String, String)] =           // (col, kind)
+          t.longKeys.map(c => (c._1, "int")) ++ t.intCols.map(c => (c._1, "int")) ++
+            t.moneyCols.map(c => (c._1, "money"))
+        val (tc, kind) = numericPool(rng.nextInt(numericPool.size))
+        val inner: Option[Dual] =
+          if (rng.nextBoolean()) Some(predicate(rng, t)) else None
+        val innerSql = inner.map(p => s" WHERE ${p._2}").getOrElse("")
+        def innerDf(s: SparkSession, dir: String): DataFrame = {
+          val d = load(s, dir, t)
+          inner.map(p => d.filter(p._1)).getOrElse(d)
+        }
+        val (thrCol, thrSql): Dual = (kind, rng.nextInt(3)) match {
+          case ("int", 0) =>
+            (avg(col(tc)), s"SELECT AVG($tc) FROM ${t.name}$innerSql")
+          case (_, 1) =>
+            val d = 1 + rng.nextInt(50)
+            (min(col(tc)) + lit(d), s"SELECT MIN($tc) + $d FROM ${t.name}$innerSql")
+          case (_, 2) =>
+            val d = 1 + rng.nextInt(50)
+            (max(col(tc)) - lit(d), s"SELECT MAX($tc) - $d FROM ${t.name}$innerSql")
+          case _ => // money col drew the AVG slot: re-route to MIN (exactness rule)
+            val d = 1 + rng.nextInt(50)
+            (min(col(tc)) + lit(d), s"SELECT MIN($tc) + $d FROM ${t.name}$innerSql")
+        }
+        val geq = rng.nextBoolean()
+        val cmpSql = s"$tc ${if (geq) ">=" else "<"} ($thrSql)"
+        val outerPred = if (rng.nextBoolean()) Some(predicate(rng, t)) else None
+        val proj = projection(rng, Seq(t))
+        val names = proj.map(_._2.split(" AS ").last)
+        val limit = if (rng.nextBoolean()) Some(20 + rng.nextInt(180)) else None
+        val sql = new StringBuilder("SELECT ")
+        sql ++= proj.map(_._2).mkString(", ")
+        sql ++= s" FROM ${t.name} WHERE "
+        outerPred.foreach(p => sql ++= s"${p._2} AND ")
+        sql ++= cmpSql
+        limit.foreach { k =>
+          sql ++= names.mkString(" ORDER BY ", " ASC NULLS FIRST, ", " ASC NULLS FIRST")
+          sql ++= s" LIMIT $k"
+        }
+        Gen(name, sql.toString, (s, dir) => {
+          val thr = innerDf(s, dir).agg(thrCol.as("__thr"))
+          var df = load(s, dir, t)
+          outerPred.foreach(p => df = df.filter(p._1))
+          df = df.crossJoin(broadcast(thr))
+            .filter(if (geq) col(tc) >= col("__thr") else col(tc) < col("__thr"))
+            .select(proj.map(_._1): _*)
+          limit.foreach { k =>
+            df = df.orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
+          }
+          df
         })
     }
   }

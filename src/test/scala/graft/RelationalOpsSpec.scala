@@ -30,14 +30,14 @@ class RelationalOpsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("registry never shrinks: the round-13 floor is 119 queries / 114 oracles") {
+  test("registry never shrinks: the round-14 floor is 120 queries / 115 oracles") {
     // an accidentally-dropped NamedQuery would silently shrink the
     // driver's scoreboard (rows just vanish — the round-9 q50/q51
     // lesson); growing past the floor is fine and expected
-    assert(SparkEntry.queries.size >= 119,
-      s"query registry shrank: ${SparkEntry.queries.size} < 119")
-    assert(SparkEntry.oracleSql.size >= 114,
-      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 114")
+    assert(SparkEntry.queries.size >= 120,
+      s"query registry shrank: ${SparkEntry.queries.size} < 120")
+    assert(SparkEntry.oracleSql.size >= 115,
+      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 115")
   }
 
   test("the no-oracle set is exactly the documented irreducible ledger") {
@@ -215,7 +215,9 @@ class RelationalOpsSpec extends SparkSpec {
       "q77_pq_ann_topk" ->
         "probe broadcast over PQ codes: probes bounded, codes 32x-compressed",
       "q92_ivf_rank1_planted" -> "q71's planted-duplicate oracle slice",
-      "q93_pq_rank1_planted" -> "q77's planted-duplicate oracle slice")
+      "q93_pq_rank1_planted" -> "q77's planted-duplicate oracle slice",
+      "q120_diff_scalar_subquery" ->
+        "uncorrelated scalar subquery, DataFrame dual: 1-row aggregate broadcast (same shape as q3)")
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = executedOnce(q.name)._2
       if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))

@@ -56,7 +56,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q119 render their golden SQL") {
+  test("pinned registry instances q110-q120 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -117,7 +117,16 @@ class QueryGenSpec extends SparkSpec {
           "(SELECT * FROM orders WHERE (o_custkey >= 12 AND o_custkey <= 17)) fb " +
           "ON l_orderkey = o_orderkey ORDER BY l_extendedprice ASC NULLS FIRST, " +
           "o_totalprice ASC NULLS FIRST, o_orderdate ASC NULLS FIRST, " +
-          "co_o_orderkey ASC NULLS FIRST LIMIT 20) ORDER BY ALL NULLS FIRST"))
+          "co_o_orderkey ASC NULLS FIRST LIMIT 20) ORDER BY ALL NULLS FIRST"),
+      // r14 arm 9: uncorrelated scalar-subquery threshold (J3 randomized)
+      // — the SQL routes plan a real ScalarSubquery, the DataFrame route
+      // a broadcast single-row cross join; all three must agree
+      "q120_diff_scalar_subquery" ->
+        ("SELECT * FROM (SELECT s_acctbal, s_nationkey, s_suppkey, " +
+          "CASE WHEN s_acctbal > 4550.005 THEN 'hi' ELSE 'lo' END AS bucket FROM supplier " +
+          "WHERE s_suppkey < (SELECT AVG(s_suppkey) FROM supplier) " +
+          "ORDER BY s_acctbal ASC NULLS FIRST, s_nationkey ASC NULLS FIRST, " +
+          "s_suppkey ASC NULLS FIRST, bucket ASC NULLS FIRST LIMIT 76) ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
         s"${q.name} drifted from its golden SQL — a generator change reshaped a pinned " +
