@@ -39,6 +39,23 @@ import org.apache.spark.sql.functions._
   * class names is unchanged vs 1× — scaling must not introduce new plan
   * shapes, e.g. a broadcast silently degrading to a sort-merge join).
   */
+/** DNF/suspect classification and the exact log/JSON fragments the round
+  * gate greps for — pure, so ScaleDnfSpec can pin them against
+  * `tools/round_bench.sh`'s GATE_RE without running a measurement (the
+  * shell gate and the Scala emitter live in different files; the spec is
+  * the contract that keeps them from drifting — ADVICE r13 #2/#4). */
+private[graft] object ScaleDnf {
+  /** Fatal-class errors (OutOfMemoryError, disk-exhaustion `Error`s,
+    * interrupts) leave the shared JVM/executor pool degraded; `NonFatal`
+    * failures are self-contained and safe to record-and-continue. */
+  def isFatal(e: Throwable): Boolean = !scala.util.control.NonFatal(e)
+  def dnfTag(fatal: Boolean): String = if (fatal) "DNF(FATAL)" else "DNF"
+  def suspectLog(suspect: Boolean): String =
+    if (suspect) " SUSPECT(after-fatal)" else ""
+  def suspectJson(suspect: Boolean): String =
+    if (suspect) ""","suspect_after_fatal":true""" else ""
+}
+
 object ScaleBench {
 
   private val IdStride = 10_000_000L
@@ -356,7 +373,7 @@ object ScaleBench {
     // its neighbors while they were still reported healthy).
     var fatalSeen: Option[String] = None
     def noteFatal(e: Throwable): Boolean = {
-      val fatal = !scala.util.control.NonFatal(e)
+      val fatal = ScaleDnf.isFatal(e)
       if (fatal && fatalSeen.isEmpty) fatalSeen = Some(e.getClass.getName)
       fatal
     }
@@ -372,13 +389,12 @@ object ScaleBench {
           case e: Throwable =>
             val fatal = noteFatal(e)
             System.err.println(
-              s"[scale] $name ${k}x: DNF${if (fatal) "(FATAL)" else ""} — ${e.getMessage}")
+              s"[scale] $name ${k}x: ${ScaleDnf.dnfTag(fatal)} — ${e.getMessage}")
             Left((Option(e.getMessage).getOrElse(e.getClass.getName).take(120), fatal))
         })
       }
       val base = measured.head._2.toOption.map(_._1)
-      def suspectJson(s: Boolean) = if (s) ""","suspect_after_fatal":true""" else ""
-      def suspectLog(s: Boolean) = if (s) " SUSPECT(after-fatal)" else ""
+      import ScaleDnf.{suspectJson, suspectLog}
       val perPoint = measured.map {
         case (k, Right(((t, r, p, steal), suspect))) => base match {
           case Some((t1, r1, p1, _)) =>
@@ -421,6 +437,9 @@ object ScaleBench {
         // finding r13); the exact side is cached so the brute-force
         // scoring pass runs once, not once for count and once for
         // intersect
+        // a recall computed after a fatal DNF is as suspect as any other
+        // post-fatal measurement — same marker, same gate failure
+        val rSuspect = fatalSeen.isDefined
         try {
           val exact = SparkEntry.queries("q39_exact_topk_cosine")(spark, dirs(k))
             .select(col("probe_id"), col("vec_id")).cache()
@@ -430,7 +449,8 @@ object ScaleBench {
               .select(col("probe_id"), col("vec_id"))
               .intersect(exact).count()
             val r = if (denom == 0) -1.0 else hits.toDouble / denom
-            System.err.println(s"[scale] q77 recall@10 vs q39 at ${k}x: ${fmt(r)}")
+            System.err.println(s"[scale] q77 recall@10 vs q39 at ${k}x: ${fmt(r)}" +
+              ScaleDnf.suspectLog(rSuspect))
             Some(k -> fmt(r))
           } finally { exact.unpersist(); () }
         } catch { case e: Throwable =>
@@ -438,7 +458,7 @@ object ScaleBench {
           // this line exactly like every measured point (ADVICE r13 #2)
           val fatal = noteFatal(e)
           System.err.println(
-            s"[scale] recall at ${k}x: DNF${if (fatal) "(FATAL)" else ""} — ${e.getMessage}")
+            s"[scale] recall at ${k}x: ${ScaleDnf.dnfTag(fatal)} — ${e.getMessage}")
           Some(k -> graft.JsonStr.q(
             Option(e.getMessage).getOrElse(e.getClass.getName).take(120)))
         }
