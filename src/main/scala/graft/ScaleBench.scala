@@ -45,10 +45,25 @@ import org.apache.spark.sql.functions._
   * shell gate and the Scala emitter live in different files; the spec is
   * the contract that keeps them from drifting — ADVICE r13 #2/#4). */
 private[graft] object ScaleDnf {
-  /** Fatal-class errors (OutOfMemoryError, disk-exhaustion `Error`s,
-    * interrupts) leave the shared JVM/executor pool degraded; `NonFatal`
-    * failures are self-contained and safe to record-and-continue. */
-  def isFatal(e: Throwable): Boolean = !scala.util.control.NonFatal(e)
+  /** Fatal-class failures leave the shared JVM/executor pool or the
+    * machine degraded; `NonFatal` one-offs are safe to
+    * record-and-continue. JVM `Error`-ness alone is NOT the test (review
+    * finding r14): Spark surfaces executor deaths — including the r13
+    * disk-exhaustion incident and executor OOMs — to the driver as
+    * `SparkException`/`IOException`, which are `NonFatal`. So walk the
+    * cause chain (bounded; cause cycles exist) and ALSO match the
+    * resource-exhaustion messages that mean "this machine is no longer
+    * a trustworthy measurement substrate". */
+  def isFatal(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    chain.exists(t => !scala.util.control.NonFatal(t)) ||
+      chain.exists { t =>
+        val m = Option(t.getMessage).getOrElse("")
+        m.contains("No space left") || m.contains("Disk quota exceeded") ||
+          m.contains("Java heap space") || m.contains("GC overhead limit") ||
+          m.contains("Direct buffer memory")
+      }
+  }
   def dnfTag(fatal: Boolean): String = if (fatal) "DNF(FATAL)" else "DNF"
   def suspectLog(suspect: Boolean): String =
     if (suspect) " SUSPECT(after-fatal)" else ""
@@ -451,7 +466,12 @@ object ScaleBench {
             val r = if (denom == 0) -1.0 else hits.toDouble / denom
             System.err.println(s"[scale] q77 recall@10 vs q39 at ${k}x: ${fmt(r)}" +
               ScaleDnf.suspectLog(rSuspect))
-            Some(k -> fmt(r))
+            // the suspect flag must reach the SIDECAR too, not just the
+            // log (review finding r14): a healthy run still emits the
+            // plain number, a post-fatal one an object carrying the flag
+            Some(k -> (if (rSuspect)
+              s"""{"value":${fmt(r)}${ScaleDnf.suspectJson(rSuspect)}}"""
+            else fmt(r)))
           } finally { exact.unpersist(); () }
         } catch { case e: Throwable =>
           // `: DNF` (with colon) so round_bench.sh's gate pattern matches
@@ -475,8 +495,13 @@ object ScaleBench {
     // measured-artifact-runs-fail-loud)
     val sidecarOk =
       try {
+        // default to a SCRATCH path, never a committed round artifact: a
+        // bare dev run without the env var must not clobber a historical
+        // SCALE_r<N>.json (review finding r14; round_bench.sh always sets
+        // the round's real name explicitly)
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")),
+          java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft-scale-out.json")),
           json + "\n")
         true
       } catch {

@@ -444,8 +444,11 @@ object QueryGen {
     // takes the HIGH bits of the first post-seed output, which are nearly
     // CONSTANT across small sequential seeds — at NumScenarios=8 all 120
     // family seeds drew the same arm (caught by QueryGenSpec's coverage
-    // assertion). A modulo over a bound divisible by every arm count ≤ 9
-    // keeps the draw uniform AND on the low bits, which do vary.
+    // assertion). A modulo over a bound divisible by the arm count keeps
+    // the draw uniform AND on the low bits, which do vary. 2520 =
+    // LCM(1..10), so every arm count ≤ 10 divides it — the current 10
+    // included; an ELEVENTH arm breaks this (2520 % 11 ≠ 0) and needs a
+    // new bound (e.g. 27720 = LCM(1..11)) plus regenerated goldens.
     val scenario = forceScenario.getOrElse(rng.nextInt(2520) % NumScenarios)
     val name = s"diff_s${seed}_sc$scenario"
 

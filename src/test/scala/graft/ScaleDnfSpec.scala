@@ -19,11 +19,28 @@ class ScaleDnfSpec extends AnyFunSuite {
     m.get.group(1).r
   }
 
-  test("fatal classification: Errors and interrupts are fatal, NonFatal is not") {
+  test("fatal classification: Errors, interrupts AND resource exhaustion are fatal") {
     assert(ScaleDnf.isFatal(new OutOfMemoryError("boom")))
     assert(ScaleDnf.isFatal(new InterruptedException))
-    assert(!ScaleDnf.isFatal(new java.io.IOException("No space left on device")))
+    // the r13 incident shape: Spark surfaces executor disk exhaustion to
+    // the driver as NonFatal exception types — the MESSAGE is the signal
+    // (review finding r14: JVM Error-ness alone misses exactly the
+    // incident this feature was built for)
+    assert(ScaleDnf.isFatal(new java.io.IOException("No space left on device")))
+    assert(ScaleDnf.isFatal(new RuntimeException("Job aborted due to stage failure",
+      new java.io.IOException("No space left on device"))))
+    assert(ScaleDnf.isFatal(new RuntimeException(
+      "Task failed: java.lang.OutOfMemoryError: Java heap space")))
+    // ordinary one-off failures stay non-fatal
     assert(!ScaleDnf.isFatal(new RuntimeException("task failed")))
+    assert(!ScaleDnf.isFatal(new java.io.IOException("connection reset")))
+  }
+
+  test("fatal classification terminates on a cause cycle") {
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b")
+    a.initCause(b); b.initCause(a)
+    assert(!ScaleDnf.isFatal(a))
   }
 
   test("every failure shape the harness emits matches the shell gate pattern") {
