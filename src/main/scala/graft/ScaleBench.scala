@@ -71,6 +71,27 @@ private[graft] object ScaleDnf {
     if (suspect) ""","suspect_after_fatal":true""" else ""
 }
 
+/** Per-execution shuffle-write / disk-spill byte tally via task metrics —
+  * the quantity whose growth law actually decides 100-TB viability: wall
+  * time conflates CPU with exchange, bytes don't. Attached around the
+  * timed runs only (warm-up excluded); counters are summed across runs
+  * and divided by the run count (identical deterministic executions).
+  * The listener bus is async — read the counters only after a ≥500 ms
+  * drain (reclaimShuffles provides it; same idiom as LakeSpec's
+  * job-count listener). */
+private[graft] final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+  val write = new java.util.concurrent.atomic.AtomicLong
+  val spill = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.diskBytesSpilled)
+      ()
+    }
+  }
+}
+
 object ScaleBench {
 
   private val IdStride = 10_000_000L
@@ -344,7 +365,10 @@ object ScaleBench {
     // GC between runs so each run's spill budget is one execution's.
     def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(500) }
 
-    def measure(name: String, k: Int, dir: String): (Double, Long, Map[String, Int], Double) = {
+    case class Meas(t: Double, rows: Long, plan: Map[String, Int], steal: Double,
+        shuffleB: Long, spillB: Long)
+
+    def measure(name: String, k: Int, dir: String): Meas = {
       val fn = resolve(name, k)
       fn(spark, dir).queryExecution.toRdd.count() // warm-up: codegen/JIT/listing
       var rows = 0L
@@ -355,25 +379,31 @@ object ScaleBench {
       var lastDf: DataFrame = null
       var minT = Double.MaxValue
       var minSteal = -1.0
-      (1 to 3).foreach { _ =>
-        reclaimShuffles()
-        val st0 = stealSec()
-        val t0 = System.nanoTime()
-        // fn() stays INSIDE the window: eager operators do their real
-        // work while building (q99 runs its CC rounds in fn), and lazy
-        // ones should include Catalyst time like Bench does
-        val df = fn(spark, dir)
-        rows = df.queryExecution.toRdd.count()
-        lastDf = df
-        val t = (System.nanoTime() - t0) / 1e9
-        val st1 = stealSec()
-        if (t < minT) {
-          minT = t
-          minSteal = if (st0 < 0 || st1 < 0) -1.0 else st1 - st0
+      val runs = 3
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
+      try {
+        (1 to runs).foreach { _ =>
+          reclaimShuffles()
+          val st0 = stealSec()
+          val t0 = System.nanoTime()
+          // fn() stays INSIDE the window: eager operators do their real
+          // work while building (q99 runs its CC rounds in fn), and lazy
+          // ones should include Catalyst time like Bench does
+          val df = fn(spark, dir)
+          rows = df.queryExecution.toRdd.count()
+          lastDf = df
+          val t = (System.nanoTime() - t0) / 1e9
+          val st1 = stealSec()
+          if (t < minT) {
+            minT = t
+            minSteal = if (st0 < 0 || st1 < 0) -1.0 else st1 - st0
+          }
         }
-      }
-      reclaimShuffles()
-      (minT, rows, planNodes(lastDf), minSteal)
+        reclaimShuffles() // also drains the async listener bus (≥500 ms)
+      } finally spark.sparkContext.removeSparkListener(tally)
+      Meas(minT, rows, planNodes(lastDf), minSteal,
+        tally.write.get / runs, tally.spill.get / runs)
     }
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -410,29 +440,34 @@ object ScaleBench {
       }
       val base = measured.head._2.toOption.map(_._1)
       import ScaleDnf.{suspectJson, suspectLog}
+      def mb(bytes: Long): String = fmt(bytes / 1e6)
       val perPoint = measured.map {
-        case (k, Right(((t, r, p, steal), suspect))) => base match {
-          case Some((t1, r1, p1, _)) =>
-            val ratio = if (t1 > 0) t / t1 else -1.0
+        case (k, Right((m, suspect))) => base match {
+          case Some(b) =>
+            val ratio = if (b.t > 0) m.t / b.t else -1.0
             val rowsOk = rowsLaw match {
-              case "linear" => r == k.toLong * r1
-              case _        => r == r1
+              case "linear" => m.rows == k.toLong * b.rows
+              case _        => m.rows == b.rows
             }
-            val planSame = p == p1
-            System.err.println(s"[scale] $name ${k}x: ${fmt(t)}s ${r}r ratio=${fmt(ratio)} " +
-              s"rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame steal=${fmt(steal)}s" +
-              suspectLog(suspect))
-            s""""x$k":{"t":${fmt(t)},"ratio":${fmt(ratio)},"rows":$r,""" +
-              s""""rows_ok":$rowsOk,"plan_same":$planSame,"steal_sec":${fmt(steal)}""" +
-              s"""${suspectJson(suspect)}}"""
+            val planSame = m.plan == b.plan
+            System.err.println(s"[scale] $name ${k}x: ${fmt(m.t)}s ${m.rows}r " +
+              s"ratio=${fmt(ratio)} rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame " +
+              s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +
+              s"steal=${fmt(m.steal)}s" + suspectLog(suspect))
+            s""""x$k":{"t":${fmt(m.t)},"ratio":${fmt(ratio)},"rows":${m.rows},""" +
+              s""""rows_ok":$rowsOk,"plan_same":$planSame,""" +
+              s""""shuffle_mb":${mb(m.shuffleB)},"spill_mb":${mb(m.spillB)},""" +
+              s""""steal_sec":${fmt(m.steal)}${suspectJson(suspect)}}"""
           case None =>
             // the 1x base itself DNF'd: a healthy later point has no law
             // to check against — say so, never print rows_ok=false (which
             // reads as a real scaling-law violation; review finding r13)
-            System.err.println(s"[scale] $name ${k}x: ${fmt(t)}s ${r}r NO_BASE " +
-              s"steal=${fmt(steal)}s" + suspectLog(suspect))
-            s""""x$k":{"t":${fmt(t)},"rows":$r,"no_base":true,"steal_sec":${fmt(steal)}""" +
-              s"""${suspectJson(suspect)}}"""
+            System.err.println(s"[scale] $name ${k}x: ${fmt(m.t)}s ${m.rows}r NO_BASE " +
+              s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +
+              s"steal=${fmt(m.steal)}s" + suspectLog(suspect))
+            s""""x$k":{"t":${fmt(m.t)},"rows":${m.rows},"no_base":true,""" +
+              s""""shuffle_mb":${mb(m.shuffleB)},"spill_mb":${mb(m.spillB)},""" +
+              s""""steal_sec":${fmt(m.steal)}${suspectJson(suspect)}}"""
         }
         case (k, Left((err, fatal))) =>
           s""""x$k":{"dnf":${graft.JsonStr.q(err)}${if (fatal) ""","fatal":true""" else ""}}"""

@@ -67,7 +67,7 @@ class ScaleDnfSpec extends AnyFunSuite {
     }
     val healthy = Seq(
       "[scale] q1_orders_by_status 100x: 0.650s 3r ratio=1.633 rows_invariant_ok=true " +
-        s"plan_same=true steal=0.000s${ScaleDnf.suspectLog(false)}",
+        s"plan_same=true shuffle=12.345MB spill=0.000MB steal=0.000s${ScaleDnf.suspectLog(false)}",
       s"[scale] q77 recall@10 vs q39 at 10x: 0.900${ScaleDnf.suspectLog(false)}",
       "wrote SCALE_r14.json")
     healthy.foreach { line =>
