@@ -115,6 +115,18 @@ object ScaleBench {
     // + snapshot commit), then scan it back — every other curve point is
     // query-side; this one measures the writer
     "lake_ingest_scan" -> "linear",
+    // the MUTATION path under scale (r14: lake_ingest_scan covers only
+    // append+scan): the q27-shaped merge-on-read lifecycle — append 3/4
+    // of the keys, upsert-restate every even key (O(batch) delta commit,
+    // delete sidecars), tombstone every 10th, then a MoR scan folding
+    // the sidecars back in. Copy offsets are ≡ 0 mod 20 (IdStride =
+    // 10^7), so the %4/%2/%10 key classes replicate per copy and live
+    // rows are exactly linear. The delete-key sidecars stay far below
+    // the 64 MB broadcast gate even at 100x (~9M delta-encoded longs),
+    // so the anti-join keeps its broadcast shape at every point —
+    // plan_same stays a meaningful check rather than tripping on the
+    // gate's intended size adaptivity
+    "lake_merge_mor" -> "linear",
     // the vector/ANN family (VERDICT r12 #3). q39/q77 probe the fixed
     // 3-probe set against a K× corpus (one scoring/encode pass over all
     // rows, top-k output invariant at 30); q91's planted pair set
@@ -197,6 +209,23 @@ object ScaleBench {
         partitionSpec = Seq(graft.lake.PartitionField(
           "o_orderdate", graft.lake.Transform.Month, "order_month")))
       t.append(df)
+      t.scan()
+    }
+    case "lake_merge_mor" => (s, dir) => {
+      val loc = TempDirs.scoped("graft-scale-mor").resolve("t").toString
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.lake.LakeTable.create(s, loc, "scale_orders_mor", o.schema,
+        partitionSpec = Seq(graft.lake.PartitionField(
+          "o_orderstatus", graft.lake.Transform.Identity, "p_status")),
+        clusterBy = Seq("o_orderkey"),
+        primaryKey = Seq("o_orderkey"))
+      t.append(o.filter(col("o_orderkey") % 4 =!= 0))
+      t.upsert(o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice")))
+      t.deleteKeys(o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")))
       t.scan()
     }
     case other => SparkEntry.queries(other)

@@ -30,5 +30,10 @@ object DiffOps {
     pinned(1007L, 6, "q117_diff_scalar_fns"),
     pinned(1008L, 7, "q118_diff_leftjoin_nulls"),
     pinned(1009L, 8, "q119_diff_null_order_limit"),
-    pinned(1010L, 9, "q120_diff_scalar_subquery"))
+    pinned(1010L, 9, "q120_diff_scalar_subquery"),
+    // seed 1028 (not 1011): of the candidate draws it covers the most
+    // window classes at once — ROW_NUMBER and a ROWS-framed running
+    // decimal SUM over orders' unique key plus a whole-partition
+    // COUNT(*), under a selective filter (153 rows at sf0.001)
+    pinned(1028L, 10, "q121_diff_window"))
 }

@@ -410,6 +410,119 @@ object QueryGen {
     out.result()
   }
 
+  /** Per-table unique row keys (fixture invariants, verified against the
+    * driver parquet at every sf): the total order that makes ROW_NUMBER /
+    * LAG / running-frame draws deterministic within a window partition.
+    * lineitem is deliberately ABSENT: the fixture is not TPC-H-PK-clean —
+    * (l_orderkey, l_linenumber) carries up to 6 duplicates, and even the
+    * (+ l_partkey, l_suppkey) composite collides at sf0.001, so lineitem
+    * has NO reliable total order (the first DuckDB soak of this arm
+    * caught exactly that: both Spark routes agreed with each other on a
+    * tied LAG/running-sum order and diverged from DuckDB). Tables absent
+    * here draw only the ORDER-FREE window class. */
+  private val uniqueKeys: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"))
+
+  /** Context columns projected alongside arm 10's window duals: the
+    * unique key where one exists, the (non-unique) line id for lineitem. */
+  private val windowCtx: Map[String, Seq[String]] =
+    uniqueKeys + ("lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  /** Window-function duals over `t` partitioned by `pKey` (arm 10: the
+    * §2.5-adjacent surface the fixed registry exercises only through
+    * hand-written plans — q9/q18/q105's top-k windows — randomized).
+    * Every draw is deterministic AND cross-engine exact:
+    *   - two determinism classes: ORDER-FREE draws (whole-partition
+    *     COUNT/MIN/SUM, RANK/DENSE_RANK — ties rank equally, so the
+    *     value is a function of the row, not the evaluation order) are
+    *     always available; ORDER-DEPENDENT draws (ROW_NUMBER / LAG /
+    *     ROWS-framed running sums) only when [[uniqueKeys]] gives the
+    *     table a true total order per partition — ties impossible; the
+    *     explicit ROWS frame keeps RANGE-peer semantics out entirely;
+    *   - ROW_NUMBER/RANK/DENSE_RANK return INT in Spark but BIGINT in
+    *     DuckDB — both sides render CAST(... AS INT) (the LENGTH/year
+    *     precedent; fixture row counts are far below 2^31);
+    *   - windowed SUMs take the decimal path and cast to DOUBLE once at
+    *     the end, exactly like the aggregate arms — decimal addition is
+    *     associative, so partition order cannot perturb the result;
+    *   - LAG's partition-leading NULL flows into the total-order cut the
+    *     same way on all three routes (ASC NULLS FIRST everywhere). */
+  private def windowDuals(rng: Random, t: Tbl, pKey: String): Seq[Dual] = {
+    import org.apache.spark.sql.expressions.Window
+    val uniqOpt = uniqueKeys.get(t.name)
+    val wAll = Window.partitionBy(col(pKey))
+    val pool = Seq.newBuilder[() => Dual]
+    pool += { () =>
+      (count(lit(1)).over(wAll).as("wc"),
+        s"COUNT(*) OVER (PARTITION BY $pKey) AS wc")
+    }
+    // rank/dense_rank over a drawn (possibly tied) sort column — never
+    // the partition key itself (constant within the partition: every row
+    // would rank 1, a vacuous draw)
+    val sortable = (t.intCols.map(_._1) ++ t.moneyCols.map(_._1) ++
+      t.strCols.keys.toSeq.sorted).filterNot(_ == pKey)
+    if (sortable.nonEmpty) pool += { () =>
+      val c = sortable(rng.nextInt(sortable.size))
+      val (fn, colFn) =
+        if (rng.nextBoolean()) ("RANK", rank()) else ("DENSE_RANK", dense_rank())
+      (colFn.over(Window.partitionBy(col(pKey)).orderBy(col(c)))
+        .cast("int").as(s"rk_$c"),
+        s"CAST($fn() OVER (PARTITION BY $pKey ORDER BY $c ASC) AS INT) AS rk_$c")
+    }
+    t.moneyCols.foreach { case (c, _, _) =>
+      pool += { () =>
+        (sum(col(c).cast(DecimalType(18, 2))).over(wAll).cast("double").as(s"wsum_$c"),
+          s"CAST(SUM(CAST($c AS DECIMAL(18,2))) OVER (PARTITION BY $pKey) AS DOUBLE) AS wsum_$c")
+      }
+    }
+    (t.longKeys.map(_._1) ++ t.intCols.map(_._1) ++ t.moneyCols.map(_._1))
+      .foreach { c =>
+        pool += { () =>
+          (min(col(c)).over(wAll).as(s"wmin_$c"),
+            s"MIN($c) OVER (PARTITION BY $pKey) AS wmin_$c")
+        }
+      }
+    uniqOpt.foreach { uniq =>
+      val uniqSql = uniq.map(c => s"$c ASC").mkString(", ")
+      val wOrd = Window.partitionBy(col(pKey)).orderBy(uniq.map(col): _*)
+      val over = s"OVER (PARTITION BY $pKey ORDER BY $uniqSql)"
+      pool += { () =>
+        (row_number().over(wOrd).cast("int").as("rn"),
+          s"CAST(ROW_NUMBER() $over AS INT) AS rn")
+      }
+      t.moneyCols.foreach { case (c, _, _) =>
+        pool += { () =>
+          val frame = s"OVER (PARTITION BY $pKey ORDER BY $uniqSql " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          (sum(col(c).cast(DecimalType(18, 2)))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as(s"rsum_$c"),
+            s"CAST(SUM(CAST($c AS DECIMAL(18,2))) $frame AS DOUBLE) AS rsum_$c")
+        }
+      }
+      (t.longKeys.map(_._1) ++ t.intCols.map(_._1) ++ t.moneyCols.map(_._1))
+        .foreach { c =>
+          pool += { () =>
+            (lag(col(c), 1).over(wOrd).as(s"lag_$c"), s"LAG($c, 1) $over AS lag_$c")
+          }
+        }
+    }
+    val ps = pool.result()
+    val n = 2 + rng.nextInt(2)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[Dual]
+    var tries = 0
+    while (seen.size < n && tries < 24) {
+      val d = ps(rng.nextInt(ps.size))()
+      if (seen.add(d._2.split(" AS ").last)) out += d
+      tries += 1
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------ scenarios
 
   /** Scenario ids (also directly forceable for pinned registry entries):
@@ -435,8 +548,12 @@ object QueryGen {
     * broadcast single-row cross join + filter, so the differential
     * compares Spark's subquery planner against its join planner AND
     * DuckDB; an inner WHERE that empties the subquery yields a NULL
-    * threshold and zero rows on all three routes (drawn corner). */
-  val NumScenarios = 10
+    * threshold and zero rows on all three routes (drawn corner),
+    * 10 window functions (r14: the family the fixed registry covers only
+    * through hand-written top-k plans) — ROW_NUMBER / RANK / DENSE_RANK
+    * / LAG / partition COUNT/MIN / partition+running decimal SUM over a
+    * drawn partition key, exactness rules in [[windowDuals]]. */
+  val NumScenarios = 11
 
   def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
     val rng = new Random(seed)
@@ -445,11 +562,13 @@ object QueryGen {
     // CONSTANT across small sequential seeds — at NumScenarios=8 all 120
     // family seeds drew the same arm (caught by QueryGenSpec's coverage
     // assertion). A modulo over a bound divisible by the arm count keeps
-    // the draw uniform AND on the low bits, which do vary. 2520 =
-    // LCM(1..10), so every arm count ≤ 10 divides it — the current 10
-    // included; an ELEVENTH arm breaks this (2520 % 11 ≠ 0) and needs a
-    // new bound (e.g. 27720 = LCM(1..11)) plus regenerated goldens.
-    val scenario = forceScenario.getOrElse(rng.nextInt(2520) % NumScenarios)
+    // the draw uniform AND on the low bits, which do vary. 27720 =
+    // LCM(1..11), so every arm count ≤ 11 divides it — the current 11
+    // included (r14: was 2520 = LCM(1..10) before arm 10 landed; the
+    // bound change reshuffles only the seed-drawn family, never the
+    // pinned entries, which force their scenario and skip this draw); a
+    // TWELFTH arm still divides 27720, a 13th needs 360360 = LCM(1..13).
+    val scenario = forceScenario.getOrElse(rng.nextInt(27720) % NumScenarios)
     val name = s"diff_s${seed}_sc$scenario"
 
     def load(s: SparkSession, dir: String, t: Tbl): DataFrame =
@@ -704,7 +823,7 @@ object QueryGen {
             .orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
         })
 
-      case _ =>
+      case 9 =>
         // uncorrelated scalar-subquery threshold (J3 randomized): filter a
         // table against an aggregate of itself. The SQL string carries a
         // genuine `(SELECT ... FROM t ...)` scalar subquery — Spark SQL
@@ -774,6 +893,42 @@ object QueryGen {
           df = df.crossJoin(broadcast(thr))
             .filter(if (geq) col(tc) >= col("__thr") else col(tc) < col("__thr"))
             .select(proj.map(_._1): _*)
+          limit.foreach { k =>
+            df = df.orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
+          }
+          df
+        })
+
+      case _ =>
+        // window functions (arm 10): project the partition key, the
+        // table's row-context key (unique where one exists — the
+        // total-order LIMIT then cuts deterministically; for lineitem
+        // the cut is still a deterministic multiset because equal rows
+        // are interchangeable under a total order over ALL columns, the
+        // scenario-0 argument) and 2–3 window duals; the WHERE applies
+        // BEFORE the window on all three routes (ANSI: WHERE precedes
+        // window evaluation; the DataFrame dual filters before selecting
+        // the window columns)
+        val t = singleTables(rng.nextInt(singleTables.size))
+        val pKey = t.groupable(rng.nextInt(t.groupable.size))
+        val pred = wherePreds(rng, Seq(t))
+        val wins = windowDuals(rng, t, pKey)
+        val proj: Seq[Dual] =
+          (pKey +: windowCtx(t.name)).map(c => (col(c), c)) ++ wins
+        val names = proj.map(_._2.split(" AS ").last)
+        val limit = if (rng.nextBoolean()) Some(20 + rng.nextInt(180)) else None
+        val sql = new StringBuilder("SELECT ")
+        sql ++= proj.map(_._2).mkString(", ")
+        sql ++= s" FROM ${t.name}"
+        pred.foreach(p => sql ++= s" WHERE ${p._2}")
+        limit.foreach { k =>
+          sql ++= names.mkString(" ORDER BY ", " ASC NULLS FIRST, ", " ASC NULLS FIRST")
+          sql ++= s" LIMIT $k"
+        }
+        Gen(name, sql.toString, (s, dir) => {
+          var df = load(s, dir, t)
+          pred.foreach(p => df = df.filter(p._1))
+          df = df.select(proj.map(_._1): _*)
           limit.foreach { k =>
             df = df.orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
           }

@@ -56,7 +56,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q120 render their golden SQL") {
+  test("pinned registry instances q110-q121 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -126,7 +126,21 @@ class QueryGenSpec extends SparkSpec {
           "CASE WHEN s_acctbal > 4550.005 THEN 'hi' ELSE 'lo' END AS bucket FROM supplier " +
           "WHERE s_suppkey < (SELECT AVG(s_suppkey) FROM supplier) " +
           "ORDER BY s_acctbal ASC NULLS FIRST, s_nationkey ASC NULLS FIRST, " +
-          "s_suppkey ASC NULLS FIRST, bucket ASC NULLS FIRST LIMIT 76) ORDER BY ALL NULLS FIRST"))
+          "s_suppkey ASC NULLS FIRST, bucket ASC NULLS FIRST LIMIT 76) ORDER BY ALL NULLS FIRST"),
+      // r14 arm 10: window functions — ROW_NUMBER and a ROWS-framed
+      // running decimal SUM over orders' unique key + whole-partition
+      // COUNT(*) (order-dependent draws require a TRUE unique key;
+      // lineitem draws only the order-free class — the fixture pair
+      // (l_orderkey, l_linenumber) is not unique, which the DuckDB soak
+      // caught on this arm's first run)
+      "q121_diff_window" ->
+        ("SELECT * FROM (SELECT o_orderstatus, o_orderkey, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC) AS INT) AS rn, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderstatus " +
+          "ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+          "AS rsum_o_totalprice, COUNT(*) OVER (PARTITION BY o_orderstatus) AS wc FROM orders " +
+          "WHERE (o_orderdate >= TIMESTAMP '2000-05-13 00:00:00' AND o_totalprice >= 221171.765)" +
+          ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
         s"${q.name} drifted from its golden SQL — a generator change reshaped a pinned " +
