@@ -61,7 +61,15 @@ private[graft] object ScaleDnf {
         val m = Option(t.getMessage).getOrElse("")
         m.contains("No space left") || m.contains("Disk quota exceeded") ||
           m.contains("Java heap space") || m.contains("GC overhead limit") ||
-          m.contains("Direct buffer memory")
+          m.contains("Direct buffer memory") ||
+          // a stopped SparkContext is fatal by definition — it never comes
+          // back inside one run, so everything after is garbage — yet
+          // Spark reports it as NonFatal IllegalStateException /
+          // job-cancellation text (r14 incident: a JVM-shutdown signal
+          // mid-curve stopped the context and nine follow-on DNFs were
+          // recorded unflagged)
+          m.contains("stopped SparkContext") ||
+          m.contains("SparkContext was shut down")
       }
   }
   def dnfTag(fatal: Boolean): String = if (fatal) "DNF(FATAL)" else "DNF"

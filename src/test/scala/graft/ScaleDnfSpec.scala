@@ -31,6 +31,13 @@ class ScaleDnfSpec extends AnyFunSuite {
       new java.io.IOException("No space left on device"))))
     assert(ScaleDnf.isFatal(new RuntimeException(
       "Task failed: java.lang.OutOfMemoryError: Java heap space")))
+    // the r14 incident shape: a JVM-shutdown signal mid-curve stops the
+    // context; Spark surfaces it as NonFatal IllegalStateException / job
+    // cancellation, but no later measurement can succeed — fatal-class
+    assert(ScaleDnf.isFatal(new IllegalStateException(
+      "Cannot call methods on a stopped SparkContext.\nThis stopped SparkContext was created at:")))
+    assert(ScaleDnf.isFatal(new RuntimeException(
+      "Job 1789 cancelled because SparkContext was shut down")))
     // ordinary one-off failures stay non-fatal
     assert(!ScaleDnf.isFatal(new RuntimeException("task failed")))
     assert(!ScaleDnf.isFatal(new java.io.IOException("connection reset")))
