@@ -270,25 +270,12 @@ object VectorOps {
     * join, no regroup. One map-only pass at any corpus size (the former
     * shape shuffled rows × m through an assignment join and a
     * reassembly aggregation). Returns (vec_id, codes, anq). */
-  def pqEncode(e: DataFrame, cb: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
+  def pqEncode(e: DataFrame, cb: DataFrame, m: Int = 8, dim: Int = 64,
+      keep: Seq[String] = Nil): DataFrame = {
     val dsub = dim / m
     // the codebook is tiny by construction (m × ksub); collapse it to
     // driver literals once
-    val local: Map[Int, Seq[(Int, Seq[Float])]] = cb
-      .select(col("sub"), col("code"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-      .groupBy(_._1)
-      .map { case (sub, rs) => sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
-    def codeOf(sub: Int): Column = {
-      val cands = typedlit(local.getOrElse(sub, Seq.empty))
-      val sv = slice(col("embedding"), sub * dsub + 1, dsub)
-      // score every codeword once, pick (min d2, min code) — same
-      // argmin/tie semantics as array_min over (d2, code) structs
-      array_min(transform(cands, c => struct(
-        VectorMath.l2Sq(sv, c.getField("_2")).as("d2"),
-        c.getField("_1").as("code")))).getField("code")
-    }
+    val local = collectCodebook(cb)
     // squared codeword norms, driver-computed with the kernel's float
     // multiply + double accumulate
     val norms: Map[Int, Seq[Double]] = local.map { case (sub, cs) =>
@@ -300,9 +287,48 @@ object VectorOps {
       (0 until m).map(sub =>
         element_at(typedlit(norms.getOrElse(sub, Seq.empty)), col("codes")(sub) + 1))
         .reduce(_ + _)
-    e.select(col("vec_id"), col("embedding"))
-      .withColumn("codes", array((0 until m).map(codeOf): _*))
-      .select(col("vec_id"), col("codes"), anqOf(col("codes")).as("anq"))
+    e.select((col("vec_id") +: keep.map(col)) :+ col("embedding"): _*)
+      .withColumn("codes", pqCodesCol(local, m, dsub))
+      .select((col("vec_id") +: keep.map(col)) ++
+        Seq(col("codes"), anqOf(col("codes")).as("anq")): _*)
+  }
+
+  private def collectCodebook(cb: DataFrame): Map[Int, Seq[(Int, Seq[Float])]] = cb
+    .select(col("sub"), col("code"), col("centroid"))
+    .collect()
+    .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    .groupBy(_._1)
+    .map { case (sub, rs) => sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+
+  /** The per-row codes column over `embedding`: argmin-L2 codeword per
+    * subspace. NATIVE `graft_pq_argmins` kernel when the session has
+    * GraftExtensions (one compiled loop — the HOF form re-enters the
+    * interpreted evaluator once per codeword and measured ~72% of the
+    * whole PQ query at 10× scale); the pure-functions composition
+    * otherwise — bit-identical by construction and spec (`forceHof` lets
+    * the parity spec pin exactly that). */
+  private[operators] def pqCodesCol(local: Map[Int, Seq[(Int, Seq[Float])]],
+      m: Int, dsub: Int, forceHof: Boolean = false): Column = {
+    def codeOf(sub: Int): Column = {
+      val cands = typedlit(local.getOrElse(sub, Seq.empty))
+      val sv = slice(col("embedding"), sub * dsub + 1, dsub)
+      // score every codeword once, pick (min d2, min code) — same
+      // argmin/tie semantics as array_min over (d2, code) structs
+      array_min(transform(cands, c => struct(
+        VectorMath.l2Sq(sv, c.getField("_2")).as("d2"),
+        c.getField("_1").as("code")))).getField("code")
+    }
+    val hof = array((0 until m).map(codeOf): _*)
+    if (forceHof) hof
+    else {
+      // codes are reindexed contiguous per sub (empty codewords dropped at
+      // training), so the flat layout's position IS the code
+      val flat: Seq[Float] =
+        (0 until m).flatMap(sub => local.getOrElse(sub, Nil).flatMap(_._2))
+      val lens: Seq[Int] = (0 until m).map(sub => local.getOrElse(sub, Nil).size)
+      graft.plans.GraftExtensions.nativeCall(graft.plans.GraftExtensions.PqArgminsName,
+        col("embedding"), typedlit(flat), typedlit(lens), lit(dsub))(hof)
+    }
   }
 
   /** q77 — PQ ANN top-k with ASYMMETRIC DISTANCE COMPUTATION: each probe
@@ -322,50 +348,65 @@ object VectorOps {
       rerank: Int = 150, dim: Int = 64): DataFrame = {
     val cb = pqCodebook(raw, m, ksub, dim = dim)
     val encoded = pqEncode(raw, cb, m, dim)
-    val probesRaw = raw.filter(col("vec_id").isin(ProbeIds: _*))
-    // per-probe ADC tables computed ON THE DRIVER (the FAISS shape: the
-    // codebook is already driver-resident from training, probes are the
-    // bounded query-side input — m·ksub dots per probe are microseconds,
-    // where the former DataFrame build paid a shuffle-bearing job before
-    // the corpus work even started). Each table is a DENSE array indexed
-    // by slot (sub·ksub + code, 1-based): element_at on an array is O(1)
-    // where a map column is a linear scan of all m·ksub entries, and the
-    // scoring loop below runs once per (candidate, probe). Dropped
-    // (empty) codewords stay 0.0 — no candidate's codes reference them.
-    // Float multiply + double accumulate matches the graft_dot kernel.
+    val cands = encoded.join(broadcast(adcProbes(s, raw, cb, m, ksub, dim)))
+      .filter(col("vec_id") =!= col("probe_id"))
+    adcRerankTopK(s, raw, cands, m, ksub, rerank)
+  }
+
+  /** Per-probe ADC lookup tables computed ON THE DRIVER (the FAISS shape:
+    * the codebook is already driver-resident from training, probes are
+    * the bounded query-side input — m·ksub dots per probe are
+    * microseconds, where the former DataFrame build paid a
+    * shuffle-bearing job before the corpus work even started). Each table
+    * is a DENSE array indexed by slot (sub·ksub + code, 1-based):
+    * element_at on an array is O(1) where a map column is a linear scan
+    * of all m·ksub entries, and the scoring loop runs once per
+    * (candidate, probe). Dropped (empty) codewords stay 0.0 — no
+    * candidate's codes reference them. Float multiply + double accumulate
+    * matches the graft_dot kernel. Returns (probe_id, pnq, tbl). */
+  private def adcProbes(s: SparkSession, raw: DataFrame, cb: DataFrame,
+      m: Int, ksub: Int, dim: Int): DataFrame = {
     val dsub = dim / m
     val cbLocal: Array[(Int, Int, Seq[Float])] =
       cb.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-    val probeVecs: Array[(Long, Seq[Float])] = {
-      import s.implicits._
-      probesRaw.as[(Long, Seq[Float])].collect()
-    }
-    val probes = {
-      import s.implicits._
-      probeVecs.toSeq.map { case (pid, v) =>
-        val arr = new Array[Double](m * ksub)
-        cbLocal.foreach { case (sub, code, cent) =>
-          var d = 0.0
-          var i = 0
-          while (i < cent.length) { d += (v(sub * dsub + i) * cent(i)).toDouble; i += 1 }
-          arr(sub * ksub + code) = d
-        }
-        var nq = 0.0
-        v.foreach(x => nq += (x * x).toDouble)
-        (pid, nq, arr.toSeq)
-      }.toDF("probe_id", "pnq", "tbl")
-    }
+    import s.implicits._
+    collectProbes(s, raw).toSeq.map { case (pid, v) =>
+      val arr = new Array[Double](m * ksub)
+      cbLocal.foreach { case (sub, code, cent) =>
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) { d += (v(sub * dsub + i) * cent(i)).toDouble; i += 1 }
+        arr(sub * ksub + code) = d
+      }
+      var nq = 0.0
+      v.foreach(x => nq += (x * x).toDouble)
+      (pid, nq, arr.toSeq)
+    }.toDF("probe_id", "pnq", "tbl")
+  }
+
+  private def collectProbes(s: SparkSession, raw: DataFrame): Array[(Long, Seq[Float])] = {
+    import s.implicits._
+    raw.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+  }
+
+  /** ADC-score joined candidates, cut the per-probe top-`rerank`
+    * shortlist, exactly re-rank it — the shared tail of [[pqTopKOn]] and
+    * [[ivfPqTopKOn]]. `cands` carries (vec_id, codes, anq, probe_id, pnq,
+    * tbl) rows: every candidate already paired with each probe it scores
+    * against. */
+  private def adcRerankTopK(s: SparkSession, raw: DataFrame, cands: DataFrame,
+      m: Int, ksub: Int, rerank: Int): DataFrame = {
     // candidate scoring: m STATICALLY-UNROLLED O(1) array lookups per
     // (candidate, probe) — no per-row array allocation, stays inside
     // whole-stage codegen
-    val cands = encoded.join(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
+    val scored = cands
       .withColumn("adc",
         (0 until m).map(i =>
           element_at(col("tbl"), col("codes")(i) + lit(i * ksub + 1))).reduce(_ + _))
       .withColumn("approx", col("adc") / sqrt(col("anq") * col("pnq")))
     val wa = Window.partitionBy(col("probe_id")).orderBy(col("approx").desc, col("vec_id"))
-    val shortlist = cands
+    val shortlist = scored
       .withColumn("r", row_number().over(wa)).filter(col("r") <= rerank)
       .select(col("probe_id"), col("vec_id"))
     // exact re-rank of the shortlist only (the standard PQ refine step) —
@@ -387,6 +428,83 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  // ------------------------------------------------------------------ IVF-PQ
+
+  /** q122/scale — IVF-PQ ANN top-k (Jégou'11 §V: the inverted-file coarse
+    * quantizer composed with PQ residual-free ADC): the SCALE path that
+    * keeps the O(N) term a cheap map-only scan.
+    *
+    *  - COARSE stage: an nlists-codeword full-dimension codebook from the
+    *    same driver-trained bounded-sample k-means as PQ ([[pqCodebook]]
+    *    with m = 1); every corpus vector is assigned to its nearest
+    *    centroid by a PURE PROJECTION over centroid literals (the
+    *    [[pqEncode]] idiom — no join, no shuffle; the former
+    *    [[assignLists]] shape shuffled one row per vector through a
+    *    groupBy argmax, which at corpus scale ships the embeddings).
+    *  - PROBE stage: probes rank the nlists centroids ON THE DRIVER with
+    *    the kernel's exact float-multiply/double-accumulate L2, visiting
+    *    the nprobe nearest lists — so a probe's own argmin list (where an
+    *    identical vector provably lands) is always visited first, which
+    *    is what makes the planted rank-1 oracle (q123) deterministic.
+    *  - PQ stage: encode + ADC + shortlist + exact re-rank run ONLY over
+    *    members of visited lists — candidates shrink by ~nlists/nprobe
+    *    per probe while the full-corpus work is one argmin projection.
+    *
+    * Defaults visit 10 of 16 lists: the fixture is adversarially UNIFORM
+    * (no cluster structure, organic cosine ≤ 0.6), the worst case for any
+    * IVF index — a probe's true neighbors concentrate only mildly around
+    * its centroid, so recall tracks the visited fraction plus that
+    * concentration (measured: 0.77 at 8/16, 0.93 at 10/16 on the 10×
+    * corpus, re-asserted per scale run by ScaleBench); on clustered data
+    * (where ANN is actually deployed) the same composition prunes far
+    * deeper at equal recall (the q71 spec's planted-cluster result). */
+  def ivfPqTopK(s: SparkSession, dir: String, nlists: Int = 16, nprobe: Int = 10,
+      m: Int = 8, ksub: Int = 32, rerank: Int = 150, dim: Int = 64): DataFrame =
+    ivfPqTopKOn(s, emb(s, dir).select(col("vec_id"), col("embedding")),
+      nlists, nprobe, m, ksub, rerank, dim)
+
+  def ivfPqTopKOn(s: SparkSession, raw: DataFrame, nlists: Int = 16, nprobe: Int = 10,
+      m: Int = 8, ksub: Int = 32, rerank: Int = 150, dim: Int = 64): DataFrame = {
+    val coarseLocal = collectCodebook(pqCodebook(raw, m = 1, ksub = nlists, dim = dim))
+    val cents: Seq[(Int, Seq[Float])] = coarseLocal.getOrElse(0, Nil)
+    // driver-side probe→list ranking, bit-matching the kernel's l2Sq
+    // (per-term FLOAT subtract/multiply, DOUBLE accumulate) so the
+    // distributed argmin below and this ranking can never disagree on a
+    // probe's own nearest list; ties break to the smaller code like
+    // array_min over (d2, code) structs
+    def l2(v: Seq[Float], c: Seq[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val t = v(i) - c(i); d += (t * t).toDouble; i += 1 }
+      d
+    }
+    val visited: Seq[(Long, Int)] = collectProbes(s, raw).toSeq.flatMap { case (pid, v) =>
+      cents.sortBy { case (code, cent) => (l2(v, cent), code) }
+        .take(nprobe).map { case (code, _) => (pid, code) }
+    }
+    val allVisited = visited.map(_._2).distinct.sorted
+    // map-only nearest-centroid assignment (the PQ codes kernel at m = 1,
+    // full dimension), then prune to visited lists BEFORE any PQ work: the
+    // non-candidate majority costs one argmin pass and a literal IN
+    // filter, never an encode
+    val pruned = raw.select(col("vec_id"), col("embedding"))
+      .withColumn("list_id", pqCodesCol(coarseLocal, 1, dim).getItem(0))
+      .filter(col("list_id").isin(allVisited: _*))
+    val cb = pqCodebook(raw, m, ksub, dim = dim)
+    val encoded = pqEncode(pruned, cb, m, dim, keep = Seq("list_id"))
+    // (probe_id, c_list) × ADC tables — both tiny, broadcast as one
+    val probeLists = {
+      import s.implicits._
+      visited.toDF("probe_id", "c_list")
+    }
+    val probes = adcProbes(s, raw, cb, m, ksub, dim).join(probeLists, "probe_id")
+    val cands = encoded
+      .join(broadcast(probes), col("list_id") === col("c_list"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .drop("list_id", "c_list")
+    adcRerankTopK(s, raw, cands, m, ksub, rerank)
   }
 
   /** Embedding near-dup pairs at `minSim`, MULTI-BAND SRP-LSH: vectors
@@ -568,6 +686,17 @@ object VectorOps {
   val pqRank1: (SparkSession, String) => DataFrame = (s, dir) =>
     pqTopKOn(s, probePlantedCorpus(s, dir)).filter(col("rank") === 1)
 
+  /** q123 — the IVF-PQ composition's PARTIAL ORACLE, the q92+q93 contracts
+    * stacked: the probe's planted duplicate (a) lands in the probe's own
+    * argmin coarse list (identical vector → bit-identical distributed
+    * argmin), which the driver-side ranking provably visits first — so the
+    * coarse PRUNE can never drop it; (b) carries the probe's own PQ codes
+    * → maximal ADC → inside the shortlist; (c) exact-rescores to the
+    * maximal sim → rank 1 deterministically. One hash-checked query pins
+    * both stages of the composition at once. */
+  val ivfPqRank1: (SparkSession, String) => DataFrame = (s, dir) =>
+    ivfPqTopKOn(s, probePlantedCorpus(s, dir)).filter(col("rank") === 1)
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q91_lsh_neardup_pairs", lshNeardup, bench = true, oracle = Some(
       s"""WITH e AS (
@@ -615,6 +744,7 @@ object VectorOps {
     NamedQuery("q77_pq_ann_topk", (s, dir) => pqTopK(s, dir), bench = true),
     NamedQuery("q92_ivf_rank1_planted", ivfRank1, oracle = Some(rank1OracleSql)),
     NamedQuery("q93_pq_rank1_planted", pqRank1, oracle = Some(rank1OracleSql)),
+    NamedQuery("q123_ivfpq_rank1_planted", ivfPqRank1, oracle = Some(rank1OracleSql)),
   )
 
   /** Shared q92/q93 oracle: the planted duplicate must hold rank 1 with

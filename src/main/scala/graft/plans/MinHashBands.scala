@@ -113,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rankOrderDescriptor)
     ext.injectFunction(GraftExtensions.interCountDescriptor)
     ext.injectFunction(GraftExtensions.srpSumsDescriptor)
+    ext.injectFunction(GraftExtensions.pqArgminsDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.maxRunDescriptor)
     ext.injectFunction(GraftExtensions.spanHashesDescriptor)
@@ -140,6 +141,7 @@ object GraftExtensions {
   val RankOrderName = "graft_rank_order"
   val InterCountName = "graft_inter_count"
   val SrpSumsName = "graft_srp_sums"
+  val PqArgminsName = "graft_pq_argmins"
   val SimHashName = "graft_simhash"
   val MaxRunName = "graft_max_run"
   val SpanHashesName = "graft_span_hashes"
@@ -196,6 +198,30 @@ object GraftExtensions {
         case other => sys.error(s"n must be an int literal, got $other")
       }
       SrpSums(args.head, n)
+    },
+  )
+
+  private[plans] val pqArgminsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier(PqArgminsName),
+    new ExpressionInfo(classOf[PqArgmins].getName, PqArgminsName),
+    (args: Seq[Expression]) => {
+      require(args.size == 4, s"$PqArgminsName(v, flatCodebook, lens, dsub)")
+      val flat = args(1) match {
+        case Literal(a: ArrayData, ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+          a.toFloatArray().toIndexedSeq
+        case other => sys.error(s"flatCodebook must be an array<float> literal, got $other")
+      }
+      val lens = args(2) match {
+        case Literal(a: ArrayData, ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+          a.toIntArray().toIndexedSeq
+        case other => sys.error(s"lens must be an array<int> literal, got $other")
+      }
+      val dsub = args(3) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"dsub must be an int literal, got $other")
+      }
+      PqArgmins(args.head, flat, lens, dsub)
     },
   )
 
