@@ -79,6 +79,39 @@ private[graft] object ScaleDnf {
     if (suspect) ""","suspect_after_fatal":true""" else ""
 }
 
+/** Declared growth LAWS for the measured exchange (VERDICT r14 #2: r14
+  * added the shuffle/spill measurement; this turns it into the gate that
+  * would have caught the r12 q68 raw-shingle incident a round early — a
+  * same-shape plan that starts shipping N× the bytes). Pure, so
+  * ScaleLawsSpec can pin doctored points against `round_bench.sh`'s
+  * GATE_RE without running a measurement (the ScaleDnf precedent).
+  *
+  * A family declares the exponent of its shuffled-byte growth in the
+  * corpus factor K: `constant` (K⁰ — broadcast/serve/map-only shapes),
+  * `linear` (K¹ — co-partitioned work proportional to data), `quadratic`
+  * (K² worst case — fixed-parameter LSH banding, whose random-collision
+  * candidate mass grows ~K²/2^bits by design; the production knob that
+  * keeps it linear, bits ∝ log K, is measured separately by
+  * q91_lsh_scaled). A point is off-law when its bytes exceed 3× the
+  * law-predicted bytes — same 3× tolerance as the judge's brief — with a
+  * small absolute floor so a 0.01 MB-base family can't fail on kilobyte
+  * noise. Spill is gated to ZERO for every family (r14 measured exactly 0
+  * everywhere once the two documented offenders were fixed/dropped): a
+  * family that starts spilling has outgrown its executor-memory story. */
+private[graft] object ScaleLaws {
+  /** Below this many MB, growth is noise, never a law violation. */
+  val FloorMb = 16.0
+  def exponent(law: String): Int = law match {
+    case "constant"  => 0
+    case "linear"    => 1
+    case "quadratic" => 2
+    case other       => throw new IllegalArgumentException(s"unknown shuffle law: $other")
+  }
+  def shuffleOk(law: String, k: Int, baseMb: Double, mb: Double): Boolean =
+    mb <= math.max(3.0 * math.pow(k.toDouble, exponent(law).toDouble) * baseMb, FloorMb)
+  def spillOk(mb: Double): Boolean = mb < 0.05
+}
+
 /** Per-execution shuffle-write / disk-spill byte tally via task metrics —
   * the quantity whose growth law actually decides 100-TB viability: wall
   * time conflates CPU with exchange, bytes don't. Attached around the
@@ -104,25 +137,43 @@ object ScaleBench {
 
   private val IdStride = 10_000_000L
 
-  /** Queries measured, with the expected K×-rows behavior. */
-  private val Headline: Seq[(String, String)] = Seq(
-    "q1_orders_by_status" -> "invariant", // group-by status: rows = |statuses|
-    "q38_minhash_neardup_pairs" -> "linear",
-    "q68_jaccard_similarity_join" -> "linear",
-    "q99_neardup_components" -> "linear",
+  /** One measured curve family: expected K×-rows behavior (`invariant` |
+    * `linear`) and the declared shuffled-byte growth law ([[ScaleLaws]]).
+    * Spill is gated to zero for every family. */
+  private final case class Family(name: String, rowsLaw: String, shuffleLaw: String)
+
+  /** Queries measured. Shuffle laws are DECLARED from the plan's promise
+    * and were cross-checked against the measured r14 bytes:
+    *  - constant: broadcast/serve shapes that ship results, not data
+    *    (q1 agg-pushdown ~0.01 MB flat, q39 top-k serve ~0.02 MB flat,
+    *    q94 map-only exactly 0, q98-fixed's bounded-benchmark join);
+    *  - linear: co-partitioned work ∝ corpus (q68 128×@100×, q107 100×,
+    *    q51 90×, lake write/mutate 90×, q91 with its bits ∝ log K knob
+    *    103×, q105 184× — within the 3× tolerance of K);
+    *  - quadratic: FIXED-parameter LSH banding, whose random-collision
+    *    candidate mass grows ~K²/2^bits by design (q38 605×@100× and its
+    *    q99 consumers ~570× — far off linear, far under K²; the linear
+    *    production shape is exactly what q91_lsh_scaled measures), and
+    *    q77_pq_scaled whose rerank ∝ K multiplies a ∝ K candidate set
+    *    (the IVF-PQ variant below is the flat path). */
+  private val Headline: Seq[Family] = Seq(
+    Family("q1_orders_by_status", "invariant", "constant"), // rows = |statuses|
+    Family("q38_minhash_neardup_pairs", "linear", "quadratic"),
+    Family("q68_jaccard_similarity_join", "linear", "linear"),
+    Family("q99_neardup_components", "linear", "quadratic"),
     // q99 with the driver-tail gate CLOSED (ccDriverMaxEdges=0): the same
     // pair sets forced through the distributed Large-Star/Small-Star
     // rounds — the >2¹⁹-edge path a 100-TB corpus would actually take,
     // which the gated default never exercises at these fixture sizes
-    "q99_cc_distributed" -> "linear",
-    "q103_curation_pipeline" -> "invariant", // (lang, source) rollup: group count fixed
-    "q107_duplicate_spans" -> "linear",
-    "q108_incremental_dedup" -> "linear",
+    Family("q99_cc_distributed", "linear", "quadratic"),
+    Family("q103_curation_pipeline", "invariant", "linear"), // (lang, source) rollup
+    Family("q107_duplicate_spans", "linear", "linear"),
+    Family("q108_incremental_dedup", "linear", "linear"),
     // the lake WRITE path under scale: create a month-partitioned lake
     // table from the scaled orders, append (staging sort + per-file sums
     // + snapshot commit), then scan it back — every other curve point is
     // query-side; this one measures the writer
-    "lake_ingest_scan" -> "linear",
+    Family("lake_ingest_scan", "linear", "linear"),
     // the MUTATION path under scale (r14: lake_ingest_scan covers only
     // append+scan): the q27-shaped merge-on-read lifecycle — append 3/4
     // of the keys, upsert-restate every even key (O(batch) delta commit,
@@ -134,19 +185,23 @@ object ScaleBench {
     // so the anti-join keeps its broadcast shape at every point —
     // plan_same stays a meaningful check rather than tripping on the
     // gate's intended size adaptivity
-    "lake_merge_mor" -> "linear",
+    Family("lake_merge_mor", "linear", "linear"),
     // the vector/ANN family (VERDICT r12 #3). q39/q77 probe the fixed
     // 3-probe set against a K× corpus (one scoring/encode pass over all
     // rows, top-k output invariant at 30); q91's planted pair set
     // replicates exactly K× (copy offsets are ≡0 mod 5 and the signed
     // permutation preserves within-copy similarity, see buildFixture)
-    "q39_exact_topk_cosine" -> "invariant",
-    "q77_pq_scaled" -> "invariant",
-    "q91_lsh_scaled" -> "linear",
+    Family("q39_exact_topk_cosine", "invariant", "constant"),
+    Family("q77_pq_scaled", "invariant", "quadratic"),
+    // q77 behind an IVF coarse stage (VERDICT r14 #2: the flat ANN path —
+    // map-only centroid assignment prunes encode+ADC to the probes'
+    // nprobe lists; recall vs exact is re-measured at the 10× point)
+    Family("q77_ivfpq_scaled", "invariant", "linear"),
+    Family("q91_lsh_scaled", "linear", "linear"),
     // the codec family's representative (VERDICT r12 #3 parenthetical):
     // one real PNG encode+decode per document id, map-only — rides the
     // replicated documents fixture as-is, one stats row per asset
-    "q94_image_decode_stats" -> "linear",
+    Family("q94_image_decode_stats", "linear", "constant"),
     // the streaming-shaped families (r12 verdict: "extend the harnesses
     // to the families they don't yet cover"): gap sessionization over
     // events replicated with user_id/event_id offsets — per-copy event
@@ -154,28 +209,46 @@ object ScaleBench {
     // K× (one shuffle on user_id; the window never crosses copies) —
     // and the sequence-packing planner's two-phase distributed prefix
     // sum over the replicated documents (one packing row per doc)
-    "q51_sessionization" -> "linear",
-    "q102_sequence_packing" -> "linear",
-    // q68 with the pre-verify candidate distinct FORCED — the A/B the
-    // r12 compact-signature change re-opened (VERDICT r12 #5): at sf0.1
-    // the distinct measured same-to-worse; this variant measures it at
-    // every scale point against the default's row above
-    "q68_distinct_candidates" -> "linear",
-    // decontamination (r14: the broadcast-postings join family). The
-    // benchmark slice is doc_id % 50 == 0 and copy offsets are ≡ 0 mod
-    // 50, so the slice replicates per copy; token prefixes keep
-    // cross-copy shingle sets disjoint, so contaminated (doc, bench)
-    // pairs replicate exactly K×. The curve carries DedupOps' honest
-    // caveat live: this DEMO bench side grows with the corpus, so its
-    // broadcast cost grows too (a real eval suite is bounded)
-    "q98_decontamination" -> "linear",
+    Family("q51_sessionization", "linear", "linear"),
+    Family("q102_sequence_packing", "linear", "linear"),
+    // q68_distinct_candidates was DROPPED from the curve (VERDICT r14 #4):
+    // the pre-verify-distinct A/B is settled two rounds running in both
+    // seconds (r13) and bytes (r14: 29.6 GB shuffle + 1.3 GB spill vs the
+    // default's 21.6 GB + 0 at 100×) — conclusion recorded in PLANS.md.
+    //
+    // decontamination (r14: the broadcast-postings join family), with the
+    // benchmark slice HELD FIXED at the base corpus's `% 50` docs
+    // (benchMaxId = IdStride) while replication grows only the training
+    // side (VERDICT r14 #3: the honest 100-TB shape — a real eval suite
+    // is bounded; the old variant replicated the benchmark WITH the
+    // corpus and measured an O(corpus) stand-in, 883 MB spill at 100×).
+    // Token prefixes keep cross-copy shingle sets disjoint, so only
+    // copy-0 docs can match the copy-0 benchmark: contaminated pairs are
+    // INVARIANT and the broadcast + matched-join exchange is constant.
+    Family("q98_decon_fixed_bench", "invariant", "constant"),
     // TF-IDF top terms (r14: explode → two-level agg → idf join →
     // per-doc window top-k). Per-copy vocabularies are disjoint, df is
     // copy-invariant and N grows K×, so every weight scales by the same
     // K factor — per-doc top-3 sets replicate exactly (row_number
     // tiebreak is on token, and the shared per-copy prefix preserves
     // lexicographic order); one row per (doc, rank ≤ 3) → linear
-    "q105_tfidf_top_terms" -> "linear")
+    Family("q105_tfidf_top_terms", "linear", "linear"))
+
+  /** One REUSED table directory per lake curve variant, WIPED at the
+    * start of each fn invocation (ADVICE r14 #3): measure() calls fn 4×
+    * per point (warm-up + 3 timed runs) and plain scoped dirs die only at
+    * JVM shutdown, so without the wipe a 1,10,100 curve holds ~4×(1+10+
+    * 100) full mutated-table copies on disk simultaneously — exactly the
+    * r13 disk-exhaustion incident class. The returned scan DataFrame is
+    * consumed (counted, plan-captured) BEFORE the next invocation wipes,
+    * so at most one copy per variant is ever live. */
+  private val lakeDirs = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+  private def freshLakeDir(tag: String): String = {
+    val root = lakeDirs.getOrElseUpdate(tag, TempDirs.scoped(tag))
+    val t = root.resolve("t")
+    if (java.nio.file.Files.exists(t)) TempDirs.deleteRecursively(t)
+    t.toString
+  }
 
   /** Scale-bench-only variants not in the driver registry; `k` is the
     * scale point (index params may grow with the corpus — the honest
@@ -200,18 +273,24 @@ object ScaleBench {
       val bits = 8 + math.round(math.log(k.toDouble) / math.log(2.0)).toInt
       graft.operators.VectorOps.lshNeardupPlanted(s, dir, bits)
     }
-    case "q68_distinct_candidates" => (s, dir) => {
-      s.conf.set("spark.graft.dedup.jaccardCandidatesDistinct", "true")
-      try SparkEntry.queries("q68_jaccard_similarity_join")(s, dir)
-      finally s.conf.unset("spark.graft.dedup.jaccardCandidatesDistinct")
-    }
+    case "q77_ivfpq_scaled" => (s, dir) =>
+      // same rerank ∝ K contract as q77_pq_scaled (the shortlist is a
+      // corpus fraction); the coarse stage prunes the encode+ADC pass to
+      // the probes' visited lists, so the O(N) term is the cheap map-only
+      // centroid argmin instead of the full PQ pipeline
+      graft.operators.VectorOps.ivfPqTopK(s, dir, rerank = 150 * k)
+    case "q98_decon_fixed_bench" => (s, dir) =>
+      // benchmark bounded to the BASE corpus's slice (copy offsets are
+      // multiples of IdStride, so `doc_id < IdStride` is exactly copy 0);
+      // at 1× this is bit-identical to the registry q98
+      graft.operators.DedupOps.decontamination(s, dir, benchMaxId = Some(IdStride))
     case "q99_cc_distributed" => (s, dir) => {
       s.conf.set("spark.graft.dedup.ccDriverMaxEdges", "0")
       try SparkEntry.queries("q99_neardup_components")(s, dir)
       finally s.conf.unset("spark.graft.dedup.ccDriverMaxEdges")
     }
     case "lake_ingest_scan" => (s, dir) => {
-      val loc = TempDirs.scoped("graft-scale-lake").resolve("t").toString
+      val loc = freshLakeDir("graft-scale-lake")
       val df = s.read.parquet(s"$dir/orders.parquet")
       val t = graft.lake.LakeTable.create(s, loc, "scale_orders", df.schema,
         partitionSpec = Seq(graft.lake.PartitionField(
@@ -220,7 +299,7 @@ object ScaleBench {
       t.scan()
     }
     case "lake_merge_mor" => (s, dir) => {
-      val loc = TempDirs.scoped("graft-scale-mor").resolve("t").toString
+      val loc = freshLakeDir("graft-scale-mor")
       val o = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val t = graft.lake.LakeTable.create(s, loc, "scale_orders_mor", o.schema,
@@ -459,7 +538,8 @@ object ScaleBench {
       if (fatal && fatalSeen.isEmpty) fatalSeen = Some(e.getClass.getName)
       fatal
     }
-    val entries = Headline.filter(h => only.forall(_.contains(h._1))).map { case (name, rowsLaw) =>
+    val entries = Headline.filter(f => only.forall(_.contains(f.name))).map {
+        case Family(name, rowsLaw, shuffleLaw) =>
       // a point that cannot complete records a DNF row instead of killing
       // the whole artifact (learned the hard way: the r13 q68-distinct
       // 100× point exhausted spill disk and took every other measurement
@@ -479,7 +559,10 @@ object ScaleBench {
       import ScaleDnf.{suspectJson, suspectLog}
       def mb(bytes: Long): String = fmt(bytes / 1e6)
       val perPoint = measured.map {
-        case (k, Right((m, suspect))) => base match {
+        case (k, Right((m, suspect))) =>
+          // spill is gated at EVERY point, base included (VERDICT r14 #2)
+          val spillZeroOk = ScaleLaws.spillOk(m.spillB / 1e6)
+          base match {
           case Some(b) =>
             val ratio = if (b.t > 0) m.t / b.t else -1.0
             val rowsOk = rowsLaw match {
@@ -487,29 +570,35 @@ object ScaleBench {
               case _        => m.rows == b.rows
             }
             val planSame = m.plan == b.plan
+            val shuffleLawOk = ScaleLaws.shuffleOk(shuffleLaw, k, b.shuffleB / 1e6, m.shuffleB / 1e6)
             System.err.println(s"[scale] $name ${k}x: ${fmt(m.t)}s ${m.rows}r " +
               s"ratio=${fmt(ratio)} rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame " +
               s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +
+              s"shuffle_${shuffleLaw}_ok=$shuffleLawOk spill_zero_ok=$spillZeroOk " +
               s"steal=${fmt(m.steal)}s" + suspectLog(suspect))
             s""""x$k":{"t":${fmt(m.t)},"ratio":${fmt(ratio)},"rows":${m.rows},""" +
               s""""rows_ok":$rowsOk,"plan_same":$planSame,""" +
               s""""shuffle_mb":${mb(m.shuffleB)},"spill_mb":${mb(m.spillB)},""" +
+              s""""shuffle_ok":$shuffleLawOk,"spill_ok":$spillZeroOk,""" +
               s""""steal_sec":${fmt(m.steal)}${suspectJson(suspect)}}"""
           case None =>
             // the 1x base itself DNF'd: a healthy later point has no law
             // to check against — say so, never print rows_ok=false (which
-            // reads as a real scaling-law violation; review finding r13)
+            // reads as a real scaling-law violation; review finding r13).
+            // The shuffle law is also baseless here; spill-zero is not.
             System.err.println(s"[scale] $name ${k}x: ${fmt(m.t)}s ${m.rows}r NO_BASE " +
               s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +
+              s"spill_zero_ok=$spillZeroOk " +
               s"steal=${fmt(m.steal)}s" + suspectLog(suspect))
             s""""x$k":{"t":${fmt(m.t)},"rows":${m.rows},"no_base":true,""" +
               s""""shuffle_mb":${mb(m.shuffleB)},"spill_mb":${mb(m.spillB)},""" +
+              s""""spill_ok":$spillZeroOk,""" +
               s""""steal_sec":${fmt(m.steal)}${suspectJson(suspect)}}"""
         }
         case (k, Left((err, fatal))) =>
           s""""x$k":{"dnf":${graft.JsonStr.q(err)}${if (fatal) ""","fatal":true""" else ""}}"""
       }
-      s""""$name":{"rows_law":"$rowsLaw",${perPoint.mkString(",")}}"""
+      s""""$name":{"rows_law":"$rowsLaw","shuffle_law":"$shuffleLaw",${perPoint.mkString(",")}}"""
     }
     // q77 recall@10 vs the exact q39 baseline, RE-ASSERTED ON THE SCALED
     // CORPUS (VERDICT r12 #3 done-criterion): the spec asserts ≈0.97 at
@@ -517,47 +606,53 @@ object ScaleBench {
     // each probe, so recall there is the number that says the PQ shortlist
     // survives growth. Content comparison, not a timing — runs once.
     val recallPoint = points.filter(_ > 1).headOption
-    val recall = recallPoint.flatMap { k =>
-      if (only.forall(s => s.contains("q77_pq_scaled") && s.contains("q39_exact_topk_cosine"))) {
-        // DNF-protected like every measured point (a throw here after ~30
-        // min of measurement would discard the whole artifact — review
-        // finding r13); the exact side is cached so the brute-force
-        // scoring pass runs once, not once for count and once for
-        // intersect
-        // a recall computed after a fatal DNF is as suspect as any other
-        // post-fatal measurement — same marker, same gate failure
-        val rSuspect = fatalSeen.isDefined
-        try {
-          val exact = SparkEntry.queries("q39_exact_topk_cosine")(spark, dirs(k))
-            .select(col("probe_id"), col("vec_id")).cache()
+    // one recall measurement per ANN scale variant (r14: PQ only; r15
+    // adds the IVF-PQ path, whose coarse pruning is the recall risk the
+    // 10× re-assertion exists to catch)
+    def recallOf(variant: String, label: String, jsonKey: String): Option[(String, Int, String)] =
+      recallPoint.flatMap { k =>
+        if (only.forall(s => s.contains(variant) && s.contains("q39_exact_topk_cosine"))) {
+          // DNF-protected like every measured point (a throw here after ~30
+          // min of measurement would discard the whole artifact — review
+          // finding r13); the exact side is cached so the brute-force
+          // scoring pass runs once, not once for count and once for
+          // intersect
+          // a recall computed after a fatal DNF is as suspect as any other
+          // post-fatal measurement — same marker, same gate failure
+          val rSuspect = fatalSeen.isDefined
           try {
-            val denom = exact.count()
-            val hits = resolve("q77_pq_scaled", k)(spark, dirs(k))
-              .select(col("probe_id"), col("vec_id"))
-              .intersect(exact).count()
-            val r = if (denom == 0) -1.0 else hits.toDouble / denom
-            System.err.println(s"[scale] q77 recall@10 vs q39 at ${k}x: ${fmt(r)}" +
-              ScaleDnf.suspectLog(rSuspect))
-            // the suspect flag must reach the SIDECAR too, not just the
-            // log (review finding r14): a healthy run still emits the
-            // plain number, a post-fatal one an object carrying the flag
-            Some(k -> (if (rSuspect)
-              s"""{"value":${fmt(r)}${ScaleDnf.suspectJson(rSuspect)}}"""
-            else fmt(r)))
-          } finally { exact.unpersist(); () }
-        } catch { case e: Throwable =>
-          // `: DNF` (with colon) so round_bench.sh's gate pattern matches
-          // this line exactly like every measured point (ADVICE r13 #2)
-          val fatal = noteFatal(e)
-          System.err.println(
-            s"[scale] recall at ${k}x: ${ScaleDnf.dnfTag(fatal)} — ${e.getMessage}")
-          Some(k -> graft.JsonStr.q(
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(120)))
-        }
-      } else None
-    }
-    val recallJson = recall
-      .map { case (k, v) => s""","q77_recall_x$k":$v""" }.getOrElse("")
+            val exact = SparkEntry.queries("q39_exact_topk_cosine")(spark, dirs(k))
+              .select(col("probe_id"), col("vec_id")).cache()
+            try {
+              val denom = exact.count()
+              val hits = resolve(variant, k)(spark, dirs(k))
+                .select(col("probe_id"), col("vec_id"))
+                .intersect(exact).count()
+              val r = if (denom == 0) -1.0 else hits.toDouble / denom
+              System.err.println(s"[scale] $label recall@10 vs q39 at ${k}x: ${fmt(r)}" +
+                ScaleDnf.suspectLog(rSuspect))
+              // the suspect flag must reach the SIDECAR too, not just the
+              // log (review finding r14): a healthy run still emits the
+              // plain number, a post-fatal one an object carrying the flag
+              Some((jsonKey, k, if (rSuspect)
+                s"""{"value":${fmt(r)}${ScaleDnf.suspectJson(rSuspect)}}"""
+              else fmt(r)))
+            } finally { exact.unpersist(); () }
+          } catch { case e: Throwable =>
+            // `: DNF` (with colon) so round_bench.sh's gate pattern matches
+            // this line exactly like every measured point (ADVICE r13 #2)
+            val fatal = noteFatal(e)
+            System.err.println(
+              s"[scale] $label recall at ${k}x: ${ScaleDnf.dnfTag(fatal)} — ${e.getMessage}")
+            Some((jsonKey, k, graft.JsonStr.q(
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120))))
+          }
+        } else None
+      }
+    val recallJson = Seq(
+      recallOf("q77_pq_scaled", "q77", "q77_recall"),
+      recallOf("q77_ivfpq_scaled", "q77_ivfpq", "q77_ivfpq_recall")).flatten
+      .map { case (key, k, v) => s""","${key}_x$k":$v""" }.mkString
     val fatalJson = fatalSeen.map(c => s""","fatal_dnf":${graft.JsonStr.q(c)}""").getOrElse("")
     val json = s"""{"points":${points.mkString("[", ",", "]")},"base":"$base"$recallJson$fatalJson,""" +
       s""""queries":{${entries.mkString(",")}}}"""

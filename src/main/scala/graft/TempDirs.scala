@@ -28,7 +28,11 @@ private[graft] object TempDirs {
     })
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Recursive delete, symlink-safe (never follows links). Exposed so a
+    * caller that REUSES one scoped root across many invocations (ScaleBench
+    * lake variants, ADVICE r14 #3) can wipe the previous copy before
+    * writing the next, instead of accumulating copies until shutdown. */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p,
         java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = java.nio.file.Files.list(p)

@@ -468,9 +468,14 @@ object QueryGen {
       val c = sortable(rng.nextInt(sortable.size))
       val (fn, colFn) =
         if (rng.nextBoolean()) ("RANK", rank()) else ("DENSE_RANK", dense_rank())
-      (colFn.over(Window.partitionBy(col(pKey)).orderBy(col(c)))
+      // explicit NULLS FIRST like every other ORDER BY in the grammar
+      // (ADVICE r14): vacuous today (fixture columns are null-free) but
+      // Spark ASC defaults nulls-first and DuckDB nulls-last — a nullable
+      // column entering the sortable pool must not diverge for a grammar
+      // reason; asc_nulls_first keeps the DataFrame route aligned
+      (colFn.over(Window.partitionBy(col(pKey)).orderBy(col(c).asc_nulls_first))
         .cast("int").as(s"rk_$c"),
-        s"CAST($fn() OVER (PARTITION BY $pKey ORDER BY $c ASC) AS INT) AS rk_$c")
+        s"CAST($fn() OVER (PARTITION BY $pKey ORDER BY $c ASC NULLS FIRST) AS INT) AS rk_$c")
     }
     t.moneyCols.foreach { case (c, _, _) =>
       pool += { () =>

@@ -68,18 +68,56 @@ class ScaleDnfSpec extends AnyFunSuite {
         "plan_same=true steal=0.0s",
       "[scale] q38_minhash_neardup_pairs 10x: 1.2s 2540r ratio=1.8 rows_linear_ok=true " +
         "plan_same=false steal=0.0s",
-      "[scale] q1_orders_by_status 10x: 0.3s 3r NO_BASE steal=0.0s")
+      "[scale] q1_orders_by_status 10x: 0.3s 3r NO_BASE steal=0.0s",
+      // off-law exchange and nonzero spill (VERDICT r14 #2): the point the
+      // r12 q68 incident-shape produces — same plan, N× the bytes
+      "[scale] q68_jaccard_similarity_join 10x: 3.3s 2560r ratio=1.9 rows_linear_ok=true " +
+        "plan_same=true shuffle=9000.000MB spill=0.000MB " +
+        s"shuffle_linear_ok=${ScaleLaws.shuffleOk("linear", 10, 168.9, 9000.0)} " +
+        "spill_zero_ok=true steal=0.0s",
+      "[scale] q98_decon_fixed_bench 100x: 6.6s 154r ratio=12.3 rows_invariant_ok=true " +
+        "plan_same=true shuffle=5.100MB spill=882.699MB " +
+        "shuffle_constant_ok=true " +
+        s"spill_zero_ok=${ScaleLaws.spillOk(882.699)} steal=0.0s")
     failing.foreach { line =>
       assert(re.findFirstIn(line).isDefined, s"gate MISSES failing line: $line")
     }
     val healthy = Seq(
       "[scale] q1_orders_by_status 100x: 0.650s 3r ratio=1.633 rows_invariant_ok=true " +
-        s"plan_same=true shuffle=12.345MB spill=0.000MB steal=0.000s${ScaleDnf.suspectLog(false)}",
+        "plan_same=true shuffle=12.345MB spill=0.000MB " +
+        s"shuffle_constant_ok=${ScaleLaws.shuffleOk("constant", 100, 0.01, 12.345)} " +
+        s"spill_zero_ok=${ScaleLaws.spillOk(0.0)} " +
+        s"steal=0.000s${ScaleDnf.suspectLog(false)}",
       s"[scale] q77 recall@10 vs q39 at 10x: 0.900${ScaleDnf.suspectLog(false)}",
+      s"[scale] q77_ivfpq recall@10 vs q39 at 10x: 0.933${ScaleDnf.suspectLog(false)}",
       "wrote SCALE_r14.json")
     healthy.foreach { line =>
       assert(re.findFirstIn(line).isEmpty, s"gate FALSE-POSITIVES on healthy line: $line")
     }
+  }
+
+  test("shuffle/spill laws: doctored off-law points fail, on-law points pass") {
+    // the r12 q68 raw-shingle incident shape: plan unchanged, exchange 4×
+    // wider than the law predicts at 10× — the gate must trip
+    assert(!ScaleLaws.shuffleOk("linear", 10, 100.0, 100.0 * 10 * 4))
+    assert(ScaleLaws.shuffleOk("linear", 10, 100.0, 100.0 * 10 * 2.9))
+    // constant law: flat bytes pass at any point; linear growth fails
+    assert(ScaleLaws.shuffleOk("constant", 100, 5.0, 5.2))
+    assert(!ScaleLaws.shuffleOk("constant", 100, 5.0, 500.0))
+    // quadratic law bounds the fixed-parameter LSH families: r14's
+    // measured q38 point (605× at 100×) passes, a cartesian-ish blowup
+    // beyond 3·K² fails
+    assert(ScaleLaws.shuffleOk("quadratic", 100, 0.934, 565.503))
+    assert(!ScaleLaws.shuffleOk("quadratic", 100, 0.934, 0.934 * 100 * 100 * 4))
+    // the absolute floor: kilobyte-scale noise on a tiny base never fails
+    assert(ScaleLaws.shuffleOk("constant", 100, 0.001, 0.9))
+    assert(ScaleLaws.shuffleOk("constant", 100, 0.0, 15.9)) // under FloorMb
+    assert(!ScaleLaws.shuffleOk("constant", 100, 0.0, 16.1))
+    // spill: exactly-zero (within print rounding) passes, real spill fails
+    assert(ScaleLaws.spillOk(0.0) && ScaleLaws.spillOk(0.04))
+    assert(!ScaleLaws.spillOk(882.699) && !ScaleLaws.spillOk(1.0))
+    // unknown laws are a programming error, not a silent pass
+    intercept[IllegalArgumentException](ScaleLaws.shuffleOk("cubic", 10, 1.0, 1.0))
   }
 
   test("suspect JSON fragment renders only when flagged") {
