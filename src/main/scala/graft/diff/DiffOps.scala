@@ -35,5 +35,12 @@ object DiffOps {
     // window classes at once — ROW_NUMBER and a ROWS-framed running
     // decimal SUM over orders' unique key plus a whole-partition
     // COUNT(*), under a selective filter (153 rows at sf0.001)
-    pinned(1028L, 10, "q121_diff_window"))
+    pinned(1028L, 10, "q121_diff_window"),
+    // seed 1029: of the arm-11 candidates it exercises the whole lake
+    // lifecycle at once — orders CTAS under a bucket(8) transform, an
+    // upsert restating every odd key's o_totalprice, a % 5 tombstone
+    // delete, and an outer predicate that READS the restated column
+    // (o_totalprice < …), so a wrong last-writer-wins fold changes the
+    // row set, not just a value
+    pinned(1029L, 11, "q122_diff_lake_mor"))
 }

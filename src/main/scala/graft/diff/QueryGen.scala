@@ -557,8 +557,35 @@ object QueryGen {
     * 10 window functions (r14: the family the fixed registry covers only
     * through hand-written top-k plans) — ROW_NUMBER / RANK / DENSE_RANK
     * / LAG / partition COUNT/MIN / partition+running decimal SUM over a
-    * drawn partition key, exactness rules in [[windowDuals]]. */
-  val NumScenarios = 11
+    * drawn partition key, exactness rules in [[windowDuals]],
+    * 11 lake read path (r15: until now every arm fuzzed raw parquet, so
+    * transform pruning + MoR tombstones + upsert restatement were tested
+    * only by hand-written specs) — CTAS the drawn table into a graft lake
+    * table under a drawn partition transform (identity/month/bucket),
+    * apply a drawn upsert restatement and/or key delete, MoR-scan it back
+    * under a drawn predicate + projection; the SQL dual is the
+    * CONVERGED-STATE relational rewrite over the raw table (CASE for the
+    * restated column, NOT(...) for the tombstoned keys), runnable by
+    * Spark SQL and DuckDB unchanged — so the whole
+    * write→mutate→tombstone-fold→scan machinery must agree with two
+    * engines that never saw a lake file. */
+  val NumScenarios = 12
+
+  /** Arm 11's lake-CTAS metadata: the FULL parquet schema per eligible
+    * table (the converged-state SQL rewrite must enumerate every column —
+    * `Tbl.allCols` omits like-only columns), the primary key, the restated
+    * money column, and the transform pool. Orders adds the month(ts)
+    * transform; both draw identity(str) and bucket(pk). */
+  private case class LakeTbl(t: Tbl, fullCols: Seq[String], pk: String,
+      moneyCol: String, identityCol: String, tsCol: Option[String])
+  private val lakeTbls = Seq(
+    LakeTbl(orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "o_orderkey", "o_totalprice", "o_orderstatus", Some("o_orderdate")),
+    LakeTbl(customer,
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "c_custkey", "c_acctbal", "c_mktsegment", None))
 
   def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
     val rng = new Random(seed)
@@ -568,11 +595,11 @@ object QueryGen {
     // family seeds drew the same arm (caught by QueryGenSpec's coverage
     // assertion). A modulo over a bound divisible by the arm count keeps
     // the draw uniform AND on the low bits, which do vary. 27720 =
-    // LCM(1..11), so every arm count ≤ 11 divides it — the current 11
-    // included (r14: was 2520 = LCM(1..10) before arm 10 landed; the
-    // bound change reshuffles only the seed-drawn family, never the
-    // pinned entries, which force their scenario and skip this draw); a
-    // TWELFTH arm still divides 27720, a 13th needs 360360 = LCM(1..13).
+    // LCM(1..12), so every arm count ≤ 12 divides it — the current 12
+    // included (r14 moved 2520 → 27720 when arm 10 landed; r15's arm 11
+    // reuses the bound; an arm-count change reshuffles only the
+    // seed-drawn family, never the pinned entries, which force their
+    // scenario and skip this draw); a 13TH arm needs 360360 = LCM(1..13).
     val scenario = forceScenario.getOrElse(rng.nextInt(27720) % NumScenarios)
     val name = s"diff_s${seed}_sc$scenario"
 
@@ -904,7 +931,7 @@ object QueryGen {
           df
         })
 
-      case _ =>
+      case 10 =>
         // window functions (arm 10): project the partition key, the
         // table's row-context key (unique where one exists — the
         // total-order LIMIT then cuts deterministically; for lineitem
@@ -938,6 +965,75 @@ object QueryGen {
             df = df.orderBy(names.map(c => col(c).asc_nulls_first): _*).limit(k)
           }
           df
+        })
+
+      case _ =>
+        // lake read path (arm 11): the DataFrame route runs the REAL lake
+        // lifecycle — CTAS under a drawn partition transform, upsert
+        // restating a money column (×2: cent-exact doubles double exactly,
+        // both engines), key-tombstone delete, MoR scan — while the SQL
+        // dual is the converged-state rewrite over the raw table. The
+        // outer predicate/projection apply AFTER convergence on all three
+        // routes (the predicate sees restated values). Exact-integer `%`
+        // key classes keep the mutation sets engine-portable.
+        // NOT nextInt(2): for a FORCED scenario (the registry pin path)
+        // this is the first post-seed draw, and a power-of-two bound
+        // takes the near-constant high bits — every candidate pin seed
+        // drew the same table (the documented java.util.Random pathology;
+        // same fix as the scenario draw above)
+        val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
+        val t = lt.t
+        import graft.lake.{LakeTable, PartitionField, Transform}
+        // every draw happens HERE, never inside build: the same Gen's
+        // build may run many times (plan hygiene, verify, soaks) and must
+        // compose the identical plan each time
+        val pfDraw = rng.nextInt(3)
+        val bucketN = 4 * (1 + rng.nextInt(2))
+        val upsert = if (rng.nextBoolean()) {
+          val u = 2 + rng.nextInt(3)
+          Some((u, rng.nextInt(u)))
+        } else None
+        val delete = if (rng.nextBoolean()) {
+          val d = 5 + rng.nextInt(5)
+          Some((d, rng.nextInt(d)))
+        } else None
+        val pred = wherePreds(rng, Seq(t))
+        val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        val inner = lt.fullCols.map { c =>
+          upsert match {
+            case Some((u, ru)) if c == lt.moneyCol =>
+              s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
+            case _ => c
+          }
+        }.mkString(", ")
+        val innerWhere = delete.map { case (d, rd) =>
+          s" WHERE NOT (${lt.pk} % $d = $rd)"
+        }.getOrElse("")
+        val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
+          s"(SELECT $inner FROM ${t.name}$innerWhere) g" +
+          pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        Gen(name, sql, (s, dir) => {
+          val base = load(s, dir, t)
+          val pf = pfDraw match {
+            case 0 => PartitionField(lt.identityCol, Transform.Identity, "gp")
+            case 1 if lt.tsCol.isDefined =>
+              PartitionField(lt.tsCol.get, Transform.Month, "gp")
+            case _ => PartitionField(lt.pk, Transform.Bucket(bucketN), "gp")
+          }
+          val loc = graft.TempDirs.scoped("graft-diff-lake").resolve("t").toString
+          val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
+            partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
+          lake.append(base)
+          upsert.foreach { case (u, ru) =>
+            lake.upsert(base.filter(col(lt.pk) % u === ru)
+              .withColumn(lt.moneyCol, col(lt.moneyCol) * 2))
+          }
+          delete.foreach { case (d, rd) =>
+            lake.deleteKeys(base.filter(col(lt.pk) % d === rd).select(col(lt.pk)))
+          }
+          var df = lake.scan()
+          pred.foreach(p => df = df.filter(p._1))
+          df.select(projCols.map(col): _*)
         })
     }
   }

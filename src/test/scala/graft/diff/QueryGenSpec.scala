@@ -56,7 +56,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q121 render their golden SQL") {
+  test("pinned registry instances q110-q122 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -140,6 +140,13 @@ class QueryGenSpec extends SparkSpec {
           "ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
           "AS rsum_o_totalprice, COUNT(*) OVER (PARTITION BY o_orderstatus) AS wc FROM orders " +
           "WHERE (o_orderdate >= TIMESTAMP '2000-05-13 00:00:00' AND o_totalprice >= 221171.765)" +
+          ") ORDER BY ALL NULLS FIRST"),
+      "q122_diff_lake_mor" ->
+        ("SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM " +
+          "(SELECT o_orderkey, o_custkey, o_orderstatus, " +
+          "CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, " +
+          "o_orderdate, o_orderpriority FROM orders WHERE NOT (o_orderkey % 5 = 4)) g " +
+          "WHERE ((o_totalprice < 4418.985 OR o_orderstatus = 'F') OR o_custkey % 3 = 2)" +
           ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
