@@ -193,10 +193,14 @@ object ScaleBench {
     // permutation preserves within-copy similarity, see buildFixture)
     Family("q39_exact_topk_cosine", "invariant", "constant"),
     Family("q77_pq_scaled", "invariant", "quadratic"),
-    // q77 behind an IVF coarse stage (VERDICT r14 #2: the flat ANN path —
-    // map-only centroid assignment prunes encode+ADC to the probes'
-    // nprobe lists; recall vs exact is re-measured at the 10× point)
-    Family("q77_ivfpq_scaled", "invariant", "linear"),
+    // q77 behind an IVF coarse stage (VERDICT r14 #2: the flat-WALL ANN
+    // path — map-only centroid assignment prunes encode+ADC to the
+    // probes' nprobe lists; recall vs exact is re-measured at the 10×
+    // point). The shortlist exchange shares pq_scaled's deliberate
+    // rerank ∝ K × candidates ∝ K shape (68 MB at 100× from a 0.06 MB
+    // base — measured r15), hence the same quadratic law; the flatness
+    // claim is wall time (1.5× at 100×) and the map-only scan side
+    Family("q77_ivfpq_scaled", "invariant", "quadratic"),
     Family("q91_lsh_scaled", "linear", "linear"),
     // the codec family's representative (VERDICT r12 #3 parenthetical):
     // one real PNG encode+decode per document id, map-only — rides the
