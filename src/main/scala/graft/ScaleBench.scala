@@ -612,7 +612,15 @@ object ScaleBench {
     val recallPoint = points.filter(_ > 1).headOption
     // one recall measurement per ANN scale variant (r14: PQ only; r15
     // adds the IVF-PQ path, whose coarse pruning is the recall risk the
-    // 10× re-assertion exists to catch)
+    // 10× re-assertion exists to catch). Recall is GATED like every
+    // other measurement (r15: a number that is printed but cannot fail
+    // is not a tripwire): each variant declares a floor with headroom
+    // below its measured value (PQ 0.90 measured → 0.85 floor; IVF-PQ
+    // 0.933 → 0.90 — the coarse stage is the bigger risk, so the
+    // tighter floor), and a breach prints `recall_ok=false`, which the
+    // round gate's ok=false pattern fails on. A -1 sentinel (empty
+    // exact side) breaches by construction — unverifiable ≠ healthy.
+    val recallFloor = Map("q77_pq_scaled" -> 0.85, "q77_ivfpq_scaled" -> 0.90)
     def recallOf(variant: String, label: String, jsonKey: String): Option[(String, Int, String)] =
       recallPoint.flatMap { k =>
         if (only.forall(s => s.contains(variant) && s.contains("q39_exact_topk_cosine"))) {
@@ -633,13 +641,16 @@ object ScaleBench {
                 .select(col("probe_id"), col("vec_id"))
                 .intersect(exact).count()
               val r = if (denom == 0) -1.0 else hits.toDouble / denom
+              val rOk = r >= recallFloor(variant)
               System.err.println(s"[scale] $label recall@10 vs q39 at ${k}x: ${fmt(r)}" +
+                (if (rOk) "" else " recall_ok=false") +
                 ScaleDnf.suspectLog(rSuspect))
-              // the suspect flag must reach the SIDECAR too, not just the
-              // log (review finding r14): a healthy run still emits the
-              // plain number, a post-fatal one an object carrying the flag
-              Some((jsonKey, k, if (rSuspect)
-                s"""{"value":${fmt(r)}${ScaleDnf.suspectJson(rSuspect)}}"""
+              // the suspect/breach flags must reach the SIDECAR too, not
+              // just the log (review finding r14): a healthy run still
+              // emits the plain number, a flagged one an object
+              Some((jsonKey, k, if (rSuspect || !rOk)
+                s"""{"value":${fmt(r)}${
+                  if (rOk) "" else ""","recall_ok":false"""}${ScaleDnf.suspectJson(rSuspect)}}"""
               else fmt(r)))
             } finally { exact.unpersist(); () }
           } catch { case e: Throwable =>

@@ -78,7 +78,11 @@ class ScaleDnfSpec extends AnyFunSuite {
       "[scale] q98_decon_fixed_bench 100x: 6.6s 154r ratio=12.3 rows_invariant_ok=true " +
         "plan_same=true shuffle=5.100MB spill=882.699MB " +
         "shuffle_constant_ok=true " +
-        s"spill_zero_ok=${ScaleLaws.spillOk(882.699)} steal=0.0s")
+        s"spill_zero_ok=${ScaleLaws.spillOk(882.699)} steal=0.0s",
+      // a recall collapse below the variant's declared floor (r15: recall
+      // is gated, not just printed; -1 unverifiable-sentinel included)
+      "[scale] q77_ivfpq recall@10 vs q39 at 10x: 0.767 recall_ok=false",
+      "[scale] q77 recall@10 vs q39 at 10x: -1.000 recall_ok=false")
     failing.foreach { line =>
       assert(re.findFirstIn(line).isDefined, s"gate MISSES failing line: $line")
     }
