@@ -432,7 +432,7 @@ object VectorOps {
 
   // ------------------------------------------------------------------ IVF-PQ
 
-  /** q122/scale — IVF-PQ ANN top-k (Jégou'11 §V: the inverted-file coarse
+  /** q123/scale — IVF-PQ ANN top-k (Jégou'11 §V: the inverted-file coarse
     * quantizer composed with PQ residual-free ADC): the SCALE path that
     * keeps the O(N) term a cheap map-only scan.
     *
@@ -449,8 +449,9 @@ object VectorOps {
     *    identical vector provably lands) is always visited first, which
     *    is what makes the planted rank-1 oracle (q123) deterministic.
     *  - PQ stage: encode + ADC + shortlist + exact re-rank run ONLY over
-    *    members of visited lists — candidates shrink by ~nlists/nprobe
-    *    per probe while the full-corpus work is one argmin projection.
+    *    members of visited lists — candidates shrink to ~nprobe/nlists
+    *    of the corpus per probe while the full-corpus work is one argmin
+    *    projection.
     *
     * Defaults visit 10 of 16 lists: the fixture is adversarially UNIFORM
     * (no cluster structure, organic cosine ≤ 0.6), the worst case for any
