@@ -192,15 +192,19 @@ object ScaleBench {
     // replicates exactly K× (copy offsets are ≡0 mod 5 and the signed
     // permutation preserves within-copy similarity, see buildFixture)
     Family("q39_exact_topk_cosine", "invariant", "constant"),
-    Family("q77_pq_scaled", "invariant", "quadratic"),
+    // r16: the exact-rerank join now BROADCASTS the shortlist and streams
+    // the quantized corpus map-side (VERDICT r15 #1 — the former shape
+    // let the planner shuffle the fat qv corpus once it outgrew the
+    // broadcast gate: 72 MB at 100× from a 0.09 MB base, the whole
+    // super-linear term). The family's one data-bearing exchange left is
+    // the ADC shortlist window — skinny (probe_id, vec_id, approx) rows
+    // ∝ corpus — so both q77 rows now declare LINEAR and pass it
+    Family("q77_pq_scaled", "invariant", "linear"),
     // q77 behind an IVF coarse stage (VERDICT r14 #2: the flat-WALL ANN
     // path — map-only centroid assignment prunes encode+ADC to the
     // probes' nprobe lists; recall vs exact is re-measured at the 10×
-    // point). The shortlist exchange shares pq_scaled's deliberate
-    // rerank ∝ K × candidates ∝ K shape (68 MB at 100× from a 0.06 MB
-    // base — measured r15), hence the same quadratic law; the flatness
-    // claim is wall time (1.5× at 100×) and the map-only scan side
-    Family("q77_ivfpq_scaled", "invariant", "quadratic"),
+    // point); same broadcast-shortlist rerank tail as q77_pq_scaled
+    Family("q77_ivfpq_scaled", "invariant", "linear"),
     Family("q91_lsh_scaled", "linear", "linear"),
     // the codec family's representative (VERDICT r12 #3 parenthetical):
     // one real PNG encode+decode per document id, map-only — rides the
@@ -215,6 +219,17 @@ object ScaleBench {
     // sum over the replicated documents (one packing row per doc)
     Family("q51_sessionization", "linear", "linear"),
     Family("q102_sequence_packing", "linear", "linear"),
+    // the CDC/streaming ingest path under scale (VERDICT r15 #5: q33/q34/
+    // q64-q66/q82 are oracle-green but no curve family measured the
+    // foreachBatch upsert loop under replay — lake_ingest_scan covers
+    // batch append, lake_merge_mor batch MoR; this drives the STREAMING
+    // loop): snapshot-append the scaled orders, write an 8-segment change
+    // log (update every 4th key ×2, delete every 10th — divisors of the
+    // 10^7 id stride, so key classes replicate per copy and live rows are
+    // exactly linear), then drain it through CdcIngest.ingest at one file
+    // per micro-batch — 8 micro-batches of K× rows each, per-batch
+    // O(batch) pk-dedupe shuffle + delta commit, O(K) total
+    Family("cdc_replay", "linear", "linear"),
     // q68_distinct_candidates was DROPPED from the curve (VERDICT r14 #4):
     // the pre-verify-distinct A/B is settled two rounds running in both
     // seconds (r13) and bytes (r14: 29.6 GB shuffle + 1.3 GB spill vs the
@@ -300,6 +315,33 @@ object ScaleBench {
         partitionSpec = Seq(graft.lake.PartitionField(
           "o_orderdate", graft.lake.Transform.Month, "order_month")))
       t.append(df)
+      t.scan()
+    }
+    case "cdc_replay" => (s, dir) => {
+      import graft.streaming.CdcIngest
+      val root = freshLakeDir("graft-scale-cdc")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+      val t = graft.lake.LakeTable.create(s, s"$root/table", "scale_cdc_orders",
+        o.schema, primaryKey = Seq("o_orderkey"))
+      t.append(o) // C1 snapshot, then the stream takes over
+      // CdcIngest.changeStream's %3/%7 classes do NOT replicate per copy
+      // (10^7 ≡ 1 mod 3, ≡ 3 mod 7): the scaled stream draws the same
+      // update/delete shapes from stride-divisor classes instead, so the
+      // end state is exactly K× the base's and rows_linear_ok is exact
+      val updates = o.filter(col("o_orderkey") % 4 === 0).select(
+        col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"),
+        lit("update").as(CdcIngest.OpCol),
+        (col("o_orderdate") + expr("INTERVAL '1' HOUR")).as(CdcIngest.TsCol))
+      val deletes = o.filter(col("o_orderkey") % 10 === 0).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit("delete").as(CdcIngest.OpCol),
+        (col("o_orderdate") + expr("INTERVAL '2' HOUR")).as(CdcIngest.TsCol))
+      val logSchema = CdcIngest.writeLog(
+        updates.unionByName(deletes), "o_orderkey", s"$root/log", nFiles = 8)
+      CdcIngest.ingest(t, s"$root/log", logSchema, s"$root/ckpt")
       t.scan()
     }
     case "lake_merge_mor" => (s, dir) => {

@@ -42,5 +42,13 @@ object DiffOps {
     // delete, and an outer predicate that READS the restated column
     // (o_totalprice < …), so a wrong last-writer-wins fold changes the
     // row set, not just a value
-    pinned(1029L, 11, "q122_diff_lake_mor"))
+    pinned(1029L, 11, "q122_diff_lake_mor"),
+    // seed 1061 (arm 12, r16): pins the TIME-TRAVEL read at the most
+    // discriminating cut — snapshot 2 via scan(asOf), after the upsert
+    // restatement but BEFORE the tombstone delete — with a projection
+    // that reads the restated o_totalprice and an o_orderkey-range
+    // predicate: a pinned read that leaks the later delete shrinks the
+    // row set, one that loses the upsert halves projected values; both
+    // hash-diverge against DuckDB's prefix-state rewrite
+    pinned(1061L, 12, "q124_diff_lake_timetravel"))
 }

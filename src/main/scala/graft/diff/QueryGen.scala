@@ -568,8 +568,19 @@ object QueryGen {
     * restated column, NOT(...) for the tombstoned keys), runnable by
     * Spark SQL and DuckDB unchanged — so the whole
     * write→mutate→tombstone-fold→scan machinery must agree with two
-    * engines that never saw a lake file. */
-  val NumScenarios = 12
+    * engines that never saw a lake file,
+    * 12 lake TIME TRAVEL (r16, VERDICT r15 #4: arm 11 fuzzes only the
+    * CONVERGED MoR state; snapshot pinning was tested only by hand-written
+    * specs) — the same CTAS lifecycle with BOTH mutations forced (append →
+    * upsert restatement → key tombstone, snapshots 1/2/3), then a scan
+    * pinned to a DRAWN snapshot index mid-lifecycle, either as
+    * `scan(asOf)` or as `rollbackTo(cut)` + current scan (drawn — the two
+    * must be indistinguishable to a reader); the SQL dual is the PREFIX
+    * state rewrite (cut=1: the raw table; cut=2: the CASE restatement
+    * only; cut=3: the converged rewrite), so a snapshot that leaks any
+    * later mutation — or loses an earlier one — diverges on two engines
+    * that never saw a snapshot file. */
+  val NumScenarios = 13
 
   /** Arm 11's lake-CTAS metadata: the FULL parquet schema per eligible
     * table (the converged-state SQL rewrite must enumerate every column —
@@ -587,20 +598,44 @@ object QueryGen {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
       "c_custkey", "c_acctbal", "c_mktsegment", None))
 
-  def gen(seed: Long, forceScenario: Option[Int] = None): Gen = {
+  /** One reused lake-table root per generated instance, wiped at the
+    * start of each `build` invocation (ADVICE r15 #1): the same Gen's
+    * build runs many times (verify, plan hygiene, soaks — ~160 lake seeds
+    * per 1000-seed soak over the 13-arm grammar), and a fresh scoped dir
+    * per invocation leaves every CTAS+mutation table on disk until JVM
+    * exit — the accumulation class behind the r13 disk-exhaustion
+    * incident. Mirrors ScaleBench.freshLakeDir. */
+  private val lakeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
+  private def freshLakeLoc(name: String): String = {
+    val root = lakeRoots.computeIfAbsent(name, _ => graft.TempDirs.scoped("graft-diff-lake"))
+    val t = root.resolve("t")
+    if (java.nio.file.Files.exists(t)) graft.TempDirs.deleteRecursively(t)
+    t.toString
+  }
+
+  /** @param lakeCap cap the lake arms' CTAS input to the `cap` smallest
+    *   primary keys (rendered into the SQL dual identically, so all three
+    *   routes stay consistent). The in-suite QueryGenSpec passes 300 —
+    *   ~10 full-table CTAS lifecycles per `sbt test` were the r15 suite's
+    *   whole wall-time creep (VERDICT r15 #2) — while the registry pins
+    *   and the DuckDB soak legs keep full tables (None). */
+  def gen(seed: Long, forceScenario: Option[Int] = None,
+      lakeCap: Option[Int] = None): Gen = {
     val rng = new Random(seed)
     // NOT nextInt(NumScenarios): for a power-of-two bound java.util.Random
     // takes the HIGH bits of the first post-seed output, which are nearly
     // CONSTANT across small sequential seeds — at NumScenarios=8 all 120
     // family seeds drew the same arm (caught by QueryGenSpec's coverage
     // assertion). A modulo over a bound divisible by the arm count keeps
-    // the draw uniform AND on the low bits, which do vary. 27720 =
-    // LCM(1..12), so every arm count ≤ 12 divides it — the current 12
-    // included (r14 moved 2520 → 27720 when arm 10 landed; r15's arm 11
-    // reuses the bound; an arm-count change reshuffles only the
-    // seed-drawn family, never the pinned entries, which force their
-    // scenario and skip this draw); a 13TH arm needs 360360 = LCM(1..13).
-    val scenario = forceScenario.getOrElse(rng.nextInt(27720) % NumScenarios)
+    // the draw uniform AND on the low bits, which do vary. 360360 =
+    // LCM(1..13), so every arm count ≤ 13 divides it — the current 13
+    // included (r14 moved 2520 → 27720 when arm 10 landed; r16 moved
+    // 27720 → 360360 when arm 12 landed; an arm-count change reshuffles
+    // only the seed-drawn family, never the pinned entries, which force
+    // their scenario and skip this draw); a 14TH arm needs 360360 again
+    // (LCM(1..14) = 360360 — 14 = 2·7 already divides it).
+    val scenario = forceScenario.getOrElse(rng.nextInt(360360) % NumScenarios)
     val name = s"diff_s${seed}_sc$scenario"
 
     def load(s: SparkSession, dir: String, t: Tbl): DataFrame =
@@ -967,7 +1002,7 @@ object QueryGen {
           df
         })
 
-      case _ =>
+      case 11 =>
         // lake read path (arm 11): the DataFrame route runs the REAL lake
         // lifecycle — CTAS under a drawn partition transform, upsert
         // restating a money column (×2: cent-exact doubles double exactly,
@@ -1010,17 +1045,17 @@ object QueryGen {
           s" WHERE NOT (${lt.pk} % $d = $rd)"
         }.getOrElse("")
         val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
-          s"(SELECT $inner FROM ${t.name}$innerWhere) g" +
+          s"(SELECT $inner FROM ${lakeFrom(t, lt, lakeCap)}$innerWhere) g" +
           pred.map(p => s" WHERE ${p._2}").getOrElse("")
         Gen(name, sql, (s, dir) => {
-          val base = load(s, dir, t)
+          val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val pf = pfDraw match {
             case 0 => PartitionField(lt.identityCol, Transform.Identity, "gp")
             case 1 if lt.tsCol.isDefined =>
               PartitionField(lt.tsCol.get, Transform.Month, "gp")
             case _ => PartitionField(lt.pk, Transform.Bucket(bucketN), "gp")
           }
-          val loc = graft.TempDirs.scoped("graft-diff-lake").resolve("t").toString
+          val loc = freshLakeLoc(name)
           val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
             partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
           lake.append(base)
@@ -1035,6 +1070,80 @@ object QueryGen {
           pred.foreach(p => df = df.filter(p._1))
           df.select(projCols.map(col): _*)
         })
+
+      case _ =>
+        // lake TIME TRAVEL (arm 12): the full arm-11 lifecycle with BOTH
+        // mutations forced — append (snapshot 1), upsert restatement
+        // (snapshot 2), key tombstone (snapshot 3) — then the scan pins a
+        // DRAWN mid-lifecycle snapshot, either directly (`scan(asOf)`) or
+        // through `rollbackTo(cut)` + current scan (drawn: rollback is
+        // one more commit whose CONTENT is the target's, so the two
+        // routes must be indistinguishable). The SQL dual rewrites the
+        // PREFIX state: a pinned read that leaks the delete, loses the
+        // upsert, or re-reads the head instead of the pin diverges
+        // against Spark SQL and DuckDB.
+        val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
+        val t = lt.t
+        import graft.lake.{LakeTable, PartitionField, Transform}
+        val pfDraw = rng.nextInt(3)
+        val bucketN = 4 * (1 + rng.nextInt(2))
+        val u = 2 + rng.nextInt(3)
+        val ru = rng.nextInt(u)
+        val d = 5 + rng.nextInt(5)
+        val rd = rng.nextInt(d)
+        // cut ∈ {1 append-only, 2 +upsert, 3 converged}; NOT nextInt(4)
+        // (pow2 first-draw caveat does not bite — several draws already
+        // consumed — but keep every modulus off powers of two for
+        // uniformity with the documented pathology)
+        val cut = 1 + rng.nextInt(3)
+        val useRollback = rng.nextBoolean()
+        val pred = wherePreds(rng, Seq(t))
+        val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        val inner = lt.fullCols.map { c =>
+          if (cut >= 2 && c == lt.moneyCol)
+            s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
+          else c
+        }.mkString(", ")
+        val innerWhere = if (cut >= 3) s" WHERE NOT (${lt.pk} % $d = $rd)" else ""
+        val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
+          s"(SELECT $inner FROM ${lakeFrom(t, lt, lakeCap)}$innerWhere) g" +
+          pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        Gen(name, sql, (s, dir) => {
+          val base = lakeBase(load(s, dir, t), lt, lakeCap)
+          val pf = pfDraw match {
+            case 0 => PartitionField(lt.identityCol, Transform.Identity, "gp")
+            case 1 if lt.tsCol.isDefined =>
+              PartitionField(lt.tsCol.get, Transform.Month, "gp")
+            case _ => PartitionField(lt.pk, Transform.Bucket(bucketN), "gp")
+          }
+          val loc = freshLakeLoc(name)
+          val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
+            partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
+          lake.append(base)                                           // seq 1
+          lake.upsert(base.filter(col(lt.pk) % u === ru)
+            .withColumn(lt.moneyCol, col(lt.moneyCol) * 2))           // seq 2
+          lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
+            .select(col(lt.pk)))                                      // seq 3
+          var df =
+            if (useRollback) { lake.rollbackTo(cut.toLong); lake.scan() }
+            else lake.scan(asOf = Some(cut.toLong))
+          pred.foreach(p => df = df.filter(p._1))
+          df.select(projCols.map(col): _*)
+        })
     }
   }
+
+  /** The lake arms' CTAS input — full table, or the `cap` smallest
+    * primary keys (pk is unique, so the subset is deterministic and
+    * identical on every route). SQL form and DataFrame form in lockstep. */
+  private def lakeFrom(t: Tbl, lt: LakeTbl, cap: Option[Int]): String =
+    cap match {
+      case Some(n) => s"(SELECT * FROM ${t.name} ORDER BY ${lt.pk} LIMIT $n) capped"
+      case None    => t.name
+    }
+  private def lakeBase(df: DataFrame, lt: LakeTbl, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(n) => df.orderBy(col(lt.pk)).limit(n)
+      case None    => df
+    }
 }

@@ -22,10 +22,24 @@ class QueryGenSpec extends SparkSpec {
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
     var nonEmpty = 0
     val scenarios = scala.collection.mutable.Map.empty[Int, Int]
+    var lakeSkipped = 0
     Seeds.foreach { seed =>
-      val g = QueryGen.gen(seed.toLong)
+      // lakeCap=300: the lake arms (11/12) CTAS full tables otherwise —
+      // the whole r15 suite wall-time creep (VERDICT r15 #2). The cap
+      // renders into BOTH routes; the DuckDB soak legs (DiffVerify) and
+      // the registry pins keep full tables.
+      val g = QueryGen.gen(seed.toLong, lakeCap = Some(300))
       val sc = g.name.split("_sc").last.toInt
       scenarios(sc) = scenarios.getOrElse(sc, 0) + 1
+      // the lake arms' cost is the LIFECYCLE's ~15 Spark jobs, not rows
+      // (measured ~3.2 s per instance at sf0.001 even capped): executing
+      // all ~22 drawn lake seeds would put the suite ~70 s over budget.
+      // In-suite, the first 5 drawn instances per lake arm execute both
+      // routes (a smoke over every lifecycle draw class); the FULL family
+      // executes on the 1000-seed DuckDB soak legs, where the cost is
+      // budgeted. Non-lake arms always execute.
+      if (sc >= 11 && scenarios(sc) > 5) { lakeSkipped += 1 }
+      else {
       val viaDf = g.build(spark, sfDir)
       val viaSql = spark.sql(g.sql)
       assert(viaDf.columns.toSeq == viaSql.columns.toSeq,
@@ -35,11 +49,18 @@ class QueryGenSpec extends SparkSpec {
         s"${g.name}: DataFrame and SQL routes diverged (${a.size} vs ${b.size} rows)\n" +
           s"${g.sql}\nonly-df=${(a.diff(b)).take(3)}\nonly-sql=${(b.diff(a)).take(3)}")
       if (a.nonEmpty) nonEmpty += 1
+      }
     }
     // the family must exercise real data, not vacuous empty results, and
     // must cover every scenario arm of the grammar
-    assert(nonEmpty >= Seeds.size / 2,
-      s"only $nonEmpty/${Seeds.size} generated queries returned rows — generator degenerate")
+    assert(nonEmpty >= (Seeds.size - lakeSkipped) / 2,
+      s"only $nonEmpty/${Seeds.size - lakeSkipped} executed queries returned rows — " +
+        "generator degenerate")
+    // both lake arms must have hit their 5-execution budget — if the
+    // sampling ever skips everything (a draw-distribution change), the
+    // lifecycle smoke silently vanishes
+    assert(Seq(11, 12).forall(sc => scenarios.getOrElse(sc, 0) >= 5),
+      s"lake arms under-drawn: $scenarios")
     // every arm must carry REAL weight, not just appear once: a skewed
     // draw (the nextInt(pow2) first-draw pathology produced exactly this
     // — one arm with 120 hits) passes a presence-only check. Uniform
@@ -56,7 +77,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q122 render their golden SQL") {
+  test("pinned registry instances q110-q124 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -147,6 +168,17 @@ class QueryGenSpec extends SparkSpec {
           "CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, " +
           "o_orderdate, o_orderpriority FROM orders WHERE NOT (o_orderkey % 5 = 4)) g " +
           "WHERE ((o_totalprice < 4418.985 OR o_orderstatus = 'F') OR o_custkey % 3 = 2)" +
+          ") ORDER BY ALL NULLS FIRST"),
+      // r16 arm 12: TIME TRAVEL pinned at cut=2 (scan(asOf=2): the upsert
+      // restatement is visible, the later tombstone delete is NOT — note
+      // the CASE with no inner WHERE), projection reading the restated
+      // o_totalprice
+      "q124_diff_lake_timetravel" ->
+        ("SELECT * FROM (SELECT o_totalprice, o_custkey FROM " +
+          "(SELECT o_orderkey, o_custkey, o_orderstatus, " +
+          "CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, " +
+          "o_orderdate, o_orderpriority FROM orders) g " +
+          "WHERE ((o_orderkey >= 860 AND o_orderkey <= 1282) AND o_custkey >= 93)" +
           ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
