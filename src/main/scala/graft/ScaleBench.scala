@@ -107,8 +107,10 @@ private[graft] object ScaleLaws {
     case "quadratic" => 2
     case other       => throw new IllegalArgumentException(s"unknown shuffle law: $other")
   }
-  def shuffleOk(law: String, k: Int, baseMb: Double, mb: Double): Boolean =
-    mb <= math.max(3.0 * math.pow(k.toDouble, exponent(law).toDouble) * baseMb, FloorMb)
+  def shuffleOk(law: String, k: Int, baseMb: Double, mb: Double,
+      capMb: Option[Double] = None): Boolean =
+    mb <= math.max(3.0 * math.pow(k.toDouble, exponent(law).toDouble) * baseMb, FloorMb) &&
+      capMb.forall(mb <= _)
   def spillOk(mb: Double): Boolean = mb < 0.05
 }
 
@@ -138,9 +140,15 @@ object ScaleBench {
   private val IdStride = 10_000_000L
 
   /** One measured curve family: expected K×-rows behavior (`invariant` |
-    * `linear`) and the declared shuffled-byte growth law ([[ScaleLaws]]).
-    * Spill is gated to zero for every family. */
-  private final case class Family(name: String, rowsLaw: String, shuffleLaw: String)
+    * `linear`), the declared shuffled-byte growth law ([[ScaleLaws]]),
+    * and — for the quadratic families — an ABSOLUTE byte cap (ADVICE r15
+    * #3: the K² law bound sits ~50× above the measured bytes for the
+    * fixed-parameter LSH families, so a 10×-20× regression would pass
+    * `shuffle_quadratic_ok`; the cap pins every point at ≤ 3× the
+    * round-15 measured 100× exchange, the same tolerance the law itself
+    * uses). Spill is gated to zero for every family. */
+  private final case class Family(name: String, rowsLaw: String, shuffleLaw: String,
+      capMb: Option[Double] = None)
 
   /** Queries measured. Shuffle laws are DECLARED from the plan's promise
     * and were cross-checked against the measured r14 bytes:
@@ -158,14 +166,16 @@ object ScaleBench {
     *    (the IVF-PQ variant below is the flat path). */
   private val Headline: Seq[Family] = Seq(
     Family("q1_orders_by_status", "invariant", "constant"), // rows = |statuses|
-    Family("q38_minhash_neardup_pairs", "linear", "quadratic"),
+    // caps = 3× the r15-measured 100× bytes (565.5 / 566.5 / 571.2 MB):
+    // the quadratic allowance alone would admit a ~50× regression
+    Family("q38_minhash_neardup_pairs", "linear", "quadratic", capMb = Some(1700)),
     Family("q68_jaccard_similarity_join", "linear", "linear"),
-    Family("q99_neardup_components", "linear", "quadratic"),
+    Family("q99_neardup_components", "linear", "quadratic", capMb = Some(1700)),
     // q99 with the driver-tail gate CLOSED (ccDriverMaxEdges=0): the same
     // pair sets forced through the distributed Large-Star/Small-Star
     // rounds — the >2¹⁹-edge path a 100-TB corpus would actually take,
     // which the gated default never exercises at these fixture sizes
-    Family("q99_cc_distributed", "linear", "quadratic"),
+    Family("q99_cc_distributed", "linear", "quadratic", capMb = Some(1715)),
     Family("q103_curation_pipeline", "invariant", "linear"), // (lang, source) rollup
     Family("q107_duplicate_spans", "linear", "linear"),
     Family("q108_incremental_dedup", "linear", "linear"),
@@ -585,7 +595,7 @@ object ScaleBench {
       fatal
     }
     val entries = Headline.filter(f => only.forall(_.contains(f.name))).map {
-        case Family(name, rowsLaw, shuffleLaw) =>
+        case Family(name, rowsLaw, shuffleLaw, capMb) =>
       // a point that cannot complete records a DNF row instead of killing
       // the whole artifact (learned the hard way: the r13 q68-distinct
       // 100× point exhausted spill disk and took every other measurement
@@ -616,7 +626,11 @@ object ScaleBench {
               case _        => m.rows == b.rows
             }
             val planSame = m.plan == b.plan
-            val shuffleLawOk = ScaleLaws.shuffleOk(shuffleLaw, k, b.shuffleB / 1e6, m.shuffleB / 1e6)
+            // the declared-law bound AND (where pinned) the absolute
+            // measured-bytes cap — both print as one shuffle_<law>_ok so
+            // the round gate's ok=false pattern fails on either breach
+            val shuffleLawOk = ScaleLaws.shuffleOk(
+              shuffleLaw, k, b.shuffleB / 1e6, m.shuffleB / 1e6, capMb)
             System.err.println(s"[scale] $name ${k}x: ${fmt(m.t)}s ${m.rows}r " +
               s"ratio=${fmt(ratio)} rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame " +
               s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +

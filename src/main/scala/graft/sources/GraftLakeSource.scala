@@ -654,6 +654,12 @@ private[sources] class GraftLakeScanBuilder(
     // surfacing phantom grouped tuples
     if (!snap.dataFiles.forall(_.rows >= 0)) return None
     val files = snap.dataFiles.filter(_.rows > 0)
+    // same 100-TB file-count valve as LakeMetaAggregate (VERDICT r15 #6):
+    // a neglected pre-compaction table with 10⁵-10⁶ files must run the
+    // distributed aggregate, not a driver fold in the planner
+    val maxFiles = t.spark.conf.getOption("spark.graft.lake.metaAggMaxFiles")
+      .map(_.toInt).getOrElse(graft.plans.LakeMetaAggregate.DefaultMaxFiles)
+    if (files.size > maxFiles) return None
     if (agg.groupByExpressions().isEmpty) {
       val answered = agg.aggregateExpressions().toSeq.map {
         case _: aggregate.CountStar =>

@@ -120,6 +120,13 @@ class ScaleDnfSpec extends AnyFunSuite {
     // spill: exactly-zero (within print rounding) passes, real spill fails
     assert(ScaleLaws.spillOk(0.0) && ScaleLaws.spillOk(0.04))
     assert(!ScaleLaws.spillOk(882.699) && !ScaleLaws.spillOk(1.0))
+    // the absolute measured-bytes cap (ADVICE r15 #3): the K² allowance
+    // sits ~50× above the LSH families' real exchange, so the cap —
+    // pinned at 3× the r15-measured 100× bytes — is what actually trips
+    // on a 10×-20× regression the exponent bound would bless
+    assert(ScaleLaws.shuffleOk("quadratic", 100, 0.934, 565.503, capMb = Some(1700)))
+    assert(!ScaleLaws.shuffleOk("quadratic", 100, 0.934, 5655.0, capMb = Some(1700)))
+    assert(ScaleLaws.shuffleOk("linear", 100, 0.1, 8.2, capMb = None))
     // unknown laws are a programming error, not a silent pass
     intercept[IllegalArgumentException](ScaleLaws.shuffleOk("cubic", 10, 1.0, 1.0))
   }

@@ -1094,4 +1094,62 @@ class GraftLakeSourceSpec extends SparkSpec {
     val want = t.scan().groupBy(col("o_orderstatus").as("status")).agg(count(lit(1)).as("n"))
     assert(sortedRows(got) == sortedRows(want))
   }
+
+  test("metadata serving declines above the file-count valve and the distributed " +
+      "fallback agrees (files-heavy pre-compaction table)") {
+    // VERDICT r15 #6: the gold-serve rollups fold per-file sums on the
+    // DRIVER — fine on a maintained table, a planner cliff on a neglected
+    // one (10⁵-10⁶ pre-compaction files at 100 TB). This builds a
+    // many-small-files fixture (identity × bucket spec, two appends →
+    // hundreds of files), proves the fold still serves and is EXACT at
+    // this width, then lowers spark.graft.lake.metaAggMaxFiles and proves
+    // both serve paths (optimizer rule + DSv2 pushdown) decline into a
+    // real distributed scan with identical results.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metavalve-spec").toString
+    val df = spark.range(4000).select(
+      col("id"),
+      concat(lit("c"), (col("id") % 3).cast("string")).as("cat"),
+      (col("id") % 100).as("v"))
+    val t = graft.lake.LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(
+        graft.lake.PartitionField("cat", graft.lake.Transform.Identity, "p_cat"),
+        graft.lake.PartitionField("id", graft.lake.Transform.Bucket(32), "p_b")),
+      primaryKey = Seq("id"))
+    t.append(df.filter(col("id") < 2000))
+    t.append(df.filter(col("id") >= 2000))
+    val nFiles = t.currentSnapshot.dataFiles.size
+    assert(nFiles >= 150, s"fixture too compact to be 'files-heavy': $nFiles files")
+
+    def grouped = readLake(t.location)
+      .groupBy("cat").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("id").as("mn"), max("id").as("mx"))
+    def ungrouped = readLake(t.location)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+
+    // under the default valve (200k) the fold serves: zero scan tasks
+    val servedPlan = grouped.queryExecution.executedPlan.toString
+    assert(servedPlan.contains("LocalTableScan") && !servedPlan.contains("BatchScan"),
+      s"grouped rollup not metadata-served at $nFiles files:\n$servedPlan")
+    val servedRows = sortedRows(grouped)
+    val servedUng = sortedRows(ungrouped)
+
+    try {
+      spark.conf.set("spark.graft.lake.metaAggMaxFiles", (nFiles - 1).toString)
+      // the optimizer-rule path (grouped) declines → distributed agg
+      val fallPlan = grouped.queryExecution.executedPlan.toString
+      assert(fallPlan.contains("BatchScan") && !fallPlan.contains("LocalTableScan"),
+        s"grouped rollup still driver-folded above the valve:\n$fallPlan")
+      assert(sortedRows(grouped) == servedRows,
+        "distributed fallback disagrees with the metadata fold")
+      // the DSv2 pushdown path (ungrouped) declines too
+      val fallUng = ungrouped.queryExecution.executedPlan.toString
+      assert(fallUng.contains("BatchScan"),
+        s"ungrouped pushdown still metadata-answered above the valve:\n$fallUng")
+      assert(sortedRows(ungrouped) == servedUng)
+    } finally spark.conf.unset("spark.graft.lake.metaAggMaxFiles")
+
+    // valve restored: the serve shape comes back
+    assert(grouped.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
 }
