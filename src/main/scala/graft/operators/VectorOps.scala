@@ -172,18 +172,30 @@ object VectorOps {
     * (vec_id, sub)); empty codewords drop out; ties assign the smaller
     * code. Returns (sub, code, centroid). */
   def pqCodebook(e: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 12,
-      dim: Int = 64, trainCap: Int = 2048): DataFrame = {
+      dim: Int = 64, trainCap: Int = 2048): DataFrame =
+    pqCodebookFromSample(e.sparkSession, trainSample(e, trainCap), m, ksub, iters, dim)
+
+  /** The deterministic bounded training sample in ONE corpus pass: the
+    * trainCap smallest rows by (xxhash64(vec_id), vec_id) — TakeOrdered
+    * keeps trainCap candidates per partition and merges, no count()
+    * pre-pass over the corpus and exactly trainCap rows at any corpus
+    * size. Split out so a composition training TWO codebooks over the
+    * same corpus ([[ivfPqTopKOn]]: the coarse quantizer and the PQ
+    * codebook) collects it ONCE — at 100 TB each TakeOrdered is a full
+    * corpus pass, and the sample is identical by determinism anyway. */
+  private def trainSample(e: DataFrame, trainCap: Int): Array[(Long, Array[Float])] = {
     val spark = e.sparkSession
     val base = e.select(col("vec_id"), col("embedding"))
-    // deterministic bounded sample in ONE pass: the trainCap smallest
-    // rows by (xxhash64(vec_id), vec_id) — TakeOrdered keeps trainCap
-    // candidates per partition and merges, no count() pre-pass over the
-    // corpus and exactly trainCap rows at any corpus size
     val train = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainCap)
-    val sample: Array[(Long, Array[Float])] = {
-      import spark.implicits._
-      train.as[(Long, Array[Float])].collect()
-    }
+    import spark.implicits._
+    train.as[(Long, Array[Float])].collect()
+  }
+
+  /** [[pqCodebook]]'s driver-side training over an already-collected
+    * sample — bit-identical output (same seeding, same Lloyd loop). */
+  private def pqCodebookFromSample(spark: SparkSession,
+      sample: Array[(Long, Array[Float])], m: Int, ksub: Int, iters: Int = 12,
+      dim: Int = 64): DataFrame = {
     val dsub = dim / m
     val rows = (0 until m).flatMap { sub =>
       val subvecs: Array[(Long, Array[Float])] =
@@ -358,7 +370,7 @@ object VectorOps {
       rerank: Int = 150, dim: Int = 64): DataFrame = {
     val cb = pqCodebook(raw, m, ksub, dim = dim)
     val encoded = pqEncode(raw, cb, m, dim)
-    val cands = encoded.join(broadcast(adcProbes(s, raw, cb, m, ksub, dim)))
+    val cands = encoded.join(broadcast(adcProbes(s, collectProbes(s, raw), cb, m, ksub, dim)))
       .filter(col("vec_id") =!= col("probe_id"))
     adcRerankTopK(s, raw, cands, m, ksub, rerank)
   }
@@ -374,13 +386,13 @@ object VectorOps {
     * (candidate, probe). Dropped (empty) codewords stay 0.0 — no
     * candidate's codes reference them. Float multiply + double accumulate
     * matches the graft_dot kernel. Returns (probe_id, pnq, tbl). */
-  private def adcProbes(s: SparkSession, raw: DataFrame, cb: DataFrame,
-      m: Int, ksub: Int, dim: Int): DataFrame = {
+  private def adcProbes(s: SparkSession, probesLocal: Array[(Long, Seq[Float])],
+      cb: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
     val dsub = dim / m
     val cbLocal: Array[(Int, Int, Seq[Float])] =
       cb.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     import s.implicits._
-    collectProbes(s, raw).toSeq.map { case (pid, v) =>
+    probesLocal.toSeq.map { case (pid, v) =>
       val arr = new Array[Double](m * ksub)
       cbLocal.foreach { case (sub, code, cent) =>
         var d = 0.0
@@ -487,7 +499,15 @@ object VectorOps {
 
   def ivfPqTopKOn(s: SparkSession, raw: DataFrame, nlists: Int = 16, nprobe: Int = 10,
       m: Int = 8, ksub: Int = 32, rerank: Int = 150, dim: Int = 64): DataFrame = {
-    val coarseLocal = collectCodebook(pqCodebook(raw, m = 1, ksub = nlists, dim = dim))
+    // ONE corpus pass trains BOTH codebooks (the sample is identical by
+    // determinism) and ONE filtered scan collects the probes for both
+    // the driver-side list ranking and the ADC tables — the former shape
+    // paid two TakeOrdered passes and two probe scans per build, real
+    // money at 100 TB
+    val sample = trainSample(raw, 2048)
+    val probesLocal = collectProbes(s, raw)
+    val coarseLocal = collectCodebook(
+      pqCodebookFromSample(s, sample, m = 1, ksub = nlists, dim = dim))
     val cents: Seq[(Int, Seq[Float])] = coarseLocal.getOrElse(0, Nil)
     // driver-side probe→list ranking, bit-matching the kernel's l2Sq
     // (per-term FLOAT subtract/multiply, DOUBLE accumulate) so the
@@ -500,7 +520,7 @@ object VectorOps {
       while (i < c.length) { val t = v(i) - c(i); d += (t * t).toDouble; i += 1 }
       d
     }
-    val visited: Seq[(Long, Int)] = collectProbes(s, raw).toSeq.flatMap { case (pid, v) =>
+    val visited: Seq[(Long, Int)] = probesLocal.toSeq.flatMap { case (pid, v) =>
       cents.sortBy { case (code, cent) => (l2(v, cent), code) }
         .take(nprobe).map { case (code, _) => (pid, code) }
     }
@@ -512,14 +532,14 @@ object VectorOps {
     val pruned = raw.select(col("vec_id"), col("embedding"))
       .withColumn("list_id", pqCodesCol(coarseLocal, 1, dim).getItem(0))
       .filter(col("list_id").isin(allVisited: _*))
-    val cb = pqCodebook(raw, m, ksub, dim = dim)
+    val cb = pqCodebookFromSample(s, sample, m, ksub, dim = dim)
     val encoded = pqEncode(pruned, cb, m, dim, keep = Seq("list_id"))
     // (probe_id, c_list) × ADC tables — both tiny, broadcast as one
     val probeLists = {
       import s.implicits._
       visited.toDF("probe_id", "c_list")
     }
-    val probes = adcProbes(s, raw, cb, m, ksub, dim).join(probeLists, "probe_id")
+    val probes = adcProbes(s, probesLocal, cb, m, ksub, dim).join(probeLists, "probe_id")
     val cands = encoded
       .join(broadcast(probes), col("list_id") === col("c_list"))
       .filter(col("vec_id") =!= col("probe_id"))
