@@ -127,6 +127,14 @@ final class LakeTable private (
     * manifest assembly (cheap enough for per-query planning probes). */
   private[graft] def specVersionOf(seq: Long): Int = snapshotFile(seq).specVersion
 
+  /** Schema versions referenced by ANY committed snapshot 0..`upTo`
+    * (headers only — no manifest assembly). A version file NO snapshot
+    * references is an orphan — a crashed writer's leftover or a metadata
+    * commit that lost its snapshot race — and no data file was ever
+    * written under it; history guards must not read it as live lineage. */
+  private def referencedSchemaVersions(upTo: Long): Set[Int] =
+    (0L to upTo).map(s => snapshotFile(s).schemaVersion).toSet
+
   /** Union of every partition field across spec versions 0..maxVersion,
     * deduped by field name. Pruning resolves each FILE's fields by the
     * names present in its recorded partition tuple ([[PruneFilter.mayMatch]]
@@ -299,15 +307,22 @@ final class LakeTable private (
     // a DROPPED name cannot come back: readers project files by name, so
     // old files' stale physical values would silently resurface as the
     // "new" column instead of nulls — pick a fresh name (Iceberg avoids
-    // this with field ids; name-mapped formats must refuse). Scans EVERY
-    // existing version, including ones above the current after a rollback;
-    // an UNPARSEABLE version file (a crashed writer's partial exclusive
-    // create — referenced by no snapshot) is skipped, while a transient
-    // READ failure still propagates: a guard silently weakened by a store
-    // blip would wave through the exact corruption it exists to refuse.
+    // this with field ids; name-mapped formats must refuse). Scans every
+    // version REFERENCED BY A COMMITTED SNAPSHOT, including ones above
+    // the current after a rollback. Versions no snapshot references are
+    // ORPHANS — a crashed writer's leftover, or a metadata commit that
+    // lost its snapshot race (r16: the lost add-column's own retry was
+    // otherwise poisoned — the guard read the orphan as "existed and was
+    // dropped") — and no data file was ever written under them, so they
+    // carry no resurfaceable values. An UNPARSEABLE referenced version
+    // still fails the read below (schema() throws on a referenced
+    // version we cannot parse — that IS corruption), while a transient
+    // READ failure propagates: a guard silently weakened by a store blip
+    // would wave through the exact corruption it exists to refuse.
+    val live = referencedSchemaVersions(cur.seq)
     require(!(1 until next).exists(v =>
-      schemaIfParseable(v).exists(
-        _.fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname))),
+      live.contains(v) && v != cur.schemaVersion &&
+        schema(v).fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT) == lname)),
       s"${meta.name}: $name existed in an earlier schema version and was dropped — " +
         "old files still hold values under that name and would resurface; use a new name")
     // nor may it shadow a partition FIELD of any spec era: stageDataFiles
@@ -320,9 +335,9 @@ final class LakeTable private (
         "column and would overwrite the data; use a different name")
     val evolved = StructType(old.fields :+ StructField(name, org.apache.spark.sql.types.DataType.fromDDL(dataType), nullable = true))
     writeVersionFile(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
-    commitSnapshot(cur.copy(
+    commitMetaRaceChecked(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
-      operation = "add-column", schemaVersion = next))
+      operation = "add-column", schemaVersion = next), "add-column")
   }
 
   /** Schema evolution: widen a column's type in place (metadata-only
@@ -360,9 +375,9 @@ final class LakeTable private (
     val evolved = StructType(old.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
     writeVersionFile(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
-    commitSnapshot(cur.copy(
+    commitMetaRaceChecked(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
-      operation = "promote-type", schemaVersion = next))
+      operation = "promote-type", schemaVersion = next), "promote-type")
   }
 
   /** Schema evolution: DROP a column (metadata-only commit). Old data
@@ -391,9 +406,9 @@ final class LakeTable private (
     val next = nextMetaVersion("schema", cur.schemaVersion)
     val evolved = StructType(old.fields.filterNot(_.name == name))
     writeVersionFile(new Path(metaDir, f"schema-v$next%03d.json"), MetaJson.writeSchema(evolved))
-    commitSnapshot(cur.copy(
+    commitMetaRaceChecked(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
-      operation = "drop-column", schemaVersion = next))
+      operation = "drop-column", schemaVersion = next), "drop-column")
   }
 
   /** Partition-spec evolution (metadata-only commit; Iceberg's
@@ -445,9 +460,9 @@ final class LakeTable private (
       }
     }
     writeVersionFile(new Path(metaDir, f"spec-v$v%03d.json"), MetaJson.writeSpec(newSpec))
-    commitSnapshot(cur.copy(
+    commitMetaRaceChecked(cur.copy(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
-      operation = "evolve-spec", specVersion = v))
+      operation = "evolve-spec", specVersion = v), "evolve-spec")
   }
 
   /** Roll the table back to the state of snapshot `toSeq` — a NEW commit
@@ -463,9 +478,35 @@ final class LakeTable private (
     require(fs.exists(snapPath(toSeq)),
       s"${meta.name}: snapshot $toSeq does not exist (expired or never committed)")
     val target = snapshot(toSeq)
-    commitSnapshot(target.copy(
+    commitMetaRaceChecked(target.copy(
       seq = cur.seq + 1, parent = Some(cur.seq),
-      timestampMs = System.currentTimeMillis(), operation = "rollback"))
+      timestampMs = System.currentTimeMillis(), operation = "rollback"), "rollback")
+  }
+
+  /** Commit a METADATA-ONLY snapshot (schema evolution, spec evolution,
+    * rollback). These operations validate against the snapshot they read
+    * — a column-name guard, a spec-history guard, a rollback target —
+    * so a lost CROSS-PROCESS race must never blind-rebase (the winner
+    * may have changed the very state the validation blessed: e.g. an
+    * add-column racing an append under the old schema, or a rollback
+    * racing an append it would silently unseat). The loser therefore
+    * surfaces as [[java.util.ConcurrentModificationException]] carrying
+    * the retry recipe — re-run the operation; it re-reads and
+    * re-validates against the new head — instead of the raw O_EXCL
+    * IOException it would otherwise see (the upsert/delete precedent
+    * applied to the metadata class; in-JVM the table lock already
+    * serializes, so this path fires only between processes). */
+  private def commitMetaRaceChecked(snap: Snapshot, op: String): Snapshot = {
+    LakeTable.failpoint("pre-meta-commit") // race-injection site (test-only)
+    try commitSnapshot(snap)
+    catch {
+      case e: java.io.IOException if fs.exists(snapPath(snap.seq)) =>
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.name}: $op lost the race for snapshot ${snap.seq} — another writer " +
+            "committed first. Metadata operations validate against the snapshot they " +
+            "read and are never rebased blindly; re-run the operation (it re-reads " +
+            "and re-validates against the current snapshot).", e)
+    }
   }
 
   // ------------------------------------------------------------------ read

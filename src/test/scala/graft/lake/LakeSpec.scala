@@ -1286,4 +1286,52 @@ class LakeSpec extends SparkSpec {
     // the real scan agrees
     assert(read.count() == 3L && back.scan().count() == 3L)
   }
+
+  test("metadata commits losing a race surface the retry recipe, and the retry lands") {
+    // rollback/schema/spec commits validate against the snapshot they
+    // read, so a lost CROSS-PROCESS race must surface as the documented
+    // ConcurrentModificationException (re-run recipe), never the raw
+    // O_EXCL IOException (r16: the append/upsert contract applied to the
+    // metadata class). A second table HANDLE simulates the other process
+    // — the in-JVM lock is per-instance — and the pre-meta-commit
+    // failpoint fires the racing append INSIDE the loser's window (after
+    // it read its base, before its O_EXCL create), so the race is
+    // deterministic, not timing-dependent.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-meta-race").resolve("t").toString
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val t = LakeTable.create(spark, dir, "meta_race", df.schema, primaryKey = Seq("id"))
+    t.append(df)                                  // seq 1
+    t.append(Seq((2L, "b")).toDF("id", "s"))      // seq 2
+    val other = LakeTable.load(spark, dir)
+    def armRace(): Unit = {
+      var fired = false
+      LakeTable.failpoint = site =>
+        if (site == "pre-meta-commit" && !fired) {
+          fired = true
+          other.append(Seq((99L, "race")).toDF("id", "s"))
+          ()
+        }
+    }
+    try {
+      armRace()
+      val e = intercept[java.util.ConcurrentModificationException](t.rollbackTo(1L))
+      assert(e.getMessage.contains("re-run the operation"), e.getMessage)
+      // the recipe works: the re-run re-reads the new head and lands,
+      // and the head content is exactly the target snapshot's (the
+      // racing append stays time-travelable in history, unseated at head)
+      assert(t.rollbackTo(1L).operation == "rollback")
+      assert(contentEqual(t.scan(), t.scan(asOf = Some(1L))))
+      assert(t.scan().count() == 1L)
+      // same contract through a schema-evolution entry point
+      armRace()
+      intercept[java.util.ConcurrentModificationException](t.addColumn("extra", "INT"))
+      assert(t.addColumn("extra", "INT").operation == "add-column")
+      // history stayed linear and gap-free through both lost races
+      val snaps = t.snapshots.sortBy(_.seq)
+      assert(snaps.map(_.seq) == (0L to snaps.last.seq), snaps.map(_.seq))
+      snaps.tail.foreach(s => assert(s.parent.contains(s.seq - 1),
+        s"snapshot ${s.seq} parent ${s.parent} breaks the chain"))
+    } finally LakeTable.failpoint = _ => ()
+  }
 }

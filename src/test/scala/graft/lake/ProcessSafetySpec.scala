@@ -179,4 +179,59 @@ class ProcessSafetySpec extends SparkSpec {
     assert(dataFilesOnDisk(t2) -- referenced(t2) == Set.empty[String])
     assert(LakeTable.load(spark, dir).scan().collect().toSet == before)
   }
+
+  test("rollback racing cross-process appends: linear history, no lost appends, honest races") {
+    // r16 (arm 12 made snapshot pinning first-class): rollbackTo is one
+    // more optimistic commit, and across PROCESSES it can lose the
+    // O_EXCL race to an append. The loser must surface the documented
+    // ConcurrentModificationException (retried here, like a real
+    // operator would), the appender's blind rebase must absorb losing
+    // to a rollback, and the interleaving must leave a linear gap-free
+    // history where every append survives — in history if a later
+    // rollback unseated it from the head.
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft-proc-rollback").resolve("t").toString
+    val t = newTable(dir)
+    t.append(Seq(("seed", "s", -1)).toDF("marker", "w", "i"))      // seq 1
+    val target = t.snapshot(1L)
+    val perWriter = 6
+    val p = fork("race", dir, "A", perWriter.toString)
+    var rollbacks = 0
+    var lostRaces = 0
+    val deadlineNs = System.nanoTime() + 150L * 1000 * 1000 * 1000
+    while (p.isAlive && System.nanoTime() < deadlineNs) {
+      try { t.rollbackTo(1L); rollbacks += 1 }
+      catch { case _: java.util.ConcurrentModificationException => lostRaces += 1 }
+      Thread.sleep(100)
+    }
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
+    assert(p.exitValue() == 0, s"racer exited ${p.exitValue()}")
+    assert(rollbacks >= 1, "no rollback ever landed — the race loop never ran")
+
+    val t2 = LakeTable.load(spark, dir)
+    val snaps = t2.snapshots.sortBy(_.seq)
+    // linear, gap-free, parent-chained — no commit was lost or skipped
+    assert(snaps.map(_.seq) == (0L to snaps.last.seq), s"gaps: ${snaps.map(_.seq)}")
+    snaps.tail.foreach(s => assert(s.parent.contains(s.seq - 1),
+      s"snapshot ${s.seq} parent ${s.parent} breaks the chain"))
+    // every racer append committed exactly once (blind rebase absorbed
+    // any losses to rollbacks): seed + perWriter append snapshots
+    assert(snaps.count(_.operation == "append") == 1 + perWriter,
+      s"append count: ${snaps.map(s => s.seq -> s.operation)}")
+    // every rollback snapshot restored EXACTLY the target's file set
+    val s1files = target.dataFiles.map(_.path).toSet
+    snaps.filter(_.operation == "rollback").foreach(rb =>
+      assert(rb.dataFiles.map(_.path).toSet == s1files,
+        s"rollback ${rb.seq} content drifted"))
+    // every append's marker is readable AT ITS OWN snapshot even when a
+    // later rollback unseated it from the head (time travel keeps it)
+    val appendSeqs = snaps.filter(s => s.operation == "append" && s.seq > 1).map(_.seq)
+    appendSeqs.foreach { seq =>
+      val markers = t2.scan(asOf = Some(seq)).select("marker").as[String].collect().toSet
+      assert(markers.exists(_.startsWith("A-")),
+        s"append snapshot $seq lost its own rows: $markers")
+    }
+    // no snapshot references a file that is not on disk
+    assert(referenced(t2).subsetOf(dataFilesOnDisk(t2)))
+  }
 }
