@@ -50,5 +50,12 @@ object DiffOps {
     // predicate: a pinned read that leaks the later delete shrinks the
     // row set, one that loses the upsert halves projected values; both
     // hash-diverge against DuckDB's prefix-state rewrite
-    pinned(1061L, 12, "q124_diff_lake_timetravel"))
+    pinned(1061L, 12, "q124_diff_lake_timetravel"),
+    // seed 1106 (arm 13, r16): pins the CHANGELOG at the richest range —
+    // (1,3), the update+delete union — with an outer predicate READING
+    // o_totalprice, so the era of every emitted value decides row
+    // membership: update rows must carry the DOUBLED to-state money,
+    // delete rows the RAW from-state money; either era leaking into the
+    // other branch changes the row set against DuckDB's structural dual
+    pinned(1106L, 13, "q125_diff_lake_changelog"))
 }

@@ -579,8 +579,18 @@ object QueryGen {
     * state rewrite (cut=1: the raw table; cut=2: the CASE restatement
     * only; cut=3: the converged rewrite), so a snapshot that leaks any
     * later mutation — or loses an earlier one — diverges on two engines
-    * that never saw a snapshot file. */
-  val NumScenarios = 13
+    * that never saw a snapshot file,
+    * 13 lake CHANGELOG (r16 — the CDC-OUT read path, until now covered
+    * only by the hand-written q79/q82): the same forced lifecycle, then
+    * `changes(from, to)` over a DRAWN snapshot range (6 valid pairs —
+    * (0,1) draws the append-only fast path, (1,3) the update+delete
+    * union); the SQL dual is the STRUCTURAL net-effect over the prefix
+    * states — inserts carry to-state values, updates are exactly the
+    * restated key class still live at `to`, deletes the tombstoned
+    * class present at `from` with FROM-state values — so a changelog
+    * that mislabels a class, leaks a tombstoned key, or emits delete
+    * rows with the wrong era's money diverges cross-engine. */
+  val NumScenarios = 14
 
   /** Arm 11's lake-CTAS metadata: the FULL parquet schema per eligible
     * table (the converged-state SQL rewrite must enumerate every column —
@@ -1071,7 +1081,7 @@ object QueryGen {
           df.select(projCols.map(col): _*)
         })
 
-      case _ =>
+      case 12 =>
         // lake TIME TRAVEL (arm 12): the full arm-11 lifecycle with BOTH
         // mutations forced — append (snapshot 1), upsert restatement
         // (snapshot 2), key tombstone (snapshot 3) — then the scan pins a
@@ -1129,6 +1139,83 @@ object QueryGen {
             else lake.scan(asOf = Some(cut.toLong))
           pred.foreach(p => df = df.filter(p._1))
           df.select(projCols.map(col): _*)
+        })
+
+      case _ =>
+        // lake CHANGELOG (arm 13): the CDC-OUT read path randomized —
+        // the forced lifecycle again, then `changes(from, to)` over a
+        // drawn snapshot range against the structural net-effect dual
+        // (see the NumScenarios scaladoc). Branch values are era-exact:
+        // inserts/updates carry TO-state money, delete rows carry
+        // FROM-state money — including the key class hit by BOTH
+        // mutations, whose delete row doubles under (2,3) but not (1,3).
+        val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
+        val t = lt.t
+        import graft.lake.{LakeTable, PartitionField, Transform}
+        val pfDraw = rng.nextInt(3)
+        val bucketN = 4 * (1 + rng.nextInt(2))
+        val u = 2 + rng.nextInt(3)
+        val ru = rng.nextInt(u)
+        val d = 5 + rng.nextInt(5)
+        val rd = rng.nextInt(d)
+        // the 6 valid (from, to) ranges over snapshots 0..3; 27720 % 6 = 0
+        // keeps the draw on the varying low bits (documented pathology)
+        val ranges = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+        val (cFrom, cTo) = ranges(rng.nextInt(27720) % ranges.size)
+        val pred = wherePreds(rng, Seq(t))
+        val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        // prefix-state inner selects (the arm-12 rewrites): 1 = as
+        // appended, 2 = + upsert restatement, 3 = + tombstones
+        def innerSel(state: Int): String = {
+          val cols = lt.fullCols.map { c =>
+            if (state >= 2 && c == lt.moneyCol)
+              s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
+            else c
+          }.mkString(", ")
+          val w = if (state >= 3) s" WHERE NOT (${lt.pk} % $d = $rd)" else ""
+          s"SELECT $cols FROM ${lakeFrom(t, lt, lakeCap)}$w"
+        }
+        def branch(state: Int, label: String, where: Option[String]): String =
+          s"SELECT g.*, '$label' AS _change_type FROM (${innerSel(state)}) g" +
+            where.map(w => s" WHERE $w").getOrElse("")
+        val union = (cFrom, cTo) match {
+          // from the empty table every live-at-to row is a net insert (a
+          // key inserted AND deleted inside the range nets to nothing);
+          // (0,1) is the append-only fast path on the DataFrame route
+          case (0, st) => branch(st, "insert", None)
+          // no tombstones in range: the restated class, to-state values
+          case (1, 2) => branch(2, "update", Some(s"${lt.pk} % $u = $ru"))
+          // updates = restated AND still live; deletes = tombstoned class
+          // with from-state (RAW) values — even for keys also restated
+          case (1, 3) =>
+            branch(3, "update", Some(s"${lt.pk} % $u = $ru")) + " UNION ALL " +
+              branch(1, "delete", Some(s"${lt.pk} % $d = $rd"))
+          // only the tombstone commit in range: deletes carry the
+          // RESTATED from-state (state-2) values
+          case _ => branch(2, "delete", Some(s"${lt.pk} % $d = $rd"))
+        }
+        val outCols = projCols :+ "_change_type"
+        val sql = s"SELECT ${outCols.mkString(", ")} FROM ($union) h" +
+          pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        Gen(name, sql, (s, dir) => {
+          val base = lakeBase(load(s, dir, t), lt, lakeCap)
+          val pf = pfDraw match {
+            case 0 => PartitionField(lt.identityCol, Transform.Identity, "gp")
+            case 1 if lt.tsCol.isDefined =>
+              PartitionField(lt.tsCol.get, Transform.Month, "gp")
+            case _ => PartitionField(lt.pk, Transform.Bucket(bucketN), "gp")
+          }
+          val loc = freshLakeLoc(name)
+          val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
+            partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
+          lake.append(base)                                           // seq 1
+          lake.upsert(base.filter(col(lt.pk) % u === ru)
+            .withColumn(lt.moneyCol, col(lt.moneyCol) * 2))           // seq 2
+          lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
+            .select(col(lt.pk)))                                      // seq 3
+          var df = lake.changes(cFrom.toLong, cTo.toLong)
+          pred.foreach(p => df = df.filter(p._1))
+          df.select(outCols.map(col): _*)
         })
     }
   }

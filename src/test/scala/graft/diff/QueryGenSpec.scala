@@ -59,7 +59,7 @@ class QueryGenSpec extends SparkSpec {
     // both lake arms must have hit their 5-execution budget — if the
     // sampling ever skips everything (a draw-distribution change), the
     // lifecycle smoke silently vanishes
-    assert(Seq(11, 12).forall(sc => scenarios.getOrElse(sc, 0) >= 5),
+    assert(Seq(11, 12, 13).forall(sc => scenarios.getOrElse(sc, 0) >= 5),
       s"lake arms under-drawn: $scenarios")
     // every arm must carry REAL weight, not just appear once: a skewed
     // draw (the nextInt(pow2) first-draw pathology produced exactly this
@@ -77,7 +77,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q124 render their golden SQL") {
+  test("pinned registry instances q110-q125 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -179,6 +179,21 @@ class QueryGenSpec extends SparkSpec {
           "CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, " +
           "o_orderdate, o_orderpriority FROM orders) g " +
           "WHERE ((o_orderkey >= 860 AND o_orderkey <= 1282) AND o_custkey >= 93)" +
+          ") ORDER BY ALL NULLS FIRST"),
+      // r16 arm 13: CHANGELOG pinned at the (1,3) update+delete union;
+      // the outer predicate reads o_totalprice, so update rows must
+      // carry DOUBLED to-state money and delete rows RAW from-state
+      // money for the row set to match
+      "q125_diff_lake_changelog" ->
+        ("SELECT * FROM (SELECT o_orderstatus, o_orderpriority, _change_type FROM " +
+          "(SELECT g.*, 'update' AS _change_type FROM (SELECT o_orderkey, o_custkey, " +
+          "o_orderstatus, CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2 ELSE o_totalprice " +
+          "END AS o_totalprice, o_orderdate, o_orderpriority FROM orders " +
+          "WHERE NOT (o_orderkey % 8 = 4)) g WHERE o_orderkey % 2 = 1 " +
+          "UNION ALL SELECT g.*, 'delete' AS _change_type FROM (SELECT o_orderkey, o_custkey, " +
+          "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders) g " +
+          "WHERE o_orderkey % 8 = 4) h " +
+          "WHERE (o_totalprice < 191721.725 AND o_orderpriority <> '2-HIGH')" +
           ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
