@@ -127,13 +127,64 @@ final class LakeTable private (
     * manifest assembly (cheap enough for per-query planning probes). */
   private[graft] def specVersionOf(seq: Long): Int = snapshotFile(seq).specVersion
 
-  /** Schema versions referenced by ANY committed snapshot 0..`upTo`
-    * (headers only — no manifest assembly). A version file NO snapshot
-    * references is an orphan — a crashed writer's leftover or a metadata
-    * commit that lost its snapshot race — and no data file was ever
-    * written under it; history guards must not read it as live lineage. */
-  private def referencedSchemaVersions(upTo: Long): Set[Int] =
-    (0L to upTo).map(s => snapshotFile(s).schemaVersion).toSet
+  /** Schema versions referenced by ANY committed snapshot (headers only —
+    * no manifest assembly), PLUS versions whose referencing snapshots were
+    * expired ([[retiredSchemaVersions]] — Maintenance.expireSnapshots
+    * records them BEFORE deleting the snapshot files, so lineage survives
+    * history expiry; without that record a metadata-only drop-column whose
+    * referencing snapshots all expired would let the dropped name be
+    * re-added while still-live data files hold stale physical values under
+    * it). A version file in NEITHER set is an orphan — a crashed writer's
+    * leftover or a metadata commit that lost its snapshot race — and no
+    * data file was ever written under it; history guards must not read it
+    * as live lineage. Existing snapshots are enumerated from the actual
+    * `snap-*.json` listing (never `0..head` — expiry deletes a prefix); a
+    * file expired between the listing and the header read is already in
+    * the retired record, so its disappearance is safe to skip. */
+  private def referencedSchemaVersions(upTo: Long): Set[Int] = {
+    val existing = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .filter(_ <= upTo)
+    val referenced = existing.flatMap { s =>
+      try Some(snapshotFile(s).schemaVersion)
+      catch { case _: java.io.FileNotFoundException => None } // expired mid-guard
+    }.toSet
+    referenced ++ retiredSchemaVersions
+  }
+
+  /** Schema versions that were referenced by since-expired snapshots —
+    * permanent lineage (a dropped column name is forever; see
+    * [[addColumn]]). Stored as append-only `retired-schema-vNNN.json`
+    * record files, each an immutable set written once by one expiry run;
+    * the live view is their union. No file = nothing ever expired. */
+  private[lake] def retiredSchemaVersions: Set[Int] =
+    fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.matches("retired-schema-v\\d+\\.json"))
+      .flatMap(p => readString(p).split("[\\[\\],\\s]+").filter(_.nonEmpty).map(_.toInt))
+      .toSet
+
+  /** Record `vs` as retired. Called by Maintenance.expireSnapshots BEFORE
+    * it deletes any snapshot file, so a crash between record and delete
+    * only over-records (a version whose snapshots survived is live anyway
+    * — conservative, never unsound). Each expiry run publishes its OWN
+    * exclusive-created record file (re-probing on collision) rather than
+    * read-merge-rewriting one file: a rewrite would let concurrent expiry
+    * runs lose each other's updates AFTER their snapshots are already
+    * gone; append-only union cannot. */
+  private[lake] def recordRetiredSchemaVersions(vs: Set[Int]): Unit = {
+    if (vs.isEmpty) return
+    val bytes = vs.toSeq.sorted.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+    var v = nextMetaVersion("retired-schema", 0)
+    var done = false
+    while (!done) {
+      try { createExclusive(new Path(metaDir, f"retired-schema-v$v%03d.json"), bytes); done = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
+      }
+    }
+  }
 
   /** Union of every partition field across spec versions 0..maxVersion,
     * deduped by field name. Pruning resolves each FILE's fields by the

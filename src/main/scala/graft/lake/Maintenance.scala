@@ -72,6 +72,16 @@ object Maintenance {
       .flatMap(s => table.snapshotFile(s.seq).manifests.map(_.path))
       .distinct.filterNot(liveManifests)
 
+    // Persist the expired snapshots' schema lineage BEFORE any deletion:
+    // the dropped-column-name guard (LakeTable.addColumn) derives "this
+    // version once held data" from snapshot references, and expiring the
+    // last snapshot that references a dropped column's schema version
+    // must not let the name be re-added while still-live data files hold
+    // stale physical values under it. Record-then-delete is crash-safe —
+    // a crash after the record only over-records, which is conservative.
+    table.recordRetiredSchemaVersions(
+      expired.map(s => table.snapshotFile(s.seq).schemaVersion).toSet)
+
     val root = new Path(table.location)
     dead.foreach(p => table.fs.delete(new Path(root, p), false))
     deadManifests.foreach(p => table.fs.delete(new Path(root, p), false))

