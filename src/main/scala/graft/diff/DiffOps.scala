@@ -57,5 +57,14 @@ object DiffOps {
     // membership: update rows must carry the DOUBLED to-state money,
     // delete rows the RAW from-state money; either era leaking into the
     // other branch changes the row set against DuckDB's structural dual
-    pinned(1106L, 13, "q125_diff_lake_changelog"))
+    pinned(1106L, 13, "q125_diff_lake_changelog"),
+    // seed 1111 (arm 14, r17): pins SCHEMA EVOLUTION at its most
+    // discriminating read — add-column between the two appends, then a
+    // changelog over (0,3): the range spans BOTH appends AND the metadata
+    // commit, the emitted schema is the evolved one, and the projection
+    // READS g_extra — so era-1 rows must null-fill while era-2 rows carry
+    // pk%97, under an outer predicate deciding row membership; a read
+    // that serves the old schema, fails to null-fill, or populates the
+    // wrong era hash-diverges against DuckDB's CASE rewrite
+    pinned(1111L, 14, "q126_diff_lake_schema_evo"))
 }

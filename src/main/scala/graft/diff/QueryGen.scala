@@ -589,8 +589,21 @@ object QueryGen {
     * restated key class still live at `to`, deletes the tombstoned
     * class present at `from` with FROM-state values — so a changelog
     * that mislabels a class, leaks a tombstoned key, or emits delete
-    * rows with the wrong era's money diverges cross-engine. */
-  val NumScenarios = 14
+    * rows with the wrong era's money diverges cross-engine,
+    * 14 lake SCHEMA EVOLUTION (r17, VERDICT r16 #1: arms 11–13 mutate
+    * DATA; add/promote/drop-column was tested only by hand-written specs
+    * — and the r16 orphan-schema bug lived exactly there): a drawn
+    * evolution op lands BETWEEN two appends (append under the old schema
+    * → ALTER → append under the new schema), then a drawn read crosses
+    * the schema boundary — a scan at a drawn cut (direct or via
+    * rollback) or a changelog over a drawn range — with the projection
+    * forced to read the evolved column. The SQL dual is the null-filled
+    * (add), CAST-widened (promote) or column-stripped (drop) rewrite of
+    * the era the read pins, so an old-era file that fails to null-fill,
+    * a narrow file decoded without widening, a dropped column leaking
+    * back, or a pinned read serving the wrong era's schema all diverge
+    * against two engines that never saw a schema version file. */
+  val NumScenarios = 15
 
   /** Arm 11's lake-CTAS metadata: the FULL parquet schema per eligible
     * table (the converged-state SQL rewrite must enumerate every column —
@@ -639,12 +652,12 @@ object QueryGen {
     // family seeds drew the same arm (caught by QueryGenSpec's coverage
     // assertion). A modulo over a bound divisible by the arm count keeps
     // the draw uniform AND on the low bits, which do vary. 360360 =
-    // LCM(1..13), so every arm count ≤ 13 divides it — the current 13
+    // LCM(1..15), so every arm count ≤ 15 divides it — the current 15
     // included (r14 moved 2520 → 27720 when arm 10 landed; r16 moved
     // 27720 → 360360 when arm 12 landed; an arm-count change reshuffles
     // only the seed-drawn family, never the pinned entries, which force
-    // their scenario and skip this draw); a 14TH arm needs 360360 again
-    // (LCM(1..14) = 360360 — 14 = 2·7 already divides it).
+    // their scenario and skip this draw). The next bound change comes at
+    // a 16TH arm: 360360/16 is not integral — move to 720720 then.
     val scenario = forceScenario.getOrElse(rng.nextInt(360360) % NumScenarios)
     val name = s"diff_s${seed}_sc$scenario"
 
@@ -1141,7 +1154,7 @@ object QueryGen {
           df.select(projCols.map(col): _*)
         })
 
-      case _ =>
+      case 13 =>
         // lake CHANGELOG (arm 13): the CDC-OUT read path randomized —
         // the forced lifecycle again, then `changes(from, to)` over a
         // drawn snapshot range against the structural net-effect dual
@@ -1214,6 +1227,137 @@ object QueryGen {
           lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
             .select(col(lt.pk)))                                      // seq 3
           var df = lake.changes(cFrom.toLong, cTo.toLong)
+          pred.foreach(p => df = df.filter(p._1))
+          df.select(outCols.map(col): _*)
+        })
+
+      case _ =>
+        // lake SCHEMA EVOLUTION (arm 14): append under the old schema
+        // (seq 1) → a drawn ALTER (seq 2: add-column / promote-type /
+        // drop-column, all metadata-only) → append under the NEW schema
+        // (seq 3) — then a drawn read crosses the boundary: scan at cut
+        // 1/2/3 (direct or rollback+scan, drawn) or changelog over one of
+        // the 5 non-degenerate snapshot ranges. Rows split by an exact pk
+        // class: the second-era class arrives under the evolved schema,
+        // so era-1 files must null-fill (add), decode-widen (promote) or
+        // never resurface (drop) exactly where the SQL dual says.
+        val opDraw = rng.nextInt(27720) % 3 // 0 add, 1 promote, 2 drop
+        // promote needs a genuinely-narrow column; only customer carries
+        // an INT32 in the fixtures (c_nationkey — orders is all int64)
+        val lt =
+          if (opDraw == 1) lakeTbls.find(_.t.name == "customer").get
+          else lakeTbls(rng.nextInt(27720) % lakeTbls.size)
+        val t = lt.t
+        import graft.lake.{LakeTable, PartitionField, Transform}
+        // the evolved column: a fresh INT for add; the INT32 for promote;
+        // a column that is never a drawn partition source for drop
+        val evoCol = opDraw match {
+          case 0 => "g_extra"
+          case 1 => "c_nationkey"
+          case _ => if (t.name == "orders") "o_orderpriority" else "c_name"
+        }
+        val pfDraw = rng.nextInt(3)
+        val bucketN = 4 * (1 + rng.nextInt(2))
+        val sMod = 2 + rng.nextInt(3)
+        val rsMod = rng.nextInt(sMod)
+        // 8 read classes: 0..2 = scan at cut 1/2/3, 3..7 = changelog over
+        // the 5 non-degenerate ranges ((1,2] spans only the metadata
+        // commit — zero rows by construction, nothing to differentiate)
+        val readDraw = rng.nextInt(27720) % 8
+        val useRollback = rng.nextBoolean()
+        val clRanges = Seq((0, 1), (0, 2), (0, 3), (1, 3), (2, 3))
+        val (era, classFilter, clRange) =
+          if (readDraw <= 2) {
+            val cut = readDraw + 1
+            (if (cut == 1) 1 else 2, if (cut <= 2) Some(false) else None,
+              None: Option[(Int, Int)])
+          } else {
+            val r = clRanges(readDraw - 3)
+            val cf = r match {
+              case (0, 3) => None          // both appends in range
+              case (0, _) => Some(false)   // only the era-1 append
+              case _      => Some(true)    // only the era-2 append
+            }
+            (if (r._2 == 1) 1 else 2, cf, Some(r))
+          }
+        val predRaw = wherePreds(rng, Seq(t))
+        // a drawn predicate may reference the DROPPED column; at an era-2
+        // read that column does not exist on the lake route — discard the
+        // predicate (deterministic per seed: the draw itself is kept)
+        val pred = predRaw.filterNot(p =>
+          opDraw == 2 && era >= 2 && p._2.contains(evoCol))
+        // projection pool follows the read era's schema; force the evolved
+        // column into the projection wherever it exists (era 1 for drop =
+        // pre-drop values; era 2 for add = null-filled + populated mix)
+        val pool =
+          if (opDraw == 2 && era >= 2) lt.fullCols.filterNot(_ == evoCol)
+          else lt.fullCols
+        val forced: Option[String] = opDraw match {
+          case 0 => if (era >= 2) Some("g_extra") else None
+          case 1 => Some(evoCol)
+          case _ => if (era == 1) Some(evoCol) else None
+        }
+        val projCols =
+          (rng.shuffle(pool).take(2 + rng.nextInt(3)) ++ forced).distinct
+        def innerCols(e: Int): String =
+          if (e == 1) lt.fullCols.mkString(", ")
+          else opDraw match {
+            case 0 => (lt.fullCols :+
+              (s"CASE WHEN ${lt.pk} % $sMod = $rsMod THEN " +
+                s"CAST(${lt.pk} % 97 AS INT) END AS g_extra")).mkString(", ")
+            case 1 => lt.fullCols.map(c =>
+              if (c == evoCol) s"CAST($c AS BIGINT) AS $c" else c).mkString(", ")
+            case _ => lt.fullCols.filterNot(_ == evoCol).mkString(", ")
+          }
+        val innerWhere = classFilter match {
+          case Some(true)  => s" WHERE ${lt.pk} % $sMod = $rsMod"
+          case Some(false) => s" WHERE NOT (${lt.pk} % $sMod = $rsMod)"
+          case None        => ""
+        }
+        val innerSel =
+          s"SELECT ${innerCols(era)} FROM ${lakeFrom(t, lt, lakeCap)}$innerWhere"
+        val (outCols, sql) = clRange match {
+          case None =>
+            (projCols, s"SELECT ${projCols.mkString(", ")} FROM ($innerSel) g" +
+              pred.map(p => s" WHERE ${p._2}").getOrElse(""))
+          case Some(_) =>
+            val oc = projCols :+ "_change_type"
+            (oc, s"SELECT ${oc.mkString(", ")} FROM " +
+              s"(SELECT g.*, 'insert' AS _change_type FROM ($innerSel) g) h" +
+              pred.map(p => s" WHERE ${p._2}").getOrElse(""))
+        }
+        Gen(name, sql, (s, dir) => {
+          val base = lakeBase(load(s, dir, t), lt, lakeCap)
+          val isSecond = col(lt.pk) % sMod === rsMod
+          val pf = pfDraw match {
+            case 0 => PartitionField(lt.identityCol, Transform.Identity, "gp")
+            case 1 if lt.tsCol.isDefined =>
+              PartitionField(lt.tsCol.get, Transform.Month, "gp")
+            case _ => PartitionField(lt.pk, Transform.Bucket(bucketN), "gp")
+          }
+          val loc = freshLakeLoc(name)
+          val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
+            partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
+          lake.append(base.filter(!isSecond))                         // seq 1
+          opDraw match {                                              // seq 2
+            case 0 => lake.addColumn("g_extra", "INT")
+            case 1 => lake.promoteColumn(evoCol, "BIGINT")
+            case _ => lake.dropColumn(evoCol)
+          }
+          val second = opDraw match {
+            case 0 => base.filter(isSecond)
+              .withColumn("g_extra", (col(lt.pk) % 97).cast("int"))
+            case 1 => base.filter(isSecond) // narrow batch: widens on align
+            case _ => base.filter(isSecond).drop(evoCol)
+          }
+          lake.append(second)                                         // seq 3
+          var df = clRange match {
+            case Some((f, to)) => lake.changes(f.toLong, to.toLong)
+            case None =>
+              val cut = readDraw + 1
+              if (useRollback) { lake.rollbackTo(cut.toLong); lake.scan() }
+              else lake.scan(asOf = Some(cut.toLong))
+          }
           pred.foreach(p => df = df.filter(p._1))
           df.select(outCols.map(col): _*)
         })
