@@ -41,6 +41,11 @@ object CdcIngest {
   /** Per-row sync-timestamp metadata column (≙ `_olake_sync_timestamp`). */
   val TsCol = "_graft_sync_ts"
 
+  /** Test-only crash-injection hook, fired with the micro-batch ordinal
+    * after that batch's lake commit and before its checkpoint record
+    * (see the call site in [[ingest]]). No-op in production. */
+  @volatile private[graft] var failpoint: Long => Unit = _ => ()
+
   /** Deterministic change stream derived from the orders fixture, so the
     * ingested end-state is a pure SQL function of the input table:
     *  - update for every key % 3 == 0: status → 'U', price doubled,
@@ -109,6 +114,12 @@ object CdcIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(table, batch)
+        // crash-injection site (test-only): fires AFTER the batch's lake
+        // commit and BEFORE foreachBatch returns — i.e. before Structured
+        // Streaming records the batch in the checkpoint. Killing here is
+        // the at-least-once redelivery window the checkpoint protocol
+        // promises to survive (ProcessSafetySpec proves it cross-process).
+        failpoint(batches)
         batches += 1
         ()
       }

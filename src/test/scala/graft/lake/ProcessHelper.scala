@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *   - `crash-delta <loc>` — start an upsert and halt after BOTH its new
   *     data files and its delete-key sidecars are staged, before the
   *     snapshot publish.
+  *   - `cdc-crash <loc> <logDir> <ckpt> <haltAt>` — drain the CDC change
+  *     log but halt after micro-batch `haltAt`'s lake commit and before
+  *     its streaming-checkpoint record (the at-least-once window).
+  *   - `cdc-drain <loc> <logDir> <ckpt>` — resume the same checkpoint and
+  *     drain to completion (the unacknowledged batch redelivers).
   *
   * Exit codes: 0 = mode completed; 137 = deliberate halt at a failpoint
   * (the spec asserts on it); anything else = real failure.
@@ -69,6 +74,23 @@ object ProcessHelper {
         Seq(("doomed", "x", 0)).toDF("marker", "w", "i")
           .write.format("graftlake").mode("append").save(loc)
         sys.error("unreachable: staged-dsv2 failpoint did not fire")
+      case "cdc-crash" =>
+        // drain the change log but halt AFTER micro-batch `haltAt`'s lake
+        // commit and BEFORE its streaming-checkpoint record — the
+        // at-least-once redelivery window (committed but unacknowledged)
+        val logDir = args(2); val ckpt = args(3); val haltAt = args(4).toLong
+        graft.streaming.CdcIngest.failpoint =
+          ordinal => if (ordinal == haltAt) Runtime.getRuntime.halt(137)
+        graft.streaming.CdcIngest.ingest(t, logDir,
+          spark.read.parquet(logDir).schema, ckpt)
+        sys.error(s"unreachable: cdc failpoint at batch $haltAt did not fire")
+      case "cdc-drain" =>
+        // restart from the same checkpoint and drain to completion — the
+        // unacknowledged batch redelivers and must re-apply idempotently
+        val logDir = args(2); val ckpt = args(3)
+        graft.streaming.CdcIngest.ingest(t, logDir,
+          spark.read.parquet(logDir).schema, ckpt)
+        spark.stop()
       case other => sys.error(s"unknown mode $other")
     }
   }
