@@ -297,6 +297,13 @@ final class LakeTable private (
       .map(n => snapshot(n.stripPrefix("snap-").stripSuffix(".json").toLong))
       .sortBy(_.seq).toSeq
 
+  /** Lowest retained snapshot seq (0 until the first expiry) — a pure
+    * listing, no snapshot assembly. */
+  private[graft] def earliestSeq: Long =
+    fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(_.stripPrefix("snap-").stripSuffix(".json").toLong).min
+
   // ----------------------------------------------------------------- write
 
   /** Append `df` (user schema) as new data files + a new snapshot. */
@@ -615,6 +622,15 @@ final class LakeTable private (
     * operation with those semantics. */
   def changes(from: Long, to: Long): DataFrame = {
     require(from <= to, s"${meta.name}: changes range [$from, $to] is inverted")
+    // a range reaching below the retained history cannot replay — refuse
+    // with the re-baseline recipe (the streaming changelog source carries
+    // the same guard) instead of a raw FileNotFoundException from an
+    // expired snapshot file
+    val earliest = earliestSeq
+    require(from >= earliest,
+      s"${meta.name}: changes from snapshot $from is older than the retained history " +
+        s"(earliest snapshot $earliest — earlier ones expired); re-baseline from a " +
+        "retained snapshot")
     val replayable = Set("upsert", "delete", "cdc", "add-column",
       "promote-type", "drop-column", "evolve-spec",
       // merge-on-read SQL row-level commits: new data files + delete-key

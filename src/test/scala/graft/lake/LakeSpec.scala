@@ -294,6 +294,10 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("dropped"), e.getMessage)
     assert(t.scan().select("id", "s").as[(Long, String)].collect().toSet ==
       Set((1L, "y"), (2L, "z")))
+    // a changelog range reaching below the retained history refuses with
+    // the re-baseline recipe, not a raw missing-file error
+    val ce = intercept[IllegalArgumentException](t.changes(0L, t.currentSeq))
+    assert(ce.getMessage.contains("retained"), ce.getMessage)
   }
 
   test("catalog DDL + DESCRIBE surface (S11/S12)") {
