@@ -1041,7 +1041,7 @@ object QueryGen {
         // same fix as the scenario draw above)
         val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
         val t = lt.t
-        import graft.lake.{LakeTable, PartitionField, Transform}
+        import graft.lake.{LakeTable, Maintenance, PartitionField, Transform}
         // every draw happens HERE, never inside build: the same Gen's
         // build may run many times (plan hygiene, verify, soaks) and must
         // compose the identical plan each time
@@ -1107,7 +1107,7 @@ object QueryGen {
         // against Spark SQL and DuckDB.
         val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
         val t = lt.t
-        import graft.lake.{LakeTable, PartitionField, Transform}
+        import graft.lake.{LakeTable, Maintenance, PartitionField, Transform}
         val pfDraw = rng.nextInt(3)
         val bucketN = 4 * (1 + rng.nextInt(2))
         val u = 2 + rng.nextInt(3)
@@ -1122,6 +1122,14 @@ object QueryGen {
         val useRollback = rng.nextBoolean()
         val pred = wherePreds(rng, Seq(t))
         val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        // trailing draw (r17): EXPIRE the non-head history before the read
+        // when the read targets the head — after a rollback (the rollback
+        // commit IS the head and carries the cut's content: an expired
+        // table must serve the identical prefix state) or at cut 3. Drawn
+        // LAST so every pre-r17 instance's SQL and plan stay byte-
+        // identical; ineligible reads (a direct asOf below the head would
+        // pin an expired snapshot) consume the draw and ignore it.
+        val expireDraw = rng.nextBoolean()
         val inner = lt.fullCols.map { c =>
           if (cut >= 2 && c == lt.moneyCol)
             s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
@@ -1148,8 +1156,14 @@ object QueryGen {
           lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
             .select(col(lt.pk)))                                      // seq 3
           var df =
-            if (useRollback) { lake.rollbackTo(cut.toLong); lake.scan() }
-            else lake.scan(asOf = Some(cut.toLong))
+            if (useRollback) {
+              lake.rollbackTo(cut.toLong)
+              if (expireDraw) Maintenance.expireSnapshots(lake, keep = 1)
+              lake.scan()
+            } else {
+              if (expireDraw && cut == 3) Maintenance.expireSnapshots(lake, keep = 1)
+              lake.scan(asOf = Some(cut.toLong))
+            }
           pred.foreach(p => df = df.filter(p._1))
           df.select(projCols.map(col): _*)
         })
@@ -1164,7 +1178,7 @@ object QueryGen {
         // mutations, whose delete row doubles under (2,3) but not (1,3).
         val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
         val t = lt.t
-        import graft.lake.{LakeTable, PartitionField, Transform}
+        import graft.lake.{LakeTable, Maintenance, PartitionField, Transform}
         val pfDraw = rng.nextInt(3)
         val bucketN = 4 * (1 + rng.nextInt(2))
         val u = 2 + rng.nextInt(3)
@@ -1248,7 +1262,7 @@ object QueryGen {
           if (opDraw == 1) lakeTbls.find(_.t.name == "customer").get
           else lakeTbls(rng.nextInt(27720) % lakeTbls.size)
         val t = lt.t
-        import graft.lake.{LakeTable, PartitionField, Transform}
+        import graft.lake.{LakeTable, Maintenance, PartitionField, Transform}
         // the evolved column: a fresh INT for add; the INT32 for promote;
         // a column that is never a drawn partition source for drop
         val evoCol = opDraw match {
@@ -1299,6 +1313,15 @@ object QueryGen {
         }
         val projCols =
           (rng.shuffle(pool).take(2 + rng.nextInt(3)) ++ forced).distinct
+        // trailing draw (r17, same contract as arm 12): expire the
+        // non-head history before a head read — the expiry × schema-
+        // evolution interaction produced real bugs two rounds running
+        // (r16 orphan guard, r17 expiry lineage), so the grammar now
+        // walks it: after expiry the retained head must still serve the
+        // evolved schema, null-fill/widen old-era files, and keep
+        // dropped-column lineage. Eligible: head scan (cut 3, either
+        // route) or rollback-to-cut (the rollback commit is the head).
+        val expireDraw = rng.nextBoolean()
         def innerCols(e: Int): String =
           if (e == 1) lt.fullCols.mkString(", ")
           else opDraw match {
@@ -1355,8 +1378,14 @@ object QueryGen {
             case Some((f, to)) => lake.changes(f.toLong, to.toLong)
             case None =>
               val cut = readDraw + 1
-              if (useRollback) { lake.rollbackTo(cut.toLong); lake.scan() }
-              else lake.scan(asOf = Some(cut.toLong))
+              if (useRollback) {
+                lake.rollbackTo(cut.toLong)
+                if (expireDraw) Maintenance.expireSnapshots(lake, keep = 1)
+                lake.scan()
+              } else {
+                if (expireDraw && cut == 3) Maintenance.expireSnapshots(lake, keep = 1)
+                lake.scan(asOf = Some(cut.toLong))
+              }
           }
           pred.foreach(p => df = df.filter(p._1))
           df.select(outCols.map(col): _*)

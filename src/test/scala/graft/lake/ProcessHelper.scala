@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   *   - `crash-delta <loc>` — start an upsert and halt after BOTH its new
   *     data files and its delete-key sidecars are staged, before the
   *     snapshot publish.
+  *   - `crash-meta <loc>` — start an ALTER (add-column) and halt between
+  *     its schema-version-file publish and the snapshot commit: the
+  *     version file lands as an orphan referenced by no snapshot.
   *   - `cdc-crash <loc> <logDir> <ckpt> <haltAt>` — drain the CDC change
   *     log but halt after micro-batch `haltAt`'s lake commit and before
   *     its streaming-checkpoint record (the at-least-once window).
@@ -74,6 +77,14 @@ object ProcessHelper {
         Seq(("doomed", "x", 0)).toDF("marker", "w", "i")
           .write.format("graftlake").mode("append").save(loc)
         sys.error("unreachable: staged-dsv2 failpoint did not fire")
+      case "crash-meta" =>
+        // halt an ALTER between its schema-version-file publish and the
+        // snapshot commit: the version file lands as an ORPHAN (referenced
+        // by no snapshot) — the crash window of the metadata commit class
+        LakeTable.failpoint =
+          site => if (site == "pre-meta-commit") Runtime.getRuntime.halt(137)
+        t.addColumn("m_extra", "INT")
+        sys.error("unreachable: pre-meta-commit failpoint did not fire")
       case "cdc-crash" =>
         // drain the change log but halt AFTER micro-batch `haltAt`'s lake
         // commit and BEFORE its streaming-checkpoint record — the

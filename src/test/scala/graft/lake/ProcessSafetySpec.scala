@@ -235,6 +235,42 @@ class ProcessSafetySpec extends SparkSpec {
     assert(referenced(t2).subsetOf(dataFilesOnDisk(t2)))
   }
 
+  test("ALTER killed between version-file publish and snapshot commit: readers unaffected, name reusable") {
+    // the metadata-commit crash window: the schema-vNNN.json is durable
+    // but no snapshot references it (an ORPHAN — the same artifact a lost
+    // race leaves, here produced by a real cross-process kill). Readers
+    // must be unaffected, and the crashed ALTER's own name must remain
+    // addable — r16's orphan-guard fix proven against a genuine crash,
+    // not just the in-JVM race injection.
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft-proc-metacrash").resolve("t").toString
+    val t = newTable(dir)
+    t.append(Seq(("seed", "s", -1)).toDF("marker", "w", "i"))
+    val before = t.scan().collect().toSet
+    val schemaFiles = () => {
+      val meta = new org.apache.hadoop.fs.Path(t.location, "meta")
+      t.fs.listStatus(meta).map(_.getPath.getName)
+        .count(n => n.startsWith("schema-v") && n.endsWith(".json"))
+    }
+    val filesBefore = schemaFiles()
+
+    val p = fork("crash-meta", dir)
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "meta crasher timed out")
+    assert(p.exitValue() == 137, s"expected halt(137), got ${p.exitValue()}")
+
+    val t2 = LakeTable.load(spark, dir)
+    // the crash left a REAL orphan version file, and no snapshot moved
+    assert(schemaFiles() == filesBefore + 1, "crash window left no orphan schema file")
+    assert(t2.snapshots.map(_.operation).count(_ == "add-column") == 0)
+    assert(t2.scan().collect().toSet == before)
+    assert(!t2.currentSchema.fieldNames.contains("m_extra"))
+    // the same name is still addable: the orphan is not live lineage
+    assert(t2.addColumn("m_extra", "INT").operation == "add-column")
+    assert(t2.currentSchema.fieldNames.contains("m_extra"))
+    assert(t2.scan().select("marker", "m_extra").collect()
+      .forall(_.isNullAt(1)), "old rows must null-fill the evolved column")
+  }
+
   test("CDC ingest killed after a batch's commit, before its checkpoint: restart replays idempotently") {
     // VERDICT r16 #5: CdcIngestSpec proves IN-PROCESS replay idempotence
     // (C5); this kills the JVM inside the exact at-least-once window —
