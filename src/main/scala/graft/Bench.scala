@@ -198,10 +198,14 @@ object Bench {
     /** One full recording pass over every query (measure → contamination
       * retry → serve polish), returning the polished results, the
       * pre-polish results (median comparability), the pre-polish retry
-      * list, and the window's total /proc/stat steal. */
+      * list, the window's total /proc/stat steal, and its OWN serial
+      * sentinel samples (the global buffer is cleared per pass — a
+      * rejected dirty attempt's inflated samples must not bias the
+      * record window's host-noise proxy). */
     case class Attempt(polished: Seq[QRes], prepolish: Seq[QRes],
-        retried: Seq[String], stealSec: Double)
+        retried: Seq[String], stealSec: Double, sentinelRuns: Seq[Double])
     def recordOnce(): Attempt = {
+      sentinels.clear()
       val stealStart = stealSec()
       val firstPass = benched.map { q =>
         try {
@@ -251,7 +255,7 @@ object Bench {
         } else r
       }
       Attempt(polished, results, results.filter(_.windows.size > 1).map(_.name),
-        stealSec() - stealStart)
+        stealSec() - stealStart, sentinels.toSeq)
     }
 
     // WINDOW-QUALITY GATE on the artifact itself (VERDICT r16 #1: the r16
@@ -308,10 +312,19 @@ object Bench {
     // and earlier rounds' sidecars — a harness-caused step change in a
     // forensics signal (review finding r12). Mins may fold polish runs
     // (noise only ever adds time); medians must not.
+    // a query can fail in the RECORD attempt yet carry a min from another
+    // attempt (minAcross keeps it in okRes) — fall back to the first
+    // attempt where it succeeded rather than folding a -1.0 failure
+    // sentinel into total_median / the medians dict (review finding r17)
     val medByName = results.filter(_.ok).map(r => r.name -> r.med).toMap
-    def medOf(r: QRes): Double = medByName.getOrElse(r.name, r.med)
-    val totalMed = okRes.map(medOf).sum
-    val sentMed = if (sentinels.isEmpty) 0.0 else median(sentinels.toSeq)
+    def medOf(r: QRes): Double = medByName.get(r.name)
+      .orElse(attempts.flatMap(_.prepolish.find(p => p.name == r.name && p.ok))
+        .headOption.map(_.med))
+      .getOrElse(-1.0)
+    val medRes = okRes.filter(r => medOf(r) >= 0)
+    val totalMed = medRes.map(medOf).sum
+    val sentRuns = record.sentinelRuns
+    val sentMed = if (sentRuns.isEmpty) 0.0 else median(sentRuns)
     val allPar = polished.flatMap(_.windows.map(_.parMs))
     val parSentMed = if (allPar.isEmpty) 0.0 else median(allPar)
 
@@ -328,7 +341,7 @@ object Bench {
       s"""{"runs":${polished.map(r => "\"" + r.name + "\":" +
           r.windows.map(w => fmtArr(w.times)).mkString("[", ",", "]"))
         .mkString("{", ",", "}")},""" +
-      s""""medians":${okRes.map(r => "\"" + r.name + "\":" + fmt(medOf(r)))
+      s""""medians":${medRes.map(r => "\"" + r.name + "\":" + fmt(medOf(r)))
         .mkString("{", ",", "}")},""" +
       // pre-polish mins alongside the polished primary (ADVICE r12): the
       // serve-polish pass folds an extra maximally-warm window into
@@ -342,7 +355,7 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""par_sentinel_ms":${polished.map(r => "\"" + r.name + "\":" +
           fmtArr(r.windows.map(_.parMs))).mkString("{", ",", "}")},""" +
-      s""""sentinel_runs_ms":${fmtArr(sentinels.toSeq)},""" +
+      s""""sentinel_runs_ms":${fmtArr(sentRuns)},""" +
       s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       // per-attempt window steal + every attempt's per-query mins: the
       // full adjudication trail when the gate had to re-record

@@ -625,12 +625,18 @@ final class LakeTable private (
     // a range reaching below the retained history cannot replay — refuse
     // with the re-baseline recipe (the streaming changelog source carries
     // the same guard) instead of a raw FileNotFoundException from an
-    // expired snapshot file
-    val earliest = earliestSeq
-    require(from >= earliest,
-      s"${meta.name}: changes from snapshot $from is older than the retained history " +
-        s"(earliest snapshot $earliest — earlier ones expired); re-baseline from a " +
-        "retained snapshot")
+    // expired snapshot file. O(1) existence probe on the success path;
+    // the directory listing runs only to render the failure message
+    // (changes() is called per streaming micro-batch — review finding r17)
+    if (!fs.exists(snapPath(from))) {
+      val earliest = earliestSeq
+      throw new IllegalArgumentException(
+        if (from < earliest)
+          s"${meta.name}: changes from snapshot $from is older than the retained " +
+            s"history (earliest snapshot $earliest — earlier ones expired); " +
+            "re-baseline from a retained snapshot"
+        else s"${meta.name}: changes from snapshot $from: no such snapshot")
+    }
     val replayable = Set("upsert", "delete", "cdc", "add-column",
       "promote-type", "drop-column", "evolve-spec",
       // merge-on-read SQL row-level commits: new data files + delete-key

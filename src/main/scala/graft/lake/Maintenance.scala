@@ -79,8 +79,7 @@ object Maintenance {
     // must not let the name be re-added while still-live data files hold
     // stale physical values under it. Record-then-delete is crash-safe —
     // a crash after the record only over-records, which is conservative.
-    table.recordRetiredSchemaVersions(
-      expired.map(s => table.snapshotFile(s.seq).schemaVersion).toSet)
+    table.recordRetiredSchemaVersions(expired.map(_.schemaVersion).toSet)
 
     val root = new Path(table.location)
     dead.foreach(p => table.fs.delete(new Path(root, p), false))

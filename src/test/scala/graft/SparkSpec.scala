@@ -36,10 +36,17 @@ object TestSpark {
     } catch { case _: Exception => -1.0 }
   private val windowStartNs = System.nanoTime()
   private val windowStartSteal = stealSec()
+  private val suitesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
   private val stamped = new java.util.concurrent.atomic.AtomicBoolean(false)
-  /** Idempotent; forces object init from every suite's constructor so the
-    * window starts at first suite load, not first Spark use. */
-  def armWindowStamp(): Unit =
+  /** Idempotent hook arming; counts every instantiated suite so the stamp
+    * records the run's SCOPE — a `testOnly` run also writes the file (it
+    * cannot know it is partial), and without the `suites` field such a
+    * tiny window would masquerade as the full-suite window-of-record
+    * (review finding r17: exactly that clobber happened in-tree). Called
+    * from every suite's constructor, so the window starts at first suite
+    * load, not first Spark use. */
+  def armWindowStamp(): Unit = {
+    suitesSeen.incrementAndGet()
     if (stamped.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         val wall = (System.nanoTime() - windowStartNs) / 1e9
@@ -52,10 +59,12 @@ object TestSpark {
             new java.io.File(sys.props("user.dir"), "SUITE_WINDOW.json"), "UTF-8")
           try w.println(
             f"""{"wall_sec":$wall%.1f,"steal_sec":$steal%.2f,""" +
+              s""""suites":${suitesSeen.get()},""" +
               s""""ended_utc":"${java.time.Instant.now()}"}""")
           finally w.close()
         } catch { case _: Exception => () } // a stamp must never fail the suite
       }, "suite-window-stamp"))
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {

@@ -298,6 +298,16 @@ class LakeSpec extends SparkSpec {
     // the re-baseline recipe, not a raw missing-file error
     val ce = intercept[IllegalArgumentException](t.changes(0L, t.currentSeq))
     assert(ce.getMessage.contains("retained"), ce.getMessage)
+    // a SECOND evolution + expiry appends its own retired-record file;
+    // the guard unions them all — both dropped names stay dead forever
+    t.dropColumn("fresh")
+    t.upsert(Seq((3L, "w")).toDF("id", "s"))
+    Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(-1000L))
+    assert(intercept[IllegalArgumentException](t.addColumn("fresh", "int"))
+      .getMessage.contains("dropped"))
+    assert(intercept[IllegalArgumentException](t.addColumn("gone", "int"))
+      .getMessage.contains("dropped"))
+    t.addColumn("fresh2", "int") // evolution itself still works
   }
 
   test("catalog DDL + DESCRIBE surface (S11/S12)") {
