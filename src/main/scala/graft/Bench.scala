@@ -86,8 +86,12 @@ object Bench {
   /** Cumulative hypervisor steal seconds from /proc/stat (col 9), summed
     * over all cpus; -1 when unreadable. Deltas across a measured run tell
     * a reader how much CPU the host took DURING that run — the direct
-    * evidence for "busier machine", where the sentinels are only proxies. */
-  private def stealSec(): Double =
+    * evidence for "busier machine", where the sentinels are only proxies.
+    * `private[graft]` so the suite window stamp (TestSpark) measures
+    * steal with the SAME parser — two copies drifting apart would make
+    * the bench artifact and the suite stamp silently disagree on the one
+    * signal they exist to cross-adjudicate. */
+  private[graft] def stealSec(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {

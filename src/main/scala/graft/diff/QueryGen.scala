@@ -1041,7 +1041,7 @@ object QueryGen {
         // same fix as the scenario draw above)
         val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
         val t = lt.t
-        import graft.lake.{LakeTable, Maintenance, PartitionField, Transform}
+        import graft.lake.{LakeTable, PartitionField, Transform}
         // every draw happens HERE, never inside build: the same Gen's
         // build may run many times (plan hygiene, verify, soaks) and must
         // compose the identical plan each time
@@ -1178,7 +1178,7 @@ object QueryGen {
         // mutations, whose delete row doubles under (2,3) but not (1,3).
         val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
         val t = lt.t
-        import graft.lake.{LakeTable, Maintenance, PartitionField, Transform}
+        import graft.lake.{LakeTable, PartitionField, Transform}
         val pfDraw = rng.nextInt(3)
         val bucketN = 4 * (1 + rng.nextInt(2))
         val u = 2 + rng.nextInt(3)

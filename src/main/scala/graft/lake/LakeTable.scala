@@ -625,18 +625,25 @@ final class LakeTable private (
     // a range reaching below the retained history cannot replay — refuse
     // with the re-baseline recipe (the streaming changelog source carries
     // the same guard) instead of a raw FileNotFoundException from an
-    // expired snapshot file. O(1) existence probe on the success path;
-    // the directory listing runs only to render the failure message
-    // (changes() is called per streaming micro-batch — review finding r17)
-    if (!fs.exists(snapPath(from))) {
+    // expired snapshot file. O(1) existence probes on the success path
+    // (changes() is called per streaming micro-batch); the directory
+    // listing runs only to render the failure message. The replay reads
+    // snapshot HEADERS (from+1 .. to) on every path, but the `from` BASE
+    // snapshot only when a pk base join is planned — append-only ranges
+    // and pk-less tables never read it, so a checkpoint parked exactly at
+    // the expiry boundary (from = earliest - 1) stays replayable on those
+    // paths (review finding r17: the first guard form refused it).
+    def refuseExpired(seq: Long, what: String): Nothing = {
       val earliest = earliestSeq
       throw new IllegalArgumentException(
-        if (from < earliest)
-          s"${meta.name}: changes from snapshot $from is older than the retained " +
+        if (seq < earliest)
+          s"${meta.name}: changes $what snapshot $seq is older than the retained " +
             s"history (earliest snapshot $earliest — earlier ones expired); " +
             "re-baseline from a retained snapshot"
-        else s"${meta.name}: changes from snapshot $from: no such snapshot")
+        else s"${meta.name}: changes $what snapshot $seq: no such snapshot")
     }
+    if (from < to && !fs.exists(snapPath(from + 1))) refuseExpired(from + 1, "range start")
+    if (!fs.exists(snapPath(to))) refuseExpired(to, "end")
     val replayable = Set("upsert", "delete", "cdc", "add-column",
       "promote-type", "drop-column", "evolve-spec",
       // merge-on-read SQL row-level commits: new data files + delete-key
@@ -672,6 +679,9 @@ final class LakeTable private (
     if (meta.primaryKey.isEmpty || appendOnly)
       return added.select(userCols :+ lit("insert").as(TypeCol): _*)
     val pk = meta.primaryKey
+    // the pk path DOES read the `from` base state — refuse expired bases
+    // here, past the fast path that never needs them
+    if (!fs.exists(snapPath(from))) refuseExpired(from, "base")
     // base rows carry the FROM-era schema; align to the `to` schema the
     // changelog is emitted in (null-fill added columns, widen promoted
     // ones, drop since-removed ones)

@@ -26,14 +26,10 @@ object TestSpark {
   // judge runs) was unanswerable because the suite recorded no window
   // quality. Stamp wall + /proc/stat hypervisor-steal delta across the
   // whole forked test JVM into SUITE_WINDOW.json at exit, so a slow run
-  // is attributable to the host vs the code from artifacts.
-  private def stealSec(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu "))
-        .map(_.trim.split("\\s+")(8).toLong / 100.0).getOrElse(-1.0)
-      finally src.close()
-    } catch { case _: Exception => -1.0 }
+  // is attributable to the host vs the code from artifacts. The parser
+  // is Bench's — the stamp and the bench artifact must measure steal
+  // identically to stay cross-adjudicable.
+  private def stealSec(): Double = Bench.stealSec()
   private val windowStartNs = System.nanoTime()
   private val windowStartSteal = stealSec()
   private val suitesSeen = new java.util.concurrent.atomic.AtomicInteger(0)

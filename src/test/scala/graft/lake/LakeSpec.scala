@@ -310,6 +310,34 @@ class LakeSpec extends SparkSpec {
     t.addColumn("fresh2", "int") // evolution itself still works
   }
 
+  test("changelog at the expiry boundary: append-only ranges replay, pk base joins refuse") {
+    // the replay reads snapshot HEADERS (from+1 .. to) on every path but
+    // the `from` BASE snapshot only on the pk-join path — a checkpoint
+    // parked exactly at the expiry boundary (from = earliest-1) must stay
+    // replayable for append-only ranges (review finding r17: a uniform
+    // from >= earliest guard killed that previously-working stream)
+    val dir = Files.createTempDirectory("graft-expire-boundary-spec").toString
+    import spark.implicits._
+    val t = LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "x")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1L, "a")).toDF("id", "s"))           // seq 1
+    t.append(Seq((2L, "b")).toDF("id", "s"))           // seq 2
+    t.append(Seq((3L, "c")).toDF("id", "s"))           // seq 3
+    Maintenance.expireSnapshots(t, keep = 2, maxAgeMs = Some(-1000L)) // earliest = 2
+    // from = earliest-1: append-only fast path reads headers 2..3 only
+    assert(t.changes(1L, 3L).select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // from below the boundary refuses with the recipe
+    assert(intercept[IllegalArgumentException](t.changes(0L, 3L))
+      .getMessage.contains("retained"))
+    // a non-append commit in range forces the pk base join, which DOES
+    // read snapshot(from) — expired base refuses, retained base works
+    t.upsert(Seq((2L, "B")).toDF("id", "s"))           // seq 4
+    assert(intercept[IllegalArgumentException](t.changes(1L, 4L))
+      .getMessage.contains("retained"))
+    assert(t.changes(2L, 4L).filter(col("_change_type") === "update")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("catalog DDL + DESCRIBE surface (S11/S12)") {
     val dir = Files.createTempDirectory("graft-cat-spec").toString
     val cat = new LakeCatalog(spark, dir)
