@@ -1431,14 +1431,37 @@ final class LakeTable private (
     * (NOT atomic — two racers can both pass the exists check), so use
     * java.nio's O_EXCL there; HDFS/object-store schemes get the
     * filesystem's own atomic create. */
+  /** Exclusive AND atomic publish: the file either does not exist or is
+    * fully readable — never partially written. A direct CREATE_NEW +
+    * write makes the name visible BEFORE the bytes land, and a
+    * concurrent reader probing the head (`currentSeq` probes forward,
+    * then parses) can read a torn snapshot file — observed as a
+    * cross-process NPE in the rollback-vs-appender race test (r17).
+    * POSIX idiom: stage the bytes to a hidden temp name, then hard-LINK
+    * it to the target — link creation is atomic, fails with
+    * FileAlreadyExistsException when the target exists (the O_EXCL
+    * semantics the commit protocol needs), and the content is complete
+    * the instant the name appears. Filesystems without hard links fall
+    * back to the direct create (same correctness under no concurrency,
+    * and non-local schemes keep the Hadoop create). */
   private def createExclusive(p: Path, bytes: Array[Byte]): Unit = {
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      val ch = java.nio.file.Files.newByteChannel(local,
-        java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
-      try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+      val tmp = local.resolveSibling(s".${local.getFileName}.${UUID.randomUUID()}.tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+        try java.nio.file.Files.createLink(local, tmp)
+        catch {
+          case _: UnsupportedOperationException =>
+            val ch = java.nio.file.Files.newByteChannel(local,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val out = fs.create(p, false)
       try out.write(bytes) finally out.close()

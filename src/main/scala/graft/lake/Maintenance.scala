@@ -42,9 +42,16 @@ object Maintenance {
     * the expired snapshots. The policy mirrors the reference
     * (destination.json:92-93: max age 5 days AND keep ≥ 5): a snapshot is
     * expired only when it is BOTH beyond the last `keep` AND — when
-    * `maxAgeMs` is given — older than the age cutoff. Commit timestamps
-    * are monotone with seq, so the age filter always expires a prefix of
-    * history and retained snapshots stay fully readable. */
+    * `maxAgeMs` is given — older than the age cutoff. The age scan is a
+    * `takeWhile`, not a `filter`: commit timestamps are EXPECTED monotone
+    * with seq, but a backwards host-clock step can produce an interior
+    * snapshot younger than its successor, and a filter would then expire
+    * an INTERIOR snapshot — tearing a hole in the gap-free retained
+    * history that every consumer assumes (`currentSeq` forward probing,
+    * `changes`'s O(1) boundary probes, the streaming sources' earliest-
+    * seq guards). takeWhile stops at the first young-enough snapshot, so
+    * expiry removes a contiguous prefix BY CONSTRUCTION and retained
+    * snapshots stay fully readable (review finding r17). */
   def expireSnapshots(table: LakeTable, keep: Int, maxAgeMs: Option[Long] = None): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val all = table.snapshots
@@ -52,7 +59,7 @@ object Maintenance {
     val candidates = all.dropRight(keep)
     val cutoff = maxAgeMs.map(a => System.currentTimeMillis() - a)
     val expired = cutoff match {
-      case Some(c) => candidates.filter(_.timestampMs < c)
+      case Some(c) => candidates.takeWhile(_.timestampMs < c)
       case None    => candidates
     }
     if (expired.isEmpty) return
@@ -137,8 +144,12 @@ object Maintenance {
     table.fs.listStatus(metaDir)
       .filter { st =>
         val n = st.getPath.getName
-        n.startsWith("man-") && n.endsWith(".json") &&
-          !liveManifests(s"meta/$n") && st.getModificationTime < cutoff
+        (n.startsWith("man-") && n.endsWith(".json") && !liveManifests(s"meta/$n") ||
+          // hidden publish temps stranded by a writer killed mid
+          // stage-and-link (createExclusive); invisible to every reader
+          // (listings filter on real prefixes), swept here age-gated
+          n.startsWith(".") && n.endsWith(".tmp")) &&
+          st.getModificationTime < cutoff
       }
       .foreach(st => table.fs.delete(st.getPath, false))
   }

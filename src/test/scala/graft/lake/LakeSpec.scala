@@ -338,6 +338,32 @@ class LakeSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("age-gated expiry under a backwards clock step expires a contiguous prefix, never an interior snapshot") {
+    // doctored fixture (BoundsSpec idiom): make snapshot 2 "younger" than
+    // snapshot 3 — the backwards-host-clock shape. A per-snapshot age
+    // FILTER would expire {0,1,3} and leave a hole at 3 that every
+    // gap-free-history consumer trips over; the takeWhile stops at the
+    // first young-enough snapshot and keeps the suffix contiguous.
+    val dir = Files.createTempDirectory("graft-expire-clock-spec").toString
+    import spark.implicits._
+    val t = LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "x")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    val young = System.currentTimeMillis() + 3600 * 1000L
+    val snapPath = java.nio.file.Paths.get(s"$dir/t/meta/snap-00002.json")
+    val original = new String(java.nio.file.Files.readAllBytes(snapPath), "UTF-8")
+    val doctored = original
+      .replaceAll("\"timestampMs\"\\s*:\\s*\\d+", s""""timestampMs" : $young""")
+    assert(doctored != original, "doctoring missed — snapshot JSON format changed?")
+    java.nio.file.Files.write(snapPath, doctored.getBytes("UTF-8"))
+    // cutoff = now: snapshots 0,1 are old, 2 is (doctored) young, 3 old
+    Maintenance.expireSnapshots(t, keep = 1, maxAgeMs = Some(0L))
+    val kept = LakeTable.load(spark, s"$dir/t").snapshots.map(_.seq)
+    assert(kept == (2L to 4L), s"interior expiry tore the history: $kept")
+    // the retained range is fully consumable
+    assert(LakeTable.load(spark, s"$dir/t").changes(2L, 4L).count() == 2)
+  }
+
   test("catalog DDL + DESCRIBE surface (S11/S12)") {
     val dir = Files.createTempDirectory("graft-cat-spec").toString
     val cat = new LakeCatalog(spark, dir)
