@@ -1425,25 +1425,26 @@ final class LakeTable private (
       delReused ++ writeNew("delete", Nil, delNew)).toSeq
   }
 
-  /** Exclusive create of an immutable metadata file — a racing second
-    * writer fails loudly instead of overwriting. On file:// the Hadoop
-    * local fs implements create(overwrite=false) as check-then-create
-    * (NOT atomic — two racers can both pass the exists check), so use
-    * java.nio's O_EXCL there; HDFS/object-store schemes get the
-    * filesystem's own atomic create. */
-  /** Exclusive AND atomic publish: the file either does not exist or is
-    * fully readable — never partially written. A direct CREATE_NEW +
-    * write makes the name visible BEFORE the bytes land, and a
-    * concurrent reader probing the head (`currentSeq` probes forward,
-    * then parses) can read a torn snapshot file — observed as a
-    * cross-process NPE in the rollback-vs-appender race test (r17).
-    * POSIX idiom: stage the bytes to a hidden temp name, then hard-LINK
-    * it to the target — link creation is atomic, fails with
+  /** Exclusive AND atomic publish of an immutable metadata file: a racing
+    * second writer fails loudly instead of overwriting, and the file
+    * either does not exist or is fully readable — never partially
+    * written. On file:// the Hadoop local fs implements
+    * create(overwrite=false) as check-then-create (not exclusive), and a
+    * direct java.nio CREATE_NEW makes the name visible BEFORE the bytes
+    * land — a concurrent reader probing the head (`currentSeq` probes
+    * forward, then parses) can read a torn snapshot file (observed as a
+    * cross-process NPE in the rollback-vs-appender race test, r17). So:
+    * stage the bytes to a hidden temp name, then hard-LINK it to the
+    * target — link creation is atomic, fails with
     * FileAlreadyExistsException when the target exists (the O_EXCL
     * semantics the commit protocol needs), and the content is complete
-    * the instant the name appears. Filesystems without hard links fall
-    * back to the direct create (same correctness under no concurrency,
-    * and non-local schemes keep the Hadoop create). */
+    * the instant the name appears. A link-INCAPABLE mount (exFAT, some
+    * FUSE/CIFS — surfaced by the JDK as an errno FileSystemException,
+    * not UnsupportedOperationException) falls back to the direct O_EXCL
+    * create: still exclusive, but a concurrent reader may glimpse a torn
+    * file — the strongest guarantee such a filesystem offers (and the
+    * pre-r17 behavior everywhere). Non-local schemes keep the Hadoop
+    * create. */
   private def createExclusive(p: Path, bytes: Array[Byte]): Unit = {
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
@@ -1455,7 +1456,12 @@ final class LakeTable private (
           java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
         try java.nio.file.Files.createLink(local, tmp)
         catch {
-          case _: UnsupportedOperationException =>
+          // a lost race MUST propagate (FileAlreadyExistsException IS a
+          // FileSystemException — match it first)
+          case e: java.nio.file.FileAlreadyExistsException => throw e
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // link-incapable mount: direct O_EXCL create (a racer still
+            // loses loudly via CREATE_NEW; torn-read window documented)
             val ch = java.nio.file.Files.newByteChannel(local,
               java.nio.file.StandardOpenOption.CREATE_NEW,
               java.nio.file.StandardOpenOption.WRITE)
