@@ -258,8 +258,17 @@ object Bench {
             System.err.println(s"[bench] ${r.name} serve-polish failed: ${e.getMessage}"); r }
         } else r
       }
+      // Propagate "unmeasurable" explicitly: if EITHER /proc/stat read
+      // failed, the delta is -1 (sentinel), never a -1-based subtraction —
+      // a both-reads-failed pass must not masquerade as steal 0.000 (a
+      // provably clean window), and a transient end-read failure must not
+      // produce a huge negative that burns every re-record attempt.
+      val stealDelta = {
+        val stealEnd = stealSec()
+        if (stealStart < 0 || stealEnd < 0) -1.0 else stealEnd - stealStart
+      }
       Attempt(polished, results, results.filter(_.windows.size > 1).map(_.name),
-        stealSec() - stealStart, sentinels.toSeq)
+        stealDelta, sentinels.toSeq)
     }
 
     // WINDOW-QUALITY GATE on the artifact itself (VERDICT r16 #1: the r16
@@ -280,8 +289,15 @@ object Bench {
       .map(_.toInt).getOrElse(3)
     val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
     attempts += recordOnce()
+    // steal_sec = -1 means /proc/stat was unreadable for that pass: the
+    // gate is SKIPPED (re-recording cannot help when steal is
+    // unmeasurable) and the -1 sentinel ships in the artifact so a
+    // reader can distinguish "unmeasured" from "measured clean".
+    if (attempts.last.stealSec < 0)
+      System.err.println("[bench] /proc/stat unreadable — steal unmeasurable; " +
+        "window-quality gate skipped, artifact records steal_sec -1")
     while (attempts.size < MaxAttempts &&
-        (attempts.last.stealSec > StealBudgetSec || attempts.last.stealSec < 0)) {
+        attempts.last.stealSec > StealBudgetSec) {
       System.err.println(f"[bench] attempt ${attempts.size} window dirty " +
         f"(steal=${attempts.last.stealSec}%.2f s > budget $StealBudgetSec%.2f s) — re-recording")
       attempts += recordOnce()

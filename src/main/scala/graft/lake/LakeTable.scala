@@ -642,6 +642,20 @@ final class LakeTable private (
             "re-baseline from a retained snapshot"
         else s"${meta.name}: changes $what snapshot $seq: no such snapshot")
     }
+    // The existence probes above are check-then-read: a concurrent
+    // expireSnapshots BETWEEN a probe and the header/base read would
+    // otherwise surface as a raw FileNotFoundException instead of the
+    // documented re-baseline contract — plausible for a streaming
+    // micro-batch racing maintenance. Every replay header/base read is
+    // therefore also guarded, re-routing a vanished file through
+    // refuseExpired (which re-lists the directory, so the message names
+    // the post-expiry earliest snapshot).
+    def readGuarded[A](seq: Long, what: String)(body: => A): A =
+      try body
+      catch {
+        case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
+          refuseExpired(seq, what)
+      }
     if (from < to && !fs.exists(snapPath(from + 1))) refuseExpired(from + 1, "range start")
     if (!fs.exists(snapPath(to))) refuseExpired(to, "end")
     val replayable = Set("upsert", "delete", "cdc", "add-column",
@@ -649,14 +663,15 @@ final class LakeTable private (
       // merge-on-read SQL row-level commits: new data files + delete-key
       // sidecars, the exact shape the changelog replays
       "update-mor", "merge-mor", "delete-mor")
-    val rangeSnaps = ((from + 1) to to).map(snapshotFile(_))
+    val rangeSnaps =
+      ((from + 1) to to).map(q => readGuarded(q, "range header")(snapshotFile(q)))
     rangeSnaps.foreach { sf =>
       require(replayable(sf.operation) || sf.operation.startsWith("append"),
         s"${meta.name}: snapshot ${sf.seq} is '${sf.operation}' — content restatements " +
           "have no row-level changelog; consume changes up to the restatement, then " +
           "re-baseline from its snapshot")
     }
-    val endSnap = snapshot(to)
+    val endSnap = readGuarded(to, "end")(snapshot(to))
     val userSchema = schema(endSnap.schemaVersion)
     val userCols = userSchema.fieldNames.map(col).toSeq
     val TypeCol = "_change_type"
@@ -686,7 +701,7 @@ final class LakeTable private (
     // changelog is emitted in (null-fill added columns, widen promoted
     // ones, drop since-removed ones)
     val base = {
-      val fromSnap = snapshot(from)
+      val fromSnap = readGuarded(from, "base")(snapshot(from))
       val raw = morMerged(fromSnap, fromSnap.dataFiles)
       userSchema.fields.foldLeft(raw)((d, f) =>
         if (d.columns.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
@@ -1443,31 +1458,53 @@ final class LakeTable private (
     * not UnsupportedOperationException) falls back to the direct O_EXCL
     * create: still exclusive, but a concurrent reader may glimpse a torn
     * file — the strongest guarantee such a filesystem offers (and the
-    * pre-r17 behavior everywhere). Non-local schemes keep the Hadoop
-    * create. */
+    * pre-r17 behavior everywhere). Because MANY FileSystemException
+    * subclasses are transient faults a silent fallback would mask (e.g.
+    * the staged temp swept mid-publish by a concurrent removeOrphans
+    * with a tiny olderThanMs → NoSuchFileException), the fallback is
+    * gated on a cached per-directory link-capability probe: if the
+    * directory demonstrably CAN hard-link, the original failure was real
+    * and propagates; NoSuchFileException on the temp gets one re-stage
+    * retry first. Falling back logs once per directory. Non-local
+    * schemes keep the Hadoop create. */
   private def createExclusive(p: Path, bytes: Array[Byte]): Unit = {
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      val tmp = local.resolveSibling(s".${local.getFileName}.${UUID.randomUUID()}.tmp")
-      try {
-        java.nio.file.Files.write(tmp, bytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
-        try java.nio.file.Files.createLink(local, tmp)
-        catch {
-          // a lost race MUST propagate (FileAlreadyExistsException IS a
-          // FileSystemException — match it first)
-          case e: java.nio.file.FileAlreadyExistsException => throw e
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            // link-incapable mount: direct O_EXCL create (a racer still
-            // loses loudly via CREATE_NEW; torn-read window documented)
-            val ch = java.nio.file.Files.newByteChannel(local,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
-        }
-      } finally java.nio.file.Files.deleteIfExists(tmp)
+      def stageAndLink(): Unit = {
+        val tmp = local.resolveSibling(s".${local.getFileName}.${UUID.randomUUID()}.tmp")
+        try {
+          java.nio.file.Files.write(tmp, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+          java.nio.file.Files.createLink(local, tmp)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+      try stageAndLink()
+      catch {
+        // a lost race MUST propagate (FileAlreadyExistsException IS a
+        // FileSystemException — match it first)
+        case e: java.nio.file.FileAlreadyExistsException => throw e
+        // the staged temp vanished between write and link — a concurrent
+        // removeOrphans with a small age gate can sweep it. The mount
+        // plainly supports the operations; re-stage once and retry (a
+        // second miss is a real environmental fault and propagates, as
+        // does a race lost on the retry).
+        case _: java.nio.file.NoSuchFileException => stageAndLink()
+        case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+          // Only a genuinely link-incapable mount may degrade to the
+          // torn-read-window CREATE_NEW path; a transient errno on a
+          // capable mount must surface to the caller's retry logic.
+          if (LakeTable.dirSupportsHardLinks(local.getParent)) throw e
+          System.err.println(
+            s"graft-lake: ${local.getParent} does not support hard links; publishing " +
+              s"${local.getFileName} via O_EXCL create (exclusive, but a concurrent reader " +
+              "may observe a partially-written file on this mount)")
+          val ch = java.nio.file.Files.newByteChannel(local,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+      }
     } else {
       val out = fs.create(p, false)
       try out.write(bytes) finally out.close()
@@ -1545,6 +1582,34 @@ object LakeTable {
     * walks. Bounded LRU: 4096 manifests ≈ the metadata of a few hundred
     * large tables; eviction only costs a re-parse. */
   private[lake] val manifestCache = new ManifestCache(4096)
+
+  /** Cached per-directory hard-link capability probe, consulted only
+    * after a createLink failure to decide whether the torn-read-window
+    * fallback is legitimate (link-incapable mount) or the failure was a
+    * transient fault that must propagate. The probe stages a 1-byte
+    * hidden temp and links it; both names are deleted in finally. Cached
+    * per absolute directory — capability is a property of the mount, not
+    * of the call. Test hook: clear via [[resetLinkProbeCache]]. */
+  private val linkCapableDirs =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
+  private[lake] def resetLinkProbeCache(): Unit = linkCapableDirs.clear()
+  private[lake] def dirSupportsHardLinks(dir: java.nio.file.Path): Boolean =
+    linkCapableDirs.computeIfAbsent(dir.toAbsolutePath, d => {
+      val src = d.resolve(s".linkprobe-${UUID.randomUUID()}.tmp")
+      val dst = d.resolve(s".linkprobe-${UUID.randomUUID()}.tmp")
+      try {
+        java.nio.file.Files.write(src, Array[Byte](0),
+          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+        java.nio.file.Files.createLink(dst, src)
+        java.lang.Boolean.TRUE
+      } catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.lang.Boolean.FALSE
+      } finally {
+        java.nio.file.Files.deleteIfExists(dst)
+        java.nio.file.Files.deleteIfExists(src)
+      }
+    }).booleanValue()
 
   private[lake] final class ManifestCache(max: Int) {
     private val m =

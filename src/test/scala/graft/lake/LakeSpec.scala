@@ -338,6 +338,36 @@ class LakeSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("changes() racing a concurrent expiry between existence probe and header read keeps the re-baseline contract") {
+    // the guard is check-then-read: the O(1) probes look at snap(from+1)
+    // and snap(to), but the replay then reads EVERY header in the range —
+    // a concurrent expireSnapshots landing between probe and read used to
+    // surface as a raw FileNotFoundException (ADVICE r17). Simulate the
+    // torn window by deleting an interior header the probes never touch.
+    val dir = Files.createTempDirectory("graft-changes-race-spec").toString
+    import spark.implicits._
+    val t = LakeTable.create(spark, s"$dir/t", "t",
+      Seq((1L, "x")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t/meta/snap-00003.json"))
+    // probes pass (snap-2 and snap-4 exist); the header read of seq 3
+    // must re-route through the documented IllegalArgumentException, not
+    // leak java.io.FileNotFoundException to a streaming micro-batch
+    val e = intercept[IllegalArgumentException](t.changes(1L, 4L))
+    assert(e.getMessage.contains("snapshot 3"), e.getMessage)
+  }
+
+  test("hard-link capability probe: detects a capable mount, caches, and leaves no probe litter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkprobe-spec")
+    LakeTable.resetLinkProbeCache()
+    assert(LakeTable.dirSupportsHardLinks(dir),
+      "local tmpfs/ext4 must probe as link-capable — the torn-read fallback " +
+        "would otherwise silently mask transient errors on this host")
+    assert(LakeTable.dirSupportsHardLinks(dir)) // cached second call
+    val litter = java.nio.file.Files.list(dir).toArray
+    assert(litter.isEmpty, s"probe left files behind: ${litter.mkString(",")}")
+  }
+
   test("age-gated expiry under a backwards clock step expires a contiguous prefix, never an interior snapshot") {
     // doctored fixture (BoundsSpec idiom): make snapshot 2 "younger" than
     // snapshot 3 — the backwards-host-clock shape. A per-snapshot age
