@@ -66,5 +66,16 @@ object DiffOps {
     // pk%97, under an outer predicate deciding row membership; a read
     // that serves the old schema, fails to null-fill, or populates the
     // wrong era hash-diverges against DuckDB's CASE rewrite
-    pinned(1111L, 14, "q126_diff_lake_schema_evo"))
+    pinned(1111L, 14, "q126_diff_lake_schema_evo"),
+    // seed 1281 (arm 14, r18): pins the MAINTENANCE lifecycle at its
+    // richest interaction — drop-column between the appends, expiry of
+    // the non-head history, then compactDirty rewriting the era-mixed
+    // partitions UNDER THE DROPPED SCHEMA before a head read with a row-
+    // membership predicate (notes: op=2 read=2 rollback=true expire=true
+    // maint=1; committed ops after expiry: append,compact). A compaction
+    // that resurrects dropped-column bytes, loses era-1 rows, or breaks
+    // the retired-schema lineage changes the row set against DuckDB's
+    // converged rewrite — the compaction × evolution × expiry surface
+    // the r16/r17 expiry draws kept finding bugs next to
+    pinned(1281L, 14, "q127_diff_lake_maintenance"))
 }

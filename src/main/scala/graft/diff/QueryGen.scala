@@ -38,8 +38,12 @@ import scala.util.Random
 object QueryGen {
 
   /** One generated instance: `sql` runs on Spark SQL and DuckDB; `build`
-    * composes the equivalent DataFrame plan over `Tables.load`. */
-  final case class Gen(name: String, sql: String, build: (SparkSession, String) => DataFrame)
+    * composes the equivalent DataFrame plan over `Tables.load`. `notes`
+    * records the LIFECYCLE draws the SQL cannot show (lake arms: read
+    * route, cut, expiry, maintenance) — SeedScout prints it, and the
+    * DiffOps pin comments cite it, so pin selection is reproducible. */
+  final case class Gen(name: String, sql: String,
+      build: (SparkSession, String) => DataFrame, notes: String = "")
 
   // ------------------------------------------------------------ metadata
 
@@ -172,38 +176,46 @@ object QueryGen {
       Int.box(year), Int.box(month), Int.box(day))
   }
 
+  /** A predicate dual plus the exact name of the column it references —
+    * tracked structurally so callers that must discard predicates over an
+    * evolved-away column (arm 14) compare names exactly instead of
+    * substring-matching rendered SQL (where a column name that is a
+    * substring of another, or appears inside a literal, would mis-match). */
+  private type Pred = (Column, String, String)
+
   /** One atomic predicate over `t`'s columns. */
-  private def predicate(rng: Random, t: Tbl): Dual = {
-    val kinds = Seq.newBuilder[() => Dual]
+  private def predicate(rng: Random, t: Tbl): Pred = {
+    val kinds = Seq.newBuilder[() => Pred]
     if (t.longKeys.nonEmpty) kinds += { () =>
       val (c, max) = t.longKeys(rng.nextInt(t.longKeys.size))
       rng.nextInt(3) match {
         case 0 =>
           val v = 1 + rng.nextLong(max)
-          if (rng.nextBoolean()) (col(c) < v, s"$c < $v") else (col(c) >= v, s"$c >= $v")
+          if (rng.nextBoolean()) (col(c) < v, s"$c < $v", c)
+          else (col(c) >= v, s"$c >= $v", c)
         case 1 =>
           val m = 2 + rng.nextInt(6); val r = rng.nextInt(m)
-          (col(c) % m === r, s"$c % $m = $r")
+          (col(c) % m === r, s"$c % $m = $r", c)
         case _ =>
           val lo = rng.nextLong(max); val hi = lo + 1 + rng.nextLong(max)
-          (col(c) >= lo && col(c) <= hi, s"($c >= $lo AND $c <= $hi)")
+          (col(c) >= lo && col(c) <= hi, s"($c >= $lo AND $c <= $hi)", c)
       }
     }
     if (t.intCols.nonEmpty) kinds += { () =>
       val (c, lo, hi) = t.intCols(rng.nextInt(t.intCols.size))
       val v = lo + rng.nextInt(hi - lo + 1)
       rng.nextInt(3) match {
-        case 0 => (col(c) < v, s"$c < $v")
-        case 1 => (col(c) >= v, s"$c >= $v")
-        case _ => (col(c) === v, s"$c = $v")
+        case 0 => (col(c) < v, s"$c < $v", c)
+        case 1 => (col(c) >= v, s"$c >= $v", c)
+        case _ => (col(c) === v, s"$c = $v", c)
       }
     }
     if (t.moneyCols.nonEmpty) kinds += { () =>
       val (c, lo, hi) = t.moneyCols(rng.nextInt(t.moneyCols.size))
       val v = math.rint((lo + rng.nextDouble() * (hi - lo)) * 100) / 100 + 0.005
       val lit = money(v)
-      if (rng.nextBoolean()) (col(c) < lit.toDouble, s"$c < $lit")
-      else (col(c) >= lit.toDouble, s"$c >= $lit")
+      if (rng.nextBoolean()) (col(c) < lit.toDouble, s"$c < $lit", c)
+      else (col(c) >= lit.toDouble, s"$c >= $lit", c)
     }
     if (t.strCols.nonEmpty) kinds += { () =>
       val keys = t.strCols.keys.toSeq.sorted
@@ -212,26 +224,26 @@ object QueryGen {
       rng.nextInt(3) match {
         case 0 =>
           val v = pool(rng.nextInt(pool.size))
-          (col(c) === v, s"$c = '$v'")
+          (col(c) === v, s"$c = '$v'", c)
         case 1 =>
           val v = pool(rng.nextInt(pool.size))
-          (col(c) =!= v, s"$c <> '$v'")
+          (col(c) =!= v, s"$c <> '$v'", c)
         case _ =>
           val n = 2 + rng.nextInt(math.min(3, pool.size - 1))
           val vs = rng.shuffle(pool).take(n)
-          (col(c).isin(vs: _*), vs.mkString(s"$c IN ('", "', '", "')"))
+          (col(c).isin(vs: _*), vs.mkString(s"$c IN ('", "', '", "')"), c)
       }
     }
     if (t.tsCols.nonEmpty) kinds += { () =>
       val c = t.tsCols(rng.nextInt(t.tsCols.size))
       val v = tsLit(rng)
-      if (rng.nextBoolean()) (col(c) < expr(s"TIMESTAMP '$v'"), s"$c < TIMESTAMP '$v'")
-      else (col(c) >= expr(s"TIMESTAMP '$v'"), s"$c >= TIMESTAMP '$v'")
+      if (rng.nextBoolean()) (col(c) < expr(s"TIMESTAMP '$v'"), s"$c < TIMESTAMP '$v'", c)
+      else (col(c) >= expr(s"TIMESTAMP '$v'"), s"$c >= TIMESTAMP '$v'", c)
     }
     if (t.likeCols.nonEmpty) kinds += { () =>
       val (c, frags) = t.likeCols(rng.nextInt(t.likeCols.size))
       val f = frags(rng.nextInt(frags.size))
-      (col(c).like(s"%$f%"), s"$c LIKE '%$f%'")
+      (col(c).like(s"%$f%"), s"$c LIKE '%$f%'", c)
     }
     val pool = kinds.result()
     pool(rng.nextInt(pool.size))()
@@ -239,14 +251,23 @@ object QueryGen {
 
   /** 1–3 predicates over the given tables, composed with AND/OR and full
     * parens (identical associativity on both sides). */
-  private def wherePreds(rng: Random, tbls: Seq[Tbl]): Option[Dual] = {
+  private def wherePreds(rng: Random, tbls: Seq[Tbl]): Option[Dual] =
+    wherePredsTracked(rng, tbls).map(_._1)
+
+  /** As [[wherePreds]], but also returns the exact set of column names the
+    * composed predicate references (draw sequence is identical — all atoms
+    * first, then the connective draws — so seeds are unchanged). */
+  private def wherePredsTracked(
+      rng: Random, tbls: Seq[Tbl]): Option[(Dual, Set[String])] = {
     val n = rng.nextInt(4) // 0..3 (0 = no WHERE)
     if (n == 0) return None
     val parts = Seq.fill(n) { predicate(rng, tbls(rng.nextInt(tbls.size))) }
-    Some(parts.reduce { (a, b) =>
+    val refs = parts.map(_._3).toSet
+    val dual = parts.map(p => (p._1, p._2): Dual).reduce { (a, b) =>
       if (rng.nextInt(3) == 0) (a._1 || b._1, s"(${a._2} OR ${b._2})")
       else (a._1 && b._1, s"(${a._2} AND ${b._2})")
-    })
+    }
+    Some((dual, refs))
   }
 
   /** 2–4 aggregate expressions over the given tables (decimal-pathed sums
@@ -637,6 +658,28 @@ object QueryGen {
     t.toString
   }
 
+  /** Maintenance trailing draw for the lake arms (r18): compaction,
+    * manifest stats rewrite, and the orphan sweep are content-PRESERVING
+    * lifecycle mutations — running a drawn one right before the read must
+    * never change any query's rows (the expiry draw caught real bugs two
+    * rounds running; compaction × MoR × evolution is the analogous
+    * interaction surface). Drawn LAST in each arm so every pre-r18
+    * instance's SQL and plan stay byte-identical per seed; the modulus
+    * stays off powers of two (documented java.util.Random pathology).
+    * 0 = none, 1 = compactDirty (folds MoR tombstones, bin-packs, era-
+    * aligns rewritten files to the current schema), 2 = rewriteManifests
+    * (stats-only restatement snapshot), 3 = compactDirty + an aggressive
+    * zero-age orphan sweep (referenced files must all survive it). */
+  private def maintDraw(rng: Random): Int = rng.nextInt(27720) % 4
+  private def applyMaintenance(lake: graft.lake.LakeTable, draw: Int): Unit = draw match {
+    case 1 => lake.compactDirty()
+    case 2 => lake.rewriteManifests()
+    case 3 =>
+      lake.compactDirty()
+      graft.lake.Maintenance.removeOrphans(lake, olderThanMs = 0L)
+    case _ => ()
+  }
+
   /** @param lakeCap cap the lake arms' CTAS input to the `cap` smallest
     *   primary keys (rendered into the SQL dual identically, so all three
     *   routes stay consistent). The in-suite QueryGenSpec passes 300 —
@@ -941,7 +984,7 @@ object QueryGen {
           t.longKeys.map(c => (c._1, "int")) ++ t.intCols.map(c => (c._1, "int")) ++
             t.moneyCols.map(c => (c._1, "money"))
         val (tc, kind) = numericPool(rng.nextInt(numericPool.size))
-        val inner: Option[Dual] =
+        val inner: Option[Pred] =
           if (rng.nextBoolean()) Some(predicate(rng, t)) else None
         val innerSql = inner.map(p => s" WHERE ${p._2}").getOrElse("")
         def innerDf(s: SparkSession, dir: String): DataFrame = {
@@ -1057,6 +1100,10 @@ object QueryGen {
         } else None
         val pred = wherePreds(rng, Seq(t))
         val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        // trailing draw (r18): a content-preserving maintenance pass
+        // right before the MoR scan — compaction must fold the tombstones
+        // and restatements to the identical converged state
+        val maint = maintDraw(rng)
         val inner = lt.fullCols.map { c =>
           upsert match {
             case Some((u, ru)) if c == lt.moneyCol =>
@@ -1070,6 +1117,8 @@ object QueryGen {
         val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
           s"(SELECT $inner FROM ${lakeFrom(t, lt, lakeCap)}$innerWhere) g" +
           pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        val notes11 =
+          s"upsert=${upsert.isDefined} delete=${delete.isDefined} maint=$maint"
         Gen(name, sql, (s, dir) => {
           val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val pf = pfDraw match {
@@ -1089,10 +1138,11 @@ object QueryGen {
           delete.foreach { case (d, rd) =>
             lake.deleteKeys(base.filter(col(lt.pk) % d === rd).select(col(lt.pk)))
           }
+          applyMaintenance(lake, maint)
           var df = lake.scan()
           pred.foreach(p => df = df.filter(p._1))
           df.select(projCols.map(col): _*)
-        })
+        }, notes11)
 
       case 12 =>
         // lake TIME TRAVEL (arm 12): the full arm-11 lifecycle with BOTH
@@ -1130,6 +1180,11 @@ object QueryGen {
         // identical; ineligible reads (a direct asOf below the head would
         // pin an expired snapshot) consume the draw and ignore it.
         val expireDraw = rng.nextBoolean()
+        // trailing draw (r18, after the r17 expiry draw): maintenance
+        // lands AFTER rollback/expiry and BEFORE the read — an asOf pin
+        // below the compaction head must keep serving the pre-compaction
+        // files, a post-rollback compaction must preserve the cut's state
+        val maint = maintDraw(rng)
         val inner = lt.fullCols.map { c =>
           if (cut >= 2 && c == lt.moneyCol)
             s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
@@ -1139,6 +1194,7 @@ object QueryGen {
         val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
           s"(SELECT $inner FROM ${lakeFrom(t, lt, lakeCap)}$innerWhere) g" +
           pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        val notes12 = s"cut=$cut rollback=$useRollback expire=$expireDraw maint=$maint"
         Gen(name, sql, (s, dir) => {
           val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val pf = pfDraw match {
@@ -1159,14 +1215,18 @@ object QueryGen {
             if (useRollback) {
               lake.rollbackTo(cut.toLong)
               if (expireDraw) Maintenance.expireSnapshots(lake, keep = 1)
+              applyMaintenance(lake, maint)
               lake.scan()
             } else {
               if (expireDraw && cut == 3) Maintenance.expireSnapshots(lake, keep = 1)
+              // maintenance commits land ABOVE the pinned cut; the asOf
+              // read must keep serving the pre-maintenance snapshot
+              applyMaintenance(lake, maint)
               lake.scan(asOf = Some(cut.toLong))
             }
           pred.foreach(p => df = df.filter(p._1))
           df.select(projCols.map(col): _*)
-        })
+        }, notes12)
 
       case 13 =>
         // lake CHANGELOG (arm 13): the CDC-OUT read path randomized —
@@ -1191,6 +1251,11 @@ object QueryGen {
         val (cFrom, cTo) = ranges(rng.nextInt(27720) % ranges.size)
         val pred = wherePreds(rng, Seq(t))
         val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        // trailing draw (r18): maintenance commits land ABOVE cTo (ranges
+        // stay within 0..3) — a changelog range ending below a later
+        // content restatement must replay unchanged, while a range
+        // CROSSING one refuses (spec-pinned contract, not drawn here)
+        val maint = maintDraw(rng)
         // prefix-state inner selects (the arm-12 rewrites): 1 = as
         // appended, 2 = + upsert restatement, 3 = + tombstones
         def innerSel(state: Int): String = {
@@ -1224,6 +1289,7 @@ object QueryGen {
         val outCols = projCols :+ "_change_type"
         val sql = s"SELECT ${outCols.mkString(", ")} FROM ($union) h" +
           pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        val notes13 = s"range=($cFrom,$cTo) maint=$maint"
         Gen(name, sql, (s, dir) => {
           val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val pf = pfDraw match {
@@ -1240,10 +1306,11 @@ object QueryGen {
             .withColumn(lt.moneyCol, col(lt.moneyCol) * 2))           // seq 2
           lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
             .select(col(lt.pk)))                                      // seq 3
+          applyMaintenance(lake, maint)                               // seq 4+
           var df = lake.changes(cFrom.toLong, cTo.toLong)
           pred.foreach(p => df = df.filter(p._1))
           df.select(outCols.map(col): _*)
-        })
+        }, notes13)
 
       case _ =>
         // lake SCHEMA EVOLUTION (arm 14): append under the old schema
@@ -1294,12 +1361,16 @@ object QueryGen {
             }
             (if (r._2 == 1) 1 else 2, cf, Some(r))
           }
-        val predRaw = wherePreds(rng, Seq(t))
+        val predRaw = wherePredsTracked(rng, Seq(t))
         // a drawn predicate may reference the DROPPED column; at an era-2
         // read that column does not exist on the lake route — discard the
-        // predicate (deterministic per seed: the draw itself is kept)
-        val pred = predRaw.filterNot(p =>
-          opDraw == 2 && era >= 2 && p._2.contains(evoCol))
+        // predicate (deterministic per seed: the draw itself is kept).
+        // Exact name-set membership, not SQL-text substring: a column
+        // name that is a substring of another (or echoed in a literal)
+        // must not flip the discard decision.
+        val pred = predRaw.collect {
+          case (dual, refs) if !(opDraw == 2 && era >= 2 && refs(evoCol)) => dual
+        }
         // projection pool follows the read era's schema; force the evolved
         // column into the projection wherever it exists (era 1 for drop =
         // pre-drop values; era 2 for add = null-filled + populated mix)
@@ -1322,6 +1393,12 @@ object QueryGen {
         // dropped-column lineage. Eligible: head scan (cut 3, either
         // route) or rollback-to-cut (the rollback commit is the head).
         val expireDraw = rng.nextBoolean()
+        // trailing draw (r18): maintenance across a SCHEMA-EVOLUTION
+        // boundary — compaction rewrites dirty era-1 files under the
+        // EVOLVED schema (null-fill added columns, widen promoted ones,
+        // drop removed ones) while kept files stay physically old-era;
+        // the read must not be able to tell which path a row took
+        val maint = maintDraw(rng)
         def innerCols(e: Int): String =
           if (e == 1) lt.fullCols.mkString(", ")
           else opDraw match {
@@ -1349,6 +1426,8 @@ object QueryGen {
               s"(SELECT g.*, 'insert' AS _change_type FROM ($innerSel) g) h" +
               pred.map(p => s" WHERE ${p._2}").getOrElse(""))
         }
+        val notes14 = s"op=$opDraw read=$readDraw rollback=$useRollback " +
+          s"expire=$expireDraw maint=$maint cl=$clRange"
         Gen(name, sql, (s, dir) => {
           val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val isSecond = col(lt.pk) % sMod === rsMod
@@ -1375,21 +1454,25 @@ object QueryGen {
           }
           lake.append(second)                                         // seq 3
           var df = clRange match {
-            case Some((f, to)) => lake.changes(f.toLong, to.toLong)
+            case Some((f, to)) =>
+              applyMaintenance(lake, maint)                           // seq 4+
+              lake.changes(f.toLong, to.toLong)
             case None =>
               val cut = readDraw + 1
               if (useRollback) {
                 lake.rollbackTo(cut.toLong)
                 if (expireDraw) Maintenance.expireSnapshots(lake, keep = 1)
+                applyMaintenance(lake, maint)
                 lake.scan()
               } else {
                 if (expireDraw && cut == 3) Maintenance.expireSnapshots(lake, keep = 1)
+                applyMaintenance(lake, maint)
                 lake.scan(asOf = Some(cut.toLong))
               }
           }
           pred.foreach(p => df = df.filter(p._1))
           df.select(outCols.map(col): _*)
-        })
+        }, notes14)
     }
   }
 

@@ -81,7 +81,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q126 render their golden SQL") {
+  test("pinned registry instances q110-q127 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -208,6 +208,16 @@ class QueryGenSpec extends SparkSpec {
           "(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
           "o_orderpriority, CASE WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 97 AS INT) " +
           "END AS g_extra FROM orders) g) h WHERE (o_orderstatus = 'O' OR o_custkey < 83)" +
+          ") ORDER BY ALL NULLS FIRST"),
+      // r18 arm 14: the MAINTENANCE pin — drop-column, expiry of the
+      // non-head history, compactDirty under the dropped schema, then a
+      // head read with a date predicate (seed-1281 notes: op=2 read=2
+      // rollback=true expire=true maint=1). The SQL dual is the plain
+      // converged rewrite: compaction must be invisible to it
+      "q127_diff_lake_maintenance" ->
+        ("SELECT * FROM (SELECT o_custkey, o_orderstatus, o_orderkey FROM " +
+          "(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
+          "FROM orders) g WHERE o_orderdate >= TIMESTAMP '1998-03-25 00:00:00'" +
           ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
