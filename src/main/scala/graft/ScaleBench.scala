@@ -179,6 +179,17 @@ object ScaleBench {
     Family("q103_curation_pipeline", "invariant", "linear"), // (lang, source) rollup
     Family("q107_duplicate_spans", "linear", "linear"),
     Family("q108_incremental_dedup", "linear", "linear"),
+    // the r18 zero-state-shuffle law, probed DIRECTLY: a FIXED batch
+    // anti-joined against a survivor state grown K× (the state table is
+    // built once per point during warm-up, outside the tally window).
+    // The bucketed DSv2 state read keeps the survivor side exchange-free
+    // (EventStreamsSpec pins the plan), so the measured bytes are the
+    // constant batch-side agg + SPJ shuffle — CONSTANT in K, where the
+    // pre-r18 shape re-shuffled the whole state every step (linear).
+    // Rows are the fixed batch's fresh-key count — invariant by
+    // construction (the probe batch's served half always matches, its
+    // prefixed half never does)
+    Family("q116_dedup_state_probe", "invariant", "constant"),
     // the lake WRITE path under scale: create a month-partitioned lake
     // table from the scaled orders, append (staging sort + per-file sums
     // + snapshot commit), then scan it back — every other curve point is
@@ -353,6 +364,36 @@ object ScaleBench {
         updates.unionByName(deletes), "o_orderkey", s"$root/log", nFiles = 8)
       CdcIngest.ingest(t, s"$root/log", logSchema, s"$root/ckpt")
       t.scan()
+    }
+    case "q116_dedup_state_probe" => (s, dir) => {
+      import graft.operators.DedupOps
+      // UN-WIPED per-point state dir: the K× state build (a linear
+      // shuffle) must happen exactly once — in the warm-up call, before
+      // the tally listener attaches — so the timed runs measure ONLY the
+      // probe anti-join
+      val root = lakeDirs.getOrElseUpdate(s"graft-scale-q116-x$k",
+        TempDirs.scoped(s"graft-scale-q116-x$k")).toString
+      val keyed = s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        graft.functions.TextSig.tokenSetKey(col("text")).as("group_key"))
+      val t = DedupOps.survivorTable(s, s"$root/survivors")
+      if (t.currentSeq == 0L)
+        t.append(keyed.groupBy(col("group_key"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("group_key"), lit(0L).as("first_seen_batch")))
+      // fixed probe batch (copy 0 only — K-invariant): even doc_ids carry
+      // their real key (always served -> anti-joined away), odd ones a
+      // reserved-prefix key that can never match md5 hex (always fresh)
+      val batch = keyed.filter(col("doc_id") < IdStride).select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("group_key"))
+          .otherwise(concat(lit("probe_"), col("group_key"))).as("group_key"))
+      DedupOps.withSpjState(s, root) { state =>
+        // eager inside the window (the q99/q108 pattern): the SPJ confs
+        // are scoped to this block, so the join must execute here
+        DedupOps.freshSurvivors(state(), batch, 1L, nullSafeKeys = false)
+          .localCheckpoint()
+      }
     }
     case "lake_merge_mor" => (s, dir) => {
       val loc = freshLakeDir("graft-scale-mor")

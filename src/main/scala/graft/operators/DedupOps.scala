@@ -730,12 +730,57 @@ object DedupOps {
     val span = maxRow.getLong(0) / nBatches + 1
     // fresh state dir per invocation (a reused one would turn the next
     // run's appends into no-op replays); swept at JVM exit — see TempDirs
-    val loc = graft.TempDirs.scoped("graft-q116-state").resolve("t").toString
-    val t = survivorTable(s, loc)
-    (0 until nBatches).foreach { b =>
-      lakeDedupStep(t, keyed.filter(expr(s"doc_id div $span") === b), b.toLong)
+    val wh = graft.TempDirs.scoped("graft-q116-state").toString
+    val t = survivorTable(s, s"$wh/survivors")
+    withSpjState(s, wh) { state =>
+      (0 until nBatches).foreach { b =>
+        lakeDedupStep(t, keyed.filter(expr(s"doc_id div $span") === b), b.toLong,
+          state = Some(state()))
+      }
     }
     t.scan()
+  }
+
+  /** Zero-state-shuffle step plumbing (VERDICT r17 #2): registers a fresh
+    * DSv2 catalog over `warehouse`, reads the `survivors` table through
+    * it (the catalog read reports `KeyGroupedPartitioning(bucket(N,
+    * group_key))` and resolves the bucket V2 function, which the
+    * path-based read cannot), and runs `body` under the storage-
+    * partitioned-join confs: the anti-join then shuffles ONLY the batch
+    * side onto the state's bucket function while the survivor side scans
+    * exchange-free — per step the network moves O(batch), not O(state).
+    * Broadcast is disabled for the scope: a broadcast anti-join would be
+    * "no shuffle" at test scale but ships the WHOLE state to every task —
+    * the exact linear-in-state law this plumbing removes. Confs are
+    * save-and-restored; the catalog name is unique per invocation so a
+    * session's own `graft` catalog is never re-pointed. */
+  private val spjCatalogIds = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def withSpjState[A](s: SparkSession, warehouse: String)(
+      body: (() => DataFrame) => A): A = {
+    val cat = s"graft_q116_${spjCatalogIds.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    val scoped = Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // the DYNAMIC warehouse key overrides every graft catalog's static
+      // option at each operation (GraftCatalog contract) — a session that
+      // ran SQL-catalog queries earlier leaves it pointing at THEIR
+      // warehouse, which would hijack this catalog's resolution; pin it
+      // to ours for the scope (restored with the rest)
+      "spark.graft.catalog.warehouse" -> warehouse)
+    val prev = scoped.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      // a THUNK, not a DataFrame: the resolved V2 table pins its snapshot
+      // at construction, so each step must re-resolve to see the previous
+      // step's append
+      body(() => s.table(s"$cat.survivors"))
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+    }
   }
 
   /** Empty survivor-state table (doc_id, group_key, first_seen_batch). */
@@ -751,18 +796,32 @@ object DedupOps {
     * (at-least-once replay after a crash) finds every key already served
     * and contributes nothing. */
   private[graft] def freshSurvivors(survivors: DataFrame, batch: DataFrame,
-      b: Long): DataFrame = {
+      b: Long, nullSafeKeys: Boolean = true): DataFrame = {
     val batchMin = batch.groupBy(col("group_key"))
       .agg(min(col("doc_id")).as("doc_id"))
-    // NULL-SAFE anti-join: groupBy above treats a null key as one group,
-    // and the state probe must agree — a plain equality anti-join never
-    // matches NULL, so a null-keyed group would be re-appended on every
-    // batch instead of deduped once (latent on current fixtures, which
-    // have no null text; review finding r11)
-    batchMin
-      .join(survivors.select(col("group_key").as("seen_key")),
-        col("group_key") <=> col("seen_key"), "left_anti")
-      .select(col("doc_id"), col("group_key"), lit(b).as("first_seen_batch"))
+    // NULL-SAFE anti-join (the default): groupBy above treats a null key
+    // as one group, and the state probe must agree — a plain equality
+    // anti-join never matches NULL, so a null-keyed group would be
+    // re-appended on every batch instead of deduped once (latent on
+    // current fixtures, which have no null text; review finding r11).
+    //
+    // nullSafeKeys=false is the STORAGE-PARTITIONED path ([[withSpjState]]):
+    // Spark lowers `<=>` join keys to coalesce(k,'')/isnull(k) pairs,
+    // which can never match the state scan's KeyGroupedPartitioning
+    // expressions — the exchange-free survivor side requires bare-
+    // attribute keys. Sound ONLY because the q116 key is
+    // [[TextSig.tokenSetKey]] = md5(concat_ws(...)), which is non-null
+    // for every input including null text (concat_ws never returns
+    // null), so the two forms are row-for-row identical there.
+    val joined =
+      if (nullSafeKeys)
+        batchMin.join(survivors.select(col("group_key").as("seen_key")),
+          col("group_key") <=> col("seen_key"), "left_anti")
+      else {
+        val served = survivors.select("group_key")
+        batchMin.join(served, batchMin("group_key") === served("group_key"), "left_anti")
+      }
+    joined.select(col("doc_id"), col("group_key"), lit(b).as("first_seen_batch"))
   }
 
   /** One anti-join-and-append round — the exact step the streaming
@@ -800,22 +859,38 @@ object DedupOps {
     * append. At scale the anti-join is one co-partitioned shuffle of
     * O(batch + state-keys); the append is O(fresh rows) — no state
     * rewrite, ever. */
-  def lakeDedupStep(table: graft.lake.LakeTable, batch: DataFrame, b: Long): Unit = {
+  def lakeDedupStep(table: graft.lake.LakeTable, batch: DataFrame, b: Long,
+      state: Option[DataFrame] = None): Unit = {
     // materialize ONCE: the isEmpty probe would otherwise run the full
     // state-scan + anti-join plan and the append would re-run it
     // (review finding r12) — localCheckpoint executes it a single time
-    // and both consumers read the blocks
-    val fresh = freshSurvivors(table.scan(), batch, b).localCheckpoint()
+    // and both consumers read the blocks.
+    // `state` overrides the served-state read: [[withSpjState]] passes
+    // the DSv2 catalog read whose KeyGroupedPartitioning keeps the
+    // survivor side of the anti-join exchange-free; the default
+    // imperative scan stays for callers without the catalog plumbing
+    // (identical rows, linear-in-state shuffle).
+    val fresh = freshSurvivors(state.getOrElse(table.scan()), batch, b,
+      nullSafeKeys = state.isEmpty).localCheckpoint()
     if (!fresh.isEmpty) { table.append(fresh); () }
   }
 
   /** Create-or-open the survivor-state table for [[lakeDedupStep]]
     * (probe via LakeTable.load so any Hadoop filesystem works, not just
     * file://). */
+  /** Bucket count of the survivor state table. The state is stored
+    * bucketed on the dedup key so the per-batch anti-join never shuffles
+    * it (see [[withSpjState]]); at a given corpus size pick N so one
+    * bucket's keys fit a task's memory — 16 covers the fixture scales,
+    * a 100 TB deployment would create the state with a few thousand. */
+  val SurvivorBuckets = 16
+
   def survivorTable(s: SparkSession, location: String): graft.lake.LakeTable =
     try graft.lake.LakeTable.load(s, location)
     catch { case _: IllegalArgumentException =>
-      graft.lake.LakeTable.create(s, location, "dedup_survivors", SurvivorSchema)
+      graft.lake.LakeTable.create(s, location, "survivors", SurvivorSchema,
+        partitionSpec = Seq(graft.lake.PartitionField(
+          "group_key", graft.lake.Transform.Bucket(SurvivorBuckets), "kb")))
     }
 
   private[graft] def incrementalDedupOn(batches: Seq[DataFrame]): DataFrame = {
