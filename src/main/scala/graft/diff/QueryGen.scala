@@ -1000,9 +1000,20 @@ object QueryGen {
           case (_, 2) =>
             val d = 1 + rng.nextInt(50)
             (max(col(tc)) - lit(d), s"SELECT MAX($tc) - $d FROM ${t.name}$innerSql")
-          case _ => // money col drew the AVG slot: re-route to MIN (exactness rule)
-            val d = 1 + rng.nextInt(50)
-            (min(col(tc)) + lit(d), s"SELECT MIN($tc) + $d FROM ${t.name}$innerSql")
+          case _ =>
+            // money AVG (r18 — the last excluded expression class): a
+            // naive AVG(double) threshold is NOT engine-portable (partial
+            // double sums are order-dependent), and Spark's exact-DECIMAL
+            // AVG diverges from DuckDB's DOUBLE. Both routes instead
+            // compute SUM over EXACT integer cents (ROUND(x*100) is
+            // within one ulp of an integer for the <=2-decimal fixtures,
+            // the RelationalOps.cents recipe) and perform ONE double
+            // division on bit-identical exact operands — a bit-equal
+            // threshold in all three engines
+            (sum(round(col(tc) * 100).cast("long")).cast("double") /
+              (count(col(tc)) * 100).cast("double"),
+              s"SELECT CAST(SUM(CAST(ROUND($tc * 100) AS BIGINT)) AS DOUBLE) / " +
+                s"CAST(COUNT($tc) * 100 AS DOUBLE) FROM ${t.name}$innerSql")
         }
         val geq = rng.nextBoolean()
         val cmpSql = s"$tc ${if (geq) ">=" else "<"} ($thrSql)"
