@@ -658,15 +658,10 @@ final class LakeTable private (
       }
     if (from < to && !fs.exists(snapPath(from + 1))) refuseExpired(from + 1, "range start")
     if (!fs.exists(snapPath(to))) refuseExpired(to, "end")
-    val replayable = Set("upsert", "delete", "cdc", "add-column",
-      "promote-type", "drop-column", "evolve-spec",
-      // merge-on-read SQL row-level commits: new data files + delete-key
-      // sidecars, the exact shape the changelog replays
-      "update-mor", "merge-mor", "delete-mor")
     val rangeSnaps =
       ((from + 1) to to).map(q => readGuarded(q, "range header")(snapshotFile(q)))
     rangeSnaps.foreach { sf =>
-      require(replayable(sf.operation) || sf.operation.startsWith("append"),
+      require(LakeTable.replayableOp(sf.operation),
         s"${meta.name}: snapshot ${sf.seq} is '${sf.operation}' — content restatements " +
           "have no row-level changelog; consume changes up to the restatement, then " +
           "re-baseline from its snapshot")
@@ -1582,6 +1577,20 @@ object LakeTable {
     * walks. Bounded LRU: 4096 manifests ≈ the metadata of a few hundred
     * large tables; eviction only costs a re-parse. */
   private[lake] val manifestCache = new ManifestCache(4096)
+
+  /** Snapshot operations the row-level changelog can REPLAY. Everything
+    * else ("compact", "rewrite-manifests", "rollback", ...) is a content
+    * RESTATEMENT: same or restated rows with no row-level delta, so
+    * [[LakeTable.changes]] and the streaming changelog refuse ranges that
+    * cross one — the consumer re-baselines (see the
+    * `rebaseline_changelog` procedure, which derives its barrier scan
+    * from THIS predicate so the two can never drift). */
+  private[graft] def replayableOp(op: String): Boolean =
+    op.startsWith("append") || Set("upsert", "delete", "cdc", "add-column",
+      "promote-type", "drop-column", "evolve-spec",
+      // merge-on-read SQL row-level commits: new data files + delete-key
+      // sidecars, the exact shape the changelog replays
+      "update-mor", "merge-mor", "delete-mor")(op)
 
   /** Cached per-directory hard-link capability probe, consulted only
     * after a createLink failure to decide whether the torn-read-window

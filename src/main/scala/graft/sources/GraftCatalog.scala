@@ -198,7 +198,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),
       s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name()}")
-    GraftProcedures.load(ident.name(), () => lakeCatalog).getOrElse(
+    GraftProcedures.load(ident.name(), () => lakeCatalog, catalogName).getOrElse(
       throw new IllegalArgumentException(
         s"unknown procedure ${ident.name()} — available: ${GraftProcedures.Names.mkString(", ")}"))
   }

@@ -31,9 +31,11 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq(
     "rollback_to_snapshot", "expire_snapshots", "rewrite_data_files",
-    "rewrite_manifests", "remove_orphan_files", "evolve_partition_spec")
+    "rewrite_manifests", "remove_orphan_files", "evolve_partition_spec",
+    "rebaseline_changelog")
 
-  def load(name: String, cat: () => LakeCatalog): Option[UnboundProcedure] =
+  def load(name: String, cat: () => LakeCatalog,
+      catalogName: String = "graft"): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "rollback_to_snapshot"  => Some(rollback(cat))
       case "expire_snapshots"      => Some(expire(cat))
@@ -41,6 +43,7 @@ private[sources] object GraftProcedures {
       case "rewrite_manifests"     => Some(rewriteManifests(cat))
       case "remove_orphan_files"   => Some(removeOrphans(cat))
       case "evolve_partition_spec" => Some(evolveSpec(cat))
+      case "rebaseline_changelog"  => Some(rebaselineChangelog(cat, catalogName))
       case _ => None
     }
 
@@ -165,6 +168,79 @@ private[sources] object GraftProcedures {
         val before = fileCount
         Maintenance.removeOrphans(t, olderThanMs = input.getLong(1))
         val (schema, values) = row(("removed", IntegerType, before - fileCount))
+        result(name(), schema, values)
+      }
+    }
+
+  /** The changelog consumer's RECOVERY recipe, computed server-side
+    * (VERDICT r17 #4): `changes()` and the changelog stream refuse on
+    * content restatements (compact / rewrite-manifests / rollback) and
+    * on expired history — correctly, but until now the only recovery was
+    * manual. Given the consumer's last-committed offset `from_seq`, this
+    * emits the full epoch arithmetic in one summary row:
+    *
+    *  - `consumable_to`: the last snapshot `changes(from_seq, _)` can
+    *    still replay (the first barrier's predecessor; NULL when the
+    *    checkpoint is already below the retained history — nothing is
+    *    consumable, go straight to the bootstrap);
+    *  - `barrier_seq` / `barrier_operation`: the first restatement (or
+    *    the expiry boundary) that forced the re-baseline; both NULL when
+    *    the range is fully replayable (no re-baseline needed — the row
+    *    says so instead of prescribing a pointless state rebuild);
+    *  - `rebaseline_seq`: the head at call time — rebuild state from the
+    *    converged scan AS OF this seq, then resume
+    *    `changes(rebaseline_seq, ...)`;
+    *  - `bootstrap_sql`: that converged-state read, ready to run
+    *    (`... VERSION AS OF rebaseline_seq` + `'insert' AS _change_type`
+    *    — the exact shape the streaming source's bootstrap batch emits,
+    *    so a STREAMING consumer's recipe is simply: fresh checkpoint).
+    *
+    * The barrier scan derives from [[LakeTable.replayableOp]] — the SAME
+    * predicate `changes()` enforces — so the procedure and the refusal
+    * can never disagree about what constitutes a barrier. */
+  private def rebaselineChangelog(
+      cat: () => LakeCatalog, catalogName: String): UnboundProcedure =
+    new GraftProcedure("rebaseline_changelog",
+      Seq(in("table", StringType), in("from_seq", LongType)), cat) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val t = table(input)
+        val tableName = input.getUTF8String(0).toString
+        val from = input.getLong(1)
+        val head = t.currentSeq
+        require(from >= 0 && from <= head,
+          s"from_seq $from outside this table's history [0, $head]")
+        val earliest = t.earliestSeq
+        // expired checkpoint: the replay range's first header is gone —
+        // nothing is consumable (changes(from, _) refuses outright)
+        val expired = from + 1 < earliest
+        // first restatement barrier in (from, head], by the SAME
+        // predicate changes() enforces
+        val barrier =
+          if (expired) None
+          else ((from + 1) to head).find(q =>
+            !graft.lake.LakeTable.replayableOp(t.snapshotFile(q).operation))
+        val consumableTo: Any =
+          if (expired) null
+          else barrier.map(b => (b - 1): java.lang.Long).getOrElse((head: java.lang.Long))
+        val barrierSeq: Any = barrier.map(b => b: java.lang.Long).orNull
+        val barrierOp: Any =
+          if (expired) UTF8String.fromString(s"history before seq $earliest expired")
+          else barrier
+            .map(b => UTF8String.fromString(t.snapshotFile(b).operation))
+            .orNull
+        val needed = expired || barrier.isDefined
+        val bootstrapSql: Any =
+          if (!needed) null
+          else UTF8String.fromString(
+            s"SELECT *, 'insert' AS _change_type FROM $catalogName.$tableName " +
+              s"VERSION AS OF $head")
+        val (schema, values) = row(
+          ("consumable_to", LongType, consumableTo),
+          ("barrier_seq", LongType, barrierSeq),
+          ("barrier_operation", StringType, barrierOp),
+          ("rebaseline_needed", BooleanType, needed),
+          ("rebaseline_seq", LongType, if (needed) (head: java.lang.Long) else null),
+          ("bootstrap_sql", StringType, bootstrapSql))
         result(name(), schema, values)
       }
     }
