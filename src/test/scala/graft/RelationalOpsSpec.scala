@@ -30,22 +30,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("registry never shrinks: the round-16 floor is 125 queries / 120 oracles") {
+  test("registry never shrinks: the round-18 floor is 129 queries / 124 oracles") {
     // an accidentally-dropped NamedQuery would silently shrink the
     // driver's scoreboard (rows just vanish — the round-9 q50/q51
     // lesson); growing past the floor is fine and expected
-    assert(SparkEntry.queries.size >= 125,
-      s"query registry shrank: ${SparkEntry.queries.size} < 125")
-    assert(SparkEntry.oracleSql.size >= 120,
-      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 120")
+    assert(SparkEntry.queries.size >= 129,
+      s"query registry shrank: ${SparkEntry.queries.size} < 129")
+    assert(SparkEntry.oracleSql.size >= 124,
+      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 124")
   }
 
   test("the no-oracle set is exactly the documented irreducible ledger") {
     // README's ledger and the registry must agree BY CONSTRUCTION: the
     // only queries without a DuckDB oracle are the five whose oracle is
-    // irreducible (seeded rand, wall clock, HLL internals, ANN ranks
-    // 2..k — whose rank-1 slice q92/q93 DO hash-check). A new no-oracle
-    // query must be added here deliberately, with its reason.
+    // irreducible ON THE ORGANIC CORPUS (seeded rand, wall clock, HLL
+    // internals, ANN ranks 2..k — whose rank-1 slice q92/q93 hash-check
+    // and whose FULL top-k the r18 planted twins q128/q129 hash-check).
+    // A new no-oracle query must be added here deliberately, with its
+    // reason.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val ledger = Set("q49_seeded_sample", "q53_now_functions",
       "q56_approx_distinct", "q71_ivf_ann_topk", "q77_pq_ann_topk")
@@ -216,6 +218,10 @@ class RelationalOpsSpec extends SparkSpec {
         "probe broadcast over PQ codes: probes bounded, codes 32x-compressed",
       "q92_ivf_rank1_planted" -> "q71's planted-duplicate oracle slice",
       "q93_pq_rank1_planted" -> "q77's planted-duplicate oracle slice",
+      "q128_ivf_full_topk_planted" ->
+        "q71's full-top-k oracle twin: same bounded probe x centroid broadcasts",
+      "q129_pq_full_topk_planted" ->
+        "q77's full-top-k oracle twin: same bounded probe broadcast over PQ codes",
       "q120_diff_scalar_subquery" ->
         "uncorrelated scalar subquery, DataFrame dual: 1-row aggregate broadcast (same shape as q3)")
     val offenders = SparkEntry.registry.flatMap { q =>
