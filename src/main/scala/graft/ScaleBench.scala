@@ -190,6 +190,30 @@ object ScaleBench {
     // construction (the probe batch's served half always matches, its
     // prefixed half never does)
     Family("q116_dedup_state_probe", "invariant", "constant"),
+    // FILES-HEAVY metadata probes (VERDICT r17 #3): the curve's other
+    // tables top out at hundreds of files, but the 100-TB failure mode is
+    // 10^5-10^6 files. These families grow FILE COUNT (1000*K one-row
+    // files: 1k/10k/100k across the default points), built once per point
+    // during warm-up, and measure the metadata paths against it. Shuffle
+    // is constant for all five (the measured ops move metadata or one
+    // file, never the table); the signal is the recorded TIME ratio
+    // column, whose expected laws are declared here for the artifact
+    // reader: commit-time ~CONSTANT in live file entries (appends
+    // re-reference the parent's manifests and write only the delta
+    // manifest — the snapshot file holds manifest REFS, not entries),
+    // plan/prune-time ~linear with a small constant (manifest entry
+    // scan) while the pruned READ stays one file, meta-serve ~linear
+    // driver fold below the metaAggMaxFiles valve (the 100x point =
+    // 100k files, still under the default 200k) and the DISTRIBUTED
+    // fallback above it (the _valve variant forces the crossover at
+    // every point, paying one real file-open per entry — the honest
+    // above-valve cost), compaction (at 200*K files over 50 partitions)
+    // ~linear in file opens + rewritten bytes.
+    Family("lake_files_commit", "invariant", "constant"),
+    Family("lake_files_pruned_scan", "invariant", "constant"),
+    Family("lake_files_meta_serve", "invariant", "constant"),
+    Family("lake_files_meta_serve_valve", "invariant", "constant"),
+    Family("lake_files_compact", "invariant", "constant"),
     // the lake WRITE path under scale: create a month-partitioned lake
     // table from the scaled orders, append (staging sort + per-file sums
     // + snapshot commit), then scan it back — every other curve point is
@@ -288,6 +312,31 @@ object ScaleBench {
     val t = root.resolve("t")
     if (java.nio.file.Files.exists(t)) TempDirs.deleteRecursively(t)
     t.toString
+  }
+
+  /** Files-heavy probe table: 1000*K one-row files under an IDENTITY
+    * partition with 1000*K distinct values — real manifests, real
+    * partition summaries, the many-partitions shape a 100-TB table
+    * actually has. Built ONCE per point (warm-up call), cached by an
+    * existing-table probe; the measuring families mutate it only by
+    * +1 tiny file per commit-probe invocation. */
+  private def filesHeavyTable(s: SparkSession, k: Int): graft.lake.LakeTable = {
+    val root = lakeDirs.getOrElseUpdate(s"graft-scale-files-x$k",
+      TempDirs.scoped(s"graft-scale-files-x$k")).toString
+    // hard-link fixture (ManyFilesFixture scaladoc): the real writer pays
+    // tens of ms per tiny file on this filesystem — a 10^5-file build
+    // through it would dominate the whole curve's wall clock
+    graft.lake.ManyFilesFixture.build(s, s"$root/t", s"files_x$k", 1000L * k)
+  }
+
+  /** Compaction probe table: the skewed-burst layout — 50 identity
+    * partition values x 20*K files each (the writeSplits salt fans one
+    * append out), 1000*K files total. */
+  private def filesCompactTable(s: SparkSession, k: Int): graft.lake.LakeTable = {
+    val root = lakeDirs.getOrElseUpdate(s"graft-scale-filesc-x$k",
+      TempDirs.scoped(s"graft-scale-filesc-x$k")).toString
+    graft.lake.ManyFilesFixture.buildBursty(s, s"$root/t", s"filesc_x$k",
+      partitions = 50, filesPerPartition = 4 * k)
   }
 
   /** Scale-bench-only variants not in the driver registry; `k` is the
@@ -394,6 +443,65 @@ object ScaleBench {
         DedupOps.freshSurvivors(state(), batch, 1L, nullSafeKeys = false)
           .localCheckpoint()
       }
+    }
+    case "lake_files_commit" => (s, dir) => {
+      val t = filesHeavyTable(s, k)
+      // measured op: one tiny append onto an N-file table — the commit
+      // protocol re-records every live file entry in the new snapshot,
+      // so this is the honest commit-time-vs-file-count probe (each
+      // invocation adds one file; +4 per point is noise against 1000*K)
+      val nextPk = 10_000_000L + t.currentSeq
+      t.append(s.range(1).select(lit(nextPk).as("pk"), lit(0L).as("v")))
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(t.currentSnapshot.dataFiles.size.toLong)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType))))
+    }
+    case "lake_files_pruned_scan" => (s, dir) => {
+      // manifest-pruned point read THROUGH DSv2 (pushed filters reach the
+      // manifest partition/bounds pruning; the imperative scan() would
+      // read all N files and filter post-hoc): planning walks all N
+      // entries, the read touches exactly one file regardless of N
+      val t = filesHeavyTable(s, k)
+      s.read.format("graftlake").option("path", t.location).load()
+        .filter(col("pk") === 0L)
+    }
+    case "lake_files_meta_serve" => (s, dir) => {
+      // metadata rollup from manifest sums/bounds — driver fold below
+      // the metaAggMaxFiles valve (100k at the 100x point < 200k default)
+      val t = filesHeavyTable(s, k)
+      s.read.format("graftlake").option("path", t.location).load()
+        .agg(count(lit(1)).as("n_rows"), min(col("pk")).as("min_pk"),
+          max(col("pk")).as("max_pk"))
+    }
+    case "lake_files_meta_serve_valve" => (s, dir) => {
+      // the SAME rollup with the valve forced below the table's file
+      // count at every point — the declining driver fold must hand off
+      // to the distributed metadata aggregate, not stall the planner
+      val t = filesHeavyTable(s, k)
+      s.conf.set("spark.graft.lake.metaAggMaxFiles", "500")
+      try {
+        // EAGER under the conf (the q99/q108 pattern): the valve must be
+        // low while the plan EXECUTES, not just while fn builds it
+        val r = s.read.format("graftlake").option("path", t.location).load()
+          .agg(count(lit(1)).as("n_rows"), min(col("pk")).as("min_pk"),
+            max(col("pk")).as("max_pk"))
+          .localCheckpoint()
+        r
+      } finally s.conf.unset("spark.graft.lake.metaAggMaxFiles")
+    }
+    case "lake_files_compact" => (s, dir) => {
+      // bin-pack compaction of a skewed-burst layout (50 partition
+      // values x 20*K files each, via the writeSplits salt): compactDirty
+      // folds 1000*K tiny files back to 50, then rollback restores the
+      // pre-compaction content (O(1) metadata) so every invocation
+      // measures the same rewrite
+      val t = filesCompactTable(s, k)
+      val pre = t.currentSeq
+      t.compactDirty()
+      t.rollbackTo(pre)
+      s.range(1).toDF("ok")
     }
     case "lake_merge_mor" => (s, dir) => {
       val loc = freshLakeDir("graft-scale-mor")
