@@ -52,6 +52,7 @@ object SeedScout {
         val pred = if (g.sql.contains(") g WHERE") || g.sql.contains(") h WHERE")) "pred" else "-"
         println(f"SEED $seed%-6d rows=$n%-5d $kind%-4s $evo%-8s $pred%-4s " +
           s"[${g.notes}] ops=${opsList.mkString(",")}")
+        if (args.length > 4 && args(4) == "sql") println(s"  SQL $seed: ${g.sql}")
       } catch {
         case e: Throwable =>
           println(s"SEED $seed FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(140)}")
