@@ -330,8 +330,8 @@ object ScaleBench {
   }
 
   /** Compaction probe table: the skewed-burst layout — 50 identity
-    * partition values x 20*K files each (the writeSplits salt fans one
-    * append out), 1000*K files total. */
+    * partition values x 4*K files each (the writeSplits salt fans one
+    * append out), 200*K files total. */
   private def filesCompactTable(s: SparkSession, k: Int): graft.lake.LakeTable = {
     val root = lakeDirs.getOrElseUpdate(s"graft-scale-filesc-x$k",
       TempDirs.scoped(s"graft-scale-filesc-x$k")).toString
@@ -493,8 +493,8 @@ object ScaleBench {
     }
     case "lake_files_compact" => (s, dir) => {
       // bin-pack compaction of a skewed-burst layout (50 partition
-      // values x 20*K files each, via the writeSplits salt): compactDirty
-      // folds 1000*K tiny files back to 50, then rollback restores the
+      // values x 4*K files each, via the writeSplits salt): compactDirty
+      // folds 200*K tiny files back to 50, then rollback restores the
       // pre-compaction content (O(1) metadata) so every invocation
       // measures the same rewrite
       val t = filesCompactTable(s, k)

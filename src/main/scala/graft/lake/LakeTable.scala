@@ -683,9 +683,7 @@ final class LakeTable private (
     // the changelog of an append burst is O(delta), same as the scan side.
     // This is the Delta-CDF / Iceberg-changelog idiom: append commits emit
     // their rows as inserts straight from the commit's own files.
-    val metadataOnly = Set("add-column", "promote-type", "drop-column", "evolve-spec")
-    val appendOnly = rangeSnaps.forall(sf =>
-      sf.operation.startsWith("append") || metadataOnly(sf.operation))
+    val appendOnly = rangeSnaps.forall(sf => LakeTable.appendOnlyOp(sf.operation))
     if (meta.primaryKey.isEmpty || appendOnly)
       return added.select(userCols :+ lit("insert").as(TypeCol): _*)
     val pk = meta.primaryKey
@@ -1592,6 +1590,18 @@ object LakeTable {
       // sidecars, the exact shape the changelog replays
       "update-mor", "merge-mor", "delete-mor")(op)
 
+  /** Snapshot operations that never restate or tombstone a live pk: a
+    * range of only these takes [[LakeTable.changes]]'s append-only fast
+    * path, which never reads the `from` BASE snapshot. Any other
+    * replayable op on a pk table plans the base join — so a range
+    * containing one is consumable only while the base snapshot is still
+    * retained. Shared with `rebaseline_changelog` so the recipe and the
+    * base-expiry refusal can never drift (same discipline as
+    * [[replayableOp]]). */
+  private[graft] def appendOnlyOp(op: String): Boolean =
+    op.startsWith("append") ||
+      Set("add-column", "promote-type", "drop-column", "evolve-spec")(op)
+
   /** Cached per-directory hard-link capability probe, consulted only
     * after a createLink failure to decide whether the torn-read-window
     * fallback is legitimate (link-incapable mount) or the failure was a
@@ -1602,23 +1612,63 @@ object LakeTable {
   private val linkCapableDirs =
     new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
   private[lake] def resetLinkProbeCache(): Unit = linkCapableDirs.clear()
-  private[lake] def dirSupportsHardLinks(dir: java.nio.file.Path): Boolean =
-    linkCapableDirs.computeIfAbsent(dir.toAbsolutePath, d => {
-      val src = d.resolve(s".linkprobe-${UUID.randomUUID()}.tmp")
-      val dst = d.resolve(s".linkprobe-${UUID.randomUUID()}.tmp")
-      try {
-        java.nio.file.Files.write(src, Array[Byte](0),
-          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
-        java.nio.file.Files.createLink(dst, src)
-        java.lang.Boolean.TRUE
-      } catch {
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          java.lang.Boolean.FALSE
-      } finally {
-        java.nio.file.Files.deleteIfExists(dst)
-        java.nio.file.Files.deleteIfExists(src)
-      }
-    }).booleanValue()
+  // one probe attempt's outcome — only the two DEFINITE verdicts may be
+  // cached; everything inconclusive must leave the cache untouched, or a
+  // transient fault would pin the torn-read-window fallback on a
+  // link-capable mount for the JVM lifetime (review finding r18)
+  private object LinkProbe extends Enumeration {
+    val Linked, Unsupported, TempVanished, FsError = Value
+  }
+  private def linkProbeAttempt(d: java.nio.file.Path): LinkProbe.Value = {
+    val src = d.resolve(s".linkprobe-${UUID.randomUUID()}.tmp")
+    val dst = d.resolve(s".linkprobe-${UUID.randomUUID()}.tmp")
+    try {
+      java.nio.file.Files.write(src, Array[Byte](0),
+        java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+      java.nio.file.Files.createLink(dst, src)
+      LinkProbe.Linked
+    } catch {
+      case _: UnsupportedOperationException => LinkProbe.Unsupported
+      // our own staged temp vanished between write and link — a
+      // concurrent zero-age removeOrphans sweeps hidden temps; says
+      // nothing about link capability
+      case _: java.nio.file.NoSuchFileException => LinkProbe.TempVanished
+      case _: java.nio.file.FileSystemException => LinkProbe.FsError
+    } finally {
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.deleteIfExists(src)
+    }
+  }
+  private[lake] def dirSupportsHardLinks(dir: java.nio.file.Path): Boolean = {
+    val key = dir.toAbsolutePath
+    val cached = linkCapableDirs.get(key)
+    if (cached != null) return cached.booleanValue()
+    // definite verdicts cache; an errno-class failure (FileSystemException
+    // — EPERM on a linkless mount, but equally a transient EIO/ENOSPC)
+    // must REPEAT on a fresh attempt before it may pin FALSE; a vanished
+    // temp never concludes. Inconclusive probes return `true` UNCACHED:
+    // the caller then propagates its own failure (no silent degrade) and
+    // the next call re-probes.
+    val verdict: Option[Boolean] = linkProbeAttempt(key) match {
+      case LinkProbe.Linked      => Some(true)
+      case LinkProbe.Unsupported => Some(false)
+      case first @ (LinkProbe.TempVanished | LinkProbe.FsError) =>
+        linkProbeAttempt(key) match {
+          case LinkProbe.Linked      => Some(true)
+          case LinkProbe.Unsupported => Some(false)
+          case LinkProbe.FsError if first == LinkProbe.FsError => Some(false)
+          case _                     => None
+        }
+    }
+    verdict match {
+      case Some(v) => linkCapableDirs.putIfAbsent(key, java.lang.Boolean.valueOf(v)); v
+      case None =>
+        System.err.println(
+          s"graft-lake: hard-link capability probe for $key inconclusive " +
+            "(transient filesystem fault); treating as link-capable without caching")
+        true
+    }
+  }
 
   private[lake] final class ManifestCache(max: Int) {
     private val m =

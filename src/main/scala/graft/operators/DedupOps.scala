@@ -758,9 +758,9 @@ object DedupOps {
   private[graft] def withSpjState[A](s: SparkSession, warehouse: String)(
       body: (() => DataFrame) => A): A = {
     val cat = s"graft_q116_${spjCatalogIds.incrementAndGet()}"
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    val catKeys = Seq(s"spark.sql.catalog.$cat", s"spark.sql.catalog.$cat.warehouse")
+    s.conf.set(catKeys.head, classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(catKeys.last, warehouse)
     val scoped = Map(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
@@ -778,8 +778,16 @@ object DedupOps {
       // at construction, so each step must re-resolve to see the previous
       // step's append
       body(() => s.table(s"$cat.survivors"))
-    } finally prev.foreach { case (k, v) =>
-      v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+    } finally {
+      prev.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+      // the per-invocation catalog registration must not outlive the scope:
+      // a bench pass calls this hundreds of times and leaked conf pairs
+      // (plus their CatalogManager-cached instances, which unsetting makes
+      // unresolvable) would accumulate for the JVM lifetime (review
+      // finding r18)
+      catKeys.foreach(s.conf.unset)
     }
   }
 

@@ -213,21 +213,37 @@ private[sources] object GraftProcedures {
         // expired checkpoint: the replay range's first header is gone —
         // nothing is consumable (changes(from, _) refuses outright)
         val expired = from + 1 < earliest
-        // first restatement barrier in (from, head], by the SAME
-        // predicate changes() enforces
+        // first barrier in (from, head], by the SAME predicates changes()
+        // enforces: a non-replayable restatement, or — when the table has
+        // a pk and the `from` BASE snapshot is itself expired (a
+        // checkpoint parked exactly at the expiry boundary) — the first op
+        // that plans the pk base join: changes() reads the base for any
+        // range that is not append-only, and with the base gone that read
+        // refuses even though every HEADER in the range is retained
+        // (LakeTable.changes "base" guard). Without this leg the row
+        // would declare such a range consumable and the emitted recipe
+        // would fail exactly where it says no re-baseline is needed.
+        val baseGone = from < earliest && t.meta.primaryKey.nonEmpty
         val barrier =
           if (expired) None
-          else ((from + 1) to head).find(q =>
-            !graft.lake.LakeTable.replayableOp(t.snapshotFile(q).operation))
+          else ((from + 1) to head).find { q =>
+            val op = t.snapshotFile(q).operation
+            !graft.lake.LakeTable.replayableOp(op) ||
+              (baseGone && !graft.lake.LakeTable.appendOnlyOp(op))
+          }
         val consumableTo: Any =
           if (expired) null
           else barrier.map(b => (b - 1): java.lang.Long).getOrElse((head: java.lang.Long))
         val barrierSeq: Any = barrier.map(b => b: java.lang.Long).orNull
         val barrierOp: Any =
           if (expired) UTF8String.fromString(s"history before seq $earliest expired")
-          else barrier
-            .map(b => UTF8String.fromString(t.snapshotFile(b).operation))
-            .orNull
+          else barrier.map { b =>
+            val op = t.snapshotFile(b).operation
+            UTF8String.fromString(
+              if (graft.lake.LakeTable.replayableOp(op))
+                s"$op (needs the pk base snapshot $from, which expired)"
+              else op)
+          }.orNull
         val needed = expired || barrier.isDefined
         val bootstrapSql: Any =
           if (!needed) null

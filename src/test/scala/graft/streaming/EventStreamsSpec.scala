@@ -384,6 +384,63 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("rebaseline_changelog: a checkpoint at the expiry boundary needs the pk base for row-restating ranges") {
+    // review finding r18: changes(from, _) on a pk table also reads the
+    // `from` BASE snapshot whenever the range is not append-only — a
+    // checkpoint parked exactly at the expiry boundary (from = earliest-1)
+    // has every range HEADER retained but no base, and the procedure used
+    // to declare such ranges consumable while changes() refused them.
+    val wh = java.nio.file.Files.createTempDirectory("graft-rebaseline-base").toString
+    val t = graft.lake.LakeTable.create(spark, s"$wh/ev2", "ev2",
+      Seq((1L, "x")).toDF("id", "s").schema, primaryKey = Seq("id"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))   // seq 1
+    t.append(Seq((3L, "c")).toDF("id", "s"))              // seq 2 <- checkpoint
+    t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "s"))   // seq 3: restates a pk
+    t.append(Seq((5L, "e")).toDF("id", "s"))              // seq 4
+    graft.lake.Maintenance.expireSnapshots(t, keep = 2)   // earliest = 3
+    assert(t.earliestSeq == 3L)
+    // the dead end the procedure must predict: headers 3..4 retained, but
+    // the upsert plans the pk base join against the expired seq-2 base
+    assert(intercept[IllegalArgumentException](t.changes(2L, t.currentSeq))
+      .getMessage.contains("re-baseline"))
+    spark.conf.set("spark.sql.catalog.graft_rb2",
+      classOf[graft.sources.GraftCatalog].getName)
+    val prevWh = spark.conf.getOption("spark.graft.catalog.warehouse")
+    spark.conf.set("spark.graft.catalog.warehouse", wh)
+    try {
+      val r = spark.sql("CALL graft_rb2.system.rebaseline_changelog('ev2', 2)").head()
+      assert(r.getAs[Boolean]("rebaseline_needed"), r.toString)
+      assert(r.getAs[Long]("barrier_seq") == 3L, r.toString)
+      assert(r.getAs[String]("barrier_operation")
+        .contains("needs the pk base snapshot 2"), r.toString)
+      // nothing NEW is consumable (degenerate range [2,2] is empty)
+      assert(r.getAs[Long]("consumable_to") == 2L, r.toString)
+      // and the recipe converges the consumer
+      val state = spark.sql(r.getAs[String]("bootstrap_sql"))
+        .select("id", "s").as[(Long, String)].collect().toMap
+      assert(state == t.scan().select("id", "s").as[(Long, String)].collect().toMap)
+      // the complementary over-refusal check: same boundary checkpoint,
+      // APPEND-ONLY range — the fast path never reads the base, so the
+      // procedure must keep declaring it consumable and changes() agree
+      val a = graft.lake.LakeTable.create(spark, s"$wh/ev3", "ev3",
+        Seq((1L, "x")).toDF("id", "s").schema, primaryKey = Seq("id"))
+      a.append(Seq((1L, "a")).toDF("id", "s"))            // seq 1 <- checkpoint
+      a.append(Seq((2L, "b")).toDF("id", "s"))            // seq 2
+      a.append(Seq((3L, "c")).toDF("id", "s"))            // seq 3
+      graft.lake.Maintenance.expireSnapshots(a, keep = 2) // earliest = 2
+      val r2 = spark.sql("CALL graft_rb2.system.rebaseline_changelog('ev3', 1)").head()
+      assert(!r2.getAs[Boolean]("rebaseline_needed"), r2.toString)
+      assert(r2.getAs[Long]("consumable_to") == 3L, r2.toString)
+      assert(a.changes(1L, 3L).count() == 2L)
+    } finally {
+      prevWh match {
+        case Some(v) => spark.conf.set("spark.graft.catalog.warehouse", v)
+        case None => spark.conf.unset("spark.graft.catalog.warehouse")
+      }
+      spark.conf.unset("spark.sql.catalog.graft_rb2")
+    }
+  }
+
   test("incremental dedup state is bucket-stored and the anti-join never shuffles the survivor side") {
     // VERDICT r17 #2: the per-batch anti-join used to re-shuffle the
     // whole served state every step (linear-in-state exchange law). The
