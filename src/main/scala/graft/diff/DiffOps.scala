@@ -77,5 +77,17 @@ object DiffOps {
     // the retired-schema lineage changes the row set against DuckDB's
     // converged rewrite — the compaction × evolution × expiry surface
     // the r16/r17 expiry draws kept finding bugs next to
-    pinned(1281L, 14, "q127_diff_lake_maintenance"))
+    pinned(1281L, 14, "q127_diff_lake_maintenance"),
+    // seed 1408 (arm 15, r18): pins the SQL-ROUTE lifecycle at its richest
+    // interaction — CREATE + two INSERT commits, a merge-on-read MERGE
+    // whose source both RESTATES the u-class money and INSERTS a
+    // shifted-key class, DELETE FROM over the post-merge pks, then
+    // compactDirty + a zero-age orphan sweep folding the MoR deltas
+    // (notes: ctas=false mor=true mut=3 delete=true maint=3; committed
+    // ops: create, append-dsv2 ×2, merge-mor, delete-mor, compact), under
+    // an outer row-membership predicate. A DSv2 delta write that drops an
+    // insert branch, mislabels a matched update, or a compaction that
+    // unfolds the sidecars hash-diverges against DuckDB's converged
+    // rewrite
+    pinned(1408L, 15, "q130_diff_lake_sql_route"))
 }

@@ -623,8 +623,22 @@ object QueryGen {
     * the era the read pins, so an old-era file that fails to null-fill,
     * a narrow file decoded without widening, a dropped column leaking
     * back, or a pinned read serving the wrong era's schema all diverge
-    * against two engines that never saw a schema version file. */
-  val NumScenarios = 15
+    * against two engines that never saw a schema version file,
+    * 15 lake SQL ROUTE (r18): arms 11–14 drive the lifecycle through the
+    * imperative LakeTable API; this arm drives the SAME converged-state
+    * contract entirely through the SQL catalog's DSv2 surface — CREATE
+    * TABLE or CTAS (drawn) under a drawn partition transform, INSERT
+    * split across two commits, a drawn row-level restatement (UPDATE,
+    * matched-only MERGE, or a MERGE that also INSERTs a shifted-key
+    * class) under a DRAWN row-level mode (merge-on-read delta vs
+    * copy-on-write group rewrite), DELETE FROM, drawn maintenance, then
+    * a SQL SELECT through the catalog. q67/q80/q81 pin three fixed
+    * shapes; the composition (mutation × mode × partitioning ×
+    * maintenance) on GraftCatalog + GraftLakeWrite + GraftLakeDeltaWrite
+    * was never fuzzed. The SQL dual is the arm-11-style converged
+    * rewrite (update CASE, shifted-key UNION ALL for the merge insert,
+    * post-union complement for the delete over each row's FINAL pk). */
+  val NumScenarios = 16
 
   /** Arm 11's lake-CTAS metadata: the FULL parquet schema per eligible
     * table (the converged-state SQL rewrite must enumerate every column —
@@ -694,14 +708,15 @@ object QueryGen {
     // CONSTANT across small sequential seeds — at NumScenarios=8 all 120
     // family seeds drew the same arm (caught by QueryGenSpec's coverage
     // assertion). A modulo over a bound divisible by the arm count keeps
-    // the draw uniform AND on the low bits, which do vary. 360360 =
-    // LCM(1..15), so every arm count ≤ 15 divides it — the current 15
+    // the draw uniform AND on the low bits, which do vary. 720720 =
+    // LCM(1..16), so every arm count ≤ 16 divides it — the current 16
     // included (r14 moved 2520 → 27720 when arm 10 landed; r16 moved
-    // 27720 → 360360 when arm 12 landed; an arm-count change reshuffles
-    // only the seed-drawn family, never the pinned entries, which force
-    // their scenario and skip this draw). The next bound change comes at
-    // a 16TH arm: 360360/16 is not integral — move to 720720 then.
-    val scenario = forceScenario.getOrElse(rng.nextInt(360360) % NumScenarios)
+    // 27720 → 360360 when arm 12 landed; r18 moved 360360 → 720720 when
+    // arm 15 landed; an arm-count change reshuffles only the seed-drawn
+    // family, never the pinned entries, which force their scenario and
+    // skip this draw). The next bound change comes at a 17TH arm:
+    // 720720/17 is not integral — move to LCM(1..17) = 12252240 then.
+    val scenario = forceScenario.getOrElse(rng.nextInt(720720) % NumScenarios)
     val name = s"diff_s${seed}_sc$scenario"
 
     def load(s: SparkSession, dir: String, t: Tbl): DataFrame =
@@ -1323,7 +1338,7 @@ object QueryGen {
           df.select(outCols.map(col): _*)
         }, notes13)
 
-      case _ =>
+      case 14 =>
         // lake SCHEMA EVOLUTION (arm 14): append under the old schema
         // (seq 1) → a drawn ALTER (seq 2: add-column / promote-type /
         // drop-column, all metadata-only) → append under the NEW schema
@@ -1484,6 +1499,132 @@ object QueryGen {
           pred.foreach(p => df = df.filter(p._1))
           df.select(outCols.map(col): _*)
         }, notes14)
+
+      case _ =>
+        // lake SQL ROUTE (arm 15): the arm-11 converged-state contract,
+        // but the DataFrame route drives the ENTIRE lifecycle through the
+        // SQL catalog's DSv2 surface — see the NumScenarios scaladoc. The
+        // mutation/delete predicates are exact-integer `%` classes (engine-
+        // portable); money restates ×2 (cent-exact doubles double exactly);
+        // the merge-insert class lands at pk + 30000000, beyond every
+        // fixture pk, so the shifted keys can never collide or match.
+        val lt = lakeTbls(rng.nextInt(27720) % lakeTbls.size)
+        val t = lt.t
+        val pfDraw = rng.nextInt(3)
+        val bucketN = 4 * (1 + rng.nextInt(2))
+        val ctas = rng.nextBoolean()
+        val morMode = rng.nextBoolean() // merge-on-read deltas vs copy-on-write
+        val mutDraw = rng.nextInt(27720) % 4 // 0 none, 1 UPDATE, 2 MERGE upd, 3 MERGE upd+ins
+        val u = 2 + rng.nextInt(3); val ru = rng.nextInt(u)
+        val mi = 5 + rng.nextInt(5); val rmi = rng.nextInt(mi)
+        val delDraw = rng.nextBoolean()
+        val d = 5 + rng.nextInt(5); val rd = rng.nextInt(d)
+        val pred = wherePreds(rng, Seq(t))
+        val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        val maint = maintDraw(rng)
+        val Off = 30000000L
+        // converged-state dual: update CASE on the money column, the
+        // merge-insert branch as a shifted-key UNION ALL, the delete as a
+        // post-union complement over each row's FINAL pk (an inserted
+        // row's shifted pk changes its `%` class — the delete must see it)
+        val innerCols = lt.fullCols.map { c =>
+          if (mutDraw >= 1 && c == lt.moneyCol)
+            s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
+          else c
+        }.mkString(", ")
+        val insCols = lt.fullCols.map { c =>
+          if (c == lt.pk) s"${lt.pk} + $Off AS ${lt.pk}"
+          else if (c == lt.moneyCol) s"$c * 2 AS $c"
+          else c
+        }.mkString(", ")
+        val from15 = lakeFrom(t, lt, lakeCap)
+        val union = s"SELECT $innerCols FROM $from15" +
+          (if (mutDraw == 3)
+            s" UNION ALL SELECT $insCols FROM $from15 WHERE ${lt.pk} % $mi = $rmi"
+          else "")
+        val delWhere = if (delDraw) s" WHERE NOT (${lt.pk} % $d = $rd)" else ""
+        val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
+          s"(SELECT * FROM ($union) u0$delWhere) g" +
+          pred.map(p => s" WHERE ${p._2}").getOrElse("")
+        val notes15 = s"ctas=$ctas mor=$morMode mut=$mutDraw delete=$delDraw maint=$maint"
+        Gen(name, sql, (s, dir) => {
+          val base = lakeBase(load(s, dir, t), lt, lakeCap)
+          val loc = freshLakeLoc(name)
+          // catalog tables live at <warehouse>/<name>: register the
+          // instance's fresh root as the warehouse and call the table `t`
+          // so the SQL route mutates exactly the wiped per-instance dir
+          val wh = java.nio.file.Paths.get(loc).getParent.toString
+          val cat = "graft_diff_sql"
+          val qt = s"$cat.t"
+          val baseView = s"${name}_base"
+          val srcView = s"${name}_src"
+          val scoped = Map(
+            s"spark.sql.catalog.$cat" -> classOf[graft.sources.GraftCatalog].getName,
+            // the DYNAMIC warehouse key (GraftCatalog contract — read at
+            // every operation) must pin to this instance's root for the
+            // whole build
+            "spark.graft.catalog.warehouse" -> wh,
+            "spark.graft.lake.rowLevelMode" ->
+              (if (morMode) "merge-on-read" else "copy-on-write"))
+          val prev = scoped.keys.map(k => k -> s.conf.getOption(k)).toMap
+          try {
+            scoped.foreach { case (k, v) => s.conf.set(k, v) }
+            base.createOrReplaceTempView(baseView)
+            val partSql = pfDraw match {
+              case 0 => s"PARTITIONED BY (identity(${lt.identityCol}))"
+              case 1 if lt.tsCol.isDefined =>
+                s"PARTITIONED BY (months(${lt.tsCol.get}))"
+              case _ => s"PARTITIONED BY (bucket($bucketN, ${lt.pk}))"
+            }
+            val props = s"TBLPROPERTIES ('primary_key'='${lt.pk}')"
+            if (ctas)
+              s.sql(s"CREATE TABLE $qt $partSql $props AS SELECT * FROM $baseView")
+            else {
+              s.sql(s"CREATE TABLE $qt (${base.schema.toDDL}) $partSql $props")
+              // two commits → ≥2 data files, so MoR deltas/tombstones and
+              // compaction have real multi-file structure to work over
+              s.sql(s"INSERT INTO $qt SELECT * FROM $baseView WHERE ${lt.pk} % 2 = 0")
+              s.sql(s"INSERT INTO $qt SELECT * FROM $baseView WHERE ${lt.pk} % 2 = 1")
+            }
+            mutDraw match {
+              case 1 =>
+                s.sql(s"UPDATE $qt SET ${lt.moneyCol} = ${lt.moneyCol} * 2 " +
+                  s"WHERE ${lt.pk} % $u = $ru")
+              case 2 | 3 =>
+                // matched branch: the u-class with money restated (full
+                // columns so both branches union); insert branch: the
+                // mi-class shifted beyond every live pk
+                val updSrcCols = lt.fullCols.map { c =>
+                  if (c == lt.moneyCol) s"$c * 2 AS $c" else c
+                }.mkString(", ")
+                val srcSql =
+                  s"SELECT $updSrcCols FROM $baseView WHERE ${lt.pk} % $u = $ru" +
+                    (if (mutDraw == 3)
+                      s" UNION ALL SELECT $insCols FROM $baseView WHERE ${lt.pk} % $mi = $rmi"
+                    else "")
+                s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $srcView AS $srcSql")
+                s.sql(
+                  s"MERGE INTO $qt t USING $srcView c ON t.${lt.pk} = c.${lt.pk} " +
+                    s"WHEN MATCHED THEN UPDATE SET t.${lt.moneyCol} = c.${lt.moneyCol} " +
+                    s"WHEN NOT MATCHED THEN INSERT (${lt.fullCols.mkString(", ")}) " +
+                    s"VALUES (${lt.fullCols.map(c => s"c.$c").mkString(", ")})")
+              case _ => ()
+            }
+            if (delDraw) s.sql(s"DELETE FROM $qt WHERE ${lt.pk} % $d = $rd")
+            // maintenance through the imperative handle on the same table
+            // — content-preserving, lands before the read resolves
+            applyMaintenance(graft.lake.LakeTable.load(s, loc), maint)
+            var df = s.sql(s"SELECT * FROM $qt")
+            pred.foreach(p => df = df.filter(p._1))
+            df.select(projCols.map(col): _*)
+          } finally {
+            prev.foreach { case (k, v) =>
+              v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+            }
+            s.catalog.dropTempView(baseView)
+            s.catalog.dropTempView(srcView)
+          }
+        }, notes15)
     }
   }
 

@@ -150,6 +150,16 @@ object RowParquet {
     * sidecars are matched against data-file partition values recorded by
     * EITHER writer, so the two renderings must agree byte-for-byte. */
   def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String = {
+    // bucket FIRST, before the null short-circuit: the engine-side
+    // derivation ([[Transform.Bucket.apply]]) hashes a null key to the
+    // seed — bucket pmod(42, n), never a null partition — and the DSv2
+    // write, the imperative write, and SPJ key-grouping must all agree
+    Transform.parse(trName) match {
+      case Transform.Bucket(n) =>
+        val v = if (row.isNullAt(idx)) null else row.get(idx, dt)
+        return Transform.bucketOf(n, v, dt).toString
+      case _ => ()
+    }
     if (row.isNullAt(idx)) return PartitionValues.NullSentinel
     def utcOf(micros: Long): LocalDateTime =
       LocalDateTime.ofInstant(Instant.ofEpochSecond(

@@ -133,11 +133,29 @@ object Transform {
   final case class Bucket(n: Int) extends Transform {
     val name = s"bucket[$n]"
     def apply(source: Column): Column = pmod(hash(source), lit(n)).cast("string")
-    // Spark's `hash` (Murmur3) is not reproducible on the JVM side without
-    // re-implementing it, so literal bucketing is engine-side only: no
-    // metadata pruning, the residual filter still applies.
+    // Literal bucketing needs the source column's exact Catalyst TYPE to
+    // hash (Murmur3 is type-dependent) and PruneFilter literals arrive
+    // type-erased, so metadata pruning stays off; the residual filter
+    // still applies. JVM-side derivation for a KNOWN type is exact — see
+    // [[Transform.bucketOf]].
     def valueOf(literal: Any): Option[String] = None
     val orderPreserving = false
+  }
+
+  /** JVM-side bucket derivation — bit-identical to [[Bucket.apply]]'s
+    * `pmod(hash(col), n)` (Spark's Murmur3, seed 42; Spark's hash
+    * EXPRESSION skips null children, leaving the hash at the seed, so a
+    * null key lands in `pmod(42, n)`, never a null partition). Shared by
+    * the DSv2 writers' per-row partition rendering and the SQL catalog's
+    * `bucket` V2 function so every write route and the storage-
+    * partitioned-join key-grouping derive the same bucket for the same
+    * key. `value` is the Catalyst-internal representation (UTF8String for
+    * strings, micros for timestamps). */
+  def bucketOf(n: Int, value: Any, dt: org.apache.spark.sql.types.DataType): Int = {
+    val h: Long =
+      if (value == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(value, dt, 42L)
+    ((h.toInt % n) + n) % n
   }
 
   /** String prefix truncation (Iceberg `truncate[w]`). */

@@ -279,16 +279,11 @@ object GraftCatalog {
     override def canonicalName(): String = s"graft.bucket(${sourceType.simpleString})"
     override def isResultNullable: Boolean = false
     override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
-      val n = input.getInt(0)
-      // Spark's Murmur3Hash EXPRESSION skips null children, leaving the
-      // hash at its seed — mirror that so null rows land in the same
-      // bucket the writer put them in
-      val h: Long =
-        if (input.isNullAt(1)) 42L
-        else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-          .hash(input.get(1, sourceType), sourceType, 42L)
-      val i = h.toInt
-      ((i % n) + n) % n
+      // the shared derivation (Transform.bucketOf): Murmur3 seed 42,
+      // null input leaves the hash at the seed — same bucket the writers
+      // (imperative and DSv2) put the row in
+      val v = if (input.isNullAt(1)) null else input.get(1, sourceType)
+      graft.lake.Transform.bucketOf(input.getInt(0), v, sourceType)
     }
   }
 }

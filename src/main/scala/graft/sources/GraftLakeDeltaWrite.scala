@@ -158,16 +158,15 @@ private[sources] class GraftLakeDeltaBatchWrite(
       else spec.map { pf =>
         val idx = rowSchema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
         require(idx >= 0, s"partition source ${pf.source} missing from delta write schema")
-        require(!pf.transform.name.startsWith("bucket"),
-          s"DSv2 delta write cannot render ${pf.transform.name}(${pf.source}) engine-side")
         (idx, pf.transform.name, pf.name)
       }
     // delete-sidecar partition scoping: every source must be a rowId
-    // column AND engine-side renderable; else sidecars are global
+    // column; else sidecars are global (bucket renders JVM-side via
+    // Transform.bucketOf, same as every other transform)
     val deleteSpec: Option[Seq[(Int, String, String)]] = {
       val resolved = spec.map { pf =>
         val idx = rowIdSchema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
-        if (idx < 0 || pf.transform.name.startsWith("bucket")) None
+        if (idx < 0) None
         else Some((idx, pf.transform.name, pf.name))
       }
       if (spec.nonEmpty && resolved.forall(_.isDefined)) Some(resolved.flatten) else None

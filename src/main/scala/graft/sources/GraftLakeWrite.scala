@@ -145,10 +145,6 @@ private[sources] class GraftLakeBatchWrite(
       require(idx >= 0, s"partition source ${pf.source} missing from write schema")
       (idx, pf.transform.name, pf.name)
     }
-    spec.foreach { case (_, trName, name) =>
-      require(!trName.startsWith("bucket"),
-        s"DSv2 write cannot render $trName($name) engine-side")
-    }
     val hadoopConf = t.spark.sparkContext.hadoopConfiguration
       .asScala.map(e => e.getKey -> e.getValue).toMap
     GraftLakeWriterFactory(

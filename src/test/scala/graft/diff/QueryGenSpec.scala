@@ -61,13 +61,13 @@ class QueryGenSpec extends SparkSpec {
     // every lake arm must have hit its 5-execution budget — if the
     // sampling ever skips everything (a draw-distribution change), the
     // lifecycle smoke silently vanishes
-    assert(Seq(11, 12, 13, 14).forall(sc => scenarios.getOrElse(sc, 0) >= 5),
+    assert(Seq(11, 12, 13, 14, 15).forall(sc => scenarios.getOrElse(sc, 0) >= 5),
       s"lake arms under-drawn: $scenarios")
     // every arm must carry REAL weight, not just appear once: a skewed
     // draw (the nextInt(pow2) first-draw pathology produced exactly this
     // — one arm with 120 hits) passes a presence-only check. Uniform
-    // expectation is 8/arm at 120 seeds over 15 arms; ≥5 holds for the
-    // FIXED seed set 1..120 (checked when arm 14 landed) — a new arm
+    // expectation is 7.5/arm at 120 seeds over 16 arms; ≥5 holds for the
+    // FIXED seed set 1..120 (re-checked when arm 15 landed) — a new arm
     // that redraws the family must re-verify, not assume.
     assert(scenarios.keySet == (0 until QueryGen.NumScenarios).toSet,
       s"scenario coverage hole: $scenarios")
@@ -81,7 +81,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q127 render their golden SQL") {
+  test("pinned registry instances q110-q130 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -218,6 +218,21 @@ class QueryGenSpec extends SparkSpec {
         ("SELECT * FROM (SELECT o_custkey, o_orderstatus, o_orderkey FROM " +
           "(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
           "FROM orders) g WHERE o_orderdate >= TIMESTAMP '1998-03-25 00:00:00'" +
+          ") ORDER BY ALL NULLS FIRST"),
+      // r18 arm 15: the SQL-ROUTE pin — MoR MERGE restating odd keys'
+      // c_acctbal and INSERTing the %9=7 class shifted by 3e7, then
+      // DELETE over the POST-merge pks (3e7 % 9 = 3: an inserted row's
+      // delete-class membership differs from its source row's — the dual
+      // applies the complement to each row's FINAL pk), then compaction +
+      // zero-age sweep folding the deltas before the SELECT
+      "q130_diff_lake_sql_route" ->
+        ("SELECT * FROM (SELECT c_acctbal, c_custkey FROM (SELECT * FROM " +
+          "(SELECT c_custkey, c_name, c_nationkey, " +
+          "CASE WHEN c_custkey % 2 = 1 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal, " +
+          "c_mktsegment FROM customer UNION ALL SELECT c_custkey + 30000000 AS c_custkey, " +
+          "c_name, c_nationkey, c_acctbal * 2 AS c_acctbal, c_mktsegment FROM customer " +
+          "WHERE c_custkey % 9 = 7) u0 WHERE NOT (c_custkey % 9 = 1)) g " +
+          "WHERE c_mktsegment <> 'BUILDING'" +
           ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),

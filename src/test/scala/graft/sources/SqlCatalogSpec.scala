@@ -16,6 +16,58 @@ class SqlCatalogSpec extends SparkSpec {
     try body finally spark.conf.unset("spark.graft.lake.rowLevelMode")
   }
 
+  test("bucket-partitioned tables take DSv2 writes: buckets agree across routes, null keys, MoR deltas") {
+    // r18: the DSv2 batch/delta writers used to REFUSE bucket transforms
+    // ("cannot render engine-side") — SQL INSERT/UPDATE/MERGE/DELETE on a
+    // bucket-partitioned table was a dead end even though the imperative
+    // path and the SPJ bucket V2 function both derive the same Murmur3.
+    // All three now share Transform.bucketOf; this pins the agreement.
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlbucket").toString
+    register(wh)
+    // (a) bucket on a NULLABLE non-pk column, rows written through BOTH
+    // routes — every file's recorded partition value must equal the
+    // shared derivation for every row it holds, null keys included
+    // (hash-of-null = seed: bucket pmod(42, 4), never a null partition)
+    spark.sql(
+      """CREATE TABLE graft.tbs (id BIGINT, s STRING, v DOUBLE)
+        |PARTITIONED BY (bucket(4, s)) TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tbs VALUES (1,'a',1.0), (2,'b',2.0), (3,NULL,3.0)")
+    val t = graft.lake.LakeTable.load(spark, s"$wh/tbs")
+    t.append(Seq((4L, "a", 4.0), (5L, null.asInstanceOf[String], 5.0)).toDF("id", "s", "v"))
+    // snapshot paths are table-relative, _graft_file absolute — key by basename
+    val fileBucket = t.currentSnapshot.dataFiles
+      .map(f => f.path.split('/').last -> f.partition("p_bucket_s")).toMap
+    val rows = spark.sql("SELECT s, _graft_file FROM graft.tbs").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val s = if (r.isNullAt(0)) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+      val expect = graft.lake.Transform
+        .bucketOf(4, s, org.apache.spark.sql.types.StringType).toString
+      val got = fileBucket(r.getString(1).split('/').last)
+      assert(got == expect, s"route drift for key ${r.get(0)}: file says $got, bucketOf $expect")
+    }
+    assert(!fileBucket.values.exists(_ == graft.lake.PartitionValues.NullSentinel),
+      "a null bucket key must land in pmod(42, n), never a null partition")
+    // (b) the DELTA path on a pk-bucketed table: MoR UPDATE/DELETE land as
+    // partition-SCOPED sidecars (pk is the rowId, so the bucket renders
+    // from it) and the merged read converges
+    spark.sql(
+      """CREATE TABLE graft.tbk (id BIGINT, v DOUBLE)
+        |PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.tbk SELECT id, CAST(id AS DOUBLE) FROM range(1, 41)")
+    spark.sql("UPDATE graft.tbk SET v = v * 10 WHERE id % 5 = 0")
+    spark.sql("DELETE FROM graft.tbk WHERE id % 7 = 0")
+    val tk = graft.lake.LakeTable.load(spark, s"$wh/tbk")
+    assert(tk.currentSnapshot.deleteFiles.nonEmpty, "MoR lifecycle committed no sidecars")
+    assert(tk.currentSnapshot.deleteFiles.forall(_.partition.nonEmpty),
+      "bucket sidecars must be partition-scoped now that the rowId bucket renders")
+    val expect = (1L until 41L).filter(_ % 7 != 0)
+      .map(i => (i, if (i % 5 == 0) i * 10.0 else i.toDouble)).toSet
+    assert(spark.sql("SELECT id, v FROM graft.tbk").as[(Long, Double)].collect().toSet == expect)
+    spark.sql("DROP TABLE graft.tbs"); spark.sql("DROP TABLE graft.tbk")
+  }
+
   test("SQL lifecycle: CREATE, INSERT, SELECT, pruning, time travel, ALTER, DESCRIBE, DROP") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
     register(wh)
