@@ -150,21 +150,10 @@ object RowParquet {
     * sidecars are matched against data-file partition values recorded by
     * EITHER writer, so the two renderings must agree byte-for-byte. */
   def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String = {
-    // bucket FIRST, before the null short-circuit: the engine-side
-    // derivation ([[Transform.Bucket.apply]]) hashes a null key to the
-    // seed — bucket pmod(42, n), never a null partition — and the DSv2
-    // write, the imperative write, and SPJ key-grouping must all agree
-    Transform.parse(trName) match {
-      case Transform.Bucket(n) =>
-        val v = if (row.isNullAt(idx)) null else row.get(idx, dt)
-        return Transform.bucketOf(n, v, dt).toString
-      case _ => ()
-    }
-    if (row.isNullAt(idx)) return PartitionValues.NullSentinel
     def utcOf(micros: Long): LocalDateTime =
       LocalDateTime.ofInstant(Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L), ZoneOffset.UTC)
-    val temporal: Option[LocalDateTime] = dt match {
+    lazy val temporal: Option[LocalDateTime] = dt match {
       case TimestampType | TimestampNTZType => Some(utcOf(row.getLong(idx)))
       case DateType => Some(java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).atStartOfDay)
       case _ => None
@@ -172,6 +161,14 @@ object RowParquet {
     def hive(s: String): String =
       if (s.isEmpty) PartitionValues.NullSentinel else s
     Transform.parse(trName) match {
+      // bucket BEFORE the null short-circuit: the engine-side derivation
+      // ([[Transform.Bucket.apply]]) hashes a null key to the seed —
+      // bucket pmod(42, n), never a null partition — and the DSv2 write,
+      // the imperative write, and SPJ key-grouping must all agree
+      case Transform.Bucket(n) =>
+        val v = if (row.isNullAt(idx)) null else row.get(idx, dt)
+        Transform.bucketOf(n, v, dt).toString
+      case _ if row.isNullAt(idx) => PartitionValues.NullSentinel
       case Transform.Identity => dt match {
         case StringType => hive(row.getUTF8String(idx).toString)
         case LongType => row.getLong(idx).toString
