@@ -1234,7 +1234,7 @@ final class LakeTable private (
     var taskSums = Map.empty[String, Map[String, String]]
     if (taskWritable) {
       val specIdx = spec.map(pf =>
-        (userSchema.fieldIndex(pf.source), pf.transform.name, pf.name)).toSeq
+        (userSchema.fieldIndex(pf.source), pf.transform, pf.name)).toSeq
       // partition columns were only needed to ARRANGE the rows; the task
       // writer renders them per row from the sources, same as DSv2
       val projected = arranged.select(userSchema.fieldNames.map(col).toIndexedSeq: _*)

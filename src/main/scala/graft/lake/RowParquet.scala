@@ -54,6 +54,10 @@ object RowParquet {
       case _ => false
     }
     case Transform.Truncate(_) => dt == StringType
+    // any type: the bucket derivation is Murmur3 over the Catalyst-
+    // internal value ([[Transform.bucketOf]]), defined for every type
+    // Spark's hash expression accepts
+    case Transform.Bucket(_) => true
     case _ => false
   }
 
@@ -149,7 +153,7 @@ object RowParquet {
     * into __HIVE_DEFAULT_PARTITION__, and partition-scoped delete
     * sidecars are matched against data-file partition values recorded by
     * EITHER writer, so the two renderings must agree byte-for-byte. */
-  def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String = {
+  def renderPartition(tr: Transform, row: InternalRow, idx: Int, dt: DataType): String = {
     def utcOf(micros: Long): LocalDateTime =
       LocalDateTime.ofInstant(Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L), ZoneOffset.UTC)
@@ -160,7 +164,7 @@ object RowParquet {
     }
     def hive(s: String): String =
       if (s.isEmpty) PartitionValues.NullSentinel else s
-    Transform.parse(trName) match {
+    tr match {
       // bucket BEFORE the null short-circuit: the engine-side derivation
       // ([[Transform.Bucket.apply]]) hashes a null key to the seed —
       // bucket pmod(42, n), never a null partition — and the DSv2 write,
@@ -263,7 +267,7 @@ object RowParquet {
       confEntries: Map[String, String],
       schema: StructType,
       seq: Long,
-      spec: Seq[(Int, String, String)], // (source field idx, transform name, partition name)
+      spec: Seq[(Int, Transform, String)], // (source field idx, transform, partition name)
       taskUid: String,
       rows: Iterator[InternalRow],
       recordSums: Boolean): Iterator[StagedDesc] = {
@@ -275,8 +279,8 @@ object RowParquet {
       (ParquetWriter[Group], String, FileSums, Array[Long])]
     try {
       rows.foreach { row =>
-        val partition = spec.map { case (srcIdx, trName, name) =>
-          name -> renderPartition(trName, row, srcIdx, schema.fields(srcIdx).dataType)
+        val partition = spec.map { case (srcIdx, tr, name) =>
+          name -> renderPartition(tr, row, srcIdx, schema.fields(srcIdx).dataType)
         }.toMap
         val (w, _, sums, count) = open.getOrElseUpdate(partition, {
           val rel = s"$taskUid-${open.size}.parquet"

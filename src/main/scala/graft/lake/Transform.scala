@@ -129,7 +129,8 @@ object Transform {
     val orderPreserving = true
   }
 
-  /** Hash bucket (Iceberg `bucket[n]`); prunes equality/IN only. */
+  /** Hash bucket (Iceberg `bucket[n]`); never prunes from metadata
+    * (`valueOf` is None — see the note inside), co-location only. */
   final case class Bucket(n: Int) extends Transform {
     val name = s"bucket[$n]"
     def apply(source: Column): Column = pmod(hash(source), lit(n)).cast("string")

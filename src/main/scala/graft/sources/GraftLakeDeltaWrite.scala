@@ -43,11 +43,16 @@ import scala.collection.mutable
   *    not O(files holding them).
   *
   * Delete-key sidecars are PARTITION-SCOPED when every partition source of
-  * the current spec is a primary-key column and its transform is
-  * renderable engine-side (identity/year/month/day/truncate — bucket's
-  * Spark-internal murmur3 is not): then the identity values determine the
-  * partition of every row they tombstone, and a pruned scan later loads
-  * only the matching sidecars. Otherwise one global sidecar per task.
+  * the current spec is a primary-key column: every transform renders
+  * engine-side (identity/year/month/day/truncate from the value, bucket
+  * via the shared [[graft.lake.Transform.bucketOf]] Murmur3 since r18),
+  * so the rowId values determine the partition of every row they
+  * tombstone, and a pruned scan later loads only the matching sidecars.
+  * Otherwise one global sidecar per task. Scoping stays sound across
+  * partition-spec evolution because a field name can never be redefined
+  * with a different derivation ([[LakeTable.evolvePartitionSpec]]'s
+  * history guard) and files lacking a scoped field keep the sidecar
+  * conservatively ([[LakeTable.deleteFilesFor]]).
   */
 private[sources] class GraftLakeDeltaOperation(
     t: LakeTable,
@@ -153,21 +158,21 @@ private[sources] class GraftLakeDeltaBatchWrite(
     val rowIdSchema = winfo.rowIdSchema().orElseThrow(() =>
       new IllegalStateException("delta write without a rowId schema"))
     val spec = t.partitionSpec(snap.specVersion)
-    val dataSpec: Seq[(Int, String, String)] =
+    val dataSpec: Seq[(Int, graft.lake.Transform, String)] =
       if (rowSchema.isEmpty) Nil
       else spec.map { pf =>
         val idx = rowSchema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
         require(idx >= 0, s"partition source ${pf.source} missing from delta write schema")
-        (idx, pf.transform.name, pf.name)
+        (idx, pf.transform, pf.name)
       }
     // delete-sidecar partition scoping: every source must be a rowId
     // column; else sidecars are global (bucket renders JVM-side via
     // Transform.bucketOf, same as every other transform)
-    val deleteSpec: Option[Seq[(Int, String, String)]] = {
+    val deleteSpec: Option[Seq[(Int, graft.lake.Transform, String)]] = {
       val resolved = spec.map { pf =>
         val idx = rowIdSchema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
         if (idx < 0) None
-        else Some((idx, pf.transform.name, pf.name))
+        else Some((idx, pf.transform, pf.name))
       }
       if (spec.nonEmpty && resolved.forall(_.isDefined)) Some(resolved.flatten) else None
     }
@@ -269,8 +274,8 @@ private[sources] case class GraftLakeDeltaWriterFactory(
     rowSchema: StructType,
     rowIdSchema: StructType,
     writeSeq: Long,
-    dataSpec: Seq[(Int, String, String)],
-    deleteSpec: Option[Seq[(Int, String, String)]],
+    dataSpec: Seq[(Int, graft.lake.Transform, String)],
+    deleteSpec: Option[Seq[(Int, graft.lake.Transform, String)]],
     hadoopConf: Map[String, String],
     recordSums: Boolean = true) extends DeltaWriterFactory {
 
@@ -311,9 +316,9 @@ private[sources] class GraftLakeDeltaWriterImpl(
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val partition: Map[String, String] = f.deleteSpec match {
-      case Some(spec) => spec.map { case (srcIdx, trName, name) =>
+      case Some(spec) => spec.map { case (srcIdx, tr, name) =>
         name -> GraftLakeWrite.renderPartition(
-          trName, id, srcIdx, f.rowIdSchema.fields(srcIdx).dataType)
+          tr, id, srcIdx, f.rowIdSchema.fields(srcIdx).dataType)
       }.toMap
       case None => Map.empty
     }

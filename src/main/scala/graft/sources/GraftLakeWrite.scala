@@ -32,8 +32,11 @@ import scala.collection.mutable
   *
   * Partition transforms are rendered per row on the executor from the raw
   * primitive values (month/day/year from epoch micros, identity/truncate
-  * from the value); `bucket[n]` cannot be reproduced engine-side
-  * (Spark-internal murmur3) and is rejected for DSv2 writes.
+  * from the value, `bucket[n]` via the shared Murmur3 derivation
+  * [[graft.lake.Transform.bucketOf]] — bit-identical to the engine-side
+  * `pmod(hash(col), n)` since r18, so every write route may partition on
+  * buckets). The parsed [[graft.lake.Transform]] ships in the factory —
+  * the per-row work never re-parses a transform name.
   */
 /** Append by default; `INSERT OVERWRITE` / truncate arrive through
   * SupportsOverwrite with the always-true filter and commit a full
@@ -143,7 +146,7 @@ private[sources] class GraftLakeBatchWrite(
     val spec = t.partitionSpec(snap.specVersion).map { pf =>
       val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
       require(idx >= 0, s"partition source ${pf.source} missing from write schema")
-      (idx, pf.transform.name, pf.name)
+      (idx, pf.transform, pf.name)
     }
     val hadoopConf = t.spark.sparkContext.hadoopConfiguration
       .asScala.map(e => e.getKey -> e.getValue).toMap
@@ -255,7 +258,7 @@ private[sources] case class GraftLakeWriterFactory(
     stagingRel: String,
     schema: StructType,
     writeSeq: Long,
-    partitionSpec: Seq[(Int, String, String)], // (source field idx, transform name, partition name)
+    partitionSpec: Seq[(Int, graft.lake.Transform, String)], // (source field idx, transform, partition name)
     hadoopConf: Map[String, String],
     recordSums: Boolean = true) extends DataWriterFactory {
 
@@ -292,9 +295,9 @@ private[sources] class GraftLakeDataWriter(
       require(fieldOffset >= 0,
         s"row has ${row.numFields} fields for schema ${f.schema.simpleString}")
     }
-    val partition = f.partitionSpec.map { case (srcIdx, trName, name) =>
+    val partition = f.partitionSpec.map { case (srcIdx, tr, name) =>
       name -> GraftLakeWrite.renderPartition(
-        trName, row, srcIdx + fieldOffset, f.schema.fields(srcIdx).dataType)
+        tr, row, srcIdx + fieldOffset, f.schema.fields(srcIdx).dataType)
     }.toMap
     val (w, _, sums) = writers.getOrElseUpdate(partition, {
       val rel = s"${f.stagingRel}/p$partitionId-t$taskId-${writers.size}.parquet"
@@ -330,6 +333,6 @@ private[sources] object GraftLakeWrite {
       offset: Int = 0, seqCol: String = LakeTable.SeqCol): Group =
     graft.lake.RowParquet.toGroup(factory, schema, row, seq, offset, seqCol)
 
-  def renderPartition(trName: String, row: InternalRow, idx: Int, dt: DataType): String =
-    graft.lake.RowParquet.renderPartition(trName, row, idx, dt)
+  def renderPartition(tr: graft.lake.Transform, row: InternalRow, idx: Int, dt: DataType): String =
+    graft.lake.RowParquet.renderPartition(tr, row, idx, dt)
 }

@@ -1321,10 +1321,32 @@ class LakeSpec extends SparkSpec {
     assert(files.forall(f => !f.sums.contains("name")))
   }
 
-  test("bucket-partitioned writes fall back to the read-back sums job, same stats shape") {
-    // bucket[n] cannot be rendered engine-side, so the staging write goes
-    // through Spark's DataFrame writer and sums come from the column-pruned
-    // ColumnSums fallback — the recorded strings must serve identically
+  test("unsupported-transform writes fall back to the read-back sums job, same stats shape") {
+    // r18: bucket renders engine-side now (Transform.bucketOf), so the
+    // fallback's trigger is an identity partition on a type the task
+    // writer does not render (DOUBLE) — the staging write then goes
+    // through Spark's DataFrame writer and sums come from the
+    // column-pruned ColumnSums fallback; the recorded strings must serve
+    // identically to task-side sums
+    val dir = Files.createTempDirectory("graft-fallbacksums-spec").toString
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i * 3, (i % 4).toDouble)).toDF("id", "v", "g")
+    val t = LakeTable.create(spark, s"$dir/t", "t", df.schema,
+      partitionSpec = Seq(PartitionField("g", Transform.Identity, "p_g")),
+      clusterBy = Seq("id"))
+    t.append(df)
+    val files = t.currentSnapshot.dataFiles
+    assert(files.size >= 2, "identity spec should split files")
+    assert(files.forall(f => f.sums.contains("id") && f.sums.contains("v")))
+    assert(files.map(f => BigDecimal(f.sums("v"))).sum == BigDecimal(3L * (1L to 100L).sum))
+    assert(ColumnSums.totals("v", files).contains((BigDecimal(3L * (1L to 100L).sum), 100L)))
+  }
+
+  test("bucket-partitioned writes stage task-side: per-file sums, no read-back job, exact buckets") {
+    // r18: bucket joined the task-writable transforms — the imperative
+    // append on a bucketed table (the incremental-dedup survivor state's
+    // exact shape) records sums in the write tasks and derives the same
+    // buckets as every other route
     val dir = Files.createTempDirectory("graft-bucketsums-spec").toString
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i * 3)).toDF("id", "v")
@@ -1337,6 +1359,13 @@ class LakeSpec extends SparkSpec {
     assert(files.forall(f => f.sums.contains("id") && f.sums.contains("v")))
     assert(files.map(f => BigDecimal(f.sums("v"))).sum == BigDecimal(3L * (1L to 100L).sum))
     assert(ColumnSums.totals("v", files).contains((BigDecimal(3L * (1L to 100L).sum), 100L)))
+    // the recorded bucket value must be the shared derivation, per file
+    files.foreach { f =>
+      val ids = spark.read.parquet(s"$dir/t/${f.path}").select("id").as[Long].collect()
+      assert(ids.nonEmpty && ids.forall(i =>
+        Transform.bucketOf(4, i, org.apache.spark.sql.types.LongType).toString
+          == f.partition("p_b")), s"bucket drift in ${f.path}")
+    }
   }
 
   test("DSv2 write roundtrips decimals (INT32/INT64/FIXED_LEN encodings) with task-side sums") {

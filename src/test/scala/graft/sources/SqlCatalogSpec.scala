@@ -68,6 +68,47 @@ class SqlCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.tbs"); spark.sql("DROP TABLE graft.tbk")
   }
 
+  test("re-bucketing refuses field-name reuse; the aliased path keeps scoped sidecars sound across eras") {
+    // r18 review: bucket delete-sidecars are now partition-SCOPED, and
+    // deleteFilesFor compares partition values BY NAME — so a spec
+    // evolution that reused a field name with a different derivation
+    // (bucket(4) -> bucket(8), same default p_bucket_id) would misread
+    // old files' tuples and silently drop tombstones (row resurrection).
+    // evolvePartitionSpec's history guard refuses exactly that; this pins
+    // the refusal AND walks the legal aliased route through the would-be
+    // resurrection scenario.
+    val wh = java.nio.file.Files.createTempDirectory("graft-rebucket").toString
+    register(wh)
+    spark.sql(
+      """CREATE TABLE graft.trbk (id BIGINT, v DOUBLE)
+        |PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('primary_key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.trbk SELECT id, CAST(id AS DOUBLE) FROM range(1, 21)")
+    // same derived name p_bucket_id, different count — refused, whole chain
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.evolve_partition_spec('trbk', 'bucket(8, id)')"))
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages(e).contains("cannot be redefined"), messages(e))
+    // the legal route: a FRESH field name; old files lack it and keep
+    // every scoped sidecar conservatively
+    spark.sql("CALL graft.system.evolve_partition_spec('trbk', 'bucket(8, id) AS p_bk8')")
+    spark.sql("INSERT INTO graft.trbk SELECT id, CAST(id AS DOUBLE) FROM range(21, 41)")
+    // MoR DELETE spanning BOTH eras: sidecars scope to the new spec
+    spark.sql("DELETE FROM graft.trbk WHERE id % 2 = 0")
+    val t = graft.lake.LakeTable.load(spark, s"$wh/trbk")
+    assert(t.currentSnapshot.deleteFiles.nonEmpty, "expected MoR sidecars")
+    val odd = (1L until 41L).filter(_ % 2 == 1).toSet
+    assert(spark.sql("SELECT id FROM graft.trbk").as[Long].collect().toSet == odd)
+    // the resurrection shapes: a PRUNED read whose candidates are only
+    // old-era files must still fold the tombstones...
+    assert(spark.sql("SELECT id FROM graft.trbk WHERE id < 21").as[Long].collect().toSet
+      == odd.filter(_ < 21))
+    // ...and compaction must not rewrite 'deleted' rows back to life
+    t.compactDirty()
+    assert(spark.sql("SELECT id FROM graft.trbk").as[Long].collect().toSet == odd)
+    spark.sql("DROP TABLE graft.trbk")
+  }
+
   test("SQL lifecycle: CREATE, INSERT, SELECT, pruning, time travel, ALTER, DESCRIBE, DROP") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
     register(wh)
