@@ -866,7 +866,18 @@ object DedupOps {
     * batch, and [[freshSurvivors]]' anti-join makes that replay a no-op
     * append. At scale the anti-join is one co-partitioned shuffle of
     * O(batch + state-keys); the append is O(fresh rows) — no state
-    * rewrite, ever. */
+    * rewrite, ever.
+    *
+    * Long-running deployments pair this with PERIODIC state compaction
+    * (`Maintenance.compact` as a maintenance job, NOT inline — an
+    * in-step compact would reintroduce the O(state) write per batch
+    * this step exists to avoid): each batch appends up to one file per
+    * touched bucket, and files-per-bucket is what the storage-
+    * partitioned anti-join's batch-side shuffle scales with (the
+    * one-side shuffle splits the batch across the state's partition
+    * groups). Compaction folds each bucket back to ~1 file, restoring
+    * the constant batch-side exchange; content is unchanged so replays
+    * and the anti-join are unaffected. */
   def lakeDedupStep(table: graft.lake.LakeTable, batch: DataFrame, b: Long,
       state: Option[DataFrame] = None): Unit = {
     // materialize ONCE: the isEmpty probe would otherwise run the full
