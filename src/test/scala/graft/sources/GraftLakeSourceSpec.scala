@@ -1095,16 +1095,22 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
-  test("metadata serving declines above the file-count valve and the distributed " +
-      "fallback agrees (files-heavy pre-compaction table)") {
-    // VERDICT r15 #6: the gold-serve rollups fold per-file sums on the
-    // DRIVER — fine on a maintained table, a planner cliff on a neglected
-    // one (10⁵-10⁶ pre-compaction files at 100 TB). This builds a
-    // many-small-files fixture (identity × bucket spec, two appends →
-    // hundreds of files), proves the fold still serves and is EXACT at
+  test("above the file-count valve the metadata fold moves to executors and still " +
+      "serves (files-heavy pre-compaction table)") {
+    // VERDICT r15 #6 introduced the valve: the gold-serve rollups fold
+    // per-file sums on the DRIVER — fine on a maintained table, a planner
+    // cliff on a neglected one (10⁵-10⁶ pre-compaction files at 100 TB).
+    // VERDICT r18 #1: above the valve the fold now runs as a small
+    // manifest-entry JOB (LakeMetaAggregate.distributedServe) instead of
+    // declining into a full data scan — 87 s of real file opens at 100k
+    // files for a COUNT/MIN/MAX the snapshot already answers. This builds
+    // a many-small-files fixture (identity × bucket spec, two appends →
+    // hundreds of files), proves the driver fold serves and is EXACT at
     // this width, then lowers spark.graft.lake.metaAggMaxFiles and proves
-    // both serve paths (optimizer rule + DSv2 pushdown) decline into a
-    // real distributed scan with identical results.
+    // the SAME LocalRelation plan comes back — via the executor fold
+    // (distributedServes counter) — with identical results, for the
+    // grouped rule path AND the ungrouped shape the DSv2 pushdown
+    // declines above the valve.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-metavalve-spec").toString
     val df = spark.range(4000).select(
@@ -1126,30 +1132,65 @@ class GraftLakeSourceSpec extends SparkSpec {
         min("id").as("mn"), max("id").as("mx"))
     def ungrouped = readLake(t.location)
       .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    def filteredDistinct = readLake(t.location)
+      .filter(col("cat") === "c1")
+      .agg(count(lit(1)).as("n"), countDistinct(col("cat")).as("nd"))
+    def folds = graft.plans.LakeMetaAggregate.distributedServes.get()
 
-    // under the default valve (200k) the fold serves: zero scan tasks
+    // under the default valve (200k) the DRIVER fold serves: zero tasks
     val servedPlan = grouped.queryExecution.executedPlan.toString
     assert(servedPlan.contains("LocalTableScan") && !servedPlan.contains("BatchScan"),
       s"grouped rollup not metadata-served at $nFiles files:\n$servedPlan")
     val servedRows = sortedRows(grouped)
     val servedUng = sortedRows(ungrouped)
+    val servedFd = sortedRows(filteredDistinct)
 
     try {
       spark.conf.set("spark.graft.lake.metaAggMaxFiles", (nFiles - 1).toString)
-      // the optimizer-rule path (grouped) declines → distributed agg
+      // grouped rule path: still a LocalRelation serve, via the executor fold
+      val pre = folds
       val fallPlan = grouped.queryExecution.executedPlan.toString
-      assert(fallPlan.contains("BatchScan") && !fallPlan.contains("LocalTableScan"),
-        s"grouped rollup still driver-folded above the valve:\n$fallPlan")
+      assert(fallPlan.contains("LocalTableScan") && !fallPlan.contains("BatchScan"),
+        s"grouped rollup not served by the distributed fold above the valve:\n$fallPlan")
+      assert(folds > pre, "above-valve serve did not take the executor-fold path")
       assert(sortedRows(grouped) == servedRows,
-        "distributed fallback disagrees with the metadata fold")
-      // the DSv2 pushdown path (ungrouped) declines too
+        "distributed manifest fold disagrees with the driver fold")
+      // ungrouped: the pushdown declines above the valve, the rule serves
       val fallUng = ungrouped.queryExecution.executedPlan.toString
-      assert(fallUng.contains("BatchScan"),
-        s"ungrouped pushdown still metadata-answered above the valve:\n$fallUng")
+      assert(fallUng.contains("LocalTableScan") && !fallUng.contains("BatchScan"),
+        s"ungrouped rollup not served by the distributed fold above the valve:\n$fallUng")
       assert(sortedRows(ungrouped) == servedUng)
+      // filtered + COUNT(DISTINCT identity source): task-side filter
+      // classification + distinct-tuple sets
+      assert(sortedRows(filteredDistinct) == servedFd)
+
+      // POISON path: a table whose sums were never recorded cannot serve
+      // SUM above the valve — the fold must decline into the real scan
+      // (absence-declines task-side), never a wrong answer
+      spark.conf.set("spark.graft.lake.recordSums", "false")
+      val t2 = try {
+        val u = graft.lake.LakeTable.create(spark, s"$dir/t2", "t2", df.schema,
+          partitionSpec = Seq(
+            graft.lake.PartitionField("cat", graft.lake.Transform.Identity, "p_cat"),
+            graft.lake.PartitionField("id", graft.lake.Transform.Bucket(32), "p_b")),
+          primaryKey = Seq("id"))
+        u.append(df)
+        u
+      } finally spark.conf.unset("spark.graft.lake.recordSums")
+      // t2 holds fewer files than t (one append): push the valve below it
+      val t2Files = t2.currentSnapshot.dataFiles.size
+      spark.conf.set("spark.graft.lake.metaAggMaxFiles", (t2Files - 1).toString)
+      def sumless = readLake(t2.location).groupBy("cat").agg(sum("v").as("sv"))
+      val pre2 = folds
+      val poisonPlan = sumless.queryExecution.executedPlan.toString
+      assert(folds > pre2, "sum-less decline did not go through the executor fold")
+      assert(poisonPlan.contains("BatchScan"),
+        s"sum-less table must decline to the real scan above the valve:\n$poisonPlan")
+      val want = df.groupBy("cat").agg(sum("v").as("sv"))
+      assert(sortedRows(sumless) == sortedRows(want))
     } finally spark.conf.unset("spark.graft.lake.metaAggMaxFiles")
 
-    // valve restored: the serve shape comes back
+    // valve restored: the zero-job driver serve comes back
     assert(grouped.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 }
