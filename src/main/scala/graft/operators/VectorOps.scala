@@ -815,16 +815,23 @@ object VectorOps {
           |)
           |SELECT vec_i, vec_j, sim FROM pr WHERE sim >= 0.45
           |ORDER BY ALL NULLS FIRST""".stripMargin)),
-    // rows-only by nature: the k-means coarse quantizer's centroid means
-    // are engine-internal float reductions (no cross-engine oracle can
-    // reproduce them); result SHAPE is checked here, recall vs the exact
-    // baseline is spec-asserted (VectorOpsSpec). q92 below is the family's
-    // planted partial oracle (the rank-1 slice IS hash-checked).
-    NamedQuery("q71_ivf_ann_topk", (s, dir) => ivfTopK(s, dir, nprobe = 5)),
-    // rows-only by nature, like q71: the PQ codebook is engine-internal
-    // k-means; recall@k vs the exact q39 baseline is spec-asserted, and
-    // q93 hash-checks the planted rank-1 slice
-    NamedQuery("q77_pq_ann_topk", (s, dir) => pqTopK(s, dir), bench = true),
+    // r19 (VERDICT r18 #5): q71/q77 re-pointed at the planted-K geometry
+    // so the registry's ANN entries are ALL hash-checked — the organic
+    // corpus (where ranks 2..k are genuinely k-means-dependent) carried
+    // no assurance the planted twins don't, and its recall floors stay
+    // spec-asserted (VectorOpsSpec) either way. They are NOT q128/q129
+    // aliases: q71 runs the production nprobe=3 prune (the spec-gated
+    // recall setting; q128 visits 5 lists) and q77 a rerank=60 shortlist
+    // (q129 uses the default 150) — the planted closed form holds at ANY
+    // nprobe ≥ 1 / shortlist ≥ K, so each pins a different prune
+    // aggressiveness of the same pipeline.
+    NamedQuery("q71_ivf_ann_topk", (s, dir) => {
+      val planted = probePlantedKCorpus(s, dir)
+      ivfTopKWith(planted, kmeansCentroids(planted, 10), nprobe = 3)
+    }, oracle = Some(fullTopKOracleSql)),
+    NamedQuery("q77_pq_ann_topk",
+      (s, dir) => pqTopKOn(s, probePlantedKCorpus(s, dir), rerank = 60),
+      bench = true, oracle = Some(fullTopKOracleSql)),
     NamedQuery("q92_ivf_rank1_planted", ivfRank1, oracle = Some(rank1OracleSql)),
     NamedQuery("q93_pq_rank1_planted", pqRank1, oracle = Some(rank1OracleSql)),
     NamedQuery("q123_ivfpq_rank1_planted", ivfPqRank1, oracle = Some(rank1OracleSql)),

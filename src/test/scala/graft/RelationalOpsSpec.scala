@@ -42,15 +42,14 @@ class RelationalOpsSpec extends SparkSpec {
 
   test("the no-oracle set is exactly the documented irreducible ledger") {
     // README's ledger and the registry must agree BY CONSTRUCTION: the
-    // only queries without a DuckDB oracle are the five whose oracle is
-    // irreducible ON THE ORGANIC CORPUS (seeded rand, wall clock, HLL
-    // internals, ANN ranks 2..k — whose rank-1 slice q92/q93 hash-check
-    // and whose FULL top-k the r18 planted twins q128/q129 hash-check).
-    // A new no-oracle query must be added here deliberately, with its
-    // reason.
+    // only queries without a DuckDB oracle are the three whose oracle is
+    // irreducible by nature — seeded rand, wall clock, HLL internals.
+    // (r19, VERDICT r18 #5: the former ANN entries q71/q77 now run on
+    // planted-K geometry with full-top-k oracles, at a different prune
+    // aggressiveness than their q128/q129 twins.) A new no-oracle query
+    // must be added here deliberately, with its reason.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val ledger = Set("q49_seeded_sample", "q53_now_functions",
-      "q56_approx_distinct", "q71_ivf_ann_topk", "q77_pq_ann_topk")
+    val ledger = Set("q49_seeded_sample", "q53_now_functions", "q56_approx_distinct")
     assert(noOracle == ledger,
       s"ledger drift: undocumented=${noOracle -- ledger} stale=${ledger -- noOracle}")
   }
