@@ -89,5 +89,21 @@ object DiffOps {
     // insert branch, mislabels a matched update, or a compaction that
     // unfolds the sidecars hash-diverges against DuckDB's converged
     // rewrite
-    pinned(1408L, 15, "q130_diff_lake_sql_route"))
+    pinned(1408L, 15, "q130_diff_lake_sql_route"),
+    // seed 1493 (arm 15, r19 — VERDICT r18 #2): pins the SQL-route ALTER
+    // crossing a MoR restatement, the last un-fuzzed route×mutation cell —
+    // CTAS, ADD COLUMN g_extra, then a merge-on-read MERGE that restates
+    // the odd keys' money and INSERTS the %8=5 class shifted by 3e7, a
+    // row-level UPDATE populating the EVOLVED column through the delta
+    // path by each row's FINAL pk class (%4=2 — pre-ALTER files must
+    // null-fill, post-merge inserts take their shifted class), DELETE FROM
+    // over the post-merge pks, then compactDirty + zero-age orphan sweep
+    // rewriting era-mixed files under the evolved schema (notes: ctas=true
+    // mor=true mut=3 alter=1 delete=true maint=3; committed ops: create,
+    // append-dsv2, add-column, merge-mor, update-mor, delete-mor,
+    // compact), under a date row-membership predicate with g_extra
+    // PROJECTED — a delta write that loses the added column, a populate
+    // that touches the wrong era, or a compaction that un-null-fills
+    // hash-diverges against DuckDB's post-union CASE rewrite
+    pinned(1493L, 15, "q131_diff_lake_sql_alter"))
 }

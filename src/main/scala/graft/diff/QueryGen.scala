@@ -1282,6 +1282,14 @@ object QueryGen {
         // content restatement must replay unchanged, while a range
         // CROSSING one refuses (spec-pinned contract, not drawn here)
         val maint = maintDraw(rng)
+        // trailing draw (r19, VERDICT r18 #4): a FILES-HEAVY layout — the
+        // writeSplits salt fans every commit out to N files per partition
+        // value, so the drawn changelog range replays against many-file
+        // commits with REAL content (the 10⁵-link ManyFilesFixture is
+        // metadata-consistent only and stays a ScaleBench-only probe).
+        // Pure layout knob: the SQL dual is untouched by construction.
+        val splitsDraw = rng.nextInt(3) // 0 → default single-file layout
+        val writeSplits = if (splitsDraw == 0) 1 else 4 * splitsDraw
         // prefix-state inner selects (the arm-12 rewrites): 1 = as
         // appended, 2 = + upsert restatement, 3 = + tombstones
         def innerSel(state: Int): String = {
@@ -1315,7 +1323,7 @@ object QueryGen {
         val outCols = projCols :+ "_change_type"
         val sql = s"SELECT ${outCols.mkString(", ")} FROM ($union) h" +
           pred.map(p => s" WHERE ${p._2}").getOrElse("")
-        val notes13 = s"range=($cFrom,$cTo) maint=$maint"
+        val notes13 = s"range=($cFrom,$cTo) maint=$maint splits=$writeSplits"
         Gen(name, sql, (s, dir) => {
           val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val pf = pfDraw match {
@@ -1325,17 +1333,25 @@ object QueryGen {
             case _ => PartitionField(lt.pk, Transform.Bucket(bucketN), "gp")
           }
           val loc = freshLakeLoc(name)
-          val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
-            partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
-          lake.append(base)                                           // seq 1
-          lake.upsert(base.filter(col(lt.pk) % u === ru)
-            .withColumn(lt.moneyCol, col(lt.moneyCol) * 2))           // seq 2
-          lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
-            .select(col(lt.pk)))                                      // seq 3
-          applyMaintenance(lake, maint)                               // seq 4+
-          var df = lake.changes(cFrom.toLong, cTo.toLong)
-          pred.foreach(p => df = df.filter(p._1))
-          df.select(outCols.map(col): _*)
+          val prevSplits = s.conf.getOption("spark.graft.lake.writeSplits")
+          try {
+            if (writeSplits > 1)
+              s.conf.set("spark.graft.lake.writeSplits", writeSplits.toString)
+            val lake = LakeTable.create(s, loc, s"diff_lake_$seed", base.schema,
+              partitionSpec = Seq(pf), primaryKey = Seq(lt.pk))
+            lake.append(base)                                         // seq 1
+            lake.upsert(base.filter(col(lt.pk) % u === ru)
+              .withColumn(lt.moneyCol, col(lt.moneyCol) * 2))         // seq 2
+            lake.deleteKeys(base.filter(col(lt.pk) % d === rd)
+              .select(col(lt.pk)))                                    // seq 3
+            applyMaintenance(lake, maint)                             // seq 4+
+            var df = lake.changes(cFrom.toLong, cTo.toLong)
+            pred.foreach(p => df = df.filter(p._1))
+            df.select(outCols.map(col): _*)
+          } finally prevSplits match {
+            case Some(v) => s.conf.set("spark.graft.lake.writeSplits", v)
+            case None => s.conf.unset("spark.graft.lake.writeSplits")
+          }
         }, notes13)
 
       case 14 =>
@@ -1519,22 +1535,64 @@ object QueryGen {
         val mi = 5 + rng.nextInt(5); val rmi = rng.nextInt(mi)
         val delDraw = rng.nextBoolean()
         val d = 5 + rng.nextInt(5); val rd = rng.nextInt(d)
-        val pred = wherePreds(rng, Seq(t))
-        val projCols = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
+        val predT = wherePredsTracked(rng, Seq(t))
+        val projDraw = rng.shuffle(lt.fullCols).take(2 + rng.nextInt(3))
         val maint = maintDraw(rng)
+        // r19 (VERDICT r18 #2): a drawn SQL-route ALTER lands between the
+        // initial load and the mutations, so row-level restatements (MoR
+        // deltas, COW group rewrites) cross a schema-evolution boundary —
+        // the last un-fuzzed route×mutation cell (the imperative route's
+        // evolution is arm 14's job). Drawn AFTER every pre-r19 draw so
+        // pre-r19 pinned seeds (q130) keep their exact lifecycles.
+        // 0 = none, 1 = ADD COLUMN (+ a populate UPDATE after the
+        // mutations), 2 = promote type (needs customer's INT32 — on
+        // orders the draw degrades to ADD), 3 = DROP COLUMN.
+        val alterDraw = rng.nextInt(27720) % 4
+        val aMod = 2 + rng.nextInt(3); val raMod = rng.nextInt(aMod)
+        val alterOp =
+          if (alterDraw == 2 && lt.t.name != "customer") 1 else alterDraw
+        val evoCol = alterOp match {
+          case 1 => "g_extra"
+          case 2 => "c_nationkey"
+          case 3 => if (lt.t.name == "orders") "o_orderpriority" else "c_name"
+          case _ => ""
+        }
+        // post-draw adjustments (deterministic per seed, draws untouched):
+        // a dropped column leaves the projection and discards predicates
+        // referencing it (the arm-14 contract — exact name-set membership);
+        // the added / promoted column is forced INTO the projection so the
+        // read exercises null-fill + populate / decode-widening
+        val pred = predT.collect {
+          case (dual, refs) if !(alterOp == 3 && refs(evoCol)) => dual
+        }
+        val projCols = alterOp match {
+          case 1 => (projDraw :+ "g_extra").distinct
+          case 2 => (projDraw :+ evoCol).distinct
+          case 3 =>
+            val kept = projDraw.filterNot(_ == evoCol)
+            if (kept.isEmpty) Seq(lt.pk) else kept
+          case _ => projDraw
+        }
+        val effCols =
+          if (alterOp == 3) lt.fullCols.filterNot(_ == evoCol) else lt.fullCols
         val Off = 30000000L
         // converged-state dual: update CASE on the money column, the
         // merge-insert branch as a shifted-key UNION ALL, the delete as a
         // post-union complement over each row's FINAL pk (an inserted
-        // row's shifted pk changes its `%` class — the delete must see it)
-        val innerCols = lt.fullCols.map { c =>
+        // row's shifted pk changes its `%` class — the delete must see it);
+        // a promoted column CASTs in every branch, an added column is a
+        // post-union CASE over the FINAL pk (the populate UPDATE runs
+        // after the merge, so inserted rows take their SHIFTED class)
+        val innerCols = effCols.map { c =>
           if (mutDraw >= 1 && c == lt.moneyCol)
             s"CASE WHEN ${lt.pk} % $u = $ru THEN $c * 2 ELSE $c END AS $c"
+          else if (alterOp == 2 && c == evoCol) s"CAST($c AS BIGINT) AS $c"
           else c
         }.mkString(", ")
-        val insCols = lt.fullCols.map { c =>
+        val insCols = effCols.map { c =>
           if (c == lt.pk) s"${lt.pk} + $Off AS ${lt.pk}"
           else if (c == lt.moneyCol) s"$c * 2 AS $c"
+          else if (alterOp == 2 && c == evoCol) s"CAST($c AS BIGINT) AS $c"
           else c
         }.mkString(", ")
         val from15 = lakeFrom(t, lt, lakeCap)
@@ -1542,11 +1600,20 @@ object QueryGen {
           (if (mutDraw == 3)
             s" UNION ALL SELECT $insCols FROM $from15 WHERE ${lt.pk} % $mi = $rmi"
           else "")
+        // alias discipline: the outer subquery stays `u0` in every draw so
+        // alter=0 instances render byte-identical to their pre-r19 SQL
+        // (the pinned q130 golden); the add-column wrap introduces `a0`
+        val unionWrapped =
+          if (alterOp == 1)
+            s"SELECT a0.*, CASE WHEN ${lt.pk} % $aMod = $raMod THEN " +
+              s"CAST(${lt.pk} % 97 AS INT) END AS g_extra FROM ($union) a0"
+          else union
         val delWhere = if (delDraw) s" WHERE NOT (${lt.pk} % $d = $rd)" else ""
         val sql = s"SELECT ${projCols.mkString(", ")} FROM " +
-          s"(SELECT * FROM ($union) u0$delWhere) g" +
+          s"(SELECT * FROM ($unionWrapped) u0$delWhere) g" +
           pred.map(p => s" WHERE ${p._2}").getOrElse("")
-        val notes15 = s"ctas=$ctas mor=$morMode mut=$mutDraw delete=$delDraw maint=$maint"
+        val notes15 = s"ctas=$ctas mor=$morMode mut=$mutDraw alter=$alterOp " +
+          s"delete=$delDraw maint=$maint"
         Gen(name, sql, (s, dir) => {
           val base = lakeBase(load(s, dir, t), lt, lakeCap)
           val loc = freshLakeLoc(name)
@@ -1586,16 +1653,30 @@ object QueryGen {
               s.sql(s"INSERT INTO $qt SELECT * FROM $baseView WHERE ${lt.pk} % 2 = 0")
               s.sql(s"INSERT INTO $qt SELECT * FROM $baseView WHERE ${lt.pk} % 2 = 1")
             }
+            // the drawn ALTER (r19) lands HERE — after the initial load,
+            // before the row-level mutations, so every restatement below
+            // crosses the evolution boundary: pre-ALTER files decode under
+            // the evolved schema while delta/rewrite commits write it
+            alterOp match {
+              case 1 => s.sql(s"ALTER TABLE $qt ADD COLUMN g_extra INT")
+              case 2 => s.sql(s"ALTER TABLE $qt ALTER COLUMN $evoCol TYPE BIGINT")
+              case 3 => s.sql(s"ALTER TABLE $qt DROP COLUMN $evoCol")
+              case _ => ()
+            }
             mutDraw match {
               case 1 =>
                 s.sql(s"UPDATE $qt SET ${lt.moneyCol} = ${lt.moneyCol} * 2 " +
                   s"WHERE ${lt.pk} % $u = $ru")
               case 2 | 3 =>
-                // matched branch: the u-class with money restated (full
-                // columns so both branches union); insert branch: the
-                // mi-class shifted beyond every live pk
-                val updSrcCols = lt.fullCols.map { c =>
-                  if (c == lt.moneyCol) s"$c * 2 AS $c" else c
+                // matched branch: the u-class with money restated (the
+                // post-ALTER effective columns so both branches union);
+                // insert branch: the mi-class shifted beyond every live pk
+                // (inserted rows carry NO g_extra — the populate UPDATE
+                // below assigns it by their SHIFTED pk class)
+                val updSrcCols = effCols.map { c =>
+                  if (c == lt.moneyCol) s"$c * 2 AS $c"
+                  else if (alterOp == 2 && c == evoCol) s"CAST($c AS BIGINT) AS $c"
+                  else c
                 }.mkString(", ")
                 val srcSql =
                   s"SELECT $updSrcCols FROM $baseView WHERE ${lt.pk} % $u = $ru" +
@@ -1606,10 +1687,16 @@ object QueryGen {
                 s.sql(
                   s"MERGE INTO $qt t USING $srcView c ON t.${lt.pk} = c.${lt.pk} " +
                     s"WHEN MATCHED THEN UPDATE SET t.${lt.moneyCol} = c.${lt.moneyCol} " +
-                    s"WHEN NOT MATCHED THEN INSERT (${lt.fullCols.mkString(", ")}) " +
-                    s"VALUES (${lt.fullCols.map(c => s"c.$c").mkString(", ")})")
+                    s"WHEN NOT MATCHED THEN INSERT (${effCols.mkString(", ")}) " +
+                    s"VALUES (${effCols.map(c => s"c.$c").mkString(", ")})")
               case _ => ()
             }
+            // added column populated AFTER the merge, by each row's FINAL
+            // pk — a row-level UPDATE computing an expression over the
+            // evolved column (itself a restatement crossing the boundary)
+            if (alterOp == 1)
+              s.sql(s"UPDATE $qt SET g_extra = CAST(${lt.pk} % 97 AS INT) " +
+                s"WHERE ${lt.pk} % $aMod = $raMod")
             if (delDraw) s.sql(s"DELETE FROM $qt WHERE ${lt.pk} % $d = $rd")
             // maintenance through the imperative handle on the same table
             // — content-preserving, lands before the read resolves

@@ -81,7 +81,7 @@ class QueryGenSpec extends SparkSpec {
     }
   }
 
-  test("pinned registry instances q110-q130 render their golden SQL") {
+  test("pinned registry instances q110-q131 render their golden SQL") {
     // the pinned DiffOps entries are DRIVER-verified named queries whose
     // plan+oracle derive from the generator's draw SEQUENCE — any grammar
     // change (new arm, reordered draw) silently reshapes them while both
@@ -233,6 +233,24 @@ class QueryGenSpec extends SparkSpec {
           "c_name, c_nationkey, c_acctbal * 2 AS c_acctbal, c_mktsegment FROM customer " +
           "WHERE c_custkey % 9 = 7) u0 WHERE NOT (c_custkey % 9 = 1)) g " +
           "WHERE c_mktsegment <> 'BUILDING'" +
+          ") ORDER BY ALL NULLS FIRST"),
+      // r19 arm 15: the SQL-route ALTER pin — ADD COLUMN between the CTAS
+      // and a MoR MERGE (money restated, %8=5 class inserted shifted),
+      // the added column populated by a delta UPDATE over each row's
+      // FINAL pk (%4=2), a post-merge DELETE, compaction folding it all —
+      // the dual computes g_extra as a post-union CASE (seed-1493 notes:
+      // ctas=true mor=true mut=3 alter=1 delete=true maint=3)
+      "q131_diff_lake_sql_alter" ->
+        ("SELECT * FROM (SELECT o_orderkey, o_custkey, o_orderpriority, g_extra FROM " +
+          "(SELECT * FROM (SELECT a0.*, CASE WHEN o_orderkey % 4 = 2 THEN " +
+          "CAST(o_orderkey % 97 AS INT) END AS g_extra FROM (SELECT o_orderkey, " +
+          "o_custkey, o_orderstatus, CASE WHEN o_orderkey % 2 = 1 THEN " +
+          "o_totalprice * 2 ELSE o_totalprice END AS o_totalprice, o_orderdate, " +
+          "o_orderpriority FROM orders UNION ALL SELECT o_orderkey + 30000000 AS " +
+          "o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice, " +
+          "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 8 = 5) a0) u0 " +
+          "WHERE NOT (o_orderkey % 8 = 2)) g " +
+          "WHERE o_orderdate < TIMESTAMP '2001-07-17 00:00:00'" +
           ") ORDER BY ALL NULLS FIRST"))
     DiffOps.all.foreach { q =>
       assert(q.oracle.contains(golden(q.name)),
