@@ -567,6 +567,27 @@ final class LakeTable private (
     }
   }
 
+  /** The same lost-race translation for CONTENT-RESTATEMENT commits
+    * (compaction, manifest rewrite, replace/overwrite): they compute their
+    * file set against the snapshot they read and are never rebased, so a
+    * lost cross-process O_EXCL race surfaces as the documented
+    * [[java.util.ConcurrentModificationException]] retry contract instead
+    * of a raw FileAlreadyExistsException from the hard-link publish.
+    * Found by the r19 randomized concurrent-writer soak (VERDICT r18 #3):
+    * `compactDirty` racing an appender leaked the raw IOException, so a
+    * caller honoring the CME contract crashed instead of re-running. */
+  private def commitRestateRaceChecked(seq: Long, op: String)(commit: => Snapshot): Snapshot =
+    try commit
+    catch {
+      case e: java.io.IOException if fs.exists(snapPath(seq)) =>
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.name}: $op lost the race for snapshot $seq — another writer " +
+            "committed first. Content-restatement commits compute their file set " +
+            "against the snapshot they read and cannot be rebased; re-run the " +
+            "operation against the current snapshot. This attempt's staged files " +
+            "are unreferenced and will be removed by Maintenance.removeOrphans.", e)
+    }
+
   // ------------------------------------------------------------------ read
 
   /** Snapshot-pinned, pruned, merge-on-read scan.
@@ -823,10 +844,10 @@ final class LakeTable private (
       else stageDataFiles(
         morMerged(cur, dirtyFiles).select(userSchema.fieldNames.map(col): _*),
         cur.schemaVersion, seq, cur.specVersion)
-    commitSnapshot(Snapshot(
+    commitRestateRaceChecked(seq, "compact")(commitSnapshot(Snapshot(
       seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "compact", schemaVersion = cur.schemaVersion,
-      dataFiles = keepFiles ++ newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
+      dataFiles = keepFiles ++ newFiles, deleteFiles = Nil, specVersion = cur.specVersion)))
   }
 
   /** MANIFEST-ONLY stats re-record (the spirit of Iceberg's
@@ -864,10 +885,10 @@ final class LakeTable private (
       f.copy(splits = m.splits, bounds = m.bounds, rows = m.rows, nonNull = m.nonNull,
         sums = sums.getOrElse(new Path(f.path).getName, Map.empty))
     }
-    commitSnapshot(Snapshot(
+    commitRestateRaceChecked(cur.seq + 1, "rewrite-manifests")(commitSnapshot(Snapshot(
       seq = cur.seq + 1, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),
       operation = "rewrite-manifests", schemaVersion = cur.schemaVersion,
-      dataFiles = updated, deleteFiles = cur.deleteFiles, specVersion = cur.specVersion))
+      dataFiles = updated, deleteFiles = cur.deleteFiles, specVersion = cur.specVersion)))
   }
 
   /** Data files containing at least one row version a live tombstone
@@ -966,11 +987,11 @@ final class LakeTable private (
       if (keepExisting) commitAppendWithRetry(newFiles, op)
       else {
         val cur = currentSnapshot // re-read under the lock: rebase a replace too
-        commitSnapshot(Snapshot(
+        commitRestateRaceChecked(cur.seq + 1, op)(commitSnapshot(Snapshot(
           seq = cur.seq + 1, parent = Some(cur.seq),
           timestampMs = System.currentTimeMillis(), operation = op,
           schemaVersion = cur.schemaVersion,
-          dataFiles = newFiles, deleteFiles = Nil, specVersion = cur.specVersion))
+          dataFiles = newFiles, deleteFiles = Nil, specVersion = cur.specVersion)))
       }
     }
   }
@@ -998,11 +1019,11 @@ final class LakeTable private (
       expectedBase.foreach(base => require(cur.seq == base,
         s"${meta.name}: concurrent commit detected (snapshot $base read, " +
           s"${cur.seq} current) — retry the statement"))
-      commitSnapshot(Snapshot(
+      commitRestateRaceChecked(cur.seq + 1, op)(commitSnapshot(Snapshot(
         seq = cur.seq + 1, parent = Some(cur.seq),
         timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion, dataFiles = files, deleteFiles = Nil,
-        specVersion = cur.specVersion))
+        specVersion = cur.specVersion)))
     }
 
   /** GROUP replace (the row-level UPDATE/MERGE/DELETE commit): swap the
@@ -1022,13 +1043,13 @@ final class LakeTable private (
         s"${meta.name}: concurrent commit detected (snapshot $base read, " +
           s"${cur.seq} current) — retry the statement"))
       val keep = cur.dataFiles.filterNot(f => removed.contains(f.path))
-      commitSnapshot(Snapshot(
+      commitRestateRaceChecked(cur.seq + 1, op)(commitSnapshot(Snapshot(
         seq = cur.seq + 1, parent = Some(cur.seq),
         timestampMs = System.currentTimeMillis(), operation = op,
         schemaVersion = cur.schemaVersion,
         dataFiles = keep ++ files,
         deleteFiles = if (keep.isEmpty) Nil else cur.deleteFiles,
-        specVersion = cur.specVersion))
+        specVersion = cur.specVersion)))
     }
 
   /** MERGE-ON-READ row-level commit (the DSv2 delta write: SQL UPDATE /
@@ -1225,7 +1246,8 @@ final class LakeTable private (
     // Iceberg writer discipline: metrics are a by-product of the write).
     // Falls back to Spark's DataFrame writer + the column-pruned
     // ColumnSums read-back for schemas/transforms the row writer cannot
-    // reproduce (nested/binary columns, bucket[n] partitioning).
+    // reproduce (nested/binary columns, non-renderable transform/type
+    // pairs — bucket[n] is task-writable since r18).
     val taskWritable = RowParquet.supports(userSchema) &&
       spec.forall(pf => RowParquet.renderSupported(
         pf.transform, userSchema(userSchema.fieldIndex(pf.source)).dataType))

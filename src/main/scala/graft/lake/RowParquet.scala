@@ -43,7 +43,9 @@ object RowParquet {
 
   /** Transform/source-type pairs the per-row renderer reproduces
     * byte-identically to the DataFrame writer's directory values.
-    * `bucket[n]` never qualifies: Spark-internal murmur3. */
+    * `bucket[n]` qualifies for every type since r18: the derivation is
+    * [[Transform.bucketOf]]'s own Murmur3 over the Catalyst-internal
+    * value, computed identically on both write routes. */
   def renderSupported(tr: Transform, dt: DataType): Boolean = tr match {
     case Transform.Identity => dt match {
       case StringType | LongType | IntegerType | BooleanType => true

@@ -1,0 +1,150 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+/** Randomized concurrent-writer soak with a LINEARIZABILITY check
+  * (VERDICT r18 #3). The pairwise two-JVM race tests pin single
+  * interleavings of single op classes; this forks N writer JVMs each
+  * running a seeded MIXED op plan ([[Soak.plan]]: appends, contended MoR
+  * upserts/deletes, compaction, metadata evolution — every commit class
+  * racing every other) against one table directory, then verifies the
+  * final state is explained by SOME serial order. The commit protocol
+  * makes "some serial order" concrete: the snapshot chain IS the serial
+  * order, so the check is
+  *
+  *   1. the history is linear, gap-free, and parent-chained (no lost or
+  *      forked commits);
+  *   2. the committed op multiset equals the drawn plans (re-derived from
+  *      the seed — compaction alone may no-op when there is nothing to
+  *      fold, so it is bounded, not exact);
+  *   3. every fresh-append row is served exactly once (appends are
+  *      blind-rebased: a wrong rebase loses or duplicates rows);
+  *   4. SERIAL REPLAY: folding each replayable commit's row-level
+  *      changelog (`changes(seq-1, seq)`) in commit order reproduces the
+  *      served head state EXACTLY — contended keys must carry the LAST
+  *      restatement in the serial order, deletes must tombstone, and the
+  *      changelog (one code path) must agree with the MoR scan (another)
+  *      on every value. A rebase that drops a sidecar, a compaction that
+  *      resurrects a tombstoned row, or an evolution that mis-fills an
+  *      era diverges here.
+  *
+  * The bounded leg runs in ProcessSafetySpec; the longer seeded leg runs
+  * via `Test/runMain graft.lake.ConcurrencySoak <writers> <ops> <seed...>`
+  * and is recorded in the round notes. Any divergence is a real bug.
+  */
+object ConcurrencySoak {
+
+  private def fork(args: Seq[String]): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val moduleFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .sliding(2).collect { case Array("--add-opens", v) => Seq("--add-opens", v) }
+      .flatten.toSeq
+    val cmd = Seq(javaBin) ++ moduleFlags ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.lake.ProcessHelper") ++ args
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+  }
+
+  /** Runs one soak and verifies; returns (snapshots committed, op counts).
+    * Throws on any violated invariant. */
+  def runAndVerify(
+      spark: SparkSession, writers: Int, opsPerWriter: Int, seed: Long): (Int, Map[String, Int]) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-soak-$seed").resolve("t").toString
+    val t = LakeTable.create(spark, dir, "soak",
+      Seq(("seed", "s", -1)).toDF("marker", "w", "i").schema,
+      primaryKey = Seq("marker"))
+    t.append((0 until Soak.ContendedKeys).map(j => (s"k$j", "seed", -1))
+      .toDF("marker", "w", "i"))
+
+    val names = (0 until writers).map(i => ('A' + i).toChar.toString)
+    val ps = names.map(w => fork(Seq("soak", dir, w, opsPerWriter.toString, seed.toString)))
+    ps.zip(names).foreach { case (p, w) =>
+      require(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), s"soak writer $w timed out")
+      require(p.exitValue() == 0, s"soak writer $w exited ${p.exitValue()}")
+    }
+
+    val t2 = LakeTable.load(spark, dir)
+    val snaps = t2.snapshots.sortBy(_.seq)
+    // 1. linear, gap-free, parent-chained
+    require(snaps.map(_.seq) == (0L to snaps.last.seq),
+      s"non-contiguous history: ${snaps.map(_.seq)}")
+    snaps.tail.foreach(s => require(s.parent.contains(s.seq - 1),
+      s"snapshot ${s.seq} parent ${s.parent} breaks the chain"))
+
+    // 2. committed op multiset == drawn plans (mirrored from the seed)
+    val drawn = names.flatMap(w => Soak.plan(w, opsPerWriter, seed))
+    val opCount = snaps.groupBy(_.operation).map { case (k, v) => k -> v.size }
+    def committed(op: String): Int = opCount.getOrElse(op, 0)
+    def check(op: String, want: Int): Unit = require(committed(op) == want,
+      s"$op commits: ${committed(op)} vs $want drawn — lost or duplicated commits")
+    check("append", drawn.count(_.isInstanceOf[Soak.Append]) + 1) // +1 contended seed
+    check("upsert", drawn.count(_.isInstanceOf[Soak.Upsert]))
+    check("delete", drawn.count(_.isInstanceOf[Soak.Delete]))
+    check("add-column", drawn.count(_.isInstanceOf[Soak.Evolve]))
+    require(committed("compact") <= drawn.count(_ == Soak.Compact),
+      "more compactions than drawn") // no-op when nothing to fold
+
+    // 3. fresh appends exactly once; no duplicate pk anywhere
+    val head = t2.scan()
+    val cols = head.columns.toSeq
+    val headRows = head.collect()
+    val headMarkers = headRows.map(_.getAs[String]("marker")).toSeq
+    require(headMarkers.distinct.size == headMarkers.size,
+      "duplicate primary key served at head")
+    val fresh = drawn.collect { case a: Soak.Append => a.rows.map(_._1) }.flatten
+    val missing = fresh.filterNot(headMarkers.contains)
+    require(missing.isEmpty, s"lost fresh-append rows: $missing")
+
+    // 4. serial replay of the committed history via the changelog
+    val model = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    snaps.filter(s => s.seq > 0 && LakeTable.replayableOp(s.operation)).foreach { s =>
+      val ch = t2.changes(s.seq - 1, s.seq)
+      val chCols = ch.columns.filterNot(_ == "_change_type").toSet
+      ch.collect().foreach { r =>
+        val key = r.getAs[String]("marker")
+        r.getAs[String]("_change_type") match {
+          case "delete" => model -= key
+          case _ => // insert | update: net value as of this commit
+            model(key) = cols.map(c => if (chCols(c)) r.getAs[Any](c) else null)
+        }
+      }
+    }
+    val served = headRows
+      .map(r => r.getAs[String]("marker") -> cols.map(c => r.getAs[Any](c))).toMap
+    val diverged = (model.keySet ++ served.keySet)
+      .filter(k => model.get(k) != served.get(k))
+    require(diverged.isEmpty,
+      s"serial changelog replay diverges from the served head state at: " +
+        s"${diverged.toSeq.sorted.take(10).map(k => s"$k replay=${model.get(k)} head=${served.get(k)}")}")
+    (snaps.size, opCount)
+  }
+
+  /** Longer seeded leg:
+    * `Test/runMain graft.lake.ConcurrencySoak <writers> <opsPerWriter> <seed> [<seed>...]` */
+  def main(args: Array[String]): Unit = {
+    val writers = args(0).toInt
+    val ops = args(1).toInt
+    val seeds = args.drop(2).map(_.toLong).toSeq
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    seeds.foreach { seed =>
+      val t0 = System.nanoTime()
+      val (snaps, counts) = runAndVerify(spark, writers, ops, seed)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] seed=$seed writers=$writers ops=$ops snapshots=$snaps " +
+        s"counts=${counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")} " +
+        f"ok wall=$secs%.1fs")
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,15 @@ import org.apache.spark.sql.SparkSession
   *     its streaming-checkpoint record (the at-least-once window).
   *   - `cdc-drain <loc> <logDir> <ckpt>` — resume the same checkpoint and
   *     drain to completion (the unacknowledged batch redelivers).
+  *   - `soak <loc> <writer> <n> <seed>` — run the writer's SEEDED random
+  *     op plan ([[Soak.plan]]: appends, contended upserts/deletes,
+  *     compaction, one add-column) against the shared table, honoring the
+  *     commit protocol's conflict contract: a lost non-rebasable race
+  *     surfaces as ConcurrentModificationException and the op is RE-RUN
+  *     against the fresh snapshot (bounded retries + jitter). The
+  *     verifier ([[ConcurrencySoak]]) mirrors the same plan from the same
+  *     seed, so drawn-vs-committed op counts are checkable without any
+  *     side channel.
   *
   * Exit codes: 0 = mode completed; 137 = deliberate halt at a failpoint
   * (the spec asserts on it); anything else = real failure.
@@ -102,7 +111,81 @@ object ProcessHelper {
         graft.streaming.CdcIngest.ingest(t, logDir,
           spark.read.parquet(logDir).schema, ckpt)
         spark.stop()
+      case "soak" =>
+        val writer = args(2); val n = args(3).toInt; val seed = args(4).toLong
+        val jitter = new scala.util.Random(seed ^ writer.hashCode.toLong)
+        Soak.plan(writer, n, seed).foreach { op =>
+          var tries = 0
+          var done = false
+          while (!done) {
+            try {
+              op match {
+                case Soak.Append(rows) => t.append(rows.toDF("marker", "w", "i"))
+                case Soak.Upsert(rows) => t.upsert(rows.toDF("marker", "w", "i"))
+                case Soak.Delete(keys) => t.deleteKeys(keys.toDF("marker"))
+                case Soak.Compact => t.compactDirty()
+                case Soak.Evolve(c) => t.addColumn(c, "INT")
+              }
+              done = true
+            } catch {
+              // the documented conflict contract: non-rebasable commits
+              // (upsert/delete/compact/metadata) that lose a cross-process
+              // race throw CME and must be RE-RUN against the fresh
+              // snapshot — which calling the same API again does. Bounded:
+              // a livelock (or a real lost-commit bug surfacing as CME
+              // forever) fails the writer loudly.
+              case _: java.util.ConcurrentModificationException if tries < 40 =>
+                tries += 1
+                Thread.sleep(2L + jitter.nextInt(40))
+            }
+          }
+        }
+        spark.stop()
       case other => sys.error(s"unknown mode $other")
+    }
+  }
+}
+
+/** The randomized concurrent-writer soak's SHARED op plan (VERDICT r18
+  * #3). Pure and seeded: the forked writers draw their op sequences from
+  * it, and the verifier re-derives the identical plans to check drawn ops
+  * against committed history with no side channel.
+  *
+  * The mix races every commit class the table supports against every
+  * other: blind-rebased appends (disjoint fresh keys per writer — the pk
+  * append contract), non-rebasable MoR upserts and key deletes over a
+  * small CONTENDED key set (so final values genuinely depend on commit
+  * order), whole-partition compaction, and one metadata evolution per
+  * writer (distinct column names — same-name racing is a legitimate
+  * "column exists" failure, not a concurrency property). */
+object Soak {
+  sealed trait Op extends Product with Serializable
+  final case class Append(rows: Seq[(String, String, Int)]) extends Op
+  final case class Upsert(rows: Seq[(String, String, Int)]) extends Op
+  final case class Delete(keys: Seq[String]) extends Op
+  case object Compact extends Op
+  final case class Evolve(colName: String) extends Op
+
+  /** Contended pk space: markers k0..k{ContendedKeys-1}, seeded by the
+    * verifier before the writers fork. */
+  val ContendedKeys = 16
+
+  def plan(writer: String, n: Int, seed: Long): Seq[Op] = {
+    val rng = new scala.util.Random(seed * 1000003L + writer.hashCode.toLong)
+    var evolved = false
+    (0 until n).map { i =>
+      val d = rng.nextInt(100)
+      if (d < 35)
+        Append(Seq(0, 1).map(j => (s"f-$writer-$i-$j", writer, i)))
+      else if (d < 65) {
+        val ks = Seq.fill(1 + rng.nextInt(3))(rng.nextInt(ContendedKeys)).distinct
+        Upsert(ks.map(j => (s"k$j", writer, i)))
+      } else if (d < 80) {
+        val ks = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(ContendedKeys)).distinct
+        Delete(ks.map(j => s"k$j"))
+      } else if (d < 90) Compact
+      else if (!evolved) { evolved = true; Evolve(s"g_$writer") }
+      else Append(Seq((s"f-$writer-$i-x", writer, i)))
     }
   }
 }
