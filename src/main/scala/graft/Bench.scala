@@ -33,11 +33,13 @@ import org.apache.spark.sql.SparkSession
   * The ARTIFACT itself is window-quality-gated (VERDICT r16 #1): when a
   * whole recording pass lands in a dirty stretch (total steal above
   * SPARK_GRAFT_BENCH_STEAL_BUDGET, default 1 s), the pass re-records —
-  * up to SPARK_GRAFT_BENCH_ATTEMPTS (default 3) — and the CLEANEST
-  * attempt becomes the window of record, with per-query mins folded
-  * across every attempt and each attempt's steal printed in the primary
-  * line (`attempts`, `attempt_steals_sec`), so a dirty host can inflate
-  * the recorded numbers only after three misses, and visibly even then.
+  * up to SPARK_GRAFT_BENCH_ATTEMPTS (default 5 since r19) — and the
+  * CLEANEST attempt becomes the window of record, with per-query mins
+  * folded across every attempt and each attempt's steal printed in the
+  * primary line (`attempts`, `attempt_steals_sec`). A window that stays
+  * over budget after every attempt ships flagged `"window_dirty":true`
+  * (VERDICT r18 #6) — the artifact states its own quality instead of
+  * leaving the reader to re-derive it.
   *
   * `SPARK_GRAFT_BENCH_ONLY=q68_x,q77_y` restricts to named queries (local
   * iteration); unset = the full bench set.
@@ -285,8 +287,13 @@ object Bench {
     // the recorded steal says so honestly.
     val StealBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_STEAL_BUDGET")
       .map(_.toDouble).getOrElse(1.0)
+    // default raised 3 → 5 (VERDICT r18 #6: the kept r18 window ran
+    // 1.06 s steal against the 1.00 s budget AT the 3-attempt cap — two
+    // more chances to land a clean-by-budget window cost ~2 min each and
+    // only run on a dirty host). If every attempt stays dirty, the
+    // shipped line now says so explicitly (`window_dirty`).
     val MaxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
-      .map(_.toInt).getOrElse(3)
+      .map(_.toInt).getOrElse(5)
     val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
     attempts += recordOnce()
     // steal_sec = -1 means /proc/stat was unreadable for that pass: the
@@ -408,11 +415,16 @@ object Bench {
     // output the collector parses
     spark.stop()
     if (sentinelGuard == 42L) System.err.println("") // keep the guard live
+    // `window_dirty` (r19): true when the SHIPPED window's measured steal
+    // still exceeds the budget after every attempt — the artifact flags
+    // its own quality instead of leaving the reader to compare
+    // steal_sec against an env default (VERDICT r18 #6)
+    val windowDirty = stealTotal > StealBudgetSec
     println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","stat":"min",""" +
       s""""queries":$qs,""" +
       s""""sentinel_ms":${fmt3(sentMed)},"par_sentinel_ms":${fmt3(parSentMed)},""" +
       s""""steal_sec":${fmt3(stealTotal)},"retries":${retried.size},""" +
-      s""""attempts":${attempts.size},""" +
+      s""""attempts":${attempts.size},"window_dirty":$windowDirty,""" +
       s""""attempt_steals_sec":${attempts.map(a => fmt3(a.stealSec)).mkString("[", ",", "]")},""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
     System.out.flush()
