@@ -30,14 +30,14 @@ class RelationalOpsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("registry never shrinks: the round-18 floor is 129 queries / 124 oracles") {
+  test("registry never shrinks: the round-19 floor is 131 queries / 128 oracles") {
     // an accidentally-dropped NamedQuery would silently shrink the
     // driver's scoreboard (rows just vanish — the round-9 q50/q51
     // lesson); growing past the floor is fine and expected
-    assert(SparkEntry.queries.size >= 129,
-      s"query registry shrank: ${SparkEntry.queries.size} < 129")
-    assert(SparkEntry.oracleSql.size >= 124,
-      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 124")
+    assert(SparkEntry.queries.size >= 131,
+      s"query registry shrank: ${SparkEntry.queries.size} < 131")
+    assert(SparkEntry.oracleSql.size >= 128,
+      s"oracle registry shrank: ${SparkEntry.oracleSql.size} < 128")
   }
 
   test("the no-oracle set is exactly the documented irreducible ledger") {
