@@ -1099,15 +1099,29 @@ final class LakeTable private (
     var attempt = 0
     while (true) {
       val cur = currentSnapshot // re-read: a racing writer may have won
+      val seq = cur.seq + 1
+      // FILE-level seq is the VISIBILITY commit: re-stamp entries on a
+      // rebase (staged seq < the final commit seq) so range consumers —
+      // `changes(from, to)` and both streaming sources select files by
+      // `f.seq ∈ (from, to]` — attribute these rows to the snapshot where
+      // they actually appear. Without this, a rebased append's rows fell
+      // OUTSIDE every per-commit range and a contiguous changelog/stream
+      // consumer silently lost them (found by the r19 randomized
+      // concurrent-writer soak, seed 102). The ROW-level SeqCol keeps the
+      // staged value: every MoR tombstone comparison is row-level
+      // (`row._graft_seq < key._graft_dseq`), and a rebased append
+      // serializing at its STAGED point w.r.t. concurrent tombstones is
+      // exactly the documented blind-rebase contract.
+      val stamped = newFiles.map(f => if (f.seq == seq) f else f.copy(seq = seq))
       try {
         return commitSnapshot(Snapshot(
-          seq = cur.seq + 1, parent = Some(cur.seq),
+          seq = seq, parent = Some(cur.seq),
           timestampMs = System.currentTimeMillis(), operation = op,
           schemaVersion = cur.schemaVersion,
-          dataFiles = cur.dataFiles ++ newFiles,
+          dataFiles = cur.dataFiles ++ stamped,
           deleteFiles = cur.deleteFiles, specVersion = cur.specVersion))
       } catch {
-        case e: java.io.IOException if attempt < maxRetries && fs.exists(snapPath(cur.seq + 1)) =>
+        case e: java.io.IOException if attempt < maxRetries && fs.exists(snapPath(seq)) =>
           attempt += 1 // lost the race: rebase onto the winner
       }
     }

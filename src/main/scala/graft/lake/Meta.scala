@@ -8,10 +8,15 @@ import scala.jdk.CollectionConverters._
 
 /** One immutable data file tracked by a snapshot.
   *
-  * `seq` is the commit sequence number that added the file; merge-on-read
-  * delete files apply only to data rows with a strictly smaller sequence
-  * (same rule as Iceberg v2 sequence numbers — reference tables are
-  * format-version 2 with merge-on-read delete/update/merge modes,
+  * `seq` is the commit sequence number that added the file — its
+  * VISIBILITY commit, re-stamped on an append rebase (r19): range
+  * consumers (`changes`, the streaming sources) select files by it, so it
+  * must name the snapshot where the file first appears. The rows INSIDE
+  * the file embed their own `_graft_seq` (= the staged sequence, ≤ this
+  * field after a rebase), and merge-on-read delete keys apply only to
+  * data ROWS with a strictly smaller sequence (same rule as Iceberg v2
+  * sequence numbers — reference tables are format-version 2 with
+  * merge-on-read delete/update/merge modes,
   * olake-config/destination.json:80-94).
   *
   * `splits` records the parquet row-group byte ranges (start, length) —

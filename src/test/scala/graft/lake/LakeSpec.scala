@@ -1511,4 +1511,49 @@ class LakeSpec extends SparkSpec {
         s"snapshot ${s.seq} parent ${s.parent} breaks the chain"))
     } finally LakeTable.failpoint = _ => ()
   }
+
+  test("a rebased append stays visible to per-commit changelog ranges (file seq re-stamped)") {
+    // r19, found by the randomized concurrent-writer soak (seed 102): a
+    // blind-rebased append used to commit file entries still tagged with
+    // their STAGED sequence, below the final commit seq — and
+    // `changes(from, to)` plus both streaming sources select range files
+    // by `f.seq ∈ (from, to]`, so the rows fell outside EVERY per-commit
+    // range: a contiguous changelog consumer silently lost them. The file
+    // seq is now re-stamped to the visibility commit on rebase, while the
+    // ROWS keep the staged `_graft_seq` (every merge-on-read tombstone
+    // comparison is row-level — the staged serialization point w.r.t.
+    // concurrent deletes is the documented blind-rebase contract).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rebase-cl").resolve("t").toString
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val t = LakeTable.create(spark, dir, "rebase_cl", df.schema, primaryKey = Seq("id"))
+    t.append(df) // seq 1
+    val other = LakeTable.load(spark, dir)
+    var fired = false
+    LakeTable.failpoint = site =>
+      if (site == "staged-data" && !fired) {
+        fired = true // guard BEFORE the nested append re-enters the site
+        other.append(Seq((50L, "winner")).toDF("id", "s")) // wins seq 2
+        ()
+      }
+    try t.append(Seq((60L, "rebased")).toDF("id", "s")) // staged at 2, commits at 3
+    finally LakeTable.failpoint = _ => ()
+    assert(t.currentSeq == 3L)
+    // the rebased entry carries its VISIBILITY commit...
+    val prevPaths = t.snapshot(2L).dataFiles.map(_.path).toSet
+    val rebased = t.currentSnapshot.dataFiles.filterNot(f => prevPaths(f.path))
+    assert(rebased.size == 1 && rebased.head.seq == 3L,
+      s"rebased entry not re-stamped: $rebased")
+    // ...while its rows keep the STAGED sequence (row-level MoR ordering)
+    val rowSeq = spark.read.parquet(t.abs(rebased.head.path))
+      .select(LakeTable.SeqCol).as[Long].head()
+    assert(rowSeq == 2L, s"row seq $rowSeq should stay the staged sequence")
+    // a contiguous per-commit changelog walk sees every row exactly once
+    val replayed = (1L to 3L).flatMap(q =>
+      t.changes(q - 1, q).select("id").as[Long].collect())
+    assert(replayed.sorted == Seq(1L, 50L, 60L),
+      s"per-commit changelog lost or duplicated rows: ${replayed.sorted}")
+    // and the rebased row is attributed to the commit where it APPEARED
+    assert(t.changes(2L, 3L).select("s").as[String].collect().toSeq == Seq("rebased"))
+  }
 }
