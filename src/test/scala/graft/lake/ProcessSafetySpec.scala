@@ -95,6 +95,95 @@ class ProcessSafetySpec extends SparkSpec {
     ConcurrencySoak.runAndVerify(spark, writers = 3, opsPerWriter = 5, seed = 19L)
   }
 
+  test("changelog consumer following the re-baseline recipe converges under racing writers") {
+    // the CDC-out consumer lifecycle under REAL concurrency (r19): while
+    // forked writers race mixed op plans — including compaction
+    // restatement barriers — the consumer incrementally folds changes()
+    // and, on every barrier refusal, follows the rebaseline_changelog
+    // recipe live (bootstrap scan, resume from rebaseline_seq). At
+    // quiescence the folded replica must equal the head scan exactly.
+    // This is the consumer the rebased-append visibility bug (soak seed
+    // 102) would have silently starved of rows; the single-writer recipe
+    // walk lives in EventStreamsSpec — this one races it.
+    import spark.implicits._
+    val wh = JFiles.createTempDirectory("graft-clrace").toString
+    val dir = s"$wh/cl"
+    val t = LakeTable.create(spark, dir, "cl",
+      Seq(("seed", "s", -1)).toDF("marker", "w", "i").schema,
+      primaryKey = Seq("marker"))
+    t.append((0 until Soak.ContendedKeys).map(j => (s"k$j", "seed", -1))
+      .toDF("marker", "w", "i"))
+    val cat = "graft_clrace"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    val prevWh = spark.conf.getOption("spark.graft.catalog.warehouse")
+    spark.conf.set("spark.graft.catalog.warehouse", wh)
+    try {
+      val names = Seq("A", "B", "C")
+      val ps = names.map(w => fork("soak", dir, w, "4", "23"))
+      var state = Map.empty[String, Map[String, Any]]
+      def fold(df: org.apache.spark.sql.DataFrame): Unit = {
+        val cols = df.columns.filterNot(_ == "_change_type").toSeq
+        df.collect().foreach { r =>
+          val key = r.getAs[String]("marker")
+          if (r.getAs[String]("_change_type") == "delete") state -= key
+          else state += key -> cols.map(c => c -> r.getAs[Any](c)).toMap
+        }
+      }
+      var from = 0L
+      var rebaselines = 0
+      def consumeOnce(): Unit = {
+        val t2 = LakeTable.load(spark, dir)
+        val head = t2.currentSeq
+        if (head <= from) return
+        try { fold(t2.changes(from, head)); from = head }
+        catch {
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(_.contains("re-baseline")) =>
+            val r = spark.sql(
+              s"CALL $cat.system.rebaseline_changelog('cl', $from)").head()
+            if (r.getAs[Boolean]("rebaseline_needed")) {
+              state = Map.empty
+              fold(spark.sql(r.getAs[String]("bootstrap_sql")))
+              from = r.getAs[Long]("rebaseline_seq")
+              rebaselines += 1
+            }
+        }
+      }
+      while (ps.exists(_.isAlive)) { consumeOnce(); Thread.sleep(150) }
+      ps.zip(names).foreach { case (p, w) =>
+        assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS) &&
+          p.exitValue() == 0, s"writer $w failed")
+      }
+      // final drain to quiescence (may cross one more barrier)
+      var guard = 0
+      while (from < LakeTable.load(spark, dir).currentSeq && guard < 50) {
+        consumeOnce(); guard += 1
+      }
+      assert(guard < 50, "consumer failed to converge after the writers exited")
+      // replica == head, name-aligned (schema may have evolved mid-run:
+      // rows folded before an add-column lack the new column → null-fill;
+      // the soak never writes non-null values into evolved columns)
+      val headDf = LakeTable.load(spark, dir).scan()
+      val headCols = headDf.columns.toSeq
+      val served = headDf.collect().map(r =>
+        r.getAs[String]("marker") -> headCols.map(c => c -> r.getAs[Any](c)).toMap).toMap
+      val normalized = state.map { case (k, v) =>
+        k -> headCols.map(c => c -> v.getOrElse(c, null)).toMap
+      }
+      val diverged = (normalized.keySet ++ served.keySet)
+        .filter(k => normalized.get(k) != served.get(k))
+      assert(diverged.isEmpty,
+        s"replica diverged from head at ${diverged.toSeq.sorted.take(8)} " +
+          s"(rebaselines=$rebaselines, from=$from)")
+    } finally {
+      prevWh match {
+        case Some(v) => spark.conf.set("spark.graft.catalog.warehouse", v)
+        case None => spark.conf.unset("spark.graft.catalog.warehouse")
+      }
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("writer killed between append-stage and publish: readers unaffected, orphan sweep exact") {
     val dir = JFiles.createTempDirectory("graft-proc-crash").resolve("t").toString
     val t = newTable(dir)
