@@ -154,12 +154,22 @@ class ProcessSafetySpec extends SparkSpec {
         assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS) &&
           p.exitValue() == 0, s"writer $w failed")
       }
-      // final drain to quiescence (may cross one more barrier)
+      // whether a LIVE refusal happened depends on poll timing (a consumer
+      // parked exactly at a compaction's predecessor never crosses it), so
+      // force one more barrier the consumer MUST cross: an upsert
+      // guarantees a tombstone, compactDirty then really restates, and the
+      // trailing append puts post-barrier data behind it
+      val tEnd = LakeTable.load(spark, dir)
+      tEnd.upsert(Seq(("k0", "t", 98)).toDF("marker", "w", "i"))
+      tEnd.compactDirty()
+      tEnd.append(Seq(("final", "t", 99)).toDF("marker", "w", "i"))
+      // final drain to quiescence
       var guard = 0
       while (from < LakeTable.load(spark, dir).currentSeq && guard < 50) {
         consumeOnce(); guard += 1
       }
       assert(guard < 50, "consumer failed to converge after the writers exited")
+      assert(rebaselines >= 1, "the recipe path was never exercised")
       // replica == head, name-aligned (schema may have evolved mid-run:
       // rows folded before an add-column lack the new column → null-fill;
       // the soak never writes non-null values into evolved columns)
