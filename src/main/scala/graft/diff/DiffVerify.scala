@@ -12,6 +12,10 @@ import java.nio.file.{Files, Paths}
   *   sbt "runMain graft.diff.DiffVerify /root/testdata/sf0.01 /tmp/diff_out 120"
   *   python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/diff_out
   *
+  * An optional 4th arg sets the FIRST seed (default 1), so soak legs can
+  * walk fresh never-exercised seed ranges without re-running the prior
+  * ones: `… DiffVerify <sf> <out> 1000 2001` runs seeds 2001–3000.
+  *
   * The in-repo spec (QueryGenSpec) cross-checks the same instances
   * DataFrame-vs-SparkSQL on every `sbt test`; this main adds the
   * cross-ENGINE leg of the family. */
@@ -20,6 +24,7 @@ object DiffVerify {
     val sfDir = args(0)
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 120
+    val from = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -33,7 +38,7 @@ object DiffVerify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    val sqls = (1 to n).flatMap { seed =>
+    val sqls = (from until from + n).flatMap { seed =>
       val g = QueryGen.gen(seed.toLong)
       try {
         val df = g.build(spark, sfDir)
