@@ -39,7 +39,19 @@ import org.apache.spark.sql.SparkSession
   * primary line (`attempts`, `attempt_steals_sec`). A window that stays
   * over budget after every attempt ships flagged `"window_dirty":true`
   * (VERDICT r18 #6) — the artifact states its own quality instead of
-  * leaving the reader to re-derive it.
+  * leaving the reader to re-derive it. Unreadable /proc/stat (steal -1)
+  * also flags dirty: unmeasurable quality must not ship as a clean claim
+  * (ADVICE r19).
+  *
+  * Per-query STEAL-CLEAN mins (VERDICT r19 #1): each run's own
+  * /proc/stat steal delta brackets exactly that run, so the shipped
+  * per-query min prefers runs whose measured steal is at most
+  * SPARK_GRAFT_BENCH_RUN_STEAL_BUDGET (default 0.1 s), folded across
+  * every attempt. Even a window-dirty recording then carries per-entry
+  * provenance: `mins_all_steal_clean` is true when EVERY shipped min
+  * came from a clean run; the exceptions are named in `dirty_queries`
+  * (count exact, list capped at 8 in the primary line, full list in the
+  * sidecar).
   *
   * `SPARK_GRAFT_BENCH_ONLY=q68_x,q77_y` restricts to named queries (local
   * iteration); unset = the full bench set.
@@ -199,6 +211,12 @@ object Bench {
       def ok: Boolean = runs.nonEmpty
       def med: Double = if (ok) median(runs) else -1.0
       def min: Double = if (ok) runs.min else -1.0
+      /** Run times whose OWN /proc/stat steal delta was measured and at
+        * most `budget` — a min drawn from these is provably steal-clean
+        * regardless of what the rest of the recording window suffered. */
+      def cleanRuns(budget: Double): Seq[Double] =
+        windows.flatMap(w => w.times.zip(w.steals))
+          .collect { case (t, s) if t >= 0 && s >= 0 && s <= budget => t }
     }
 
     /** One full recording pass over every query (measure → contamination
@@ -321,11 +339,30 @@ object Bench {
       gateDone = noteUnreadable()
     }
     val record = attempts.minBy(a => if (a.stealSec < 0) Double.MaxValue else a.stealSec)
-    // min-of-every-attempt per query; the record attempt carries the rest
-    val minAcross: Map[String, Double] = benched.map { q =>
-      val ms = attempts.flatMap(_.polished.find(_.name == q.name)).filter(_.ok).map(_.min)
-      q.name -> (if (ms.isEmpty) -1.0 else ms.min)
+    // Min-of-every-attempt per query, PREFERRING steal-clean runs
+    // (VERDICT r19 #1): when even the cleanest whole window is dirty, a
+    // query whose min comes from a run with measured per-run steal ≤ the
+    // per-run budget is still a trustworthy measurement — per-run steal
+    // deltas bracket exactly that run's wall time. Each query's primary
+    // min is the min over clean runs across ALL attempts when any exist
+    // (the overwhelming case: steal episodes are minutes-long, queries
+    // are sub-second); only a query with zero clean runs anywhere falls
+    // back to its raw min and is named in `dirty_queries`, so the
+    // artifact states per-entry provenance instead of one window flag.
+    val RunStealBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_RUN_STEAL_BUDGET")
+      .map(_.toDouble).getOrElse(0.1)
+    case class QMin(min: Double, clean: Boolean)
+    val minAcrossQ: Map[String, QMin] = benched.map { q =>
+      val rs = attempts.flatMap(_.polished.find(_.name == q.name)).filter(_.ok)
+      val cleanMs = rs.flatMap(_.cleanRuns(RunStealBudgetSec))
+      val allMs = rs.map(_.min)
+      q.name -> (if (cleanMs.nonEmpty) QMin(cleanMs.min, clean = true)
+                 else if (allMs.nonEmpty) QMin(allMs.min, clean = false)
+                 else QMin(-1.0, clean = false))
     }.toMap
+    val minAcross: Map[String, Double] = minAcrossQ.map { case (k, v) => k -> v.min }
+    val dirtyQueries = benched.map(_.name)
+      .filter(n => minAcrossQ.get(n).exists(m => m.min >= 0 && !m.clean))
     val polished = record.polished
     val results = record.prepolish
     val stealTotal = record.stealSec
@@ -402,6 +439,7 @@ object Bench {
           "\"a" + i + "\":" + a.polished.filter(_.ok)
             .map(r => "\"" + r.name + "\":" + fmt(r.min)).mkString("{", ",", "}")
         }.mkString("{", ",", "}")},""" +
+      s""""dirty_queries_full":${dirtyQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""total_median":${fmt(totalMed)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       s"${sys.props("java.io.tmpdir")}/graft-bench-detail.json")
@@ -418,13 +456,28 @@ object Bench {
     // `window_dirty` (r19): true when the SHIPPED window's measured steal
     // still exceeds the budget after every attempt — the artifact flags
     // its own quality instead of leaving the reader to compare
-    // steal_sec against an env default (VERDICT r18 #6)
-    val windowDirty = stealTotal > StealBudgetSec
+    // steal_sec against an env default (VERDICT r18 #6). A NEGATIVE
+    // steal total means /proc/stat was unreadable: the window's quality
+    // is UNKNOWN, which must not ship as a clean-window claim (ADVICE
+    // r19) — unmeasurable counts as dirty; steal_sec -1 tells the reader
+    // which of the two it was.
+    val windowDirty = stealTotal < 0 || stealTotal > StealBudgetSec
+    // `mins_all_steal_clean` / `dirty_queries` (VERDICT r19 #1): even on
+    // a window-dirty recording, every per-query min whose run-level steal
+    // was measured clean is individually trustworthy — an empty
+    // dirty_queries list means EVERY shipped entry is steal-clean.
     println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","stat":"min",""" +
       s""""queries":$qs,""" +
       s""""sentinel_ms":${fmt3(sentMed)},"par_sentinel_ms":${fmt3(parSentMed)},""" +
       s""""steal_sec":${fmt3(stealTotal)},"retries":${retried.size},""" +
       s""""attempts":${attempts.size},"window_dirty":$windowDirty,""" +
+      s""""mins_all_steal_clean":${dirtyQueries.isEmpty},""" +
+      // capped at 8 names — the primary line must stay inside the
+      // collector's ~2 KB stdout tail even in an all-dirty worst case;
+      // the count is always exact and the full list rides in the sidecar
+      s""""dirty_queries_n":${dirtyQueries.size},""" +
+      s""""dirty_queries":${dirtyQueries.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""run_steal_budget_sec":${fmt3(RunStealBudgetSec)},""" +
       s""""attempt_steals_sec":${attempts.map(a => fmt3(a.stealSec)).mkString("[", ",", "]")},""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
     System.out.flush()

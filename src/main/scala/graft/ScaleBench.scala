@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * scale-invariant), and `plan_same` (the multiset of physical-plan node
   * class names is unchanged vs 1× — scaling must not introduce new plan
   * shapes, e.g. a broadcast silently degrading to a sort-merge join).
+  * Legs are STEAL-GATED like Bench windows (VERDICT r19 #3): a min run
+  * carrying more than `SPARK_GRAFT_SCALE_STEAL_BUDGET` (1 s) of recorded
+  * /proc/stat hypervisor steal re-measures up to
+  * `SPARK_GRAFT_SCALE_STEAL_RETRIES` (2) extra runs; a leg whose min
+  * stays contaminated — or whose steal was unreadable — ships
+  * `"window_dirty":true` so the time column states its own quality
+  * (the laws gate on rows/shuffle bytes, which steal cannot touch).
   */
 /** DNF/suspect classification and the exact log/JSON fragments the round
   * gate greps for — pure, so ScaleDnfSpec can pin them against
@@ -147,8 +154,12 @@ object ScaleBench {
     * `shuffle_quadratic_ok`; the cap pins every point at ≤ 3× the
     * round-15 measured 100× exchange, the same tolerance the law itself
     * uses). Spill is gated to zero for every family. */
+  /** `pinnedBase`: the family's fixture does NOT scale with k (it is
+    * pinned at one extreme regime, e.g. the 10⁶-file table) — measure it
+    * once at the 1× point and skip the others; re-measuring an identical
+    * fixture at every point would only burn curve wall-clock. */
   private final case class Family(name: String, rowsLaw: String, shuffleLaw: String,
-      capMb: Option[Double] = None)
+      capMb: Option[Double] = None, pinnedBase: Boolean = false)
 
   /** Queries measured. Shuffle laws are DECLARED from the plan's promise
     * and were cross-checked against the measured r14 bytes:
@@ -227,6 +238,24 @@ object ScaleBench {
     // every file count.
     Family("lake_files_incr_changelog", "invariant", "constant"),
     Family("lake_files_stream_drain", "invariant", "constant"),
+    // r20 (VERDICT r19 #6): the MILLION-file regime, promoted from the
+    // dev-only MillionFileProbe into the standing gate now that the
+    // fixture caches across runs (ManyFilesFixture's _FIXTURE_DONE
+    // marker under a STABLE path — the ~92 s hard-link build is paid
+    // once per machine, reopen is a manifest parse). The metadata story
+    // is the engine's crown jewel; it is regression-gated at its proven
+    // extreme: the above-valve distributed manifest fold (exactness
+    // asserted in-probe — count==live entries, min==0 — plus the
+    // executor-fold-path counter), the DSv2 planner walk + pruned
+    // one-file read, and a one-file append commit against 10⁶ live
+    // entries. All three are pinned at 10⁶ regardless of k (pinnedBase),
+    // so the law columns are trivially flat; the gated signals are the
+    // in-probe requires (a breach DNFs the point, failing the round
+    // gate) and the recorded absolute times vs MillionFileProbe's
+    // r19 measurements (fold 2.8-4.1 s, commit 2.8 s).
+    Family("lake_files_1e6_fold", "invariant", "constant", pinnedBase = true),
+    Family("lake_files_1e6_plan", "invariant", "constant", pinnedBase = true),
+    Family("lake_files_1e6_commit", "invariant", "constant", pinnedBase = true),
     // the lake WRITE path under scale: create a month-partitioned lake
     // table from the scaled orders, append (staging sort + per-file sums
     // + snapshot commit), then scan it back — every other curve point is
@@ -340,6 +369,26 @@ object ScaleBench {
     // tens of ms per tiny file on this filesystem — a 10^5-file build
     // through it would dominate the whole curve's wall clock
     graft.lake.ManyFilesFixture.build(s, s"$root/t", s"files_x$k", 1000L * k)
+  }
+
+  /** MILLION-file probe table (VERDICT r19 #6): pinned at 10⁶ entries
+    * (override via SPARK_GRAFT_SCALE_1E6_N for dev shrink), built under
+    * a STABLE path — NOT a scoped tempdir — so the ~92 s hard-link build
+    * is paid once per machine and every later run reopens via the
+    * fixture marker (the table is immutable apart from the +1-tiny-file
+    * commit probes, noise against 10⁶). The loaded handle is memoized
+    * per process: re-parsing a 10⁶-entry manifest per measured run would
+    * drown the op under test. Delete the directory to force a rebuild. */
+  private var megaCache: Option[graft.lake.LakeTable] = None
+  private def megaFilesTable(s: SparkSession): graft.lake.LakeTable = synchronized {
+    megaCache.getOrElse {
+      val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_1E6_DIR",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scale") + "/files-1e6")
+      val n = sys.env.get("SPARK_GRAFT_SCALE_1E6_N").map(_.toLong).getOrElse(1000000L)
+      val t = graft.lake.ManyFilesFixture.build(s, s"$root/t", "files_1e6", n)
+      megaCache = Some(t)
+      t
+    }
   }
 
   /** Compaction probe table: the skewed-burst layout — 50 identity
@@ -538,6 +587,41 @@ object ScaleBench {
       q.awaitTermination()
       s.range(1).select(lit(drained.get()).as("drained_rows"))
     }
+    case "lake_files_1e6_fold" => (s, dir) => {
+      // the above-valve DISTRIBUTED manifest fold at 10⁶ entries (default
+      // valve 200k < 10⁶), EAGER with exactness asserted in-probe: the
+      // standing gate must catch a wrong answer at the extreme, not just
+      // a slow one. A require breach throws → the point records DNF →
+      // round_bench.sh's gate fails.
+      val t = megaFilesTable(s)
+      val folds0 = graft.plans.LakeMetaAggregate.distributedServes.get()
+      val row = s.read.format("graftlake").option("path", t.location).load()
+        .agg(count(lit(1)).as("n_rows"), min(col("pk")).as("min_pk"),
+          max(col("pk")).as("max_pk"))
+        .collect()(0)
+      require(graft.plans.LakeMetaAggregate.distributedServes.get() > folds0,
+        "10⁶-file fold did not take the distributed executor path")
+      val live = t.currentSnapshot.dataFiles.size
+      require(row.getLong(0) == live.toLong && row.getLong(1) == 0L,
+        s"10⁶-file fold answered wrong: $row vs $live live one-row entries")
+      s.range(1).select(lit(row.getLong(0)).as("n_rows"))
+    }
+    case "lake_files_1e6_plan" => (s, dir) => {
+      // DSv2 planner walk over 10⁶ manifest entries + the pruned ONE-file
+      // read (pushed pk=0 reaches manifest partition/bounds pruning)
+      val t = megaFilesTable(s)
+      s.read.format("graftlake").option("path", t.location).load()
+        .filter(col("pk") === 0L)
+    }
+    case "lake_files_1e6_commit" => (s, dir) => {
+      // one-file append commit against 10⁶ live entries (optimistic
+      // O_EXCL + hard-link publish; appends re-reference the parent's
+      // manifests — the honest commit-vs-live-file-count probe)
+      val t = megaFilesTable(s)
+      val nextPk = 40_000_000L + t.currentSeq
+      t.append(s.range(1).select(lit(nextPk).as("pk"), lit(0L).as("v")))
+      s.range(1).select(lit(t.currentSnapshot.dataFiles.size.toLong).as("n_files"))
+    }
     case "lake_files_compact" => (s, dir) => {
       // bin-pack compaction of a skewed-burst layout (50 partition
       // values x 4*K files each, via the writeSplits salt): compactDirty
@@ -734,7 +818,23 @@ object ScaleBench {
     def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(500) }
 
     case class Meas(t: Double, rows: Long, plan: Map[String, Int], steal: Double,
-        shuffleB: Long, spillB: Long)
+        shuffleB: Long, spillB: Long, windowDirty: Boolean)
+
+    // Steal gate for the MIN run (VERDICT r19 #3): the r19 q68 100× leg
+    // shipped t=67.4 s carrying 22.1 s of recorded hypervisor steal —
+    // the shuffle law gated the curve's correctness but the time column
+    // was silently contaminated. Like Bench's window gate: when the
+    // run that holds the min was itself stolen from beyond the budget,
+    // re-measure (the episodes are minutes-long, so a fresh run usually
+    // lands clean); a leg whose min stays dirty after the retries ships
+    // `"window_dirty":true` so the artifact states the time column's
+    // quality per leg instead of leaving steal_sec for the reader to
+    // adjudicate. Unreadable /proc/stat (-1) never retries (it cannot
+    // improve) but DOES flag dirty — unmeasurable is not provably clean.
+    val LegStealBudgetSec = sys.env.get("SPARK_GRAFT_SCALE_STEAL_BUDGET")
+      .map(_.toDouble).getOrElse(1.0)
+    val LegStealRetries = sys.env.get("SPARK_GRAFT_SCALE_STEAL_RETRIES")
+      .map(_.toInt).getOrElse(2)
 
     def measure(name: String, k: Int, dir: String): Meas = {
       val fn = resolve(name, k)
@@ -747,11 +847,12 @@ object ScaleBench {
       var lastDf: DataFrame = null
       var minT = Double.MaxValue
       var minSteal = -1.0
-      val runs = 3
+      val baseRuns = 3
+      var ran = 0
       val tally = new ShuffleTally
       spark.sparkContext.addSparkListener(tally)
       try {
-        (1 to runs).foreach { _ =>
+        def runOnce(): Unit = {
           reclaimShuffles()
           val st0 = stealSec()
           val t0 = System.nanoTime()
@@ -763,15 +864,25 @@ object ScaleBench {
           lastDf = df
           val t = (System.nanoTime() - t0) / 1e9
           val st1 = stealSec()
+          ran += 1
           if (t < minT) {
             minT = t
             minSteal = if (st0 < 0 || st1 < 0) -1.0 else st1 - st0
           }
         }
+        (1 to baseRuns).foreach(_ => runOnce())
+        var extra = 0
+        while (minSteal > LegStealBudgetSec && extra < LegStealRetries) {
+          System.err.println(f"[scale] $name ${k}x: min-run steal $minSteal%.3f s " +
+            f"> budget $LegStealBudgetSec%.3f s — re-measuring")
+          runOnce()
+          extra += 1
+        }
         reclaimShuffles() // also drains the async listener bus (≥500 ms)
       } finally spark.sparkContext.removeSparkListener(tally)
       Meas(minT, rows, planNodes(lastDf), minSteal,
-        tally.write.get / runs, tally.spill.get / runs)
+        tally.write.get / ran, tally.spill.get / ran,
+        windowDirty = minSteal < 0 || minSteal > LegStealBudgetSec)
     }
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -791,13 +902,18 @@ object ScaleBench {
       fatal
     }
     val entries = Headline.filter(f => only.forall(_.contains(f.name))).map {
-        case Family(name, rowsLaw, shuffleLaw, capMb) =>
+        case Family(name, rowsLaw, shuffleLaw, capMb, pinnedBase) =>
       // a point that cannot complete records a DNF row instead of killing
       // the whole artifact (learned the hard way: the r13 q68-distinct
       // 100× point exhausted spill disk and took every other measurement
       // down with it — a DNF is itself a result, e.g. "this variant's
       // peak shuffle footprint exceeds the disk budget the default fits")
-      val measured = points.map { k =>
+      // pinnedBase families measure only the 1× point — their fixture
+      // does not scale with k, so the other points would re-measure the
+      // identical op (the JSON carries "pinned_base":true so the single
+      // point reads as by-design, not a truncated curve)
+      val familyPoints = if (pinnedBase) points.take(1) else points
+      val measured = familyPoints.map { k =>
         val suspect = fatalSeen.isDefined
         k -> (try Right((measure(name, k, dirs(k)), suspect)) catch {
           case e: Throwable =>
@@ -831,12 +947,14 @@ object ScaleBench {
               s"ratio=${fmt(ratio)} rows_${rowsLaw}_ok=$rowsOk plan_same=$planSame " +
               s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +
               s"shuffle_${shuffleLaw}_ok=$shuffleLawOk spill_zero_ok=$spillZeroOk " +
-              s"steal=${fmt(m.steal)}s" + suspectLog(suspect))
+              s"steal=${fmt(m.steal)}s" +
+              (if (m.windowDirty) " window_dirty=true" else "") + suspectLog(suspect))
             s""""x$k":{"t":${fmt(m.t)},"ratio":${fmt(ratio)},"rows":${m.rows},""" +
               s""""rows_ok":$rowsOk,"plan_same":$planSame,""" +
               s""""shuffle_mb":${mb(m.shuffleB)},"spill_mb":${mb(m.spillB)},""" +
               s""""shuffle_ok":$shuffleLawOk,"spill_ok":$spillZeroOk,""" +
-              s""""steal_sec":${fmt(m.steal)}${suspectJson(suspect)}}"""
+              s""""steal_sec":${fmt(m.steal)},"window_dirty":${m.windowDirty}""" +
+              s"""${suspectJson(suspect)}}"""
           case None =>
             // the 1x base itself DNF'd: a healthy later point has no law
             // to check against — say so, never print rows_ok=false (which
@@ -845,36 +963,48 @@ object ScaleBench {
             System.err.println(s"[scale] $name ${k}x: ${fmt(m.t)}s ${m.rows}r NO_BASE " +
               s"shuffle=${mb(m.shuffleB)}MB spill=${mb(m.spillB)}MB " +
               s"spill_zero_ok=$spillZeroOk " +
-              s"steal=${fmt(m.steal)}s" + suspectLog(suspect))
+              s"steal=${fmt(m.steal)}s" +
+              (if (m.windowDirty) " window_dirty=true" else "") + suspectLog(suspect))
             s""""x$k":{"t":${fmt(m.t)},"rows":${m.rows},"no_base":true,""" +
               s""""shuffle_mb":${mb(m.shuffleB)},"spill_mb":${mb(m.spillB)},""" +
               s""""spill_ok":$spillZeroOk,""" +
-              s""""steal_sec":${fmt(m.steal)}${suspectJson(suspect)}}"""
+              s""""steal_sec":${fmt(m.steal)},"window_dirty":${m.windowDirty}""" +
+              s"""${suspectJson(suspect)}}"""
         }
         case (k, Left((err, fatal))) =>
           s""""x$k":{"dnf":${graft.JsonStr.q(err)}${if (fatal) ""","fatal":true""" else ""}}"""
       }
-      s""""$name":{"rows_law":"$rowsLaw","shuffle_law":"$shuffleLaw",${perPoint.mkString(",")}}"""
+      s""""$name":{"rows_law":"$rowsLaw","shuffle_law":"$shuffleLaw",""" +
+        s"""${if (pinnedBase) "\"pinned_base\":true," else ""}${perPoint.mkString(",")}}"""
     }
     // q77 recall@10 vs the exact q39 baseline, RE-ASSERTED ON THE SCALED
     // CORPUS (VERDICT r12 #3 done-criterion): the spec asserts ≈0.97 at
     // fixture scale; a 10× corpus puts 10× more organic candidates around
     // each probe, so recall there is the number that says the PQ shortlist
     // survives growth. Content comparison, not a timing — runs once.
-    val recallPoint = points.filter(_ > 1).headOption
-    // one recall measurement per ANN scale variant (r14: PQ only; r15
-    // adds the IVF-PQ path, whose coarse pruning is the recall risk the
-    // 10× re-assertion exists to catch). Recall is GATED like every
-    // other measurement (r15: a number that is printed but cannot fail
-    // is not a tripwire): each variant declares a floor with headroom
-    // below its measured value (PQ 0.90 measured → 0.85 floor; IVF-PQ
-    // 0.933 → 0.90 — the coarse stage is the bigger risk, so the
-    // tighter floor), and a breach prints `recall_ok=false`, which the
-    // round gate's ok=false pattern fails on. A -1 sentinel (empty
-    // exact side) breaches by construction — unverifiable ≠ healthy.
+    val recallPoints = points.filter(_ > 1)
+    // one recall measurement per ANN scale variant PER SCALED POINT
+    // (r14: PQ only at the first point; r15 adds the IVF-PQ path, whose
+    // coarse pruning is the recall risk the re-assertion exists to
+    // catch; r20 extends the gate to EVERY scaled point — VERDICT r19
+    // #4: a codebook trained on a fixed-cap sample can degrade as the
+    // corpus grows 100×, exactly the regime the 100 TB story claims, so
+    // the 100× recall must be floored, not just recorded). Recall is
+    // GATED like every other measurement (r15: a number that is printed
+    // but cannot fail is not a tripwire): each variant declares a floor
+    // with headroom below its measured value (PQ 0.90 measured at 10× →
+    // 0.85 floor; IVF-PQ 0.933 → 0.90 — the coarse stage is the bigger
+    // risk, so the tighter floor; the same floors bind at 100× — the
+    // scaled corpora replicate the base with disjoint per-copy id
+    // spaces, so per-copy geometry is scale-invariant and a recall drop
+    // at 100× could only come from codebook-sample dilution, the exact
+    // failure the gate hunts), and a breach prints `recall_ok=false`,
+    // which the round gate's ok=false pattern fails on. A -1 sentinel
+    // (empty exact side) breaches by construction — unverifiable ≠
+    // healthy.
     val recallFloor = Map("q77_pq_scaled" -> 0.85, "q77_ivfpq_scaled" -> 0.90)
-    def recallOf(variant: String, label: String, jsonKey: String): Option[(String, Int, String)] =
-      recallPoint.flatMap { k =>
+    def recallOf(variant: String, label: String, jsonKey: String): Seq[(String, Int, String)] =
+      recallPoints.flatMap { k =>
         if (only.forall(s => s.contains(variant) && s.contains("q39_exact_topk_cosine"))) {
           // DNF-protected like every measured point (a throw here after ~30
           // min of measurement would discard the whole artifact — review
@@ -916,9 +1046,9 @@ object ScaleBench {
           }
         } else None
       }
-    val recallJson = Seq(
-      recallOf("q77_pq_scaled", "q77", "q77_recall"),
-      recallOf("q77_ivfpq_scaled", "q77_ivfpq", "q77_ivfpq_recall")).flatten
+    val recallJson = (
+      recallOf("q77_pq_scaled", "q77", "q77_recall") ++
+      recallOf("q77_ivfpq_scaled", "q77_ivfpq", "q77_ivfpq_recall"))
       .map { case (key, k, v) => s""","${key}_x$k":$v""" }.mkString
     val fatalJson = fatalSeen.map(c => s""","fatal_dnf":${graft.JsonStr.q(c)}""").getOrElse("")
     val json = s"""{"points":${points.mkString("[", ",", "]")},"base":"$base"$recallJson$fatalJson,""" +

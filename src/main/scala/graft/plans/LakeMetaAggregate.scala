@@ -132,6 +132,16 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     val maxFiles = spark.conf.getOption("spark.graft.lake.metaAggMaxFiles")
       .map(_.toInt).getOrElse(LakeMetaAggregate.DefaultMaxFiles)
     val distributed = snap.dataFiles.size > maxFiles
+    // memoized decline (ADVICE r19): a poisoned/declined DISTRIBUTED fold
+    // launches a real Spark job — without this tag the fixed-point
+    // optimizer re-runs that job on every iteration of every batch the
+    // rule sits in, multiplying planner-side jobs on exactly the
+    // 10⁵-10⁶-file regime the valve exists to bound. Keyed on (table
+    // location, snapshot seq): within one compilation the node's child
+    // relation is pinned, and `makeCopy`/`withNewChildren` carry tags, so
+    // the memo survives neighboring rewrites of the same query.
+    if (distributed && agg.getTagValue(LakeMetaAggregate.DeclinedTag)
+        .contains((t.location, snap.seq))) return None
     // ungrouped-AND-unfiltered aggregates already fold through the V2
     // aggregate-pushdown API (answerFromMetadata) BELOW the valve; this
     // rule adds the grouped shapes, the filtered ungrouped ones the API
@@ -442,10 +452,14 @@ class LakeMetaAggregate(spark: SparkSession) extends Rule[LogicalPlan]
     // on any divergence
     val outTypes = agg.aggregateExpressions.map(_.dataType)
 
-    if (distributed)
-      return LakeMetaAggregate.distributedServe(spark, snap.dataFiles,
+    if (distributed) {
+      val served = LakeMetaAggregate.distributedServe(spark, snap.dataFiles,
         filterFns.map(_.get), keyFns, needPnames, sentinelPnames,
         outs.map(_.get), outTypes, agg.output)
+      if (served.isEmpty) // the fold job runs at most once per compilation
+        agg.setTagValue(LakeMetaAggregate.DeclinedTag, (t.location, snap.seq))
+      return served
+    }
 
     // ungrouped (filtered): exactly ONE row, even over zero kept files
     // (count = 0, bounds = NULL), matching a global Aggregate's semantics
@@ -508,6 +522,15 @@ object LakeMetaAggregate {
     * hook proving the executor-fold path was taken (the resulting plan is
     * the same LocalRelation either way). */
   val distributedServes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Decline memo for the distributed fold (ADVICE r19): after a poisoned
+    * or shape-declined executor fold, the Aggregate node is tagged with
+    * the (table location, snapshot seq) it declined against so fixed-point
+    * re-applications of the rule skip straight to the real scan instead of
+    * re-launching the metadata job each iteration. */
+  private[plans] val DeclinedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Long)](
+      "graft.lake.metaAgg.declinedDistributedServe")
 
   /** Poison marker: a task that finds a file violating a per-file
     * precondition (missing tuple field, string sentinel, undecidable

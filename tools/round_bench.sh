@@ -24,8 +24,12 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 # claiming it — with `|| exit`, not `test && echo` (which under set -e
 # silently continues when the test fails)
 rm -f "SCALE_r${ROUND}.json"
+# 12g driver heap: the lake_files_1e6_* families (r20) hold a 10⁶-entry
+# manifest driver-side; the 8g default leaves too little headroom on top
+# of the rest of the curve's state
 SPARK_GRAFT_SCALE_POINTS="$POINTS" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_SCALE_OUT="SCALE_r${ROUND}.json" \
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-12g}" \
   sbt -batch "runMain graft.ScaleBench" > /tmp/scalebench_r${ROUND}.log 2>&1 \
   || { echo "ScaleBench FAILED; tail of /tmp/scalebench_r${ROUND}.log:"; \
        tail -30 "/tmp/scalebench_r${ROUND}.log"; exit 1; }
