@@ -76,6 +76,30 @@ final class LakeTable private (
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[Int, StructType]()
 
+  /** Newest schema version ≤ `maxVersion` whose (name, type) set equals
+    * `s` — None when `s` matches no era. The DSv2 writers validate their
+    * declared write schema with this rather than demanding the CURRENT
+    * schema (r20 SQL-route soak finding): a statement analyzed just
+    * before a concurrent ALTER commits data shaped like the era it was
+    * planned against, which is exactly the shape schema evolution
+    * supports — readers resolve columns by name, fill columns the file
+    * predates with NULL, and read promoted types through the promotion
+    * rules — and exactly what the imperative append's blind rebase has
+    * always committed. Shapes matching NO era still fail loudly. */
+  private[graft] def schemaEraOf(s: StructType, maxVersion: Int): Option[Int] = {
+    def keySet(st: StructType) = st.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toSet
+    val want = keySet(s)
+    // version numbering can carry gaps (a crashed ALTER orphans its
+    // version file; nextMetaVersion skips past them) — a version whose
+    // file is missing or unparseable cannot be the era a planner read
+    // its schema from, so it is skipped, never thrown on. The skip only
+    // DENIES a match; a transient read blip can at worst refuse a write
+    // loudly, never admit a wrong shape.
+    (maxVersion to 0 by -1).find(v =>
+      scala.util.Try(keySet(schema(v)) == want).getOrElse(false))
+  }
+
   /** Partition spec by version: 0 = the CREATE-time spec in table.json,
     * N>=1 = meta/spec-vNNN.json written by [[evolvePartitionSpec]]. Spec
     * files are immutable, so versions cache per table instance. */
@@ -1016,9 +1040,14 @@ final class LakeTable private (
       files: Seq[DataFile], op: String, expectedBase: Option[Long] = None): Snapshot =
     synchronized {
       val cur = currentSnapshot
-      expectedBase.foreach(base => require(cur.seq == base,
-        s"${meta.name}: concurrent commit detected (snapshot $base read, " +
-          s"${cur.seq} current) — retry the statement"))
+      // CME, not require/IllegalArgument: a genuine concurrency LOSS must
+      // follow the documented retry contract like every other
+      // non-rebasable conflict (found by the r20 SQL-route soak on its
+      // first seed — a caller's CME retry loop crashed on the raw require)
+      expectedBase.foreach(base => if (cur.seq != base)
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.name}: concurrent commit detected (snapshot $base read, " +
+            s"${cur.seq} current) — retry the statement"))
       commitRestateRaceChecked(cur.seq + 1, op)(commitSnapshot(Snapshot(
         seq = cur.seq + 1, parent = Some(cur.seq),
         timestampMs = System.currentTimeMillis(), operation = op,
@@ -1039,9 +1068,14 @@ final class LakeTable private (
       expectedBase: Option[Long] = None): Snapshot =
     synchronized {
       val cur = currentSnapshot
-      expectedBase.foreach(base => require(cur.seq == base,
-        s"${meta.name}: concurrent commit detected (snapshot $base read, " +
-          s"${cur.seq} current) — retry the statement"))
+      // CME, not require/IllegalArgument: a genuine concurrency LOSS must
+      // follow the documented retry contract like every other
+      // non-rebasable conflict (found by the r20 SQL-route soak on its
+      // first seed — a caller's CME retry loop crashed on the raw require)
+      expectedBase.foreach(base => if (cur.seq != base)
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.name}: concurrent commit detected (snapshot $base read, " +
+            s"${cur.seq} current) — retry the statement"))
       val keep = cur.dataFiles.filterNot(f => removed.contains(f.path))
       commitRestateRaceChecked(cur.seq + 1, op)(commitSnapshot(Snapshot(
         seq = cur.seq + 1, parent = Some(cur.seq),
@@ -1065,9 +1099,13 @@ final class LakeTable private (
       expectedBase: Long): Snapshot =
     synchronized {
       val cur = currentSnapshot
-      require(cur.seq == expectedBase,
-        s"${meta.name}: concurrent commit detected (snapshot $expectedBase read, " +
-          s"${cur.seq} current) — retry the statement")
+      // CME, not require/IllegalArgument: this is the conflict the retry
+      // contract exists for (r20 SQL-route soak finding — see
+      // commitStagedReplace's twin check)
+      if (cur.seq != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.name}: concurrent commit detected (snapshot $expectedBase read, " +
+            s"${cur.seq} current) — retry the statement")
       val seq = cur.seq + 1
       try commitSnapshot(Snapshot(
         seq = seq, parent = Some(cur.seq), timestampMs = System.currentTimeMillis(),

@@ -149,11 +149,17 @@ private[sources] class GraftLakeDeltaBatchWrite(
     // by name)
     val rowSchema = winfo.schema()
     if (rowSchema.nonEmpty) {
-      require(
-        rowSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet ==
-          tableSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet,
+      // era-aware like the batch write (r20 SQL-route soak finding): an
+      // ALTER landing between the statement's analysis and the scan's
+      // snapshot pin leaves rowSchema one era behind `snap` — a shape the
+      // format reads fine (NULL-fill / promotion). The stale-base commit
+      // check still arbitrates the actual race: if anything (including
+      // that ALTER) committed after the operation's scan snapshot, the
+      // commit below refuses with the CME retry recipe and the re-run
+      // plans against the new era.
+      require(t.schemaEraOf(rowSchema, snap.schemaVersion).isDefined,
         s"delta write schema ${rowSchema.simpleString} does not match table " +
-          tableSchema.simpleString)
+          s"${tableSchema.simpleString} or any earlier schema era")
     }
     val rowIdSchema = winfo.rowIdSchema().orElseThrow(() =>
       new IllegalStateException("delta write without a rowId schema"))

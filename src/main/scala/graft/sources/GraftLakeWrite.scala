@@ -82,8 +82,11 @@ private[sources] class GraftLakeWriteBuilder(
     // ONE snapshot load per write plan: requiredDistribution and
     // requiredOrdering may each be called several times during planning,
     // and two loads racing a concurrent commit could even disagree on the
-    // spec version
-    private lazy val planSnap = t.currentSnapshot
+    // spec version. STRICT val, pinned when build() materializes the
+    // Write (r20 SQL-route soak: as a lazy val whose first touch could
+    // slip to writer-factory creation, a concurrent ALTER landing before
+    // that touch made "the planning snapshot" a post-ALTER one)
+    private val planSnap = t.currentSnapshot
     private lazy val specSources: Seq[String] = {
       val schemaNames = writeSchema.getOrElse(t.schema(planSnap.schemaVersion)).fieldNames
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -139,10 +142,17 @@ private[sources] class GraftLakeBatchWrite(
     // by NAME, so layout order is free — but the name/type SET must match
     val tableSchema = t.schema(snap.schemaVersion)
     val schema = writeSchema.getOrElse(tableSchema)
-    require(
-      schema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet ==
-        tableSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toSet,
-      s"write schema ${schema.simpleString} does not match table ${tableSchema.simpleString}")
+    // era-aware validation (r20 SQL-route soak finding): a statement
+    // analyzed just before a concurrent ALTER declares the PREVIOUS
+    // era's shape — demanding the current schema here crashed the write
+    // with a raw IllegalArgumentException on a race the format supports
+    // by construction (files routinely predate evolved columns; readers
+    // resolve by name / NULL-fill / type-promote, and the imperative
+    // append's blind rebase has always committed this shape). Any shape
+    // matching NO era is still a genuinely wrong write and fails.
+    require(t.schemaEraOf(schema, snap.schemaVersion).isDefined,
+      s"write schema ${schema.simpleString} does not match table " +
+        s"${tableSchema.simpleString} or any earlier schema era")
     val spec = t.partitionSpec(snap.specVersion).map { pf =>
       val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
       require(idx >= 0, s"partition source ${pf.source} missing from write schema")

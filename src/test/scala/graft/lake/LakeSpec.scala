@@ -1440,6 +1440,29 @@ class LakeSpec extends SparkSpec {
     assert(read.count() == 3L && back.scan().count() == 3L)
   }
 
+  test("staged replace/delta commits losing a race throw ConcurrentModificationException") {
+    // r20 SQL-route soak finding (its first seed): commitStagedReplace /
+    // commitStagedReplaceFiles / commitStagedDelta validated expectedBase
+    // with a bare `require`, so a genuine concurrency LOSS — the exact
+    // condition the documented CME retry contract exists for — leaked as
+    // IllegalArgumentException and crashed a caller's retry loop (the
+    // forked SQL soak writer died mid-plan). Deterministic pin: hand each
+    // commit an expectedBase the table has already moved past.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-staleb").resolve("t").toString
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val t = LakeTable.create(spark, dir, "staleb", df.schema, primaryKey = Seq("id"))
+    t.append(df) // seq 1: expectedBase 0 is now stale for every staged commit
+    intercept[java.util.ConcurrentModificationException](
+      t.commitStagedReplace(Nil, "overwrite-dsv2", expectedBase = Some(0L)))
+    intercept[java.util.ConcurrentModificationException](
+      t.commitStagedReplaceFiles(Set.empty, Nil, "update-cow", expectedBase = Some(0L)))
+    intercept[java.util.ConcurrentModificationException](
+      t.commitStagedDelta(Nil, Nil, "update-mor", expectedBase = 0L))
+    // and the state is untouched — a refused commit must not publish
+    assert(t.currentSeq == 1L)
+  }
+
   test("metadata commits losing a race surface the retry recipe, and the retry lands") {
     // rollback/schema/spec commits validate against the snapshot they
     // read, so a lost CROSS-PROCESS race must surface as the documented

@@ -50,7 +50,9 @@ object ProcessHelper {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val t = LakeTable.load(spark, loc)
+    // lazy: the soak-sql mode's `loc` is a WAREHOUSE root, not a table
+    // directory — loading it as a table would throw before dispatch
+    lazy val t = LakeTable.load(spark, loc)
     mode match {
       case "race" =>
         val writer = args(2)
@@ -110,6 +112,50 @@ object ProcessHelper {
         val logDir = args(2); val ckpt = args(3)
         graft.streaming.CdcIngest.ingest(t, logDir,
           spark.read.parquet(logDir).schema, ckpt)
+        spark.stop()
+      case "soak-sql" =>
+        // the SQL/DSv2-route soak writer (VERDICT r19 #2): `loc` is the
+        // WAREHOUSE root; every op goes through the GraftCatalog as a SQL
+        // statement. Conflicts surface as ConcurrentModificationException
+        // possibly WRAPPED by Spark's execution layers, so the retry
+        // contract unwraps the cause chain; re-running the statement
+        // re-plans against the fresh snapshot, which is exactly the
+        // documented recovery.
+        val writer = args(2); val n = args(3).toInt; val seed = args(4).toLong
+        spark.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set("spark.graft.catalog.warehouse", loc)
+        val jitter = new scala.util.Random(seed ^ writer.hashCode.toLong)
+        def isCme(e: Throwable): Boolean = {
+          var c: Throwable = e
+          while (c != null) {
+            if (c.isInstanceOf[java.util.ConcurrentModificationException]) return true
+            c = if (c.getCause eq c) null else c.getCause
+          }
+          false
+        }
+        SqlSoak.plan(writer, n, seed).foreach { op =>
+          var tries = 0
+          var done = false
+          while (!done) {
+            try {
+              SqlSoak.exec(spark, SqlSoak.Table, op)
+              done = true
+            } catch {
+              // SQL statements hold their optimistic window open for the
+              // whole re-plan + job (~1-2 s for a compact), so under
+              // sustained 5-writer contention a restatement can lose far
+              // more consecutive races than the imperative soak's ops —
+              // the budget is correspondingly larger and the backoff
+              // grows (livelock here is the documented cost of optimistic
+              // restatement, contention drains as writers finish; a REAL
+              // lost-commit bug still fails loudly at the cap).
+              case e: Throwable if isCme(e) && tries < 400 =>
+                tries += 1
+                Thread.sleep(2L + jitter.nextInt(20 * math.min(tries + 1, 15)))
+            }
+          }
+        }
         spark.stop()
       case "soak" =>
         val writer = args(2); val n = args(3).toInt; val seed = args(4).toLong
@@ -187,5 +233,95 @@ object Soak {
       else if (!evolved) { evolved = true; Evolve(s"g_$writer") }
       else Append(Seq((s"f-$writer-$i-x", writer, i)))
     }
+  }
+}
+
+/** The SQL/DSv2-route twin of [[Soak]] (VERDICT r19 #2): the same
+  * seeded-plan discipline, but every op is a SQL statement through the
+  * GraftCatalog, exercising the route-SPECIFIC code the imperative soak
+  * never touches — the DSv2 two-phase append commit (INSERT INTO), the
+  * SupportsDelta staged-delta path with its conflict classification
+  * (MERGE / UPDATE), the pushable-DELETE fast path, the full-table
+  * REPLACE commit (INSERT OVERWRITE), the rewrite_data_files procedure,
+  * and catalog-routed ALTER. The imperative soak found two real
+  * high-severity bugs in its first seeds (r19); this gives the SQL
+  * route the same adversary.
+  *
+  * All DML uses explicit column lists `(marker, w, i)`: writers race
+  * ALTERs, so a statement cannot know whether a neighbor's g_X column
+  * exists yet — Spark's v2 INSERT / MERGE-insert / INSERT OVERWRITE all
+  * accept column lists and fill unnamed nullable columns with NULL
+  * (probed before this was written). Overwrites are RARE (5%): each one
+  * wipes the table's row state and re-seeds the contended keys; the
+  * verifier's serial replay re-baselines at each overwrite commit from
+  * the as-of snapshot content. */
+object SqlSoak {
+  /** Fixed table name under the soak's private warehouse. */
+  val Table = "soaksql"
+
+  sealed trait Op extends Product with Serializable
+  final case class Insert(rows: Seq[(String, String, Int)]) extends Op
+  final case class Merge(rows: Seq[(String, String, Int)]) extends Op
+  final case class Update(keys: Seq[String], w: String, i: Int) extends Op
+  final case class Delete(keys: Seq[String]) extends Op
+  final case class Overwrite(w: String, i: Int) extends Op
+  case object Compact extends Op
+  final case class Evolve(colName: String) extends Op
+
+  def plan(writer: String, n: Int, seed: Long): Seq[Op] = {
+    val rng = new scala.util.Random(seed * 7778777L + writer.hashCode.toLong)
+    var evolved = false
+    (0 until n).map { i =>
+      val d = rng.nextInt(100)
+      if (d < 25) Insert(Seq(0, 1).map(j => (s"f-$writer-$i-$j", writer, i)))
+      else if (d < 45) {
+        val ks = Seq.fill(1 + rng.nextInt(3))(rng.nextInt(Soak.ContendedKeys)).distinct
+        Merge(ks.map(j => (s"k$j", writer, i)))
+      } else if (d < 58) {
+        val ks = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(Soak.ContendedKeys)).distinct
+        Update(ks.map(j => s"k$j"), writer, i)
+      } else if (d < 72) {
+        val ks = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(Soak.ContendedKeys)).distinct
+        Delete(ks.map(j => s"k$j"))
+      } else if (d < 77) Overwrite(writer, i)
+      else if (d < 88) Compact
+      else if (!evolved) { evolved = true; Evolve(s"g_$writer") }
+      else Insert(Seq((s"f-$writer-$i-x", writer, i)))
+    }
+  }
+
+  /** Render and execute one op as SQL against `graft.<table>`. Markers
+    * and writer names are machine-generated `[A-Za-z0-9_-]` — no quoting
+    * hazards by construction. */
+  def exec(spark: SparkSession, table: String, op: Op): Unit = {
+    def vals(rows: Seq[(String, String, Int)]): String =
+      rows.map { case (m, w, i) => s"('$m','$w',$i)" }.mkString(", ")
+    def inList(keys: Seq[String]): String = keys.map(k => s"'$k'").mkString(", ")
+    op match {
+      case Insert(rows) =>
+        spark.sql(s"INSERT INTO graft.$table (marker, w, i) VALUES ${vals(rows)}")
+      case Merge(rows) =>
+        spark.sql(
+          s"""MERGE INTO graft.$table t
+             |USING (SELECT * FROM VALUES ${vals(rows)} AS v(marker, w, i)) s
+             |ON t.marker = s.marker
+             |WHEN MATCHED THEN UPDATE SET t.w = s.w, t.i = s.i
+             |WHEN NOT MATCHED THEN INSERT (marker, w, i) VALUES (s.marker, s.w, s.i)"""
+            .stripMargin)
+      case Update(keys, w, i) =>
+        spark.sql(s"UPDATE graft.$table SET w = '$w', i = $i " +
+          s"WHERE marker IN (${inList(keys)})")
+      case Delete(keys) =>
+        spark.sql(s"DELETE FROM graft.$table WHERE marker IN (${inList(keys)})")
+      case Overwrite(w, i) =>
+        val payload = (0 until Soak.ContendedKeys).map(j => (s"k$j", w, i))
+        spark.sql(s"INSERT OVERWRITE graft.$table (marker, w, i) VALUES ${vals(payload)}")
+      case Compact =>
+        spark.sql(s"CALL graft.system.rewrite_data_files('$table')").collect()
+        ()
+      case Evolve(c) =>
+        spark.sql(s"ALTER TABLE graft.$table ADD COLUMN $c INT")
+    }
+    ()
   }
 }

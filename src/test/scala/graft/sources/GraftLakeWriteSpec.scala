@@ -110,4 +110,43 @@ class GraftLakeWriteSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(viaDsv2 == Set((1L, "v2"), (2L, "v1")))
   }
+
+  test("a DSv2 write planned one schema era back survives a racing ADD COLUMN; " +
+      "a shape matching no era still refuses") {
+    // r20 SQL-route soak finding (seed 201 family): an INSERT analyzed
+    // just before a concurrent ALTER declared the PREVIOUS era's shape,
+    // and the writer-factory validation demanded the CURRENT schema —
+    // crashing a legitimate write with a raw IllegalArgumentException on
+    // exactly the shape schema evolution exists to support (the
+    // imperative append's blind rebase has always committed it; files
+    // predate evolved columns routinely, readers NULL-fill by name).
+    // Deterministic pin at the write-factory layer: hand the batch write
+    // the stale era's schema explicitly.
+    val loc = freshLoc()
+    val df = Seq(("k1", "a", 1)).toDF("marker", "w", "i")
+    val t = LakeTable.create(spark, loc, "t", df.schema, primaryKey = Seq("marker"))
+    t.append(df)
+    val oldSchema = t.schema(t.currentSnapshot.schemaVersion)
+    t.addColumn("g_race", "INT") // the racing evolution
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    // stale era: factory creation must succeed (the shape matches era 0)
+    new GraftLakeBatchWrite(t, writeSchema = Some(oldSchema))
+      .createBatchWriterFactory(info)
+    // and end-to-end: committing old-era rows through DSv2 lands, reads
+    // NULL-fill the evolved column
+    Seq(("x", "b", 2)).toDF("marker", "w", "i")
+      .write.format("graftlake").option("path", loc).mode("append").save()
+    val head = LakeTable.load(spark, loc).scan()
+    assert(head.count() == 2)
+    assert(head.filter(col("marker") === "x").select("g_race").head().isNullAt(0))
+    // a shape that matches NO era is a genuinely wrong write — refused
+    val bogus = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nope",
+        org.apache.spark.sql.types.LongType)))
+    intercept[IllegalArgumentException](
+      new GraftLakeBatchWrite(t, writeSchema = Some(bogus))
+        .createBatchWriterFactory(info))
+  }
 }
