@@ -420,7 +420,9 @@ class LakeSpec extends SparkSpec {
     t.append(df)
     val base = t.currentSeq // what a COW UPDATE's scan would have read
     t.append(Seq((2L, "y")).toDF("id", "s")) // the racing commit
-    val err = intercept[IllegalArgumentException](
+    // CME since r20 (SQL-route soak finding): the refusal is a genuine
+    // concurrency loss and must follow the documented retry contract
+    val err = intercept[java.util.ConcurrentModificationException](
       t.commitStagedReplace(Nil, "overwrite-dsv2", expectedBase = Some(base)))
     assert(err.getMessage.contains("concurrent commit"))
     // without an expected base (plain INSERT OVERWRITE) the replace lands
@@ -1083,7 +1085,9 @@ class LakeSpec extends SparkSpec {
     t.append(df)
     val base = t.currentSeq
     t.append(Seq((2L, "b")).toDF("id", "s")) // the racing commit
-    val err = intercept[IllegalArgumentException](
+    // CME since r20 (SQL-route soak finding): the refusal is a genuine
+    // concurrency loss and must follow the documented retry contract
+    val err = intercept[java.util.ConcurrentModificationException](
       t.commitStagedDelta(Nil, Nil, "update-mor", expectedBase = base))
     assert(err.getMessage.contains("concurrent commit") &&
       err.getMessage.contains("retry"), s"unhelpful race error: ${err.getMessage}")
