@@ -155,9 +155,21 @@ object ConcurrencySoak {
     *     check keys off the LAST overwrite: appends committed after it
     *     must all be served (nothing but an overwrite ever removes a
     *     fresh key); with no overwrite committed the imperative check
-    *     runs unchanged. */
+    *     runs unchanged.
+    *
+    * `mode = "copy-on-write"` routes UPDATE/MERGE through the GROUP
+    * REPLACE commit instead (op "rewrite-dsv2" via
+    * commitStagedReplaceFiles + runtime group filtering — the row-level
+    * surface the MoR soak never drives). Rewrites are content-changing
+    * restatements, so the replay re-baselines at them exactly like at
+    * overwrites, and the fresh-append exactness check doubles as the
+    * lost-update tripwire for a rewrite that wrongly drops a concurrent
+    * append's rows (pk-pushable DELETEs take the MoR-keys fast path in
+    * either mode). */
   def runAndVerifySql(
-      spark: SparkSession, writers: Int, opsPerWriter: Int, seed: Long): (Int, Map[String, Int]) = {
+      spark: SparkSession, writers: Int, opsPerWriter: Int, seed: Long,
+      mode: String = "merge-on-read"): (Int, Map[String, Int]) = {
+    val cow = mode == "copy-on-write"
     val wh = java.nio.file.Files
       .createTempDirectory(s"graft-sqlsoak-$seed").toString
     spark.conf.set("spark.sql.catalog.graft",
@@ -169,7 +181,8 @@ object ConcurrencySoak {
       (0 until Soak.ContendedKeys).map(j => s"('k$j','seed',-1)").mkString(", "))
 
     val names = (0 until writers).map(i => ('A' + i).toChar.toString)
-    val ps = names.map(w => fork(Seq("soak-sql", wh, w, opsPerWriter.toString, seed.toString)))
+    val ps = names.map(w =>
+      fork(Seq("soak-sql", wh, w, opsPerWriter.toString, seed.toString, mode)))
     ps.zip(names).foreach { case (p, w) =>
       require(p.waitFor(1800, java.util.concurrent.TimeUnit.SECONDS),
         s"sql-soak writer $w timed out")
@@ -191,10 +204,32 @@ object ConcurrencySoak {
     def check(op: String, want: Int): Unit = require(committed(op) == want,
       s"$op commits: ${committed(op)} vs $want drawn — lost or duplicated commits")
     check("append-dsv2", drawn.count(_.isInstanceOf[SqlSoak.Insert]) + 1) // +1 contended seed
-    check("merge-mor", drawn.count(_.isInstanceOf[SqlSoak.Merge]))
-    require(committed("update-mor") <= drawn.count(_.isInstanceOf[SqlSoak.Update]),
-      "more update-mor commits than drawn UPDATE statements")
-    check("delete", drawn.count(_.isInstanceOf[SqlSoak.Delete]))
+    if (!cow) {
+      check("merge-mor", drawn.count(_.isInstanceOf[SqlSoak.Merge]))
+      require(committed("update-mor") <= drawn.count(_.isInstanceOf[SqlSoak.Update]),
+        "more update-mor commits than drawn UPDATE statements")
+      check("delete", drawn.count(_.isInstanceOf[SqlSoak.Delete]))
+      require(committed("rewrite-dsv2") == 0, "COW group replace in a MoR soak")
+    } else {
+      // copy-on-write folds MERGE / UPDATE into one commit class (group
+      // replace, op "rewrite-dsv2"); zero-match statements may commit
+      // nothing, so the class is bounded, with the MERGE count as a
+      // floor (a MERGE always has an effect — unmatched keys insert).
+      // The soak's DELETEs are pk-pushable and take the MoR-keys fast
+      // path in EITHER mode (canDeleteWhere is mode-independent — a
+      // pushable delete never needs the rewrite), so "delete" stays an
+      // exact class here too.
+      val rewrites = committed("rewrite-dsv2")
+      val drawnRw = drawn.count(o => o.isInstanceOf[SqlSoak.Merge] ||
+        o.isInstanceOf[SqlSoak.Update])
+      require(rewrites <= drawnRw,
+        s"more rewrite-dsv2 commits ($rewrites) than drawn MERGE/UPDATE ($drawnRw)")
+      require(rewrites >= drawn.count(_.isInstanceOf[SqlSoak.Merge]),
+        s"fewer rewrite-dsv2 commits ($rewrites) than drawn MERGEs — lost commits")
+      check("delete", drawn.count(_.isInstanceOf[SqlSoak.Delete]))
+      require(committed("merge-mor") + committed("update-mor") == 0,
+        "MoR delta commits in a COW soak")
+    }
     check("overwrite-dsv2", drawn.count(_.isInstanceOf[SqlSoak.Overwrite]))
     check("add-column", drawn.count(_.isInstanceOf[SqlSoak.Evolve]))
     require(committed("compact") <= drawn.count(_ == SqlSoak.Compact),
@@ -229,7 +264,11 @@ object ConcurrencySoak {
     // replayable commits, as-of re-baselining at each overwrite barrier
     val model = scala.collection.mutable.Map.empty[String, Seq[Any]]
     snaps.filter(_.seq > 0).foreach { s =>
-      if (s.operation == "overwrite-dsv2") {
+      if (s.operation == "overwrite-dsv2" || s.operation == "rewrite-dsv2") {
+        // content-CHANGING restatements (full replace; COW group replace
+        // for UPDATE/MERGE/DELETE): not changelog-replayable — the serial
+        // model re-baselines from the as-of snapshot, which IS that
+        // commit's position in the serial order
         model.clear()
         val ov = t2.scan(asOf = Some(s.seq))
         val ovCols = ov.columns.toSet
@@ -262,10 +301,12 @@ object ConcurrencySoak {
   }
 
   /** Longer seeded leg:
-    * `Test/runMain graft.lake.ConcurrencySoak [sql] <writers> <opsPerWriter> <seed> [<seed>...]` */
+    * `Test/runMain graft.lake.ConcurrencySoak [sql|sql-cow] <writers> <opsPerWriter> <seed> [<seed>...]` */
   def main(args: Array[String]): Unit = {
     val (route, rest) =
-      if (args.headOption.contains("sql")) ("sql", args.drop(1)) else ("api", args)
+      if (args.headOption.exists(a => a == "sql" || a == "sql-cow"))
+        (args.head, args.drop(1))
+      else ("api", args)
     val writers = rest(0).toInt
     val ops = rest(1).toInt
     val seeds = rest.drop(2).map(_.toLong).toSeq
@@ -279,6 +320,8 @@ object ConcurrencySoak {
       val t0 = System.nanoTime()
       val (snaps, counts) =
         if (route == "sql") runAndVerifySql(spark, writers, ops, seed)
+        else if (route == "sql-cow")
+          runAndVerifySql(spark, writers, ops, seed, mode = "copy-on-write")
         else runAndVerify(spark, writers, ops, seed)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[soak] route=$route seed=$seed writers=$writers ops=$ops snapshots=$snaps " +

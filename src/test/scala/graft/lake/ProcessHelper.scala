@@ -120,11 +120,16 @@ object ProcessHelper {
         // possibly WRAPPED by Spark's execution layers, so the retry
         // contract unwraps the cause chain; re-running the statement
         // re-plans against the fresh snapshot, which is exactly the
-        // documented recovery.
+        // documented recovery. Optional 6th arg: the row-level mode —
+        // "copy-on-write" routes UPDATE/MERGE/DELETE through the GROUP
+        // REPLACE commit (commitStagedReplaceFiles + runtime group
+        // filtering), the one row-level surface the MoR soak never
+        // exercises.
         val writer = args(2); val n = args(3).toInt; val seed = args(4).toLong
         spark.conf.set("spark.sql.catalog.graft",
           classOf[graft.sources.GraftCatalog].getName)
         spark.conf.set("spark.graft.catalog.warehouse", loc)
+        if (args.length > 5) spark.conf.set("spark.graft.lake.rowLevelMode", args(5))
         val jitter = new scala.util.Random(seed ^ writer.hashCode.toLong)
         def isCme(e: Throwable): Boolean = {
           var c: Throwable = e

@@ -110,6 +110,18 @@ class ProcessSafetySpec extends SparkSpec {
     ConcurrencySoak.runAndVerifySql(spark, writers = 3, opsPerWriter = 5, seed = 31L)
   }
 
+  test("randomized SQL-route soak under copy-on-write: group-replace restatements race") {
+    // the COW half of the row-level surface: UPDATE/MERGE/DELETE route
+    // through commitStagedReplaceFiles (runtime group filtering, swap
+    // exactly the matched files) — the commit class whose stale-base
+    // check the MoR soak never drives. The replay re-baselines at each
+    // rewrite-dsv2 like at an overwrite; the fresh-append exactness
+    // check is the lost-update tripwire for a rewrite that wrongly
+    // drops a concurrent append's rows.
+    ConcurrencySoak.runAndVerifySql(spark, writers = 3, opsPerWriter = 5, seed = 37L,
+      mode = "copy-on-write")
+  }
+
   test("changelog consumer following the re-baseline recipe converges under racing writers") {
     // the CDC-out consumer lifecycle under REAL concurrency (r19): while
     // forked writers race mixed op plans — including compaction
