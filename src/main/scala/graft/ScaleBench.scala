@@ -251,8 +251,12 @@ object ScaleBench {
     // entries. All three are pinned at 10⁶ regardless of k (pinnedBase),
     // so the law columns are trivially flat; the gated signals are the
     // in-probe requires (a breach DNFs the point, failing the round
-    // gate) and the recorded absolute times vs MillionFileProbe's
-    // r19 measurements (fold 2.8-4.1 s, commit 2.8 s).
+    // gate) and the recorded absolute times vs MillionFileProbe's r19
+    // measurements (fold 2.8-4.1 s, commit 2.8 s; the standing row has
+    // measured 3.0-6.6 s for the fold — each run re-assembles the
+    // 10⁶-entry listing from the process-wide manifest cache and ships
+    // it to the fold tasks, and the spread is JVM/GC state, steal-clean
+    // both times — same order, still 100× under the pre-r19 decline).
     Family("lake_files_1e6_fold", "invariant", "constant", pinnedBase = true),
     Family("lake_files_1e6_plan", "invariant", "constant", pinnedBase = true),
     Family("lake_files_1e6_commit", "invariant", "constant", pinnedBase = true),
