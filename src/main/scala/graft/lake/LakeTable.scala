@@ -786,6 +786,33 @@ final class LakeTable private (
     * [[LakeTable.SeqCol]]): base rows anti-joined against the delete keys
     * whose partition scope can reach those files. Shared by [[scan]] and
     * partition-scoped compaction. */
+  /** Multi-path parquet read WITHOUT the parallel-file-listing Spark job:
+    * the imperative reader hands `spark.read.parquet` the exact leaf files
+    * it already knows from the manifests, but above
+    * `parallelPartitionDiscovery.threshold` (default 32) the
+    * InMemoryFileIndex construction launches a whole Spark JOB to stat
+    * them — measured ~0.2–0.3 s of driver+dispatch per scan CONSTRUCTION
+    * at 240 files, every run (r21 QueryProbe). Driver-side stats of known
+    * leaf files are microseconds each on any reasonable filesystem, so the
+    * threshold is scoped up for the duration of the relation build (and
+    * restored — the conf is per-session, the build is driver-side and
+    * synchronous). `spark.graft.lake.listingJobThreshold` restores a
+    * finite threshold for deployments whose store makes per-file stats
+    * expensive enough to want the distributed listing back. */
+  private def readKnownFiles(storage: StructType, paths: Seq[String]): DataFrame = {
+    val k = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val scoped = spark.conf.getOption("spark.graft.lake.listingJobThreshold")
+      .getOrElse(Int.MaxValue.toString)
+    val prev = spark.conf.getOption(k)
+    try {
+      spark.conf.set(k, scoped)
+      spark.read.schema(storage).parquet(paths: _*)
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private[lake] def morMerged(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
     val userSchema = schema(snap.schemaVersion)
     val storage = StructType(userSchema.fields :+ StructField(SeqCol, LongType, nullable = false))
@@ -793,7 +820,7 @@ final class LakeTable private (
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storage)
       else
-        spark.read.schema(storage).parquet(files.map(f => abs(f.path)): _*)
+        readKnownFiles(storage, files.map(f => abs(f.path)))
     val delFiles = deleteFilesFor(snap, files)
     if (delFiles.isEmpty) base
     else {
@@ -833,7 +860,7 @@ final class LakeTable private (
       val era = schema(v)
       val eraPk = StructType(
         pk.map(k => era(k)) :+ StructField(DseqCol, LongType, nullable = false))
-      val df = spark.read.schema(eraPk).parquet(group.map(d => abs(d.path)): _*)
+      val df = readKnownFiles(eraPk, group.map(d => abs(d.path)))
       if (eraPk == targetPk) df
       else df.select(targetPk.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     }.reduce(_ unionByName _)
@@ -923,8 +950,7 @@ final class LakeTable private (
     val userSchema = schema(snap.schemaVersion)
     val readSchema = StructType(
       meta.primaryKey.map(k => userSchema(k)) :+ StructField(SeqCol, LongType, nullable = false))
-    val base = spark.read.schema(readSchema)
-      .parquet(snap.dataFiles.map(f => abs(f.path)): _*)
+    val base = readKnownFiles(readSchema, snap.dataFiles.map(f => abs(f.path)))
       .withColumn("_graft_file", input_file_name())
     val dels = deleteKeysDf(snap, snap.deleteFiles)
     val cond = meta.primaryKey.map(k => base(k) === dels(k)).reduce(_ && _) &&

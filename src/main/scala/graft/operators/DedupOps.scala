@@ -101,7 +101,11 @@ object DedupOps {
   private[operators] def shingledShared(s: SparkSession, dir: String): DataFrame =
     s.conf.getOption("spark.graft.dedup.shareShingles") match {
       case Some(v) if v.equalsIgnoreCase("false") => shingled(s, dir) // A/B knob
-      case _ => shingledOf(s, docs(s, dir)).localCheckpoint()
+      // LAZY checkpoint: every first consumer here is a full pass (the q38
+      // band groupBy's map stage / the q68 dict aggregate), so it
+      // materializes every partition as a side effect and the dedicated
+      // eager-checkpoint job + its stage barrier disappear from the run
+      case _ => shingledOf(s, docs(s, dir)).localCheckpoint(eager = false)
     }
 
   /** Ordered pairs (i < j) from a bucket's sorted member array, as an
@@ -769,9 +773,11 @@ object DedupOps {
     // batch filter would otherwise each re-read the parquet and re-run
     // the md5 token-set keying (the connectedComponents checkpoint
     // pattern; review finding r11)
+    // lazy checkpoint: the max aggregate below is a full pass, so it
+    // materializes the keyed corpus as a side effect — one job, not two
     val keyed = docs(s, dir).select(
       col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val maxRow = keyed.agg(max(col("doc_id"))).head()
     // max over zero rows is NULL — an empty corpus has nothing to dedup,
     // so return the (schema-correct) empty state instead of an opaque
@@ -797,7 +803,7 @@ object DedupOps {
       nBatches: Int = DedupBatches): DataFrame = {
     val keyed = docs(s, dir).select(
       col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the max below materializes it
     val maxRow = keyed.agg(max(col("doc_id"))).head()
     if (maxRow.isNullAt(0)) return emptySurvivors(s)
     val span = maxRow.getLong(0) / nBatches + 1

@@ -396,7 +396,7 @@ object VectorOps {
     val encoded = pqEncode(raw, cb, m, dim)
     val cands = encoded.join(broadcast(adcProbes(s, probesLocal, cb, m, ksub, dim)))
       .filter(col("vec_id") =!= col("probe_id"))
-    adcRerankTopK(s, raw, cands, m, ksub, rerank)
+    adcRerankTopK(s, raw, cands, m, ksub, rerank, probesLocal)
   }
 
   /** Per-probe ADC lookup tables computed ON THE DRIVER (the FAISS shape:
@@ -442,7 +442,8 @@ object VectorOps {
     * tbl) rows: every candidate already paired with each probe it scores
     * against. */
   private def adcRerankTopK(s: SparkSession, raw: DataFrame, cands: DataFrame,
-      m: Int, ksub: Int, rerank: Int): DataFrame = {
+      m: Int, ksub: Int, rerank: Int,
+      probesLocal: Array[(Long, Seq[Float])]): DataFrame = {
     // candidate scoring: m STATICALLY-UNROLLED O(1) array lookups per
     // (candidate, probe) — no per-row array allocation, stays inside
     // whole-stage codegen
@@ -466,12 +467,24 @@ object VectorOps {
     // With the corpus streaming, the family's only data-bearing exchange
     // is the shortlist window above — skinny rows ∝ corpus — so the
     // declared shuffle law is LINEAR (VERDICT r15 #1).
-    val prep = raw.select(col("vec_id"), VectorMath.quantize(col("embedding")).as("qv"))
+    val eq = raw.select(col("vec_id"), VectorMath.quantize(col("embedding")).as("qv"))
       .withColumn("nq", VectorMath.normSq(col("qv")))
-    val eq = prep.select(col("vec_id"), col("qv"), col("nq"))
-    val pq = prep
-      .filter(col("vec_id").isin(ProbeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nq").as("pnq"))
+    // probe side built from the ALREADY-COLLECTED probe vectors (r21): the
+    // former filtered-scan shape re-read the whole corpus for 3 rows — a
+    // full pass at 100 TB and an extra broadcast stage locally. Quantize +
+    // norm are mirrored exactly: floor(float→double · 1e6) per component
+    // and a left-to-right double sum of exact integers — bit-identical to
+    // VectorMath.quantize/normSq (which is what makes the exact re-rank
+    // oracle-stable in the first place).
+    val pq = {
+      import s.implicits._
+      probesLocal.toSeq.map { case (pid, v) =>
+        val qv = v.map(x => math.floor(x.toDouble * 1e6))
+        var nq = 0.0
+        qv.foreach(q => nq += q * q)
+        (pid, qv, nq)
+      }.toDF("probe_id", "pqv", "pnq")
+    }
     val rescored = eq
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(pq), "probe_id")
@@ -567,7 +580,7 @@ object VectorOps {
       .join(broadcast(probes), col("list_id") === col("c_list"))
       .filter(col("vec_id") =!= col("probe_id"))
       .drop("list_id", "c_list")
-    adcRerankTopK(s, raw, cands, m, ksub, rerank)
+    adcRerankTopK(s, raw, cands, m, ksub, rerank, probesLocal)
   }
 
   /** Embedding near-dup pairs at `minSim`, MULTI-BAND SRP-LSH: vectors
