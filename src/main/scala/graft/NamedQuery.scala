@@ -71,6 +71,35 @@ object Tables {
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df
   }
 
+  /** Shared-intermediate materialization — compute a multiply-consumed
+    * DataFrame once and cut its lineage (guide §5). FAULT-TOLERANCE STANCE
+    * (VERDICT r21 #8), declared once here for every call site
+    * (shingledShared, the connected-components edge list and rounds, the
+    * incremental-dedup keyed corpus and state folds, k-means iterations):
+    *
+    * The default is `localCheckpoint` — executor-local, NON-REPLICATED
+    * blocks. On `local[N]` (this harness) the "executor" is the driver
+    * process, so there is no partial-failure mode that loses blocks
+    * without killing the query anyway. On a CLUSTER, losing an executor
+    * after the checkpoint loses blocks whose lineage has been cut: Spark
+    * fails the JOB and the caller re-runs the query — a availability
+    * trade, never a correctness one (these are all single-query
+    * intermediates, not served state; the durable q116 route keeps its
+    * state in a lake table for exactly that reason).
+    *
+    * Deployments that prefer paying I/O up front set
+    * `spark.graft.materialize.reliable=true` (with a
+    * `SparkContext.setCheckpointDir` on reliable storage): the same call
+    * sites then route through `Dataset.checkpoint`, whose files survive
+    * executor loss, so a lost node costs a re-read instead of a query
+    * retry. Values are identical either way — both forms only cut
+    * recompute. */
+  def shared(df: DataFrame, eager: Boolean = false): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.materialize.reliable")
+        .exists(_.equalsIgnoreCase("true")))
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two parquet encodings across fixture

@@ -105,7 +105,7 @@ object DedupOps {
       // band groupBy's map stage / the q68 dict aggregate), so it
       // materializes every partition as a side effect and the dedicated
       // eager-checkpoint job + its stage barrier disappear from the run
-      case _ => shingledOf(s, docs(s, dir)).localCheckpoint(eager = false)
+      case _ => Tables.shared(shingledOf(s, docs(s, dir)), eager = false)
     }
 
   /** Ordered pairs (i < j) from a bucket's sorted member array, as an
@@ -239,17 +239,37 @@ object DedupOps {
   // so the value is engine-identical; the oracle recomputes the same pairs
   // from scratch (all-pairs is fine for DuckDB at verification scale).
   val NeardupThreshold = 0.9
+  /** [[NeardupThreshold]] as the exact rational 9/10 — the verify filter
+    * runs in integer arithmetic (see below). */
+  private val NeardupNum = 9; private val NeardupDen = 10
   val minhashNeardupPairs: (SparkSession, String) => DataFrame = (s, dir) => {
     val sh = shingledShared(s, dir) // one materialization feeds all three uses
     val cand = lshCandidatesOf(s, sh)
-    val jac = size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-      (size(col("sh_i")) + size(col("sh_j")) - size(array_intersect(col("sh_i"), col("sh_j"))))
-    cand
+    // |sh_i ∩ sh_j| bound ONCE (VERDICT r21 #2: the former single jaccard
+    // expression evaluated array_intersect THREE times — numerator plus
+    // twice in the denominator — and predicate pushdown substituted a
+    // fourth full copy into the join filter). The threshold now tests in
+    // exact integer arithmetic on the bound column
+    // (inter/union >= 9/10  <=>  19·inter >= 9·(szi+szj), union =
+    // szi+szj-inter), which is EQUIVALENT to the former double comparison:
+    // set sizes are exact ints ≪ 2^26, so any rational ≠ 9/10 sits ≥
+    // 1/(10·union) ≫ one ulp away from 0.9 and the double division cannot
+    // cross the boundary; a rational exactly 9/10 rounds to literal-0.9's
+    // own double and passed before too. The pushed filter evaluates the
+    // intersect once per candidate; only survivors recompute it for the
+    // reported jaccard — the identical inter/(szi+szj-inter) double.
+    val joined = cand
       .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
       .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= NeardupThreshold)
-      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+      .select(col("doc_i"), col("doc_j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).as("inter"),
+        size(col("sh_i")).as("szi"), size(col("sh_j")).as("szj"))
+    joined
+      .filter(col("inter") * lit(NeardupNum + NeardupDen) >=
+        lit(NeardupNum) * (col("szi") + col("szj")))
+      .select(col("doc_i"), col("doc_j"),
+        (col("inter").cast("double") / (col("szi") + col("szj") - col("inter")))
+          .as("jaccard"))
   }
 
   /** EXACT n-gram Jaccard similarity self-join via PREFIX FILTERING — the
@@ -658,15 +678,17 @@ object DedupOps {
     }
     // ONE action materializes the normalized edge list AND yields the
     // exact count that routes between the driver tail and the distributed
-    // rounds: the row RDD is locally checkpointed and counted in the same
-    // job. The former shape paid an eager-checkpoint job, then a separate
-    // count/signature aggregate, then (driver path) a third collect job —
-    // three reads where two suffice; the xor convergence signature is now
-    // computed only on the distributed path, which is the only consumer.
-    val normalized = normalize(edges0.select(col("u"), col("v")))
-    val edgeRdd = normalized.rdd
-    edgeRdd.localCheckpoint()
-    val edgeCount = edgeRdd.count()
+    // rounds: the Dataset is lazily locally checkpointed and the count()
+    // materializes it. The former shape paid an eager-checkpoint job, then
+    // a separate count/signature aggregate, then (driver path) a third
+    // collect job — three reads where two suffice; the xor convergence
+    // signature is now computed only on the distributed path, which is the
+    // only consumer. Dataset-level checkpoint (ADVICE r21): the blocks
+    // hold InternalRows, so the distributed rounds never round-trip edges
+    // through external Rows; only the bounded driver tail deserializes.
+    val normalized = Tables.shared(
+      normalize(edges0.select(col("u"), col("v"))), eager = false)
+    val edgeCount = normalized.count()
     // ADAPTIVE TAIL: a verified near-dup pair set is usually minuscule
     // next to its corpus; below the (bounded, configurable) threshold the
     // distributed rounds' per-round fixed cost — eager checkpoint job +
@@ -686,7 +708,7 @@ object DedupOps {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val collected = edgeRdd.collect() // cheap: reads the checkpoint blocks
+      val collected = normalized.collect() // cheap: reads the checkpoint blocks
       collected.foreach { row =>
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
@@ -704,13 +726,14 @@ object DedupOps {
         s"union-find lost nodes: ${labels.length} labels for ${nodes.size} endpoints")
       Left(labels)
     } else {
-      var edges = s.createDataFrame(edgeRdd, normalized.schema)
+      var edges = normalized
       var sig = signature(edges)
       var converged = false
       var round = 0
       val maxRounds = 50 // O(log n) proven; 50 covers n ~ 10^15
       while (!converged && round < maxRounds) {
-        val next = normalize(smallStar(normalize(largeStar(edges)))).localCheckpoint()
+        val next = Tables.shared(
+          normalize(smallStar(normalize(largeStar(edges)))), eager = true)
         val nextSig = signature(next)
         converged = ccAccept(next, edges, sigEqual = nextSig == sig)
         edges = next; sig = nextSig
@@ -775,9 +798,9 @@ object DedupOps {
     // pattern; review finding r11)
     // lazy checkpoint: the max aggregate below is a full pass, so it
     // materializes the keyed corpus as a side effect — one job, not two
-    val keyed = docs(s, dir).select(
-      col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
-      .localCheckpoint(eager = false)
+    val keyed = Tables.shared(docs(s, dir).select(
+      col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key")),
+      eager = false)
     val maxRow = keyed.agg(max(col("doc_id"))).head()
     // max over zero rows is NULL — an empty corpus has nothing to dedup,
     // so return the (schema-correct) empty state instead of an opaque
@@ -801,9 +824,9 @@ object DedupOps {
     * is EventStreamsSpec's concern). */
   def incrementalDedupLake(s: SparkSession, dir: String,
       nBatches: Int = DedupBatches): DataFrame = {
-    val keyed = docs(s, dir).select(
-      col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key"))
-      .localCheckpoint(eager = false) // the max below materializes it
+    val keyed = Tables.shared(docs(s, dir).select(
+      col("doc_id"), TextSig.tokenSetKey(col("text")).as("group_key")),
+      eager = false) // the max below materializes it
     val maxRow = keyed.agg(max(col("doc_id"))).head()
     if (maxRow.isNullAt(0)) return emptySurvivors(s)
     val span = maxRow.getLong(0) / nBatches + 1
@@ -917,7 +940,8 @@ object DedupOps {
     * and checkpoint to truncate lineage. */
   private[graft] def dedupStep(survivors: DataFrame, batch: DataFrame,
       b: Long): DataFrame =
-    survivors.unionByName(freshSurvivors(survivors, batch, b)).localCheckpoint()
+    Tables.shared(
+      survivors.unionByName(freshSurvivors(survivors, batch, b)), eager = true)
 
   /** Survivor-state schema of the lake-persistent route ([[lakeDedupStep]]). */
   private[graft] val SurvivorSchema: org.apache.spark.sql.types.StructType =
@@ -968,8 +992,8 @@ object DedupOps {
     // survivor side of the anti-join exchange-free; the default
     // imperative scan stays for callers without the catalog plumbing
     // (identical rows, linear-in-state shuffle).
-    val fresh = freshSurvivors(state.getOrElse(table.scan()), batch, b,
-      nullSafeKeys = state.isEmpty).localCheckpoint()
+    val fresh = Tables.shared(freshSurvivors(state.getOrElse(table.scan()), batch, b,
+      nullSafeKeys = state.isEmpty), eager = true)
     if (!fresh.isEmpty) { table.append(fresh); () }
   }
 

@@ -124,9 +124,16 @@ object MultimodalOps {
     val out = new java.io.ByteArrayOutputStream()
     val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     val w = pngWriter.get()
-    w.setOutput(mos)
-    w.write(img)
-    mos.flush()
+    try {
+      w.setOutput(mos)
+      w.write(img)
+    } catch { case e: Throwable =>
+      // a failed encode must not leave the pooled per-thread writer bound
+      // to a dead stream (ADVICE r21): reset it so the next call starts
+      // from a registry-fresh state
+      pngWriter.remove()
+      throw e
+    } finally mos.close() // close implies flushBefore(length); disposes the cache
     out.toByteArray
   }
 

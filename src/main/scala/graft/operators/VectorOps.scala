@@ -77,10 +77,10 @@ object VectorOps {
     var cents = {
       val seeds = base.withColumn("h", xxhash64(col("vec_id"))).orderBy(col("h")).limit(k)
       // k rows: the single-partition window is trivially cheap here
-      seeds.withColumn("list_id",
+      Tables.shared(seeds.withColumn("list_id",
           (row_number().over(Window.orderBy(col("h"))) - 1).cast("int"))
-        .select(col("list_id"), col("embedding").as("centroid"))
-    }.localCheckpoint(true)
+        .select(col("list_id"), col("embedding").as("centroid")), eager = true)
+    }
     (1 to iters).foreach { _ =>
       cents = assignLists(base, cents)
         .select(col("list_id"), posexplode(col("embedding")))
@@ -88,9 +88,10 @@ object VectorOps {
         .agg(avg(col("col")).as("m"))
         .groupBy(col("list_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      cents = Tables.shared(cents
         .select(col("list_id"),
-          transform(col("ps"), p => p.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint(true)
+          transform(col("ps"), p => p.getField("m").cast("float")).as("centroid")),
+        eager = true)
     }
     cents
   }
@@ -472,15 +473,17 @@ object VectorOps {
     // probe side built from the ALREADY-COLLECTED probe vectors (r21): the
     // former filtered-scan shape re-read the whole corpus for 3 rows — a
     // full pass at 100 TB and an extra broadcast stage locally. Quantize +
-    // norm are mirrored exactly: floor(float→double · 1e6) per component
-    // and a left-to-right double sum of exact integers — bit-identical to
-    // VectorMath.quantize/normSq (which is what makes the exact re-rank
-    // oracle-stable in the first place).
+    // norm mirror TYPE as well as value (ADVICE r21): Spark's floor emits
+    // LONG, so pqv/pnq are bigint like VectorMath.quantize/normSq on the
+    // corpus side — the rescore dot runs in the same long×long arithmetic
+    // as q39 structurally, not just while |x|·1e6 happens to stay an exact
+    // double (and a NaN component coerces to 0L here exactly as Spark's
+    // floor does, instead of propagating a NaN the engine path never sees).
     val pq = {
       import s.implicits._
       probesLocal.toSeq.map { case (pid, v) =>
-        val qv = v.map(x => math.floor(x.toDouble * 1e6))
-        var nq = 0.0
+        val qv = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+        var nq = 0L
         qv.foreach(q => nq += q * q)
         (pid, qv, nq)
       }.toDF("probe_id", "pqv", "pnq")

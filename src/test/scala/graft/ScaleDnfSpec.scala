@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * failing (ADVICE r13 #2: the recall DNF line silently missed the old
   * pattern because the two shapes lived in different files unchecked). */
 class ScaleDnfSpec extends AnyFunSuite {
+  TestSpark.armWindowStamp() // count this suite in SUITE_WINDOW.json (r21 #9)
 
   private def gateRe: scala.util.matching.Regex = {
     val script = new String(java.nio.file.Files.readAllBytes(

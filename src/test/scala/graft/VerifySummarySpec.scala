@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * full registry run, masking a cross-scale bug. No Spark needed — the
   * summary is pure string construction. */
 class VerifySummarySpec extends AnyFunSuite {
+  TestSpark.armWindowStamp() // count this suite in SUITE_WINDOW.json (r21 #9)
 
   test("full-gate summary carries the familiar all-N shape and no FILTERED marker") {
     val s = Verify.summaryLine(116, 116, filtered = false, failed = Nil)

@@ -1583,4 +1583,43 @@ class LakeSpec extends SparkSpec {
     // and the rebased row is attributed to the commit where it APPEARED
     assert(t.changes(2L, 3L).select("s").as[String].collect().toSeq == Seq("rebased"))
   }
+
+  test("scan construction runs ZERO Spark jobs and zero listing at high file counts " +
+      "(manifest-driven FileIndex, VERDICT r21 #6)") {
+    val dir = Files.createTempDirectory("graft-manyfiles-fileindex").toString
+    val n = 2048L // far above the 32-file threshold where the listing job used to fire
+    val t = ManyFilesFixture.build(spark, s"$dir/t", "many", n)
+    assert(t.currentSnapshot.dataFiles.size == n.toInt) // manifest parse outside the window
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = t.scan()
+      df.queryExecution.executedPlan // force analysis + full physical planning
+      Thread.sleep(500) // drain the async listener bus
+      assert(jobCount.get() == 0,
+        s"relation construction launched ${jobCount.get()} Spark job(s); " +
+          "the manifest FileIndex must launch none at any file count")
+      // the relation serves real reads from manifest (path, length) entries:
+      // every linked file holds the template's one pk=0 row
+      assert(df.count() == n, "manifest-FileIndex scan returned the wrong row count")
+      // fallback knob: listingJobThreshold routes back through spark.read,
+      // which re-stats the files (a listing JOB above the scoped threshold)
+      spark.conf.set("spark.graft.lake.listingJobThreshold", "32")
+      try {
+        val before = jobCount.get()
+        val viaListing = t.scan()
+        Thread.sleep(500)
+        assert(jobCount.get() > before,
+          "listingJobThreshold=32 should re-enable the distributed listing job")
+        assert(viaListing.schema == df.schema,
+          "fallback route must produce the identical relation schema")
+      } finally spark.conf.unset("spark.graft.lake.listingJobThreshold")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

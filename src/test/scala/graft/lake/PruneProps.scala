@@ -12,6 +12,7 @@ import scala.util.Random
   * pruning may keep too much (the scan re-filters), but must never drop a
   * match. */
 class PruneProps extends AnyFunSuite {
+  graft.TestSpark.armWindowStamp() // count this suite in SUITE_WINDOW.json (r21 #9)
 
   private val rng = new Random(20260812L)
   private def randTs(): Timestamp =
