@@ -91,11 +91,18 @@ object DedupOps {
     * computes the shingles once and every consumer reads the blocks (the
     * materialize-the-keyed-corpus-once pattern of q108, review finding
     * r11). Values are identical — the checkpoint only cuts recompute.
-    * Deliberately NOT combined with Tables.fanOut: QueryProbe measured the
-    * post-repartition 32-task stage paying ~170 ms/task of fixed overhead
-    * (q38 exec 0.3 s of task time checkpoint-only vs 8–11 s fanned out) —
-    * the shingle projection itself is ~0.1 s single-task at sf0.1, so
-    * serial-compute-then-share beats parallelize-and-pay-per-task here.
+    *
+    * Deliberately NOT combined with Tables.fanOut, in EITHER position
+    * (re-measured r22 on top of the r21 rejection of pre-shingle fanOut):
+    * repartitioning the finished (doc_id, sh) rows INTO the checkpoint —
+    * which would parallelize the ~1.1 s of serial 1-task derived map
+    * stages QueryProbe found (compact builds, dict sample, prefix
+    * projection) — A/B-measured q68 1.22→2.42 s, q38 0.51→0.75, q99
+    * 0.61→1.11 (steal-clean mins, 5 attempts): the exchange + 32-block
+    * checkpoint + per-task fixed overhead of every now-32-way stage costs
+    * twice what the serial stages did at this corpus size. At a corpus
+    * size where those passes genuinely dominate, the input scans wide on
+    * its own and no fanOut is needed.
     * `spark.graft.dedup.shareShingles=false` restores the recompute shape
     * for A/B comparability. */
   private[operators] def shingledShared(s: SparkSession, dir: String): DataFrame =
@@ -442,6 +449,13 @@ object DedupOps {
     // exact-dedup family already stands on (md5 text/token-set keys,
     // q35–q37). Sortedness is the kernel's input contract; array_sort
     // here is what establishes it.
+    // NOT a shared checkpoint (A/B-measured r22): materializing this
+    // compaction once — instead of once per verify-join side — measured
+    // q68 1.22→1.33-1.43 s. The two join-side map stages are INDEPENDENT
+    // exchanges that AQE runs concurrently, so the duplicate pass costs
+    // ~nothing wall-clock, while a lazy checkpoint makes both stages race
+    // to materialize the same blocks (no dedup for in-flight partitions)
+    // and serializes them on the block store.
     val compact = shingles.select(col("doc_id"),
       array_sort(array_distinct(transform(col("sh"), t => xxhash64(t)))).as("sh"))
     // the intersection is the expensive term: its SIZE decides the

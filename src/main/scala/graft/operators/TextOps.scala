@@ -440,7 +440,15 @@ object TextOps {
       .when(tok.isNotNull, array().cast("array<string>"))
 
   val duplicateSpans: (SparkSession, String) => DataFrame = (s, dir) =>
-    docs(s, dir)
+    // fanOut (r22): the per-row work here is ~n_tokens-7 md5 digests per
+    // document (~460k at sf0.1), all serialized on the unsplittable
+    // single-row-group scan task — QueryProbe measured the map stage as
+    // the query's dominant term. Spreading the (doc_id, text) projection
+    // first runs the span hashing on every core (the q104 precedent:
+    // md5-heavy map work wins from fanOut even though this query, unlike
+    // q104, shuffles afterwards — the shuffle carries fixed 32-char
+    // hashes either way; A/B-measured, see OPTIMIZATION_r22.md).
+    Tables.fanOut(docs(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextSig.tokens(col("text")).as("tok"))
       .filter(size(col("tok")) >= SpanWindow)
       .select(col("doc_id"),
